@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Batch k-NN search — the Spark restatement of the reference's
+  * `POST /search_drawing` (reference `main.py:138-165`): L2-normalize both
+  * sides (`main.py:87`), rank candidates by squared-L2 ascending
+  * (== cosine descending for unit vectors), take top-k per query, excluding
+  * the query row itself (FAISS would return it at distance 0).
+  *
+  * Scale design (100 TB): the query side is always the small side — it is
+  * broadcast, so the candidate scan is a single map-side pass with no
+  * shuffle of the (huge) vector table; the only shuffle is the per-query
+  * top-k window over Q·k-bounded candidates. For candidate pruning at scale
+  * see [[AnnSearch]] (LSH buckets / IVF coarse quantizer).
+  */
+object VectorSearch {
+
+  /** Normalized embeddings: (vec_id, v: array<double> unit-norm). */
+  def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), l2Normalize(col("embedding")).as("v"))
+
+  /** Exact top-k neighbors for each query vector (vec_id < nQueries).
+    * Output: (query_id, id, distance, rn) ordered by (query_id, rn).
+    */
+  def knnSearch(spark: SparkSession, sfDir: String,
+                nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val normed = normalized(spark, sfDir)
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // broadcast(queries) → BroadcastNestedLoopJoin: one pass over candidates,
+    // no shuffle of the big side.
+    val pairs = normed.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        squaredL2(col("qv"), col("v")).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Per-vector L2 norm before normalization plus a post-normalization norm
+    * check — standalone surface for the reference's `main.py:87` semantics.
+    */
+  def normalizeVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    emb.select(
+        col("vec_id"),
+        round(l2Norm(col("embedding")), 6).as("l2_norm"),
+        round(l2Norm(l2Normalize(col("embedding"))), 6).as("unit_norm"))
+      .orderBy("vec_id")
+  }
+}
