@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's ingest path (`POST /add_drawing`, reference
+  * `main.py:104-135`) re-expressed as batch dataflow:
+  *
+  *  - dense sequential ID assignment = the `COALESCE(MAX(faiss_id),0)+1`
+  *    aggregation (`main.py:129-130`) batched as max + row_number;
+  *  - last-writer-wins upsert with the reference's asymmetry: a re-added id
+  *    updates `text_content` but keeps the original vector (`main.py:119-126`)
+  *    — here modeled as "new batch wins per column it actually provides";
+  *  - ID remap join with drop-on-miss (`main.py:158-163`) as an inner
+  *    broadcast hash join.
+  */
+object Ingest {
+
+  /** Assign dense sequential ids to a new batch (documents), continuing after
+    * the current max id in the store (embeddings.vec_id).
+    *
+    * Scale note: `row_number` over a global order is a single-partition
+    * window — correct and used here (driver-contract determinism); the
+    * 100 TB path is per-partition counts + prefix-sum offsets
+    * (`zipWithIndex`-style), which preserves the same dense, ordered ids.
+    */
+  def idAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val existing = Tables.load(spark, sfDir, "embeddings")
+      .agg(coalesce(max(col("vec_id")), lit(0L)).as("max_id"))
+    val newBatch = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    newBatch
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .crossJoin(broadcast(existing))
+      .select(col("doc_id"),
+        (col("max_id") + col("rn").cast("long")).as("faiss_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Last-writer-wins merge where each batch only overwrites the columns it
+    * provides (reference upsert asymmetry, `main.py:119-126`: text updated,
+    * vector kept). Batch 0 = full documents; batch 1 = every 3rd doc with
+    * uppercased text and no lang. Result: text from the latest batch, lang
+    * kept from the only batch providing it.
+    */
+  def upsertMapping(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+      lit(0L).as("batch_ts"))
+    val update = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"),
+        lit(null).cast("string").as("lang"), lit(1L).as("batch_ts"))
+    // Per-column LWW: key = batch_ts, but a batch that didn't provide the
+    // column (null) is demoted below all real batches. max_by with the same
+    // CASE key on both engines avoids relying on engine-specific null
+    // handling in arg_max/max_by.
+    def lwwKey(c: String) =
+      when(col(c).isNotNull, col("batch_ts")).otherwise(lit(-1L))
+    base.unionAll(update)
+      .groupBy(col("doc_id"))
+      .agg(
+        max_by(col("text"), lwwKey("text")).as("text"),
+        max_by(col("lang"), lwwKey("lang")).as("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Remap internal ids to user-facing metadata, dropping ids with no
+    * mapping row (reference `main.py:158-163` drops `-1`/missing ids).
+    * Mapping side is small → broadcast hash join, no shuffle of results.
+    */
+  def idRemapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = VectorSearch.knnSearch(spark, sfDir)
+    // Mapping with deliberate gaps (every 5th id missing) to exercise the
+    // inner-join drop-on-miss semantics.
+    val mapping = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+    knn.join(broadcast(mapping), knn("id") === mapping("doc_id"), "inner")
+      .select(col("query_id"), col("id"), col("distance"), col("rn"),
+        col("lang"), col("source"))
+      .orderBy("query_id", "rn")
+  }
+}

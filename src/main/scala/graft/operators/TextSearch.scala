@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact text search — the reference README's promised-but-unimplemented
+  * `GET /search_by_text` (reference `README.md:37`; OCR text is stored at
+  * `main.py:112,131` but never queried). Token-overlap scoring over the
+  * `documents` corpus, fully relational:
+  *
+  *   query terms = the corpus's 3 most frequent tokens (deterministic,
+  *   self-contained); score(doc) = number of token occurrences in the doc
+  *   that match a query term; return top 20 docs by (score desc, doc_id).
+  *
+  * Scale shape: tokenize is a narrow map (explode), term selection is a
+  * small agg broadcast back, scoring is a broadcast semi-style join —
+  * one shuffle for the per-doc count, no large-large join.
+  */
+object TextSearch {
+
+  /** (doc_id, tok) pairs, empty tokens dropped. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  def searchExact(spark: SparkSession, sfDir: String, nTerms: Int = 3,
+                  topK: Int = 20): DataFrame = {
+    val toks = tokens(spark, sfDir)
+    val queryTerms = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(nTerms)
+      .select(col("tok"))
+    toks.join(broadcast(queryTerms), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}
