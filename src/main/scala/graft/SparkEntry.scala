@@ -26,6 +26,19 @@ object SparkEntry {
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),
     "id_remap_join" -> ((s, d) => Ingest.idRemapJoin(s, d)),
     "text_search_exact" -> ((s, d) => TextSearch.searchExact(s, d)),
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_topk_join" -> ((s, d) => Relational.q3TopkJoin(s, d)),
+    "q5_join_chain" -> ((s, d) => Relational.q5JoinChain(s, d)),
+    "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
+    "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
+    "grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "semi_anti_join" -> ((s, d) => Relational.semiAntiJoin(s, d)),
+    "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "topk_global" -> ((s, d) => Relational.topkGlobal(s, d)),
+    "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
+    "agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
+    "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +136,127 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS score
         |FROM toks2 t JOIN terms u ON t.tok = u.tok
         |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+        |    AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_join" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q5_join_chain" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g, l_returnflag, l_linestatus""".stripMargin,
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g, l_returnflag, l_linestatus""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g, l_returnflag, l_linestatus""".stripMargin,
+    "semi_anti_join" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_totalprice > 250000)
+        |SELECT c_mktsegment, 'has_big_order' AS kind, count(*) AS cnt
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM big)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'no_big_order' AS kind, count(*) AS cnt
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment, kind""".stripMargin,
+    "set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT 'union' AS op, count(*) AS cnt
+        |  FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS cnt
+        |  FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS cnt
+        |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |ORDER BY op""".stripMargin,
+    "window_rank" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+        |  row_number() OVER w1 AS rn,
+        |  rank() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  round(lag(o_totalprice, 1) OVER w1, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w1, 2) AS next_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "range_join_orders" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT d1.day, CAST(sum(d2.cnt) AS BIGINT) AS next7_orders
+        |FROM daily d1 JOIN daily d2
+        |  ON d2.day > d1.day AND d2.day <= d1.day + 7
+        |GROUP BY d1.day ORDER BY d1.day""".stripMargin,
+    "agg_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator block over the TPC-H-ish star schema (FIXTURES.md).
+  * These are the SURVEY.md §2.2 mandated extensions: scan/filter/project are
+  * exercised everywhere; this module adds aggregation, multi-way join chains,
+  * rollup/cube/grouping-sets, semi/anti joins, set operations, window
+  * analytics, global top-k, and a non-equi range join.
+  *
+  * Scale notes (100 TB design):
+  *  - group-bys are partial-aggregated map-side by Catalyst (hash agg);
+  *  - join chains put the big fact table (lineitem) on the streamed side and
+  *    broadcast every dimension ≤ the broadcast threshold (nation/region/
+  *    supplier/customer at fixture scale; at 100 TB, customer would be an
+  *    SMJ on the shuffled key — Catalyst/AQE picks per stats);
+  *  - the range join pre-aggregates to per-day granularity before the
+  *    non-equi join, bounding the quadratic blowup to (days × window).
+  */
+object Relational {
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+
+  private val disc1 = lit(1.0) - col("l_discount")
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    * Filter is pushed to the parquet scan; aggregation is map-side partial.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * disc1), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * disc1 * (lit(1.0) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: fact⋈fact⋈dim join chain + agg + top-k by revenue. */
+  def q3TopkJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-07-01"))
+    val c = cust(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = ord(spark, sfDir).filter(col("o_orderdate") < cutoff)
+    val l = li(spark, sfDir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * disc1), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-table join chain: local-supplier revenue per nation. */
+  def q5JoinChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val o = ord(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    li(spark, sfDir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * disc1), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def hierAgg(spark: SparkSession, sfDir: String,
+                      shape: String): DataFrame = {
+    val base = li(spark, sfDir)
+    val grouped = shape match {
+      case "rollup" => base.rollup(col("l_returnflag"), col("l_linestatus"))
+      case "cube"   => base.cube(col("l_returnflag"), col("l_linestatus"))
+    }
+    grouped.agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * disc1), 2).as("revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("g"))
+      .orderBy(col("g"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Hierarchical aggregates: ROLLUP(returnflag, linestatus). */
+  def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
+    hierAgg(spark, sfDir, "rollup")
+
+  /** Hierarchical aggregates: CUBE(returnflag, linestatus). */
+  def cubeSales(spark: SparkSession, sfDir: String): DataFrame =
+    hierAgg(spark, sfDir, "cube")
+
+  /** Explicit GROUPING SETS via SQL — exercises the SQL front-end too. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    li(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping_id() AS BIGINT) AS g
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Semi + anti join: customers with / without an order above the median
+    * price, counted per market segment and tagged. Left-semi = EXISTS,
+    * left-anti = NOT EXISTS; neither duplicates or widens rows.
+    */
+  def semiAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = ord(spark, sfDir).filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey"))
+    val c = cust(spark, sfDir)
+    def side(kind: String) =
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), kind)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("kind", lit(if (kind == "left_semi") "has_big_order"
+                                else "no_big_order"))
+    side("left_semi").unionAll(side("left_anti"))
+      .select(col("c_mktsegment"), col("kind"), col("cnt"))
+      .orderBy("c_mktsegment", "kind")
+  }
+
+  /** Set operations over customer-key sets from two order years:
+    * UNION (distinct), INTERSECT, EXCEPT — reported as tagged counts.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def buyers(y: String) = ord(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(s"$y-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${y.toInt + 1}-01-01")))
+      .select(col("o_custkey"))
+    val a = buyers("1995")
+    val b = buyers("1997")
+    import spark.implicits._
+    def tag(name: String, df: DataFrame) =
+      df.distinct().agg(count(lit(1)).as("cnt")).withColumn("op", lit(name))
+    tag("union", a.union(b))
+      .unionAll(tag("intersect", a.intersect(b)))
+      .unionAll(tag("except", a.except(b)))
+      .select($"op", $"cnt")
+      .orderBy("op")
+  }
+
+  /** Window analytics over orders: row_number / rank / lag / lead / running
+    * sum with an explicit rows frame, partitioned per customer.
+    */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord(spark, sfDir).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        row_number().over(byDate).cast("long").as("rn"),
+        rank().over(byPrice).cast("long").as("price_rank"),
+        round(lag(col("o_totalprice"), 1).over(byDate), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(byDate), 2).as("next_price"),
+        round(sum(col("o_totalprice"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("run_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Global top-k without a full sort: orderBy+limit plans as TakeOrdered. */
+  def topkGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    ord(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Non-equi range join: for each order day, how many orders landed in the
+    * following 7 days. Pre-aggregated to day granularity on both sides so
+    * the range join is (days × 7) pairs, not (orders × orders).
+    */
+  def rangeJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = ord(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val d1 = daily.select(col("day"), col("cnt"))
+    val d2 = daily.select(col("day").as("day2"), col("cnt").as("cnt2"))
+    d1.join(d2,
+        col("day2") > col("day") && col("day2") <= date_add(col("day"), 7))
+      .groupBy(col("day"))
+      .agg(sum(col("cnt2")).as("next7_orders"))
+      .orderBy("day")
+  }
+
+  /** Aggregate statistics battery per market segment: counts, distinct
+    * counts, min/max/avg/sum.
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    cust(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
+  /** HLL-sketch distinct counts (no exact oracle — driver rows-only check);
+    * the exact counterpart for the same columns is in [[aggStats]].
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1_agg groups are the 6 flag/status combos") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("rollup has detail+subtotal+total; cube adds the transposed slice") {
+    val r = Relational.rollupSales(spark, sf).collect()
+    val c = Relational.cubeSales(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("g")).distinct.sorted.toSeq == Seq(0L, 1L, 3L))
+    assert(c.map(_.getAs[Long]("g")).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // grand total identical in both shapes
+    val rt = r.filter(_.getAs[Long]("g") == 3L).head.getAs[Long]("n")
+    val ct = c.filter(_.getAs[Long]("g") == 3L).head.getAs[Long]("n")
+    assert(rt == ct && rt > 0)
+  }
+
+  test("semi + anti partition customers exactly") {
+    val rows = Relational.semiAntiJoin(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == Tables.load(spark, sf, "customer").count())
+  }
+
+  test("set ops satisfy |union| = |a|+|b|-|intersect| via except") {
+    val m = Relational.setOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // |union| = |except(a-b)| + |intersect| + |except(b-a)| — we only have
+    // a-b, so check the weaker containment identities
+    assert(m("union") >= m("intersect"))
+    assert(m("union") >= m("except") + m("intersect"))
+  }
+
+  test("windowRank running total ends at partition sum") {
+    val rows = Relational.windowRank(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.take(20).foreach { rs =>
+      val last = rs.maxBy(_.getAs[Long]("rn"))
+      val sum = rs.map(_.getAs[Double]("totalprice")).sum
+      assert(math.abs(last.getAs[Double]("run_total") - sum) < 1.0)
+    }
+  }
+
+  test("range join never counts same-day or >7d orders") {
+    val daily = Relational.rangeJoinOrders(spark, sf).collect()
+    assert(daily.nonEmpty)
+    assert(daily.forall(_.getAs[Long]("next7_orders") > 0))
+  }
+}
