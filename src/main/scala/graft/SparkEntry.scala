@@ -39,7 +39,58 @@ object SparkEntry {
     "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
     "agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "tokenize_stats" -> ((s, d) => TextAnalysis.tokenizeStats(s, d)),
+    "ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
+    "langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
+    "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
+    "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
   )
+
+  /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
+    * the Spark operators and oracles stay in lockstep).
+    */
+  private val DuckCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+      |  FROM documents
+      |)""".stripMargin
+  private val DuckShingles =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM corpus) c,
+      |       UNNEST(range(1, greatest(len(l) - 1, 1))) AS t(i)
+      |)""".stripMargin
+  private val DuckJaccardTail =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |  FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.doc_a
+      |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT i.doc_a, i.doc_b,
+      |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes na ON na.doc_id = i.doc_a
+      |JOIN sizes nb ON nb.doc_id = i.doc_b
+      |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= THRESH
+      |ORDER BY doc_a, doc_b""".stripMargin
+  private val DuckToks =
+    """toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) WHERE tok <> ''
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -258,5 +309,190 @@ object SparkEntry {
         |  round(avg(c_acctbal), 4) AS avg_bal,
         |  round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "tokenize_stats" ->
+      s"""WITH $DuckToks
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  count(DISTINCT tok) AS n_distinct,
+         |  round(avg(length(tok)), 4) AS avg_len
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ngram_freq" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |           FROM documents),
+        |bg AS (
+        |  SELECT p[1] || ' ' || p[2] AS bigram
+        |  FROM (SELECT unnest(list_zip(l, l[2:])) AS p FROM t)
+        |  WHERE p[2] IS NOT NULL AND p[1] <> '' AND p[2] <> ''
+        |)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin,
+    "langid" ->
+      s"""WITH $DuckToks,
+         |prof AS (
+         |  SELECT d.lang AS cand_lang, t.tok, count(*) AS c
+         |  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT t.doc_id, p.cand_lang, CAST(sum(p.c) AS BIGINT) AS score
+         |  FROM toks t JOIN prof p ON t.tok = p.tok GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT doc_id, cand_lang, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, cand_lang) AS rn
+         |  FROM sc
+         |)
+         |SELECT r.doc_id, r.cand_lang AS pred_lang, d.lang AS true_lang,
+         |  r.score
+         |FROM r JOIN documents d ON d.doc_id = r.doc_id
+         |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH $DuckToks,
+         |pt AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    round(avg(length(tok)), 4) AS avg_tok_len,
+         |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
+         |        THEN 1 ELSE 0 END) AS n_stop
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(pt.n_tokens AS BIGINT) AS n_tokens, pt.avg_tok_len,
+         |  round(CAST(pt.n_stop AS DOUBLE) / pt.n_tokens, 6) AS stop_ratio,
+         |  round(CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g'))
+         |    AS DOUBLE) / length(d.text), 6) AS alpha_ratio,
+         |  round((CAST(pt.n_stop AS DOUBLE) / pt.n_tokens) * 0.5 +
+         |    (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g'))
+         |      AS DOUBLE) / length(d.text)) * 0.5, 6) AS quality
+         |FROM documents d JOIN pt ON pt.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |    AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |    AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH tp AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    generate_subscripts(l, 1) - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |),
+        |terms AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(tok), 1, 8))::BIGINT *
+        |     ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+        |       1742810347])[pos % 8 + 1]) % 2147483647 AS term
+        |  FROM tp WHERE tok <> ''
+        |)
+        |SELECT doc_id, CAST(sum(term) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents
+        |),
+        |k AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS key
+        |  FROM corpus
+        |)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM k GROUP BY key HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin,
+    "minhash_dedup" ->
+      (s"""WITH $DuckCorpus,
+         |$DuckShingles,
+         |hashes AS (
+         |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS x
+         |  FROM sh
+         |),
+         |consts(i, a, b) AS (VALUES
+         |  (0,37,17),(1,49,118),(2,61,219),(3,73,320),(4,85,421),(5,97,522),
+         |  (6,109,623),(7,121,724),(8,133,825),(9,145,926),(10,157,1027),
+         |  (11,169,1128)),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * x + b) % 4294967291) AS mh
+         |  FROM hashes CROSS JOIN consts GROUP BY doc_id, i
+         |),
+         |bands AS (
+         |  SELECT doc_id, i // 3 AS band,
+         |    CAST(sum(mh * (i % 3 + 1)) AS BIGINT) AS band_key
+         |  FROM mh GROUP BY doc_id, i // 3
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |),
+         |""" + DuckJaccardTail.replace("THRESH", "0.5")).stripMargin,
+    "simhash_dedup" ->
+      s"""WITH $DuckCorpus,
+         |dtoks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM corpus) WHERE tok <> ''
+         |),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+         |  FROM dtoks
+         |),
+         |bits AS (
+         |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS sj
+         |  FROM h CROSS JOIN range(0, 32) t(j) GROUP BY doc_id, j
+         |),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << j ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |),
+         |wb AS (
+         |  SELECT doc_id, simhash, simhash % 65536 AS lo,
+         |    simhash // 65536 AS hi
+         |  FROM sig
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM wb a JOIN wb b
+         |    ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM pairs WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+    "jaccard_dupes" ->
+      (s"""WITH $DuckCorpus,
+         |$DuckShingles,
+         |cand AS (
+         |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         |  FROM sh s1 JOIN sh s2
+         |    ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+         |),
+         |""" + DuckJaccardTail.replace("THRESH", "0.4")).stripMargin,
+    "embed_near_dup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(v, x -> x + 0.01) FROM base
+        |),
+        |n AS (
+        |  SELECT vec_id, list_transform(v, x -> x /
+        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        |  FROM corpus
+        |),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.u, b.u),
+        |      q -> q[1] * q[2])) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine
+        |FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable text hashing.
+  *
+  * Everything downstream (MinHash, SimHash, fingerprints) needs a hash the
+  * DuckDB oracle can reproduce bit-for-bit. md5 is identical everywhere;
+  * the first 8 hex chars give an unsigned 32-bit value that fits safely in
+  * int64 arithmetic in both engines (no overflow up to a 2^31 multiplier).
+  */
+object TextHash {
+
+  /** 32-bit hash of a string column: int64 in [0, 2^32). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash family over hash32 values:
+    * h_i(x) = (a_i·x + b_i) mod 4294967291 (largest 32-bit prime).
+    * a_i = 37 + 12·i, b_i = 17 + 101·i — fixed so the oracle can inline them.
+    */
+  val MinhashPrime = 4294967291L
+  def minhashConsts(n: Int): Seq[(Int, Long, Long)] =
+    (0 until n).map(i => (i, 37L + 12L * i, 17L + 101L * i))
+
+  /** 31^k mod (2^31 − 1) for k = 0..7 — positional weights for the
+    * polynomial (Rabin-Karp-style) document fingerprint.
+    */
+  val FingerprintPrime = 2147483647L
+  val Pow31: Seq[Long] =
+    Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 1742810347L)
+}

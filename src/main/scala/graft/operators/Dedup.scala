@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash._
+import graft.functions.VectorOps._
+
+/** Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup. The fixture corpus has no natural duplicates
+  * (500 distinct texts), so each operator runs over a deterministic
+  * "injected" corpus: documents ∪ a near-duplicate of each (id + 10000,
+  * text minus its first token / embedding plus a small constant offset).
+  * That keeps the positive pairs known and the oracle exact.
+  *
+  * Scale shapes (100 TB):
+  *  - exact: hash-groupBy on a normalized-text key — one shuffle.
+  *  - MinHash: shingle → signature → band buckets; candidates come from
+  *    equi-joins on (band, band_key), never an all-pairs product.
+  *  - SimHash: 32-bit signature, candidates share a 16-bit half (the
+  *    pigeonhole trick: hamming ≤ k ⇒ some half matches for k small).
+  *  - Jaccard: blocking equi-join on shared shingles, then exact set math
+  *    on candidates only.
+  *  - embedding: exact all-pairs here; the LSH/IVF pruned path is in
+  *    [[AnnSearch]].
+  */
+object Dedup {
+
+  /** documents plus one near-duplicate per doc (first token dropped). */
+  def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(corpus: DataFrame, n: Int = 3): DataFrame =
+    corpus.select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(
+        when(size(col("l")) >= n,
+          transform(sequence(lit(1), size(col("l")) - (n - 1)),
+            k => concat_ws(" ", slice(col("l"), k, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+
+  /** Exact dedup: group by whitespace-normalized lowercase text, keep the
+    * min id as canonical; output duplicate groups. Corpus = documents plus
+    * exact copies (id + 10000) so groups exist.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    corpus
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("key"))
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= 2)
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+  }
+
+  /** MinHash + LSH banding near-dup detection, then exact Jaccard
+    * verification of the banded candidates. 12 hashes, 4 bands of 3.
+    */
+  def minhashDedup(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(nearDupCorpus(spark, sfDir))
+    val hashes = sh.select(col("doc_id"), hash32(col("sh")).as("x"))
+    val consts = minhashConsts(12).toDF("i", "a", "b")
+    val mh = hashes.crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("x") + col("b")) % MinhashPrime).as("mh"))
+    // Order-free band key: Σ mh·(slot+1) over the band's 3 rows — identical
+    // integer math in the oracle, no ordered string-agg needed.
+    val bands = mh.groupBy(col("doc_id"), floor(col("i") / 3).as("band"))
+      .agg(sum(col("mh") * (col("i") % 3 + 1)).as("band_key"))
+    val left = bands.select(col("doc_id").as("doc_a"), col("band"),
+      col("band_key"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("band").as("b2"),
+      col("band_key").as("k2"))
+    val cand = left.join(right,
+        col("band") === col("b2") && col("band_key") === col("k2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate (doc_a, doc_b) pairs. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val s2 = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh2"))
+    val inter = cand.join(s1, "doc_a")
+      .join(s2, col("doc_b") === col("doc_b2") && col("sh") === col("sh2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(na, "doc_a").join(nb, "doc_b")
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 32-bit signature over distinct-token hashes;
+    * candidates share one 16-bit half; verified by hamming distance ≤ 6.
+    */
+  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = nearDupCorpus(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .select(col("doc_id"), hash32(col("tok")).as("h"))
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .select(col("doc_id"), col("j"),
+        (expr("shiftright(h, j) % 2") * 2 - 1).as("s"))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("s")).as("sj"))
+    val sig = bits.select(col("doc_id"),
+        when(col("sj") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .otherwise(0L).as("bit"))
+      .groupBy(col("doc_id")).agg(sum(col("bit")).as("simhash"))
+    val withBands = sig.select(col("doc_id"), col("simhash"),
+      (col("simhash") % 65536).as("lo"),
+      floor(col("simhash") / 65536).as("hi"))
+    val a = withBands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"), col("lo"), col("hi"))
+    val b = withBands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sig_b"), col("lo").as("lo2"), col("hi").as("hi2"))
+    a.join(b, (col("lo") === col("lo2") || col("hi") === col("hi2")) &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram Jaccard dedup without LSH: blocking equi-join on shared
+    * shingles generates candidates, then exact Jaccard ≥ threshold.
+    */
+  def jaccardDupes(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.4): DataFrame = {
+    val sh = shingles(nearDupCorpus(spark, sfDir))
+    val s1 = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val s2 = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh2"))
+    val cand = s1.join(s2,
+        col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Embedding-cosine near-dup: corpus = embeddings plus offset copies
+    * (v + 0.01 per element, id + 10000; cos ≈ 0.9999 to the original while
+    * natural pairs stay ≤ ~0.52). Exact all-pairs at fixture scale; the
+    * pruned path is [[AnnSearch]].
+    */
+  def embedNearDup(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.9): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val corpus = emb.unionAll(emb.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("v"), x => x + lit(0.01)).as("v")))
+    val normed = corpus.select(col("vec_id"), l2Normalize(col("v")).as("u"))
+    val a = normed.select(col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = normed.select(col("vec_id").as("id_b"), col("u").as("ub"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+}

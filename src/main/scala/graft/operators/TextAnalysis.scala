@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash._
+
+/** Text-analysis operators over the `documents` corpus (the reference stores
+  * OCR'd text at `main.py:112,131` but never analyzes it; these are the
+  * north-star LLM-pipeline extensions).
+  *
+  * Scale shape: every operator here is tokenize (narrow explode) → hash
+  * aggregate; no large-large joins. The language-ID profile and the bigram
+  * top-k are small aggregates that broadcast back.
+  */
+object TextAnalysis {
+
+  /** (doc_id, pos, tok) with multiplicity, 0-based positions, empties kept
+    * out (single-spaced fixture text keeps positions contiguous).
+    */
+  def tokensPos(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .filter(col("tok") =!= "")
+
+  /** Per-document token statistics. */
+  def tokenizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    tokensPos(Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        round(avg(length(col("tok"))), 4).as("avg_len"))
+      .orderBy("doc_id")
+
+  /** Top-30 word bigrams across the corpus. */
+  def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokensPos(Tables.load(spark, sfDir, "documents"))
+    val a = t.select(col("doc_id"), col("pos"), col("tok").as("t1"))
+    val b = t.select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+      col("tok").as("t2"))
+    a.join(b, col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)
+      .select(concat_ws(" ", col("t1"), col("t2")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(30)
+  }
+
+  /** Token-profile language ID: score(doc, lang) = Σ over doc tokens of that
+    * token's occurrence count in lang's corpus; prediction = argmax
+    * (tie-break on lang name). Integer scoring keeps both engines exact.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = tokensPos(docs)
+    val profile = toks
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang").as("cand_lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val scores = toks.join(profile, "tok")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("c")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+        col("lang").as("true_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val Stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Heuristic quality scoring: length, alphabetic ratio, stopword ratio,
+    * average token length. Ratios are single IEEE divisions — identical in
+    * both engines — then a fixed-weight blend.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val perTok = tokensPos(docs).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      round(avg(length(col("tok"))), 4).as("avg_tok_len"),
+      sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L))
+        .as("n_stop"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perTok, "doc_id")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("n_tokens"),
+        col("avg_tok_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6)
+          .as("stop_ratio"),
+        round(length(regexp_replace(col("text"), "[^a-z ]", ""))
+          .cast("double") / length(col("text")), 6).as("alpha_ratio"),
+        round(
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.5 +
+          (length(regexp_replace(col("text"), "[^a-z ]", ""))
+            .cast("double") / length(col("text"))) * 0.5, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs | digit runs | single other non-space) — the usual cheap
+    * proxy for subword token counts.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Polynomial (Rabin-Karp-style) document fingerprint over token hashes
+    * with positional weights 31^(pos mod 8) mod (2^31−1). Order-sensitive:
+    * permuted documents fingerprint differently (mod the weight period).
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val weights = array(Pow31.map(lit): _*)
+    tokensPos(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        ((hash32(col("tok")) *
+          element_at(weights, (col("pos") % 8 + 1).cast("int")))
+          % FingerprintPrime).as("term"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % FingerprintPrime).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+
+  test("exactDedup finds exactly the injected exact copies") {
+    val rows = Dedup.exactDedup(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(_.getAs[Long]("n_dups") == 2L))
+  }
+
+  test("minhashDedup recovers injected near-dup pairs with high jaccard") {
+    val rows = Dedup.minhashDedup(spark, sf).collect()
+    val injected = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 10000)
+    // LSH is probabilistic per pair, but with ~0.9 jaccard and 4 bands of 3
+    // the expected recall is >99%; require most pairs recovered.
+    assert(injected.length >= 450)
+    assert(injected.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash of a near-identical doc is within small hamming distance") {
+    val rows = Dedup.simhashDedup(spark, sf).collect()
+    val injected = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 10000)
+    assert(injected.length >= 400)
+    assert(injected.forall(_.getAs[Long]("hamming") <= 6))
+  }
+
+  test("embedNearDup finds exactly the offset copies above 0.9 cosine") {
+    val rows = Dedup.embedNearDup(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "embeddings").count())
+    assert(rows.forall(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 10000))
+    assert(rows.forall(_.getAs[Double]("cosine") > 0.99))
+  }
+
+  test("langid predicts a language for every doc with integer scores") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    assert(rows.forall(_.getAs[Long]("score") > 0))
+  }
+
+  test("docFingerprint is order-sensitive and stable") {
+    val a = TextAnalysis.docFingerprint(spark, sf).collect()
+    val b = TextAnalysis.docFingerprint(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // fingerprints mostly distinct across 500 distinct texts
+    assert(a.map(_.getAs[Long]("fingerprint")).distinct.length > 490)
+  }
+}
