@@ -50,6 +50,12 @@ object SparkEntry {
     "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
+    "json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
+    "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
+    "sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "streaming_windows" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingEventWindows(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -494,5 +500,64 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(cos, 6) AS cosine
         |FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+        |    AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "event_windows" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |),
+        |sess AS (
+        |  SELECT user_id, event_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us,
+        |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(CAST(max(us) - min(us) AS DOUBLE) / 1000000.0, 3)
+        |    AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |),
+        |marked AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'signup' THEN us END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_signup_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, us, last_signup_us,
+        |  round(CAST(us - last_signup_us AS DOUBLE) / 1000000.0, 3)
+        |    AS since_signup_s
+        |FROM marked WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "streaming_windows" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: JSON prop extraction,
+  * tumbling-window aggregation, gap-based sessionization, and a
+  * point-in-time (as-of) join — the batch faces of the streaming ops in
+  * [[graft.streaming.StreamingOps]].
+  *
+  * Scale notes: everything partitions by `user_id` (or the window bucket);
+  * sessionization and as-of are single-pass window functions after one
+  * shuffle on the partition key — no self-joins, no per-row subqueries.
+  */
+object Events {
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** JSON extraction + aggregate per event type. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Tumbling 10-minute windows per event type (epoch-aligned, matching
+    * DuckDB's `time_bucket`).
+    */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_val"))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization: a >30-minute silence per user starts a new
+    * session. One window pass: lag → gap flag → running sum = session id.
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round((max(col("us")) - min(col("us"))).cast("double") / 1000000.0, 3)
+          .as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join: for each purchase, the most recent prior signup of the same
+    * user. Spark-native single-pass form: union both streams ordered by
+    * time, carry the last signup timestamp forward per user
+    * (`last(..., ignoreNulls)`), keep the purchase rows. Equivalent to a
+    * point-in-time join without any per-row lookup or range self-join.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_signup_us",
+        last(when(col("event_type") === "signup", col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("last_signup_us"),
+        round((col("us") - col("last_signup_us")).cast("double") / 1000000.0, 3)
+          .as("since_signup_s"))
+      .orderBy("event_id")
+  }
+}
