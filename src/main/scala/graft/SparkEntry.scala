@@ -56,6 +56,12 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "streaming_windows" ->
       ((s, d) => graft.streaming.StreamingOps.streamingEventWindows(s, d)),
+    "vector_centroids" -> ((s, d) => VectorAnalytics.centroids(s, d)),
+    "pairwise_sim_hist" -> ((s, d) => VectorAnalytics.pairwiseSimHist(s, d)),
+    "vector_stats" -> ((s, d) => VectorAnalytics.vectorStats(s, d)),
+    "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
+    "ann_ivf" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
+    "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -559,5 +565,31 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vector_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS idx
+        |  FROM embeddings
+        |)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS idx,
+        |  round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pairwise_sim_hist" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS u
+        |  FROM embeddings WHERE vec_id < 200
+        |)
+        |SELECT CAST(floor(list_sum(list_transform(list_zip(a.u, b.u),
+        |    q -> q[1]*q[2])) * 10) AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vector_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        |  round(avg(sqrt(list_sum(list_transform(embedding,
+        |    y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))), 6) AS avg_norm
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

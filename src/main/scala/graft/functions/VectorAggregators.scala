@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed aggregates over vector columns — the Dataset-first path for
+  * reductions the built-in functions can't express in one pass.
+  *
+  * [[CentroidAgg]] computes an element-wise mean of `Seq[Float]` vectors:
+  * buffer = (running sums, count). Merge is associative/commutative, so
+  * Spark applies it map-side (partial aggregation) before the shuffle —
+  * at 100 TB each executor ships one (d-dim sums, count) pair per group,
+  * not its rows.
+  */
+object VectorAggregators {
+
+  type Buf = (Array[Double], Long)
+
+  class CentroidAgg(dim: Int) extends Aggregator[Seq[Float], Buf, Seq[Double]] {
+    override def zero: Buf = (Array.fill(dim)(0.0), 0L)
+    override def reduce(b: Buf, v: Seq[Float]): Buf = {
+      val (sums, n) = b
+      var i = 0
+      while (i < dim) { sums(i) += v(i); i += 1 }
+      (sums, n + 1)
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      val (sa, na) = a; val (sb, nb) = b
+      var i = 0
+      while (i < dim) { sa(i) += sb(i); i += 1 }
+      (sa, na + nb)
+    }
+    override def finish(b: Buf): Seq[Double] = {
+      val (sums, n) = b
+      if (n == 0) Seq.empty else sums.map(_ / n).toSeq
+    }
+    override def bufferEncoder: Encoder[Buf] =
+      Encoders.tuple(Encoders.javaSerialization[Array[Double]],
+        Encoders.scalaLong)
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Approximate nearest-neighbor search — the scale path for the flagship
+  * k-NN (the reference's HNSW index, `main.py:60-62`, answers the same
+  * query approximately; HNSW graphs don't distribute, so the Spark-native
+  * analogs are LSH bucketing and IVF coarse quantization).
+  *
+  *  - LSH: `BucketedRandomProjectionLSH` (random hyperplane projections,
+  *    Euclidean — the right metric since the reference L2-normalizes). At
+  *    100 TB: candidates come from equi-joins on hash buckets; no all-pairs.
+  *  - IVF: k-means coarse quantizer; vectors are partitioned by nearest
+  *    centroid, queries probe the nprobe nearest partitions — Spark-native
+  *    "partition pruning as index" (SURVEY.md §4.2). At 100 TB the cluster
+  *    id becomes the physical partition/bucket key, so a probe touches
+  *    nprobe/k of the data.
+  *
+  * Neither is SQL-expressible → no DuckDB oracle; correctness is gauged by
+  * recall against the exact [[VectorSearch.knnSearch]] (see `ann_recall`
+  * and the spec).
+  */
+object AnnSearch {
+
+  private def normalizedVec(spark: SparkSession, sfDir: String): DataFrame =
+    VectorSearch.normalized(spark, sfDir)
+      .select(col("vec_id"), array_to_vector(col("v")).as("features"),
+        col("v"))
+
+  /** Approximate top-k via LSH similarity join + per-query ranking. */
+  def lshKnn(spark: SparkSession, sfDir: String,
+             nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val data = normalizedVec(spark, sfDir).cache()
+    val queries = data.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(0.8)
+      .setNumHashTables(6)
+      .setSeed(42L)
+      .setInputCol("features")
+      .setOutputCol("hashes")
+    val model = lsh.fit(data)
+    val joined = model.approxSimilarityJoin(
+        model.transform(queries), model.transform(data), 2.0, "dist")
+      .select(col("datasetA.query_id").as("query_id"),
+        col("datasetB.vec_id").as("id"), col("dist"))
+      .filter(col("query_id") =!= col("id"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    joined.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist") * col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** IVF-style approximate top-k: k-means coarse quantizer, probe the
+    * nprobe nearest clusters only.
+    */
+  def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+             k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
+    val data = normalizedVec(spark, sfDir).cache()
+    val km = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    val model = km.fit(data)
+    // At 100 TB this assignment is the write-time bucketing key; here it is
+    // a column so the probe join below prunes logically.
+    val assigned = model.transform(data)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    import spark.implicits._
+    val centersDf = centers.toDF("cluster", "center")
+    val queries = data.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // nprobe nearest centroids per query (tiny crossJoin: Q × k centroids)
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("cluster"))
+    val probes = queries.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", squaredL2(col("qv"), col("center")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    probes.join(assigned, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        squaredL2(col("qv"), col("v")).as("dist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Recall of the approximate searches against the exact k-NN, per query
+    * and method — the accuracy report the reference's `efSearch` knob
+    * (`main.py:31`) trades against.
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+                nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id")
+        .agg((count(lit(1)).cast("double") / k).as("recall"))
+        .withColumn("method", lit(name))
+    recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
+      .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
+      .select(col("method"), col("query_id"), col("recall"))
+      .orderBy("method", "query_id")
+  }
+}

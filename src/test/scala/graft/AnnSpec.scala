@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorAggregators.CentroidAgg
+import graft.operators.{AnnSearch, VectorAnalytics}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LSH approx kNN reaches high recall vs exact") {
+    val rec = AnnSearch.annRecall(spark, sf).collect()
+    val byMethod = rec.groupBy(_.getString(0)).map { case (m, rs) =>
+      m -> rs.map(_.getAs[Double]("recall")).sum / rs.length
+    }
+    assert(byMethod("lsh") >= 0.8, s"lsh recall ${byMethod("lsh")}")
+    assert(byMethod("ivf") >= 0.6, s"ivf recall ${byMethod("ivf")}")
+  }
+
+  test("typed CentroidAgg matches the explode+avg centroids") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val typed = emb.select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new CentroidAgg(dim).toColumn)
+      .collect().toMap
+    val exploded = VectorAnalytics.centroids(spark, sf).collect()
+      .groupBy(_.getAs[Long]("label"))
+    exploded.foreach { case (label, rows) =>
+      val want = rows.sortBy(_.getAs[Long]("idx"))
+        .map(_.getAs[Double]("centroid_val"))
+      val got = typed(label.toInt)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-5)
+      }
+    }
+  }
+}
