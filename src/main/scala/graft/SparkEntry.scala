@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
     "ann_ivf" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
+    "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -591,5 +592,29 @@ object SparkEntry {
         |  round(avg(sqrt(list_sum(list_transform(embedding,
         |    y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))), 6) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "multimodal_decode" ->
+      """WITH x AS (
+        |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+        |    AS n_bytes,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h, text
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id, n_bytes, 64 + h % 960 AS width,
+        |    64 + (h // 960) % 960 AS height, 1 + n_bytes % 5 AS n_frames,
+        |    text
+        |  FROM x
+        |),
+        |frames AS (
+        |  SELECT b.doc_id,
+        |    list(('0x' || substr(md5(b.text || '#' || i), 1, 8))::BIGINT
+        |      ORDER BY i) AS frame_hashes
+        |  FROM base b, UNNEST(range(1, CAST(n_frames AS BIGINT) + 1)) t(i)
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT b.doc_id, b.n_bytes, b.width, b.height, b.n_frames,
+        |  f.frame_hashes
+        |FROM base b JOIN frames f ON f.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * decoded in partition-sized batches — the reference ingests image bytes
+  * exactly this way (`main.py:105-110` reads the upload into `bytes` before
+  * embedding/OCR).
+  *
+  * The Spark-side shape is the real thing and is what this module tests:
+  *  - payloads as `BinaryType` (the fixture has no images, so document text
+  *    bytes stand in; `spark.read.format("binaryFile")` yields the same
+  *    `content: binary` column for real blobs),
+  *  - a typed metadata struct carried next to the payload,
+  *  - decode as an iterator-to-iterator `mapPartitions` over a typed
+  *    Dataset (the JVM analog of `mapInPandas` batches: one partition =
+  *    one batch, constant memory, no driver collect),
+  *  - explicit repartitioning before decode so batch sizes are controlled.
+  *
+  * ==STUB== the actual pixel/audio decoding. The container has no image
+  * libs, so `decodeBatch` derives deterministic fake (width, height,
+  * frame hashes) from the md5 of the payload. A real deployment swaps ONLY
+  * the body of [[Multimodal.decodeOne]] for (e.g.) a JNI/ImageIO decode;
+  * schema, partitioning and batch shape stay as tested here.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, content: Array[Byte])
+  case class Decoded(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                     n_frames: Long, frame_hashes: Seq[Long])
+
+  private def md5hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private def hash32(s: String): Long =
+    java.lang.Long.parseLong(s.take(8), 16)
+
+  /** STUB decoder — deterministic fake dimensions + frame samples derived
+    * from the payload hash (see class doc; a real decoder replaces this
+    * body only).
+    */
+  private[operators] def decodeOne(r: MediaRow): Decoded = {
+    val x = hash32(md5hex(r.content))
+    val nBytes = r.content.length.toLong
+    val nFrames = 1 + nBytes % 5
+    val frames = (1L to nFrames).map { i =>
+      hash32(md5hex((new String(r.content, "UTF-8") + "#" + i)
+        .getBytes("UTF-8")))
+    }
+    Decoded(r.doc_id, nBytes, 64 + x % 960, 64 + (x / 960) % 960,
+      nFrames, frames)
+  }
+
+  /** Binary payload + typed metadata struct for every document. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"),
+        struct(lit("text/plain").as("format"),
+          length(col("text")).cast("long").as("n_bytes"),
+          col("source")).as("meta"))
+
+  /** Batched decode: repartition (controls batch size at scale) then one
+    * mapPartitions pass. Output is flat columns + an array column — the
+    * schema a feature-extraction stage would consume.
+    */
+  def decode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[MediaRow]
+    media.mapPartitions(_.map(decodeOne)).toDF()
+      .orderBy("doc_id")
+  }
+}
