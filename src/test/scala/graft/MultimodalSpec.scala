@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
     a.foreach { r =>
       assert(r.getAs[Long]("width") >= 64 && r.getAs[Long]("width") < 1024)
       assert(r.getAs[Long]("height") >= 64 && r.getAs[Long]("height") < 1024)
-      assert(r.getAs[Seq[Long]]("frame_hashes").length ==
+      assert(r.getSeq[Long](r.fieldIndex("frame_hashes")).length ==
         r.getAs[Long]("n_frames"))
     }
   }
