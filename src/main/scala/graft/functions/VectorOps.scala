@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 import org.apache.spark.sql.functions._
 
 /** Column-level vector math over `ArrayType(FloatType|DoubleType)` columns.
@@ -20,31 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
   /** Sum of elements of a double array column, accumulated in array order. */
   def arraySum(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
 
-  /** dot(a, b) in double. */
+  /** dot(a, b) in double (codegen'd native expression, [[ArrayDot]]). */
   def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    column(ArrayDot(expression(asDouble(a)), expression(asDouble(b))))
 
   /** ‖v‖₂ in double. */
   def l2Norm(c: Column): Column = sqrt(dot(c, c))
 
-  /** v / ‖v‖₂ (elements cast to double). Reference `main.py:87`. */
-  def l2Normalize(c: Column): Column = {
-    val n = l2Norm(c)
-    transform(c, x => x.cast("double") / n)
-  }
+  /** v / ‖v‖₂ (elements cast to double). Reference `main.py:87`.
+    * Codegen'd single-pass expression, [[ArrayL2Normalize]].
+    */
+  def l2Normalize(c: Column): Column =
+    column(ArrayL2Normalize(expression(asDouble(c))))
 
   /** ‖a − b‖² in double — the metric FAISS IndexHNSWFlat returns
-    * (reference `main.py:155,163`).
+    * (reference `main.py:155,163`). Codegen'd, [[ArraySquaredL2]].
     */
   def squaredL2(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }))
+    column(ArraySquaredL2(expression(asDouble(a)), expression(asDouble(b))))
 
   /** cos(a, b) = dot / (‖a‖·‖b‖). */
   def cosineSim(a: Column, b: Column): Column =

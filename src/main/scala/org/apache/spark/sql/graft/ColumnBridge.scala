@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters.
+  *
+  * Spark 4 unified `Column` around opaque `ColumnNode`s; libraries defining
+  * native Catalyst expressions (our codegen'd vector ops) still need to wrap
+  * an `Expression` into a `Column` and back. This is the conventional
+  * package-namespace bridge used by Spark extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
