@@ -63,6 +63,12 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d)),
+    "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
+    "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
+    "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
+    "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
+    "streaming_sessionize" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -616,5 +622,64 @@ object SparkEntry {
         |  f.frame_hashes
         |FROM base b JOIN frames f ON f.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "tfidf_search" ->
+      s"""WITH $DuckToks,
+         |terms AS (
+         |  SELECT tok FROM toks GROUP BY tok
+         |  ORDER BY count(*) DESC, tok LIMIT 5
+         |),
+         |dft AS (
+         |  SELECT t.tok, count(DISTINCT t.doc_id) AS df
+         |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
+         |),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w AS (
+         |  SELECT tok, ln((nn.n + 1.0) / (df + 1.0)) AS idf FROM dft, nn
+         |)
+         |SELECT t.doc_id, round(sum(w.idf), 4) AS score,
+         |  count(*) AS n_hits
+         |FROM toks t JOIN w ON t.tok = w.tok
+         |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin,
+    "filter_like" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM (SELECT *, CASE WHEN p_size > 25 THEN p_size % 3 ELSE NULL END
+        |        AS size_bucket FROM part)
+        |WHERE p_name LIKE '%e%' AND p_type NOT LIKE 'E%'
+        |  AND (size_bucket IS NOT DISTINCT FROM 1 OR size_bucket IS NULL)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "salted_top_terms" ->
+      s"""WITH $DuckToks
+         |SELECT tok, count(*) AS cnt FROM toks
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+    "streaming_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |),
+        |sess AS (
+        |  SELECT user_id, event_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us,
+        |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(CAST(max(us) - min(us) AS DOUBLE) / 1000000.0, 3)
+        |    AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

@@ -216,6 +216,30 @@ object Relational {
         round(sum(col("c_acctbal")), 2).as("sum_bal"))
       .orderBy("c_mktsegment")
 
+  /** String predicates: LIKE patterns plus a null-safe equality over a
+    * derived nullable column (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM).
+    */
+  def filterLike(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.load(spark, sfDir, "part")
+    p.withColumn("size_bucket",
+        when(col("p_size") > 25, col("p_size") % 3).otherwise(lit(null)))
+      .filter(col("p_name").like("%e%") &&
+        !col("p_type").like("E%") &&
+        (col("size_bucket") <=> lit(1) || col("size_bucket").isNull))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Calendar rollup: revenue per order month (date_trunc). */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    ord(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
   /** HLL-sketch distinct counts (no exact oracle — driver rows-only check);
     * the exact counterpart for the same columns is in [[aggStats]].
     */

