@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Formats
+
+class SourcesSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_fmt").toString
+
+  test("csv round-trip preserves the customer table") {
+    val c = Tables.load(spark, sf, "customer")
+    Formats.writeCsv(c, s"$tmp/customer_csv")
+    val back = Formats.readCsv(spark, s"$tmp/customer_csv", c.schema)
+    assert(back.count() == c.count())
+    assert(math.abs(back.agg(sum("c_acctbal")).head.getDouble(0) -
+      c.agg(sum("c_acctbal")).head.getDouble(0)) <= 1e-4)
+  }
+
+  test("json round-trip preserves documents") {
+    val d = Tables.load(spark, sf, "documents")
+    Formats.writeJson(d, s"$tmp/docs_json")
+    val back = Formats.readJson(spark, s"$tmp/docs_json", d.schema)
+    assert(back.count() == d.count())
+    assert(back.select(min(length(col("text")))).head.getInt(0) ==
+      d.select(min(length(col("text")))).head.getInt(0))
+  }
+
+  test("orc round-trip preserves lineitem exactly") {
+    val l = Tables.load(spark, sf, "lineitem").limit(1000)
+    Formats.writeOrc(l, s"$tmp/li_orc")
+    val back = Formats.readOrc(spark, s"$tmp/li_orc")
+    assert(back.count() == 1000)
+    assert(back.schema.map(_.name) == l.schema.map(_.name))
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Formats.writeBucketed(o, "orders_b", "o_orderkey")
+    val l = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Formats.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // SortMergeJoin over bucketed scans must not reshuffle either side
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(joined.count() > 0)
+  }
+
+}
