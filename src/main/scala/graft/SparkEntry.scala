@@ -34,6 +34,7 @@ object SparkEntry {
     "grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "semi_anti_join" -> ((s, d) => Relational.semiAntiJoin(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "topk_global" -> ((s, d) => Relational.topkGlobal(s, d)),
     "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
@@ -294,6 +295,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'except' AS op, count(*) AS cnt
         |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |ORDER BY op""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT 'union_all' AS op, count(*) AS cnt
+        |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS cnt
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS cnt
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
         |ORDER BY op""".stripMargin,
     "window_rank" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,

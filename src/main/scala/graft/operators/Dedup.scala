@@ -81,17 +81,29 @@ object Dedup {
     */
   def minhashDedup(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.5): DataFrame = {
-    import spark.implicits._
     val sh = shingles(nearDupCorpus(spark, sfDir))
     val hashes = sh.select(col("doc_id"), hash32(col("sh")).as("x"))
-    val consts = minhashConsts(12).toDF("i", "a", "b")
-    val mh = hashes.crossJoin(broadcast(consts))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("x") + col("b")) % MinhashPrime).as("mh"))
-    // Order-free band key: Σ mh·(slot+1) over the band's 3 rows — identical
-    // integer math in the oracle, no ordered string-agg needed.
-    val bands = mh.groupBy(col("doc_id"), floor(col("i") / 3).as("band"))
-      .agg(sum(col("mh") * (col("i") % 3 + 1)).as("band_key"))
+    // All 12 minhashes in ONE aggregation pass (no 12× row blowup, no
+    // (doc, i) shuffle): one min() column per hash function.
+    val consts = minhashConsts(12)
+    val sig = hashes.groupBy(col("doc_id"))
+      .agg(
+        min((col("x") * consts.head._2 + consts.head._3) % MinhashPrime)
+          .as("mh0"),
+        consts.tail.map { case (i, a, b) =>
+          min((col("x") * a + b) % MinhashPrime).as(s"mh$i")
+        }: _*)
+    // Order-free band key: Σ mh·(slot+1) over the band's 3 signature slots
+    // — identical integer math to the oracle, built column-wise (no second
+    // shuffle).
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { b =>
+        struct(lit(b.toLong).as("band"),
+          (col(s"mh${3 * b}") * 1 + col(s"mh${3 * b + 1}") * 2 +
+            col(s"mh${3 * b + 2}") * 3).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
     val left = bands.select(col("doc_id").as("doc_a"), col("band"),
       col("band_key"))
     val right = bands.select(col("doc_id").as("doc_b"), col("band").as("b2"),
@@ -133,15 +145,17 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
       .select(col("doc_id"), hash32(col("tok")).as("h"))
-    val bits = toks.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .select(col("doc_id"), col("j"),
-        (expr("shiftright(h, j) % 2") * 2 - 1).as("s"))
-      .groupBy(col("doc_id"), col("j")).agg(sum(col("s")).as("sj"))
-    val sig = bits.select(col("doc_id"),
-        when(col("sj") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-          .otherwise(0L).as("bit"))
-      .groupBy(col("doc_id")).agg(sum(col("bit")).as("simhash"))
+    // All 32 bit-sums in ONE aggregation pass (literal shifts per column;
+    // no 32× row blowup, no (doc, j) shuffle), then assemble the signature
+    // column-wise. Same ±1 sums as the per-bit oracle formulation.
+    val bitSums = toks.groupBy(col("doc_id")).agg(
+      sum(shiftright(col("h"), 0) % 2 * 2 - 1).as("sj0"),
+      (1 until 32).map(j =>
+        sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"sj$j")): _*)
+    val sig = bitSums.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
     val withBands = sig.select(col("doc_id"), col("simhash"),
       (col("simhash") % 65536).as("lo"),
       floor(col("simhash") / 65536).as("hi"))

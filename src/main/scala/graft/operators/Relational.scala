@@ -155,6 +155,26 @@ object Relational {
       .orderBy("op")
   }
 
+  /** Multiset (ALL) set operations: bag semantics over per-order
+    * (custkey, priority) tuples from two years — `intersectAll` keeps
+    * duplicate multiplicity min(a,b), `exceptAll` keeps a−b multiplicity.
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    def bag(y: String) = ord(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(s"$y-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${y.toInt + 1}-01-01")))
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val a = bag("1995")
+    val b = bag("1997")
+    def tag(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("cnt")).withColumn("op", lit(name))
+    tag("union_all", a.unionAll(b))
+      .unionAll(tag("intersect_all", a.intersectAll(b)))
+      .unionAll(tag("except_all", a.exceptAll(b)))
+      .select(col("op"), col("cnt"))
+      .orderBy("op")
+  }
+
   /** Window analytics over orders: row_number / rank / lag / lead / running
     * sum with an explicit rows frame, partitioned per customer.
     */

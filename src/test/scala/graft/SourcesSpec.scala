@@ -36,6 +36,16 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("bucketed tables join without an exchange on the bucket key") {
+    // in-memory catalog + on-disk warehouse: scrub leftover locations from
+    // prior JVMs or CREATE TABLE fails with LOCATION_ALREADY_EXISTS
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
     val o = Tables.load(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     Formats.writeBucketed(o, "orders_b", "o_orderkey")
