@@ -35,6 +35,7 @@ object SparkEntry {
     "semi_anti_join" -> ((s, d) => Relational.semiAntiJoin(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
+    "salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "topk_global" -> ((s, d) => Relational.topkGlobal(s, d)),
     "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
@@ -312,6 +313,12 @@ object SparkEntry {
         |SELECT 'except_all' AS op, count(*) AS cnt
         |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
         |ORDER BY op""".stripMargin,
+    "salted_join" ->
+      """SELECT s.s_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin,
     "window_rank" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
         |  row_number() OVER w1 AS rn,

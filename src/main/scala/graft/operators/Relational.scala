@@ -155,6 +155,27 @@ object Relational {
       .orderBy("op")
   }
 
+  /** Skew-safe equi-join via explicit salting: the build side is
+    * replicated once per salt and the probe side picks a deterministic
+    * salt, so one hot key's rows spread over nSalts reducers instead of
+    * one. Result is identical to the plain join (the oracle is the plain
+    * join). At fixture scale AQE's skew handling would do this at runtime;
+    * the explicit form is the write-once pattern for known-hot keys.
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String,
+                 nSalts: Int = 8): DataFrame = {
+    val s = Tables.load(spark, sfDir, "supplier")
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    val l = li(spark, sfDir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(nSalts)).cast("int"))
+    l.join(s, col("l_suppkey") === col("s_suppkey") &&
+        l("salt") === s("salt"))
+      .groupBy(col("s_name"))
+      .agg(round(sum(col("l_extendedprice") * disc1), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("s_name")
+  }
+
   /** Multiset (ALL) set operations: bag semantics over per-order
     * (custkey, priority) tuples from two years — `intersectAll` keeps
     * duplicate multiplicity min(a,b), `exceptAll` keeps a−b multiplicity.

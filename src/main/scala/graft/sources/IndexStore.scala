@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Persistence for the search index state — the Spark restatement of the
+  * reference's durability story (index written only in a shutdown hook,
+  * `main.py:168-173`, loaded-or-inited at startup, `main.py:55-63`; a crash
+  * between SQLite commit and FAISS insert loses vectors, `main.py:132-134`).
+  *
+  * Here both halves of the state (id mapping + vector table) are written by
+  * the same job, each dataset commits atomically via the Parquet committer
+  * (`_SUCCESS` marker), and readers see either the old or the new snapshot
+  * of a dataset — no shutdown-hook durability.
+  */
+object IndexStore {
+
+  def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
+    mapping.write.mode(SaveMode.Overwrite).parquet(s"$dir/mapping")
+    vectors.write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+  }
+
+  /** Load a dataset if a committed copy exists, else an empty DataFrame
+    * with the expected schema (the reference's load-or-init,
+    * `main.py:55-63`).
+    */
+  def loadOrInit(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame = {
+    val committed = new java.io.File(s"$path/_SUCCESS").exists()
+    if (committed) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  def loadMapping(spark: SparkSession, dir: String,
+                  schema: StructType): DataFrame =
+    loadOrInit(spark, s"$dir/mapping", schema)
+
+  def loadVectors(spark: SparkSession, dir: String,
+                  schema: StructType): DataFrame =
+    loadOrInit(spark, s"$dir/vectors", schema)
+}
