@@ -36,6 +36,8 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     "salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
+    "big_orders" -> ((s, d) => Relational.bigOrders(s, d)),
+    "nation_volume" -> ((s, d) => Relational.nationVolume(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "topk_global" -> ((s, d) => Relational.topkGlobal(s, d)),
     "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
@@ -319,6 +321,28 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin,
+    "big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 150.0
+        |)
+        |SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+        |  round(o.o_totalprice, 2) AS totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    "nation_volume" ->
+      """SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_name IN ('NATION_1', 'NATION_2')
+        |GROUP BY n.n_name, year(l.l_shipdate)
+        |ORDER BY n_name, l_year""".stripMargin,
     "window_rank" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
         |  row_number() OVER w1 AS rn,

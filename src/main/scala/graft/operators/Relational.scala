@@ -155,6 +155,39 @@ object Relational {
       .orderBy("op")
   }
 
+  /** TPC-H Q18 flavor: large-quantity orders — aggregate-then-filter
+    * (HAVING) feeding a join back to the fact tables.
+    */
+  def bigOrders(spark: SparkSession, sfDir: String,
+                minQty: Double = 150.0): DataFrame = {
+    val l = li(spark, sfDir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(ord(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q7 flavor: shipping volume between two customer nations by
+    * year — join chain + symmetric nation-pair predicate + year bucketing.
+    */
+  def nationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li(spark, sfDir)
+      .join(ord(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * disc1), 2).as("revenue"))
+      .orderBy("n_name", "l_year")
+  }
+
   /** Skew-safe equi-join via explicit salting: the build side is
     * replicated once per salt and the probe side picks a deterministic
     * salt, so one hot key's rows spread over nSalts reducers instead of

@@ -35,6 +35,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema.map(_.name) == l.schema.map(_.name))
   }
 
+  test("partitioned layout prunes partitions at scan time") {
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("o_year")
+      .parquet(s"$tmp/orders_part")
+    val back = spark.read.parquet(s"$tmp/orders_part")
+      .filter(col("o_year") === 1996)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"))
+    val expected = o.filter(col("o_year") === 1996).count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     // in-memory catalog + on-disk warehouse: scrub leftover locations from
     // prior JVMs or CREATE TABLE fails with LOCATION_ALREADY_EXISTS
