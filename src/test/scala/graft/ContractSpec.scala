@@ -1,0 +1,26 @@
+package graft
+
+/** Guards on the driver contract itself. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a query; no silent Map-key collisions") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
+    assert(SparkEntry.queries.size >= 51)
+    // all but the sketch/model-based quartet carry oracles
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle ==
+      Set("approx_distinct", "ann_lsh", "ann_ivf", "ann_recall"), noOracle)
+  }
+
+  test("entry() smoke: flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL has no stray placeholders or empty statements") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, k)
+      assert(!sql.contains("THRESH"), s"$k: unsubstituted placeholder")
+    }
+  }
+}
