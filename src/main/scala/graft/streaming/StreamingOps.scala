@@ -60,15 +60,21 @@ object StreamingOps {
   case class SessOut(user_id: Long, session_id: Long, n_events: Long,
                      start_us: Long, end_us: Long)
   /** Carry-over state: the still-open tail session of each user. */
-  case class OpenSess(nextSessionId: Long, lastUs: Long)
+  case class OpenSess(sessionId: Long, startUs: Long, lastUs: Long,
+                      nEvents: Long)
 
   /** Gap-based sessionization as a custom stateful streaming operator
     * (`flatMapGroupsWithState`): per user, events are folded into sessions
-    * whenever the gap exceeds 30 minutes; `GroupState` carries the open
-    * session across micro-batches (exercised trivially here — the fixture
-    * is one batch — but the state plumbing is the real scale path: state
-    * store keyed by user, bounded by timeout-based eviction in production).
-    * Output matches the batch [[graft.operators.Events.sessionize]] oracle.
+    * whenever the gap exceeds 30 minutes; `GroupState` carries the OPEN
+    * tail session (id, start, last, count) across micro-batches, so a
+    * batch whose first event continues the open session extends it —
+    * re-emitting the same session_id with updated aggregates. Consumers
+    * take the last row per (user_id, session_id) (Update-mode semantics);
+    * with the single-batch fixture each session is emitted exactly once
+    * and the output matches the batch
+    * [[graft.operators.Events.sessionize]] oracle. In production the
+    * state store is RocksDB-backed and idle sessions are flushed/evicted
+    * via event-time timeout.
     */
   def streamingSessionize(spark: SparkSession, sfDir: String,
                           gapMinutes: Int = 30): DataFrame = {
@@ -81,14 +87,21 @@ object StreamingOps {
            state: GroupState[OpenSess]): Iterator[SessOut] = {
       val evs = it.toVector.sortBy(e => (e.us, e.event_id))
       if (evs.isEmpty) return Iterator.empty
-      val startId = state.getOption.map(_.nextSessionId).getOrElse(1L)
-      var sessId = startId
+      // Resume the carried open session if the first new event continues
+      // it, else close it out with a fresh id.
+      val (sessId0, start0, last0, n0) = state.getOption match {
+        case Some(open) if evs.head.us - open.lastUs <= gapUs =>
+          (open.sessionId, open.startUs, open.lastUs, open.nEvents)
+        case Some(open) => (open.sessionId + 1, evs.head.us, evs.head.us, 0L)
+        case None => (1L, evs.head.us, evs.head.us, 0L)
+      }
+      var sessId = sessId0
+      var start = start0
+      var last = last0
+      var n = n0
       val out = Vector.newBuilder[SessOut]
-      var start = evs.head.us
-      var last = evs.head.us
-      var n = 1L
-      evs.tail.foreach { e =>
-        if (e.us - last > gapUs) {
+      evs.foreach { e =>
+        if (n > 0 && e.us - last > gapUs) {
           out += SessOut(user, sessId, n, start, last)
           sessId += 1
           start = e.us
@@ -98,7 +111,7 @@ object StreamingOps {
         n += 1
       }
       out += SessOut(user, sessId, n, start, last)
-      state.update(OpenSess(sessId + 1, last))
+      state.update(OpenSess(sessId, start, last, n))
       out.result().iterator
     }
 
