@@ -76,6 +76,41 @@ object StreamingOps {
     * state store is RocksDB-backed and idle sessions are flushed/evicted
     * via event-time timeout.
     */
+  /** One group invocation of the sessionizer: fold this batch's events
+    * into sessions, resuming the carried open session when the first new
+    * event continues it (else closing it out with a fresh id). Public so
+    * multi-batch tests drive it directly.
+    */
+  def sessionFold(user: Long, it: Iterator[Ev], state: GroupState[OpenSess],
+                  gapUs: Long): Iterator[SessOut] = {
+    val evs = it.toVector.sortBy(e => (e.us, e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    val (sessId0, start0, last0, n0) = state.getOption match {
+      case Some(open) if evs.head.us - open.lastUs <= gapUs =>
+        (open.sessionId, open.startUs, open.lastUs, open.nEvents)
+      case Some(open) => (open.sessionId + 1, evs.head.us, evs.head.us, 0L)
+      case None => (1L, evs.head.us, evs.head.us, 0L)
+    }
+    var sessId = sessId0
+    var start = start0
+    var last = last0
+    var n = n0
+    val out = Vector.newBuilder[SessOut]
+    evs.foreach { e =>
+      if (n > 0 && e.us - last > gapUs) {
+        out += SessOut(user, sessId, n, start, last)
+        sessId += 1
+        start = e.us
+        n = 0L
+      }
+      last = e.us
+      n += 1
+    }
+    out += SessOut(user, sessId, n, start, last)
+    state.update(OpenSess(sessId, start, last, n))
+    out.result().iterator
+  }
+
   def streamingSessionize(spark: SparkSession, sfDir: String,
                           gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
@@ -84,36 +119,8 @@ object StreamingOps {
     val schema = Tables.load(spark, sfDir, "events").schema
 
     def fn(user: Long, it: Iterator[Ev],
-           state: GroupState[OpenSess]): Iterator[SessOut] = {
-      val evs = it.toVector.sortBy(e => (e.us, e.event_id))
-      if (evs.isEmpty) return Iterator.empty
-      // Resume the carried open session if the first new event continues
-      // it, else close it out with a fresh id.
-      val (sessId0, start0, last0, n0) = state.getOption match {
-        case Some(open) if evs.head.us - open.lastUs <= gapUs =>
-          (open.sessionId, open.startUs, open.lastUs, open.nEvents)
-        case Some(open) => (open.sessionId + 1, evs.head.us, evs.head.us, 0L)
-        case None => (1L, evs.head.us, evs.head.us, 0L)
-      }
-      var sessId = sessId0
-      var start = start0
-      var last = last0
-      var n = n0
-      val out = Vector.newBuilder[SessOut]
-      evs.foreach { e =>
-        if (n > 0 && e.us - last > gapUs) {
-          out += SessOut(user, sessId, n, start, last)
-          sessId += 1
-          start = e.us
-          n = 0L
-        }
-        last = e.us
-        n += 1
-      }
-      out += SessOut(user, sessId, n, start, last)
-      state.update(OpenSess(sessId, start, last, n))
-      out.result().iterator
-    }
+           state: GroupState[OpenSess]): Iterator[SessOut] =
+      sessionFold(user, it, state, gapUs)
 
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),

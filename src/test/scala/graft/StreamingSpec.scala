@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.Events
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Ev, OpenSess, SessOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-micro-batch sessionize: open sessions continue across batches") {
+    // split events at the median timestamp into two files -> two batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val cut = ev.stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_2batch")
+    ev.filter(col("us") <= cut).coalesce(1).write
+      .parquet(s"$dir/b1/data.parquet")
+    ev.filter(col("us") > cut).coalesce(1).write
+      .parquet(s"$dir/b2/data.parquet")
+    // stage: one file per micro-batch via maxFilesPerTrigger
+    val stage = Files.createTempDirectory("graft_2batch_in")
+    def copyPart(sub: String, n: Int): Unit = {
+      val part = new java.io.File(s"$dir/$sub/data.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(f"batch$n%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // the file source orders batches by modification time — make it
+      // unambiguous (same-millisecond copies raced in practice)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10000L - n * 1000L)))
+    }
+    copyPart("b1", 1); copyPart("b2", 2)
+
+    val gapUs = 30 * 60L * 1000000L
+    def fn(user: Long, it: Iterator[Ev],
+           state: org.apache.spark.sql.streaming.GroupState[OpenSess])
+        : Iterator[SessOut] = StreamingOps.sessionFold(user, it, state, gapUs)
+
+    val sessions = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("graft_2batch_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // last emitted row per (user, session) wins (update semantics)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_id")
+      .orderBy(col("n_events").desc)
+    val got = spark.table("graft_2batch_out")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round((col("end_us") - col("start_us")).cast("double") / 1000000.0, 3)
+          .as("duration_s"))
+      .collect().map(_.toSeq).toSet
+    val want = Events.sessionize(spark, sf).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+}
