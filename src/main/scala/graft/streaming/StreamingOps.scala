@@ -16,7 +16,7 @@ import graft.Tables
   * `availableNow`/continuous triggers; state lives in the window-agg state
   * store keyed by (window, event_type), bounded by the watermark.
   */
-object StreamingOps {
+object StreamingOps extends Serializable {
 
   /** Tumbling 5-minute windowed counts per event type, computed by a
     * streaming query over the events parquet. Returns the complete result
