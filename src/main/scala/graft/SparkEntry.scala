@@ -67,6 +67,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d)),
+    "multimodal_featurize" -> ((s, d) => Multimodal.featurize(s, d)),
+    "lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
     "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
@@ -670,6 +672,38 @@ object SparkEntry {
         |  f.frame_hashes
         |FROM base b JOIN frames f ON f.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "multimodal_featurize" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id, 64 + h % 960 AS width,
+        |    64 + (h // 960) % 960 AS height
+        |  FROM x
+        |),
+        |dims AS (
+        |  SELECT doc_id, width, height,
+        |    width * 256 // greatest(width, height) AS out_w,
+        |    height * 256 // greatest(width, height) AS out_h
+        |  FROM base
+        |),
+        |feats AS (
+        |  SELECT d.doc_id,
+        |    list(('0x' || substr(md5(d.doc_id || ':' || i), 1, 8))::BIGINT
+        |      ORDER BY i) AS features
+        |  FROM dims d, UNNEST(range(1, 5)) t(i)
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT d.doc_id, d.width, d.height, d.out_w, d.out_h, f.features
+        |FROM dims d JOIN feats f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(length(text)), 4) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "tfidf_search" ->
       s"""WITH $DuckToks,
          |terms AS (

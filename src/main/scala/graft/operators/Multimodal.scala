@@ -33,6 +33,8 @@ object Multimodal {
   case class MediaRow(doc_id: Long, content: Array[Byte])
   case class Decoded(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                      n_frames: Long, frame_hashes: Seq[Long])
+  case class Featurized(doc_id: Long, width: Long, height: Long,
+                        out_w: Long, out_h: Long, features: Seq[Long])
 
   private def md5hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
@@ -76,6 +78,32 @@ object Multimodal {
       .repartition(8, col("doc_id"))
       .as[MediaRow]
     media.mapPartitions(_.map(decodeOne)).toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Resize + feature-extract stage over decoded media: aspect-preserving
+    * fit into 256×256 (integer arithmetic — exact in any engine) and a
+    * 4-value feature vector (STUB: md5-derived in lieu of a pooled CNN
+    * embedding; a real extractor replaces [[featurizeOne]]'s body only).
+    */
+  private[operators] def featurizeOne(r: MediaRow): Featurized = {
+    val d = decodeOne(r)
+    val m = math.max(d.width, d.height)
+    val outW = d.width * 256 / m
+    val outH = d.height * 256 / m
+    val feats = (1 to 4).map { i =>
+      hash32(md5hex((r.doc_id + ":" + i).getBytes("UTF-8")))
+    }
+    Featurized(d.doc_id, d.width, d.height, outW, outH, feats)
+  }
+
+  def featurize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[MediaRow]
+      .mapPartitions(_.map(featurizeOne)).toDF()
       .orderBy("doc_id")
   }
 }

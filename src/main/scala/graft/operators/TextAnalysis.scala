@@ -117,6 +117,17 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Per-language corpus statistics (the "language filter" face of the
+    * lang column): counts, text-length stats, distinct sources.
+    */
+  def langStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
   /** Top-50 term frequencies via explicit two-stage salted aggregation —
     * the skew-mitigation pattern for hot keys at scale: partial counts per
     * (term, salt) shard first, so no single reducer receives a hot term's
