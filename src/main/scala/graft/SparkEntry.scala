@@ -39,6 +39,7 @@ object SparkEntry {
     "big_orders" -> ((s, d) => Relational.bigOrders(s, d)),
     "nation_volume" -> ((s, d) => Relational.nationVolume(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "topk_global" -> ((s, d) => Relational.topkGlobal(s, d)),
     "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
     "agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
@@ -358,6 +359,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
+        |    AS rolling_90d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "topk_global" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

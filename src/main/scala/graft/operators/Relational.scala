@@ -250,6 +250,23 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** RANGE window frame: per customer, rolling 90-day order-value sum —
+    * value-based frame bounds (vs [[windowRank]]'s ROWS frames), keyed on
+    * epoch seconds so both engines agree on the range arithmetic.
+    */
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-90L * 86400L, 0L)
+    ord(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("rolling_90d"))
+      .orderBy("o_orderkey")
+  }
+
   /** Global top-k without a full sort: orderBy+limit plans as TakeOrdered. */
   def topkGlobal(spark: SparkSession, sfDir: String): DataFrame =
     ord(spark, sfDir)
