@@ -73,11 +73,7 @@ object Multimodal {
     */
   def decode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("content"))
-      .repartition(8, col("doc_id"))
-      .as[MediaRow]
-    media.mapPartitions(_.map(decodeOne)).toDF()
+    mediaBatches(spark, sfDir).mapPartitions(_.map(decodeOne)).toDF()
       .orderBy("doc_id")
   }
 
@@ -87,23 +83,31 @@ object Multimodal {
     * embedding; a real extractor replaces [[featurizeOne]]'s body only).
     */
   private[operators] def featurizeOne(r: MediaRow): Featurized = {
-    val d = decodeOne(r)
-    val m = math.max(d.width, d.height)
-    val outW = d.width * 256 / m
-    val outH = d.height * 256 / m
+    val x = hash32(md5hex(r.content))
+    val width = 64 + x % 960
+    val height = 64 + (x / 960) % 960
+    val m = math.max(width, height)
     val feats = (1 to 4).map { i =>
       hash32(md5hex((r.doc_id + ":" + i).getBytes("UTF-8")))
     }
-    Featurized(d.doc_id, d.width, d.height, outW, outH, feats)
+    Featurized(r.doc_id, width, height, width * 256 / m, height * 256 / m,
+      feats)
   }
 
-  def featurize(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared batch shape for decode-style stages: payload column,
+    * controlled partitioning (= batch sizing at scale), typed rows.
+    */
+  private def mediaBatches(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     mediaTable(spark, sfDir)
       .select(col("doc_id"), col("content"))
       .repartition(8, col("doc_id"))
       .as[MediaRow]
-      .mapPartitions(_.map(featurizeOne)).toDF()
+  }
+
+  def featurize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaBatches(spark, sfDir).mapPartitions(_.map(featurizeOne)).toDF()
       .orderBy("doc_id")
   }
 }

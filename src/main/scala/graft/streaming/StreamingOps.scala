@@ -63,19 +63,6 @@ object StreamingOps extends Serializable {
   case class OpenSess(sessionId: Long, startUs: Long, lastUs: Long,
                       nEvents: Long)
 
-  /** Gap-based sessionization as a custom stateful streaming operator
-    * (`flatMapGroupsWithState`): per user, events are folded into sessions
-    * whenever the gap exceeds 30 minutes; `GroupState` carries the OPEN
-    * tail session (id, start, last, count) across micro-batches, so a
-    * batch whose first event continues the open session extends it —
-    * re-emitting the same session_id with updated aggregates. Consumers
-    * take the last row per (user_id, session_id) (Update-mode semantics);
-    * with the single-batch fixture each session is emitted exactly once
-    * and the output matches the batch
-    * [[graft.operators.Events.sessionize]] oracle. In production the
-    * state store is RocksDB-backed and idle sessions are flushed/evicted
-    * via event-time timeout.
-    */
   /** One group invocation of the sessionizer: fold this batch's events
     * into sessions, resuming the carried open session when the first new
     * event continues it (else closing it out with a fresh id). Public so
@@ -111,6 +98,19 @@ object StreamingOps extends Serializable {
     out.result().iterator
   }
 
+  /** Gap-based sessionization as a custom stateful streaming operator
+    * (`flatMapGroupsWithState`): per user, events are folded into sessions
+    * whenever the gap exceeds 30 minutes; `GroupState` carries the OPEN
+    * tail session (id, start, last, count) across micro-batches, so a
+    * batch whose first event continues the open session extends it —
+    * re-emitting the same session_id with updated aggregates. Consumers
+    * take the last row per (user_id, session_id) (Update-mode semantics);
+    * with the single-batch fixture each session is emitted exactly once
+    * and the output matches the batch
+    * [[graft.operators.Events.sessionize]] oracle. In production the
+    * state store is RocksDB-backed and idle sessions are flushed/evicted
+    * via event-time timeout.
+    */
   def streamingSessionize(spark: SparkSession, sfDir: String,
                           gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
