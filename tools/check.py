@@ -54,9 +54,21 @@ def main():
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # dtype compare (the driver checks schema, not just values)
+        try:
+            gt = dict((r[0], r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
+            et = dict((r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
+            tdiff = {k: (gt.get(k), et.get(k))
+                     for k in set(gt) | set(et) if gt.get(k) != et.get(k)}
+        except Exception:
+            tdiff = {}
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
-        if gc != ec:
+        if tdiff:
+            print(f"FAIL {name}: dtypes differ {tdiff}")
+            n_fail += 1
+        elif gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_fail += 1
         elif len(gr) != len(er):
