@@ -59,6 +59,8 @@ object SparkEntry {
     "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "event_pivot" -> ((s, d) => Events.eventPivot(s, d)),
+    "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "streaming_windows" ->
       ((s, d) => graft.streaming.StreamingOps.streamingEventWindows(s, d)),
     "vector_centroids" -> ((s, d) => VectorAnalytics.centroids(s, d)),
@@ -626,6 +628,21 @@ object SparkEntry {
         |    AS since_signup_s
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "event_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "percentiles" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+        |  round(quantile_cont(c_acctbal, 0.1), 4) AS p10_bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "streaming_windows" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_val

@@ -61,6 +61,18 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Pivot: per-user event-type counts as columns (explicit value list —
+    * at scale an implicit pivot would first run a distinct scan).
+    */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** As-of join: for each purchase, the most recent prior signup of the same
     * user. Spark-native single-pass form: union both streams ordered by
     * time, carry the last signup timestamp forward per user

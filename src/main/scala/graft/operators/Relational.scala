@@ -292,6 +292,18 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Ordered-set aggregates: exact continuous percentiles (median, p90)
+    * of account balance per market segment.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    cust(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("median(c_acctbal)"), 4).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        round(expr("percentile(c_acctbal, 0.1)"), 4).as("p10_bal"))
+      .orderBy("c_mktsegment")
+
   /** Aggregate statistics battery per market segment: counts, distinct
     * counts, min/max/avg/sum.
     */
