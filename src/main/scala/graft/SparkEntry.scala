@@ -60,6 +60,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "event_pivot" -> ((s, d) => Events.eventPivot(s, d)),
+    "collect_sorted" -> ((s, d) => Events.collectSorted(s, d)),
+    "hash_sample" -> ((s, d) => TextAnalysis.hashSample(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "streaming_windows" ->
       ((s, d) => graft.streaming.StreamingOps.streamingEventWindows(s, d)),
@@ -636,6 +638,18 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "collect_sorted" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type || ':' || count(*) AS pair
+        |  FROM events GROUP BY user_id, event_type
+        |)
+        |SELECT user_id,
+        |  string_agg(pair, ',' ORDER BY pair) AS type_counts
+        |FROM tc GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     "percentiles" ->
       """SELECT c_mktsegment,
         |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,

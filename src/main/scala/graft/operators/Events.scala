@@ -73,6 +73,20 @@ object Events {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Array aggregation: per user, the sorted set of "type:count" pairs as
+    * one canonical string (collect_list → sort_array → join — the
+    * engine-portable shape for nested-array results).
+    */
+  def collectSorted(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(concat(col("event_type"), lit(":"),
+          col("cnt"))))).as("type_counts"))
+      .orderBy("user_id")
+
   /** As-of join: for each purchase, the most recent prior signup of the same
     * user. Spark-native single-pass form: union both streams ordered by
     * time, carry the last signup timestamp forward per user

@@ -117,6 +117,18 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Deterministic content-hash sampling — the reproducible alternative to
+    * `df.sample` for pipelines (a row's membership depends only on its
+    * content, not on partitioning or seed plumbing): keep docs whose text
+    * hash lands in 1 of `mod` buckets.
+    */
+  def hashSample(spark: SparkSession, sfDir: String,
+                 mod: Int = 10): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .filter(hash32(col("text")) % mod === 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** Per-language corpus statistics (the "language filter" face of the
     * lang column): counts, text-length stats, distinct sources.
     */
