@@ -55,6 +55,7 @@ object SparkEntry {
     "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
+    "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -115,6 +116,34 @@ object SparkEntry {
       |JOIN sizes nb ON nb.doc_id = i.doc_b
       |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= THRESH
       |ORDER BY doc_a, doc_b""".stripMargin
+  private lazy val MinhashOracleSql: String =
+    (s"""WITH $DuckCorpus,
+       |$DuckShingles,
+       |hashes AS (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS x
+       |  FROM sh
+       |),
+       |consts(i, a, b) AS (VALUES
+       |  (0,37,17),(1,49,118),(2,61,219),(3,73,320),(4,85,421),(5,97,522),
+       |  (6,109,623),(7,121,724),(8,133,825),(9,145,926),(10,157,1027),
+       |  (11,169,1128)),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * x + b) % 4294967291) AS mh
+       |  FROM hashes CROSS JOIN consts GROUP BY doc_id, i
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // 3 AS band,
+       |    CAST(sum(mh * (i % 3 + 1)) AS BIGINT) AS band_key
+       |  FROM mh GROUP BY doc_id, i // 3
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |),
+       |""" + DuckJaccardTail.replace("THRESH", "0.5")).stripMargin
+
   private val DuckToks =
     """toks AS (
       |  SELECT doc_id, tok FROM (
@@ -481,33 +510,12 @@ object SparkEntry {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM k GROUP BY key HAVING count(*) >= 2
         |ORDER BY keep_id""".stripMargin,
-    "minhash_dedup" ->
-      (s"""WITH $DuckCorpus,
-         |$DuckShingles,
-         |hashes AS (
-         |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS x
-         |  FROM sh
-         |),
-         |consts(i, a, b) AS (VALUES
-         |  (0,37,17),(1,49,118),(2,61,219),(3,73,320),(4,85,421),(5,97,522),
-         |  (6,109,623),(7,121,724),(8,133,825),(9,145,926),(10,157,1027),
-         |  (11,169,1128)),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * x + b) % 4294967291) AS mh
-         |  FROM hashes CROSS JOIN consts GROUP BY doc_id, i
-         |),
-         |bands AS (
-         |  SELECT doc_id, i // 3 AS band,
-         |    CAST(sum(mh * (i % 3 + 1)) AS BIGINT) AS band_key
-         |  FROM mh GROUP BY doc_id, i // 3
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id
-         |),
-         |""" + DuckJaccardTail.replace("THRESH", "0.5")).stripMargin,
+    "minhash_dedup" -> MinhashOracleSql,
+    "incremental_dedup" ->
+      s"""SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard FROM (
+         |$MinhashOracleSql
+         |) WHERE doc_a < 10000 AND doc_b >= 10000
+         |ORDER BY new_doc, dup_of""".stripMargin,
     "simhash_dedup" ->
       s"""WITH $DuckCorpus,
          |dtoks AS (

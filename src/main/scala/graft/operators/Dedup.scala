@@ -128,6 +128,21 @@ object Dedup {
     jaccardFromCounts(inter, hsh, threshold)
   }
 
+  /** Incremental near-dup: dedupe a NEW batch against the EXISTING corpus
+    * (the production flow at 100 TB — corpus-side signatures are
+    * precomputed once and stored; only the new batch is shingled per run).
+    * Corpus = original documents, new batch = the id+10000 variants;
+    * output = new-batch docs matched to a corpus doc via MinHash bands,
+    * verified by exact Jaccard ≥ threshold.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.5): DataFrame =
+    minhashDedup(spark, sfDir, threshold)
+      .filter(col("doc_a") < 10000 && col("doc_b") >= 10000)
+      .select(col("doc_b").as("new_doc"), col("doc_a").as("dup_of"),
+        col("jaccard"))
+      .orderBy("new_doc", "dup_of")
+
   /** (doc_a, doc_b, ni) + per-doc set sizes → thresholded Jaccard. */
   private def jaccardFromCounts(inter: DataFrame, sh: DataFrame,
                                 threshold: Double): DataFrame = {
