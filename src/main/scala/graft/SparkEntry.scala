@@ -70,10 +70,11 @@ object SparkEntry {
     "pairwise_sim_hist" -> ((s, d) => VectorAnalytics.pairwiseSimHist(s, d)),
     "vector_stats" -> ((s, d) => VectorAnalytics.vectorStats(s, d)),
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
-    "ann_ivf" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
+    "ann_ivf_persisted" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
-    "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d)),
-    "multimodal_featurize" -> ((s, d) => Multimodal.featurize(s, d)),
+    "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
+    "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
+    "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
     "lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
@@ -168,6 +169,41 @@ object SparkEntry {
         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
         |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT query_id, id, round(dist, 6) AS distance, rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    "text_embed_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), hb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
+        |  FROM toks WHERE tok <> ''
+        |), cnt AS (
+        |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
+        |  FROM hb GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT d.doc_id, g.j, COALESCE(c.c, 0.0) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.j = g.j
+        |), vec AS (
+        |  SELECT doc_id, list(c ORDER BY j) AS raw FROM dense GROUP BY doc_id
+        |), normed AS (
+        |  SELECT doc_id, list_transform(raw, x -> x /
+        |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS v
+        |  FROM vec
+        |), pairs AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM normed q JOIN normed c ON c.doc_id <> q.doc_id
+        |  WHERE q.doc_id < 10
         |), ranked AS (
         |  SELECT query_id, id, dist,
         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
@@ -710,8 +746,9 @@ object SparkEntry {
         |),
         |frames AS (
         |  SELECT b.doc_id,
-        |    list(('0x' || substr(md5(b.text || '#' || i), 1, 8))::BIGINT
-        |      ORDER BY i) AS frame_hashes
+        |    string_agg(
+        |      (('0x' || substr(md5(b.text || '#' || i), 1, 8))::BIGINT)
+        |        ::VARCHAR, ',' ORDER BY i) AS frame_hashes
         |  FROM base b, UNNEST(range(1, CAST(n_frames AS BIGINT) + 1)) t(i)
         |  GROUP BY b.doc_id
         |)
@@ -738,8 +775,9 @@ object SparkEntry {
         |),
         |feats AS (
         |  SELECT d.doc_id,
-        |    list(('0x' || substr(md5(d.doc_id || ':' || i), 1, 8))::BIGINT
-        |      ORDER BY i) AS features
+        |    string_agg(
+        |      (('0x' || substr(md5(d.doc_id || ':' || i), 1, 8))::BIGINT)
+        |        ::VARCHAR, ',' ORDER BY i) AS features
         |  FROM dims d, UNNEST(range(1, 5)) t(i)
         |  GROUP BY d.doc_id
         |)

@@ -34,9 +34,10 @@ object VectorAggregators {
       val (sums, n) = b
       if (n == 0) Seq.empty else sums.map(_ / n).toSeq
     }
+    // Product encoder (array<double>, bigint): Tungsten-serializable partial
+    // state on the shuffle path — no Java serialization per merge.
     override def bufferEncoder: Encoder[Buf] =
-      Encoders.tuple(Encoders.javaSerialization[Array[Double]],
-        Encoders.scalaLong)
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorOps._
+import graft.sources.IndexStore
 
 /** Approximate nearest-neighbor search — the scale path for the flagship
   * k-NN (the reference's HNSW index, `main.py:60-62`, answers the same
@@ -64,25 +65,60 @@ object AnnSearch {
       .orderBy("query_id", "rn")
   }
 
-  /** IVF-style approximate top-k: k-means coarse quantizer, probe the
-    * nprobe nearest clusters only.
+  /** Build (once) the persisted IVF index: fit the k-means coarse
+    * quantizer, then write
+    *  - `dir/centroids` — (cluster, center) parquet, k·d doubles, and
+    *  - `dir/vectors` — the vector table PARTITIONED BY cluster id
+    *    (hive-style directories), so a probe's `cluster IN (...)` filter
+    *    becomes file-source partition pruning: only probed clusters' files
+    *    are ever read.
+    *
+    * This is the Spark restatement of the reference's build-once index
+    * (`main.py:55-63` load-or-init, `main.py:168-173` persist): the fit
+    * runs in the build job, never in a query. (Directory partitioning is
+    * chosen over writer bucketing because IVF wants partition PRUNING —
+    * bucketing co-locates joins but prunes nothing.)
     */
-  def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-             k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
+  def buildIvfIndex(spark: SparkSession, sfDir: String,
+                    nClusters: Int = 16): String = {
+    import spark.implicits._
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters")
     val data = normalizedVec(spark, sfDir)
     val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(data)
-    // At 100 TB this assignment is the write-time bucketing key; here it is
-    // a column so the probe join below prunes logically.
-    val assigned = model.transform(data)
-      .select(col("vec_id"), col("v"), col("cluster"))
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    import spark.implicits._
-    val centersDf = centers.toDF("cluster", "center")
-    val queries = data.filter(col("vec_id") < nQueries)
+    IndexStore.saveDataset(centers.toDF("cluster", "center"),
+      s"$dir/centroids")
+    model.transform(data)
+      .select(col("vec_id"), col("v"), col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$dir/vectors")
+    dir
+  }
+
+  /** IVF-style approximate top-k against the PERSISTED index
+    * (load-or-build): nprobe nearest centroids per query from the tiny
+    * persisted centroid table, then candidates read only from the probed
+    * cluster partitions.
+    *
+    * The probed-cluster set (≤ Q·nprobe ints) is collected to the driver
+    * deliberately: `isin` literals are what the parquet source turns into
+    * PartitionFilters — the file-level pruning that makes a probe touch
+    * nprobe/k of a 100 TB index. This bounded collect IS the index probe
+    * mechanism, not a driver-side compute loop.
+    */
+  def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+             k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/vectors"))
+      buildIvfIndex(spark, sfDir, nClusters)
+    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val queries = normalizedVec(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // nprobe nearest centroids per query (tiny crossJoin: Q × k centroids)
     val wc = Window.partitionBy("query_id")
@@ -92,6 +128,10 @@ object AnnSearch {
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cluster"))
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val assigned = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cluster").isin(probedClusters.map(Integer.valueOf): _*))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
     probes.join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
@@ -106,10 +146,13 @@ object AnnSearch {
 
   /** Recall of the approximate searches against the exact k-NN, per query
     * and method — the accuracy report the reference's `efSearch` knob
-    * (`main.py:31`) trades against.
+    * (`main.py:31`) trades against. `meets_floor` flags queries below the
+    * recall floor so a recall regression is visible row-by-row in the
+    * correctness dump (the spec additionally asserts per-method averages).
     */
   def annRecall(spark: SparkSession, sfDir: String,
-                nQueries: Int = 10, k: Int = 10): DataFrame = {
+                nQueries: Int = 10, k: Int = 10,
+                floor: Double = 0.8): DataFrame = {
     val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("id"))
     val allQueries = exact.select(col("query_id")).distinct()
@@ -127,7 +170,8 @@ object AnnSearch {
     }
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
-      .select(col("method"), col("query_id"), col("recall"))
+      .select(col("method"), col("query_id"), col("recall"),
+        (col("recall") >= floor).as("meets_floor"))
       .orderBy("method", "query_id")
   }
 }

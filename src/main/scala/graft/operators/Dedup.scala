@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextHash._
 import graft.functions.VectorOps._
+import graft.sources.IndexStore
 
 /** Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard and
   * embedding-cosine near-dup. The fixture corpus has no natural duplicates
@@ -52,9 +53,38 @@ object Dedup {
     * so counts match the string-keyed oracle; at larger corpora widen to
     * 64-bit the same way.
     */
-  private def hashedShingles(corpus: DataFrame): DataFrame =
-    shingles(corpus).select(col("doc_id"),
+  private def hashShingleCol(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+
+  private def hashedShingles(corpus: DataFrame): DataFrame =
+    hashShingleCol(shingles(corpus))
+
+  /** (doc_id, band, band_key) LSH band keys from a (doc_id, sh) shingle
+    * set: all 12 minhashes in ONE aggregation pass (no 12× row blowup, no
+    * (doc, i) shuffle — one min() column per hash function), then the 4
+    * order-free band keys built column-wise (Σ mh·(slot+1) over the band's
+    * 3 slots — identical integer math to the oracle).
+    */
+  private[operators] def bandKeys(sh: DataFrame): DataFrame = {
+    val hashes = sh.select(col("doc_id"), hash32(col("sh")).as("x"))
+    val consts = minhashConsts(12)
+    val sig = hashes.groupBy(col("doc_id"))
+      .agg(
+        min((col("x") * consts.head._2 + consts.head._3) % MinhashPrime)
+          .as("mh0"),
+        consts.tail.map { case (i, a, b) =>
+          min((col("x") * a + b) % MinhashPrime).as(s"mh$i")
+        }: _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { b =>
+        struct(lit(b.toLong).as("band"),
+          (col(s"mh${3 * b}") * 1 + col(s"mh${3 * b + 1}") * 2 +
+            col(s"mh${3 * b + 2}") * 3).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
 
   /** Exact dedup: group by whitespace-normalized lowercase text, keep the
     * min id as canonical; output duplicate groups. Corpus = documents plus
@@ -86,29 +116,7 @@ object Dedup {
     */
   def minhashDedup(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(nearDupCorpus(spark, sfDir))
-    val hashes = sh.select(col("doc_id"), hash32(col("sh")).as("x"))
-    // All 12 minhashes in ONE aggregation pass (no 12× row blowup, no
-    // (doc, i) shuffle): one min() column per hash function.
-    val consts = minhashConsts(12)
-    val sig = hashes.groupBy(col("doc_id"))
-      .agg(
-        min((col("x") * consts.head._2 + consts.head._3) % MinhashPrime)
-          .as("mh0"),
-        consts.tail.map { case (i, a, b) =>
-          min((col("x") * a + b) % MinhashPrime).as(s"mh$i")
-        }: _*)
-    // Order-free band key: Σ mh·(slot+1) over the band's 3 signature slots
-    // — identical integer math to the oracle, built column-wise (no second
-    // shuffle).
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map { b =>
-        struct(lit(b.toLong).as("band"),
-          (col(s"mh${3 * b}") * 1 + col(s"mh${3 * b + 1}") * 2 +
-            col(s"mh${3 * b + 2}") * 3).as("band_key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.band_key").as("band_key"))
+    val bands = bandKeys(shingles(nearDupCorpus(spark, sfDir)))
     val left = bands.select(col("doc_id").as("doc_a"), col("band"),
       col("band_key"))
     val right = bands.select(col("doc_id").as("doc_b"), col("band").as("b2"),
@@ -128,20 +136,68 @@ object Dedup {
     jaccardFromCounts(inter, hsh, threshold)
   }
 
+  /** Build (once) the persisted dedup index for the corpus: LSH band keys
+    * + 48-bit hashed shingles, each a committed parquet dataset. At 100 TB
+    * this is the nightly/bootstrap job; every incremental batch then joins
+    * against these artifacts without touching corpus text again.
+    */
+  def buildDedupIndex(spark: SparkSession, sfDir: String,
+                      dir: String): Unit = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val sh = shingles(corpus)
+    IndexStore.saveDataset(bandKeys(sh), s"$dir/bands")
+    IndexStore.saveDataset(hashShingleCol(sh), s"$dir/shingles")
+  }
+
   /** Incremental near-dup: dedupe a NEW batch against the EXISTING corpus
-    * (the production flow at 100 TB — corpus-side signatures are
-    * precomputed once and stored; only the new batch is shingled per run).
+    * (the production flow at 100 TB). Corpus-side band keys and hashed
+    * shingles are precomputed ONCE by [[buildDedupIndex]] and read back
+    * from the store — only the new batch is shingled/signed per run; the
+    * corpus branch of the plan is a parquet scan of the persisted
+    * signatures, not a re-shingle.
+    *
     * Corpus = original documents, new batch = the id+10000 variants;
-    * output = new-batch docs matched to a corpus doc via MinHash bands,
-    * verified by exact Jaccard ≥ threshold.
+    * output = new-batch docs matched to a corpus doc via MinHash band
+    * equi-join, verified by exact Jaccard ≥ threshold — pair-for-pair the
+    * cross-partition subset of [[minhashDedup]].
     */
   def incrementalDedup(spark: SparkSession, sfDir: String,
-                       threshold: Double = 0.5): DataFrame =
-    minhashDedup(spark, sfDir, threshold)
-      .filter(col("doc_a") < 10000 && col("doc_b") >= 10000)
-      .select(col("doc_b").as("new_doc"), col("doc_a").as("dup_of"),
-        col("jaccard"))
+                       threshold: Double = 0.5): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir, "dedup")
+    if (!IndexStore.committed(s"$dir/bands") ||
+        !IndexStore.committed(s"$dir/shingles"))
+      buildDedupIndex(spark, sfDir, dir)
+    val corpusBands = spark.read.parquet(s"$dir/bands")
+    val corpusSh = spark.read.parquet(s"$dir/shingles")
+    val batch = Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val bsh = shingles(batch)
+    val cand = corpusBands
+      .select(col("doc_id").as("dup_of"), col("band"), col("band_key"))
+      .join(bandKeys(bsh).select(col("doc_id").as("new_doc"),
+          col("band").as("b2"), col("band_key").as("k2")),
+        col("band") === col("b2") && col("band_key") === col("k2"))
+      .select(col("new_doc"), col("dup_of")).distinct()
+    val bh = hashShingleCol(bsh)
+    val inter = cand
+      .join(bh.select(col("doc_id").as("new_doc"), col("h")), "new_doc")
+      .join(corpusSh.select(col("doc_id").as("c2"), col("h").as("h2")),
+        col("dup_of") === col("c2") && col("h") === col("h2"))
+      .groupBy(col("new_doc"), col("dup_of")).agg(count(lit(1)).as("ni"))
+    val na = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      .select(col("doc_id").as("dup_of"), col("na"))
+    val nb = bh.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+      .select(col("doc_id").as("new_doc"), col("nb"))
+    inter.join(na, "dup_of").join(nb, "new_doc")
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"))
       .orderBy("new_doc", "dup_of")
+  }
 
   /** (doc_a, doc_b, ni) + per-doc set sizes → thresholded Jaccard. */
   private def jaccardFromCounts(inter: DataFrame, sh: DataFrame,

@@ -22,20 +22,26 @@ object Ingest {
   /** Assign dense sequential ids to a new batch (documents), continuing after
     * the current max id in the store (embeddings.vec_id).
     *
-    * Scale note: `row_number` over a global order is a single-partition
-    * window — correct and used here (driver-contract determinism); the
-    * 100 TB path is per-partition counts + prefix-sum offsets
-    * (`zipWithIndex`-style), which preserves the same dense, ordered ids.
+    * Scale shape: range-partition on the order key, sort within partitions,
+    * then `zipWithIndex` — Spark's per-partition-count + prefix-sum-offset
+    * pass. Every partition ranks its own rows after one tiny count job; no
+    * single-partition global window anywhere in the plan. Same dense ids,
+    * same order, as a global `row_number`.
     */
   def idAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val existing = Tables.load(spark, sfDir, "embeddings")
       .agg(coalesce(max(col("vec_id")), lit(0L)).as("max_id"))
-    val newBatch = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
-    newBatch
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .crossJoin(broadcast(existing))
-      .select(col("doc_id"),
-        (col("max_id") + col("rn").cast("long")).as("faiss_id"))
+    val ranked = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[Long]
+      .rdd.zipWithIndex()
+      .map { case (id, idx) => (id, idx + 1L) }
+      .toDF("doc_id", "rn")
+    ranked.crossJoin(broadcast(existing))
+      .select(col("doc_id"), (col("max_id") + col("rn")).as("faiss_id"))
       .orderBy("doc_id")
   }
 

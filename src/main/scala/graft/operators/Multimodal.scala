@@ -110,4 +110,20 @@ object Multimodal {
     mediaBatches(spark, sfDir).mapPartitions(_.map(featurizeOne)).toDF()
       .orderBy("doc_id")
   }
+
+  private def csv(c: org.apache.spark.sql.Column) =
+    array_join(transform(c, _.cast("string")), ",")
+
+  /** Gate shape of [[decode]]: the array column serialized to a canonical
+    * CSV string (external comparators can't hash array cells); the
+    * array-typed [[decode]] stays the library API.
+    */
+  def decodeFlat(spark: SparkSession, sfDir: String): DataFrame =
+    decode(spark, sfDir)
+      .withColumn("frame_hashes", csv(col("frame_hashes")))
+
+  /** Gate shape of [[featurize]] — see [[decodeFlat]]. */
+  def featurizeFlat(spark: SparkSession, sfDir: String): DataFrame =
+    featurize(spark, sfDir)
+      .withColumn("features", csv(col("features")))
 }

@@ -35,18 +35,20 @@ object TextAnalysis {
         round(avg(length(col("tok"))), 4).as("avg_len"))
       .orderBy("doc_id")
 
-  /** Top-30 word bigrams across the corpus. */
-  def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tokensPos(Tables.load(spark, sfDir, "documents"))
-    val a = t.select(col("doc_id"), col("pos"), col("tok").as("t1"))
-    val b = t.select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
-      col("tok").as("t2"))
-    a.join(b, col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)
-      .select(concat_ws(" ", col("t1"), col("t2")).as("bigram"))
+  /** Top-30 word bigrams across the corpus. Bigrams are built with pure
+    * array expressions (slice + indexed transform) inside the row — zero
+    * joins, zero shuffles before the final count aggregate; the adjacent-pos
+    * self-join alternative shuffles the whole token stream for nothing.
+    */
+  def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> concat(t, ' ', toks[i + 1]))")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(30)
-  }
 
   /** Token-profile language ID: score(doc, lang) = Σ over doc tokens of that
     * token's occurrence count in lang's corpus; prediction = argmax

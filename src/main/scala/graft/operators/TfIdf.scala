@@ -21,14 +21,18 @@ object TfIdf {
                   topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val toks = TextAnalysis.tokensPos(docs).select(col("doc_id"), col("tok"))
-    val n = docs.count()
+    // N as a 1-row broadcast aggregate, not a driver-side count(): keeps the
+    // whole operator one lazy plan (single job), no extra full scan.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val queryTerms = toks.groupBy(col("tok")).count()
       .orderBy(col("count").desc, col("tok")).limit(nTerms).select(col("tok"))
     val df = toks.join(broadcast(queryTerms), "tok")
       .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("idf",
-        log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)))
+        log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)))
+      .drop("n_docs")
     toks.join(broadcast(df), "tok")
       .groupBy(col("doc_id"))
       .agg(round(sum(col("idf")), 4).as("score"),

@@ -47,6 +47,51 @@ object VectorSearch {
       .orderBy("query_id", "rn")
   }
 
+  /** Hashing-trick text embeddings: token-count vector over `dim` hash
+    * buckets, L2-normalized — the deterministic, engine-portable stand-in
+    * for a model-produced text embedding (the reference's declared
+    * text-search intent, `README.md:19-22`; a real deployment swaps this
+    * column for the model's). One narrow explode + one hash aggregate:
+    * no joins, no shuffle beyond the per-doc groupBy.
+    */
+  def textEmbed(docs: DataFrame, dim: Int = 16): DataFrame = {
+    import graft.functions.TextHash.hash32
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), pmod(hash32(col("tok")), lit(dim)).as("j"))
+    val counts = toks.groupBy(col("doc_id")).agg(
+      sum(when(col("j") === 0, 1L).otherwise(0L)).cast("double").as("c0"),
+      (1 until dim).map(j =>
+        sum(when(col("j") === j, 1L).otherwise(0L)).cast("double")
+          .as(s"c$j")): _*)
+    counts.select(col("doc_id"),
+      l2Normalize(array((0 until dim).map(j => col(s"c$j")): _*)).as("v"))
+  }
+
+  /** Text-embedding k-NN search: [[knnSearch]]'s broadcast-queries plan
+    * over the [[textEmbed]] column — query docs are doc_id < nQueries,
+    * ranked by squared L2 ascending, self excluded.
+    */
+  def textEmbedSearch(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 10,
+                      dim: Int = 16): DataFrame = {
+    val emb = textEmbed(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+      dim)
+    val queries = emb.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"))
+    val pairs = emb.join(broadcast(queries), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("id"),
+        squaredL2(col("qv"), col("v")).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Per-vector L2 norm before normalization plus a post-normalization norm
     * check — standalone surface for the reference's `main.py:87` semantics.
     */

@@ -15,6 +15,25 @@ import org.apache.spark.sql.types.StructType
   */
 object IndexStore {
 
+  /** One committed parquet dataset of any derived index artifact (band
+    * keys, signatures, centroids…). Readers gate on [[committed]], so a
+    * crashed write is indistinguishable from "never built".
+    */
+  def saveDataset(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def committed(path: String): Boolean =
+    new java.io.File(s"$path/_SUCCESS").exists()
+
+  /** Per-(fixture, index-name) directory under the JVM temp root — the
+    * stand-in for the index's durable location (HDFS/object store in a
+    * cluster deployment). Keyed by the source dir so scale factors never
+    * share an index.
+    */
+  def indexDir(sfDir: String, name: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"), name).toString
+
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
     mapping.write.mode(SaveMode.Overwrite).parquet(s"$dir/mapping")
     vectors.write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")

@@ -57,6 +57,9 @@ object StreamingOps extends Serializable {
   }
 
   case class Ev(user_id: Long, event_id: Long, us: Long)
+  /** [[Ev]] plus the event-time column the watermark is anchored on. */
+  case class EvT(user_id: Long, event_id: Long, us: Long,
+                 ts: java.sql.Timestamp)
   case class SessOut(user_id: Long, session_id: Long, n_events: Long,
                      start_us: Long, end_us: Long)
   /** Carry-over state: the still-open tail session of each user. */
@@ -98,6 +101,34 @@ object StreamingOps extends Serializable {
     out.result().iterator
   }
 
+  /** [[sessionFold]] with event-time state eviction: once the watermark
+    * passes `last event + gap`, the open tail session can no longer be
+    * continued — its final form was already emitted by the batch that built
+    * it, so the timeout callback only has to drop the state. Bounded state:
+    * each user's entry lives for at most one gap past their last event.
+    * Session ids restart after eviction (a user idle past the gap AND the
+    * watermark starts again at id 1) — unique within any state lifetime,
+    * which is the contract consumers of gap sessions get.
+    */
+  def sessionFoldEvict(user: Long, it: Iterator[Ev],
+                       state: GroupState[OpenSess],
+                       gapUs: Long): Iterator[SessOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = sessionFold(user, it, state, gapUs)
+      state.getOption.foreach { open =>
+        // evict when the session is un-continuable; never behind the
+        // current watermark (Spark rejects a timeout in the past)
+        val evictAtMs = open.lastUs / 1000L + gapUs / 1000L
+        state.setTimeoutTimestamp(
+          math.max(evictAtMs, state.getCurrentWatermarkMs + 1))
+      }
+      out
+    }
+  }
+
   /** Gap-based sessionization as a custom stateful streaming operator
     * (`flatMapGroupsWithState`): per user, events are folded into sessions
     * whenever the gap exceeds 30 minutes; `GroupState` carries the OPEN
@@ -107,9 +138,11 @@ object StreamingOps extends Serializable {
     * take the last row per (user_id, session_id) (Update-mode semantics);
     * with the single-batch fixture each session is emitted exactly once
     * and the output matches the batch
-    * [[graft.operators.Events.sessionize]] oracle. In production the
-    * state store is RocksDB-backed and idle sessions are flushed/evicted
-    * via event-time timeout.
+    * [[graft.operators.Events.sessionize]] oracle. State is BOUNDED:
+    * `EventTimeTimeout` + the watermark evict each user's open-session
+    * entry once it can no longer be continued (see [[sessionFoldEvict]])
+    * — in production the state store is RocksDB-backed and this timeout is
+    * what keeps it from growing with the user population's history.
     */
   def streamingSessionize(spark: SparkSession, sfDir: String,
                           gapMinutes: Int = 30): DataFrame = {
@@ -118,9 +151,10 @@ object StreamingOps extends Serializable {
     val gapUs = gapMinutes * 60L * 1000000L
     val schema = Tables.load(spark, sfDir, "events").schema
 
-    def fn(user: Long, it: Iterator[Ev],
+    def fn(user: Long, it: Iterator[EvT],
            state: GroupState[OpenSess]): Iterator[SessOut] =
-      sessionFold(user, it, state, gapUs)
+      sessionFoldEvict(user,
+        it.map(e => Ev(e.user_id, e.event_id, e.us)), state, gapUs)
 
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -133,11 +167,13 @@ object StreamingOps extends Serializable {
 
     val sessions = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"))
-      .as[Ev]
+        expr("ts div 1000").as("us"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        GroupStateTimeout.EventTimeTimeout)(fn)
     val name = "graft_stream_sessions"
     val q = sessions.writeStream
       .outputMode("append")

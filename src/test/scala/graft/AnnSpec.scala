@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.VectorAggregators.CentroidAgg
 import graft.operators.{AnnSearch, VectorAnalytics}
+import graft.sources.IndexStore
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -14,6 +15,24 @@ class AnnSpec extends SparkSpec {
     }
     assert(byMethod("lsh") >= 0.8, s"lsh recall ${byMethod("lsh")}")
     assert(byMethod("ivf") >= 0.6, s"ivf recall ${byMethod("ivf")}")
+  }
+
+  test("persisted IVF probe prunes cluster partitions at the file source") {
+    AnnSearch.buildIvfIndex(spark, sf)
+    val dir = IndexStore.indexDir(sf, "ivf16")
+    assert(IndexStore.committed(s"$dir/centroids"))
+    val res = AnnSearch.ivfKnn(spark, sf)
+    assert(res.count() > 0)
+    // the probe's isin literals must reach the scan as a non-empty
+    // PartitionFilters entry — directory-level pruning, not a post-filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // and the persisted layout is physically partitioned by cluster id
+    // (hive-style dirs), so those PartitionFilters prune at file listing
+    val clusterDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .count(_.getName.startsWith("cluster="))
+    assert(clusterDirs == 16)
   }
 
   test("typed CentroidAgg matches the explode+avg centroids") {

@@ -10,7 +10,7 @@ class ContractSpec extends SparkSpec {
     // all but the sketch/model-based quartet carry oracles
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
-      Set("approx_distinct", "ann_lsh", "ann_ivf", "ann_recall"), noOracle)
+      Set("approx_distinct", "ann_lsh", "ann_ivf_persisted", "ann_recall"), noOracle)
   }
 
   test("entry() smoke: flagship returns rows on sf0.001") {

@@ -37,6 +37,23 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cosine") > 0.99))
   }
 
+  test("incrementalDedup matches minhashDedup's cross-partition pairs and " +
+      "reads persisted corpus signatures") {
+    val got = Dedup.incrementalDedup(spark, sf).collect().map(_.toSeq).toSet
+    val want = Dedup.minhashDedup(spark, sf).collect()
+      .filter(r => r.getAs[Long]("doc_a") < 10000 &&
+        r.getAs[Long]("doc_b") >= 10000)
+      .map(r => Seq(r.getAs[Long]("doc_b"), r.getAs[Long]("doc_a"),
+        r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == want)
+    // corpus branch of the plan is a scan of the persisted index, not a
+    // re-shingle of documents: the index dir appears in the scan relations
+    val plan = Dedup.incrementalDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index_"))
+  }
+
   test("langid predicts a language for every doc with integer scores") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "documents").count())

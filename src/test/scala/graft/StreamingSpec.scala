@@ -68,4 +68,35 @@ class StreamingSpec extends SparkSpec {
     val want = Events.sessionize(spark, sf).collect().map(_.toSeq).toSet
     assert(got == want)
   }
+
+  test("idle open-session state is evicted on event-time timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val gapUs = 30 * 60L * 1000000L
+    // timed-out invocation: state dropped, nothing re-emitted (the final
+    // session row was already emitted by the batch that built it)
+    val st = TestGroupState.create[OpenSess](
+      Optional.of(OpenSess(3L, 0L, 1000L, 2L)),
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 100L,
+      eventTimeWatermarkMs = Optional.of(10000L),
+      hasTimedOut = true)
+    val out = StreamingOps.sessionFoldEvict(1L, Iterator.empty, st, gapUs)
+    assert(out.isEmpty)
+    assert(st.isRemoved)
+    // normal invocation schedules eviction at last-event-time + gap
+    val st2 = TestGroupState.create[OpenSess](
+      Optional.empty[OpenSess](),
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val lastUs = 100L * 1000000L
+    StreamingOps.sessionFoldEvict(7L,
+      Iterator(Ev(7L, 1L, lastUs)), st2, gapUs).toList
+    assert(st2.exists)
+    assert(st2.getTimeoutTimestampMs.isPresent)
+    assert(st2.getTimeoutTimestampMs.get() ==
+      lastUs / 1000L + gapUs / 1000L)
+  }
 }
