@@ -55,6 +55,7 @@ object SparkEntry {
     "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
+    "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
@@ -596,6 +597,33 @@ object SparkEntry {
          |),
          |""" + DuckJaccardTail.replace("THRESH", "0.4")).stripMargin,
     "embed_near_dup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(v, x -> x + 0.01) FROM base
+        |),
+        |n AS (
+        |  SELECT vec_id, list_transform(v, x -> x /
+        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        |  FROM corpus
+        |),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.u, b.u),
+        |      q -> q[1] * q[2])) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine
+        |FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // the pruned operator must recover the exact all-pairs result (SRP
+    // blocking recall on the fixture is ~1, verification is exact cosine),
+    // so its oracle IS the exact-join formulation
+    "embed_near_dup_pruned" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
         |    AS v

@@ -284,16 +284,75 @@ object Dedup {
     */
   def embedNearDup(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.9): DataFrame = {
+    val normed = embedCorpus(spark, sfDir)
+    val a = normed.select(col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = normed.select(col("vec_id").as("id_b"), col("u").as("ub"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Normalized injected embedding corpus shared by the exact and pruned
+    * near-dup operators.
+    */
+  private def embedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("v"))
     val corpus = emb.unionAll(emb.select(
       (col("vec_id") + 10000).as("vec_id"),
       transform(col("v"), x => x + lit(0.01)).as("v")))
-    val normed = corpus.select(col("vec_id"), l2Normalize(col("v")).as("u"))
-    val a = normed.select(col("vec_id").as("id_a"), col("u").as("ua"))
-    val b = normed.select(col("vec_id").as("id_b"), col("u").as("ub"))
-    a.join(b, col("id_a") < col("id_b"))
+    corpus.select(col("vec_id"), l2Normalize(col("v")).as("u"))
+  }
+
+  /** Embedding near-dup with signed-random-projection blocking — the scale
+    * path [[embedNearDup]]'s scaladoc points at, wired as a dedup operator:
+    *
+    *  - 64 SRP bits per vector (sign of dot with a fixed seeded Gaussian
+    *    hyperplane — 64 codegen'd [[graft.functions.ArrayDot]]s, one narrow
+    *    pass, no shuffle),
+    *  - candidates = pairs agreeing on ANY 8-bit band: 8 equi-joins on
+    *    (band, key) via one explode + self-join + distinct — never an
+    *    all-pairs product,
+    *  - exact cosine verification on candidates only, so precision is
+    *    exact; recall is the LSH knob: the fixture's injected dupes sit at
+    *    cos ≈ 0.9968 (θ/π ≈ 0.0255 flip probability per bit), giving
+    *    P(miss) = (1−(1−θ/π)^8)^8 ≈ 1.5e-6 per pair, while a random pair
+    *    (cos ≈ 0) survives blocking with P ≈ 1−(1−2^-8)^8 ≈ 3% — the
+    *    ~30× candidate reduction that replaces O(n²) at 100 TB.
+    *
+    * Deterministic (fixed seed + fixed plan) — same pairs every run; on the
+    * fixture it recovers the exact [[embedNearDup]] result (oracle-checked).
+    */
+  def embedNearDupPruned(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.9, nBands: Int = 8,
+                         bandBits: Int = 8): DataFrame = {
+    val normed = embedCorpus(spark, sfDir)
+    val dim = Tables.load(spark, sfDir, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    val rng = new scala.util.Random(0x5eedL)
+    val planes = Array.fill(nBands * bandBits, dim)(rng.nextGaussian())
+    val bandCols = (0 until nBands).map { bnd =>
+      val key = (0 until bandBits).map { j =>
+        val r = array(planes(bnd * bandBits + j).map(lit): _*)
+        when(dot(col("u"), r) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bnd.toLong).as("band"), key.as("key"))
+    }
+    val slim = normed
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = slim.select(col("vec_id").as("id_a"), col("band"), col("key"))
+      .join(slim.select(col("vec_id").as("id_b"), col("band").as("b2"),
+          col("key").as("k2")),
+        col("band") === col("b2") && col("key") === col("k2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ua = normed.select(col("vec_id").as("id_a"), col("u").as("ua"))
+    val ub = normed.select(col("vec_id").as("id_b"), col("u").as("ub"))
+    cand.join(ua, "id_a").join(ub, "id_b")
       .withColumn("cos", dot(col("ua"), col("ub")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))

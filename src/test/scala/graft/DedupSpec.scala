@@ -54,6 +54,13 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_index_"))
   }
 
+  test("embedNearDupPruned recovers the exact all-pairs result") {
+    val exact = Dedup.embedNearDup(spark, sf).collect().map(_.toSeq).toSeq
+    val pruned = Dedup.embedNearDupPruned(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(pruned == exact)
+  }
+
   test("langid predicts a language for every doc with integer scores") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "documents").count())
