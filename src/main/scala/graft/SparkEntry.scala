@@ -83,6 +83,8 @@ object SparkEntry {
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
     "streaming_sessionize" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
+    "streaming_dedup" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -812,6 +814,9 @@ object SparkEntry {
         |SELECT d.doc_id, d.width, d.height, d.out_w, d.out_h, f.features
         |FROM dims d JOIN feats f ON f.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(length(text)), 4) AS avg_chars,

@@ -18,16 +18,11 @@ import graft.Tables
   */
 object StreamingOps extends Serializable {
 
-  /** Tumbling 5-minute windowed counts per event type, computed by a
-    * streaming query over the events parquet. Returns the complete result
-    * table (deterministic: the single input file is one micro-batch).
+  /** The file stream source wants a directory; stage a symlink to the
+    * single fixture file in a temp dir (what a real deployment's landing
+    * directory would be). Returns the staged directory path.
     */
-  def streamingEventWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    // The file stream source wants a directory; stage a symlink to the
-    // single fixture file in a temp dir (what a real deployment's landing
-    // directory would be).
+  private def stageEventsDir(sfDir: String): String = {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -36,9 +31,19 @@ object StreamingOps extends Serializable {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    dir.toString
+  }
+
+  /** Tumbling 5-minute windowed counts per event type, computed by a
+    * streaming query over the events parquet. Returns the complete result
+    * table (deterministic: the single input file is one micro-batch).
+    */
+  def streamingEventWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
     val stream = spark.readStream
       .schema(schema)
-      .parquet(dir.toString)
+      .parquet(stageEventsDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "10 minutes")
@@ -54,6 +59,38 @@ object StreamingOps extends Serializable {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** Streaming dedup-at-the-door — the ingest-side exact dedup every
+    * training pipeline runs before anything else touches the stream.
+    * `dropDuplicatesWithinWatermark` keeps ONE state entry per key seen
+    * within the watermark delay and evicts it once the watermark passes —
+    * bounded state (vs plain `dropDuplicates`, which keys state forever);
+    * duplicates arriving later than the delay are the documented recall
+    * tradeoff, exactly like any at-least-once dedup window.
+    *
+    * Output is the distinct key set (not "first row per key", which would
+    * depend on partition arrival order) so the result is deterministic and
+    * oracle-checkable.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val deduped = spark.readStream.schema(schema)
+      .parquet(stageEventsDir(sfDir))
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "graft_stream_dedup"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
   }
 
   case class Ev(user_id: Long, event_id: Long, us: Long)
@@ -156,16 +193,8 @@ object StreamingOps extends Serializable {
       sessionFoldEvict(user,
         it.map(e => Ev(e.user_id, e.event_id, e.us)), state, gapUs)
 
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-
-    val sessions = spark.readStream.schema(schema).parquet(dir.toString)
+    val sessions = spark.readStream.schema(schema)
+      .parquet(stageEventsDir(sfDir))
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"),
         timestamp_micros(expr("ts div 1000")).as("ts"))

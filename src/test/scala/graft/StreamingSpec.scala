@@ -69,6 +69,15 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup equals the batch distinct key set") {
+    val got = StreamingOps.streamingDedup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("idle open-session state is evicted on event-time timeout") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
