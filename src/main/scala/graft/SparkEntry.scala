@@ -57,6 +57,8 @@ object SparkEntry {
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
     "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
     "json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -817,6 +819,54 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "decontaminate" ->
+      """WITH train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |), eval AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |), sht AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |    || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train) c,
+        |    UNNEST(range(1, len(l) - 3)) t(i)
+        |), she AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |    || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM eval) c,
+        |    UNNEST(range(1, len(l) - 3)) t(i)
+        |)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+        |  count(*) AS n_shared
+        |FROM sht t JOIN she e ON t.sh = e.sh
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY train_doc, eval_doc""".stripMargin,
+    "corpus_prepare" ->
+      s"""WITH $DuckToks,
+         |pt AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
+         |        THEN 1 ELSE 0 END) AS n_stop
+         |  FROM toks GROUP BY doc_id
+         |),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, d.text, pt.n_tokens,
+         |    (pt.n_stop::DOUBLE / pt.n_tokens) * 0.5 +
+         |    (length(regexp_replace(d.text, '[^a-z ]', '', 'g'))::DOUBLE
+         |      / length(d.text)) * 0.5 AS quality
+         |  FROM documents d JOIN pt USING (doc_id)
+         |),
+         |kept AS (
+         |  SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+         |    AS key
+         |  FROM scored WHERE quality >= 0.53
+         |),
+         |keep_min AS (
+         |  SELECT key, min(doc_id) AS doc_id FROM kept GROUP BY key
+         |)
+         |SELECT k.doc_id, k.lang, k.n_tokens, round(k.quality, 6) AS quality
+         |FROM kept k JOIN keep_min m ON m.key = k.key AND m.doc_id = k.doc_id
+         |WHERE ('0x' || substr(md5(k.text), 1, 8))::BIGINT % 4 = 0
+         |ORDER BY k.doc_id""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(length(text)), 4) AS avg_chars,

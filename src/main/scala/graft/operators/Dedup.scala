@@ -261,6 +261,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Eval-set decontamination: find training documents sharing ≥ minShared
+    * distinct word n-grams with any eval document — the overlap check every
+    * training pipeline runs before a benchmark is trusted. Every 10th doc
+    * stands in for the eval set; output (train_doc, eval_doc, n_shared).
+    *
+    * Scale shape: both sides shingle narrowly, the overlap is ONE equi-join
+    * on 48-bit hashed shingles + a count aggregate — shuffles carry 8-byte
+    * keys, the eval side is tiny (broadcastable) and nothing is all-pairs.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
+                    minShared: Long = 3L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val train = hashShingleCol(shingles(docs.filter(col("doc_id") % 10 =!= 0), n))
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val eval = hashShingleCol(shingles(docs.filter(col("doc_id") % 10 === 0), n))
+      .select(col("doc_id").as("eval_doc"), col("h").as("h2"))
+    train.join(broadcast(eval), col("h") === col("h2"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** n-gram Jaccard dedup without LSH: blocking equi-join on shared
     * shingles generates candidates, then exact Jaccard ≥ threshold.
     */

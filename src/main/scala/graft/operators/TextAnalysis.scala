@@ -131,6 +131,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Composite corpus-preparation pipeline — the "prepare a training
+    * shard" flow chained as ONE lazy plan: quality filter (≥ minQuality on
+    * the [[qualityScore]] blend) → exact dedup (keep min doc_id per
+    * whitespace-normalized digest) → deterministic content-hash sample
+    * (1/sampleMod) → per-doc stats. Every stage is a narrow filter or a
+    * 16-byte-key aggregate; chaining adds no extra scans beyond the
+    * tokenize pass (Catalyst fuses the filters into the join output).
+    */
+  def corpusPrepare(spark: SparkSession, sfDir: String,
+                    minQuality: Double = 0.53,
+                    sampleMod: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val perTok = tokensPos(docs).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L))
+        .as("n_stop"))
+    val scored = docs.join(perTok, "doc_id")
+      .withColumn("quality",
+        (col("n_stop").cast("double") / col("n_tokens")) * 0.5 +
+          (length(regexp_replace(col("text"), "[^a-z ]", ""))
+            .cast("double") / length(col("text"))) * 0.5)
+    val kept = scored.filter(col("quality") >= minQuality)
+      .withColumn("key",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val keepMin = kept.groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
+    kept.join(keepMin, Seq("key", "doc_id"), "left_semi")
+      .filter(hash32(col("text")) % sampleMod === 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus statistics (the "language filter" face of the
     * lang column): counts, text-length stats, distinct sources.
     */
