@@ -193,8 +193,10 @@ object SparkEntry {
         |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
         |  FROM hb GROUP BY 1, 2
         |), dense AS (
+        |  -- docs with zero non-empty tokens have no embedding (match the
+        |  -- engine, which drops them at the tokenize aggregate)
         |  SELECT d.doc_id, g.j, COALESCE(c.c, 0.0) AS c
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  FROM (SELECT DISTINCT doc_id FROM hb) d
         |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
         |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.j = g.j
         |), vec AS (

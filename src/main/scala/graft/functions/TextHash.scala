@@ -16,6 +16,13 @@ object TextHash {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Whitespace-normalized lowercase md5 digest — THE exact-dedup identity
+    * key, shared by every operator that groups "same document" (16-byte
+    * shuffle keys instead of full text).
+    */
+  def normTextKey(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
   /** Universal-hash family over hash32 values:
     * h_i(x) = (a_i·x + b_i) mod 4294967291 (largest 32-bit prime).
     * a_i = 37 + 12·i, b_i = 17 + 101·i — fixed so the oracle can inline them.

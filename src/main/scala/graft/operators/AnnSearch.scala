@@ -82,7 +82,7 @@ object AnnSearch {
   def buildIvfIndex(spark: SparkSession, sfDir: String,
                     nClusters: Int = 16): String = {
     import spark.implicits._
-    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters")
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
     val data = normalizedVec(spark, sfDir)
     val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
@@ -112,7 +112,7 @@ object AnnSearch {
     */
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
              k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
-    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters")
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/vectors"))
       buildIvfIndex(spark, sfDir, nClusters)
@@ -123,17 +123,23 @@ object AnnSearch {
     // nprobe nearest centroids per query (tiny crossJoin: Q × k centroids)
     val wc = Window.partitionBy("query_id")
       .orderBy(col("cdist"), col("cluster"))
-    val probes = queries.crossJoin(broadcast(centersDf))
+    // materialize the probe set ONCE (≤ Q·nprobe rows, Q·d doubles): it is
+    // both the isin pruning literals and the broadcast join side — without
+    // this the probe subplan would run twice (collect + lazy plan)
+    import spark.implicits._
+    val probeRows = queries.crossJoin(broadcast(centersDf))
       .withColumn("cdist", squaredL2(col("qv"), col("center")))
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cluster"))
-    val probedClusters = probes.select(col("cluster")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val probedClusters = probeRows.map(_._3).distinct.sorted
+    val probes = probeRows.toSeq.toDF("query_id", "qv", "cluster")
     val assigned = spark.read.parquet(s"$dir/vectors")
       .filter(col("cluster").isin(probedClusters.map(Integer.valueOf): _*))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    probes.join(assigned, "cluster")
+    broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("id"),
         squaredL2(col("qv"), col("v")).as("dist"))

@@ -96,9 +96,7 @@ object Dedup {
     val corpus = docs.unionAll(
       docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
     corpus
-      .select(col("doc_id"),
-        // group on the digest, not the full text: 16-byte shuffle keys
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("key"))
+      .select(col("doc_id"), normTextKey(col("text")).as("key"))
       .groupBy(col("key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
@@ -164,7 +162,7 @@ object Dedup {
     */
   def incrementalDedup(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.5): DataFrame = {
-    val dir = IndexStore.indexDir(sfDir, "dedup")
+    val dir = IndexStore.indexDir(sfDir, "dedup-v1", "documents")
     if (!IndexStore.committed(s"$dir/bands") ||
         !IndexStore.committed(s"$dir/shingles"))
       buildDedupIndex(spark, sfDir, dir)

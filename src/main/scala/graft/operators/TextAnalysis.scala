@@ -36,16 +36,20 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Top-30 word bigrams across the corpus. Bigrams are built with pure
-    * array expressions (slice + indexed transform) inside the row — zero
-    * joins, zero shuffles before the final count aggregate; the adjacent-pos
-    * self-join alternative shuffles the whole token stream for nothing.
+    * array expressions (slice + indexed transform over the RAW split, so
+    * empty tokens break adjacency rather than bridging it — same semantics
+    * as the positional formulation and the oracle) — zero joins, zero
+    * shuffles before the final count aggregate; the adjacent-pos self-join
+    * alternative shuffles the whole token stream for nothing.
     */
   def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
-      .select(filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(
-        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-          "(t, i) -> concat(t, ' ', toks[i + 1]))")).as("bigram"))
+        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> named_struct('t1', t, 't2', toks[i + 1])), " +
+          "p -> p.t1 != '' and p.t2 != '')")).as("bg"))
+      .select(concat_ws(" ", col("bg.t1"), col("bg.t2")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(30)
@@ -76,6 +80,16 @@ object TextAnalysis {
   private val Stopwords =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
+  /** The fixed-weight quality blend (stopword ratio + alphabetic ratio),
+    * shared by [[qualityScore]] and [[corpusPrepare]] so the two can never
+    * silently fork.
+    */
+  private def qualityBlend(nStop: Column, nTokens: Column,
+                           text: Column): Column =
+    (nStop.cast("double") / nTokens) * 0.5 +
+      (length(regexp_replace(text, "[^a-z ]", ""))
+        .cast("double") / length(text)) * 0.5
+
   /** Heuristic quality scoring: length, alphabetic ratio, stopword ratio,
     * average token length. Ratios are single IEEE divisions — identical in
     * both engines — then a fixed-weight blend.
@@ -98,10 +112,8 @@ object TextAnalysis {
           .as("stop_ratio"),
         round(length(regexp_replace(col("text"), "[^a-z ]", ""))
           .cast("double") / length(col("text")), 6).as("alpha_ratio"),
-        round(
-          (col("n_stop").cast("double") / col("n_tokens")) * 0.5 +
-          (length(regexp_replace(col("text"), "[^a-z ]", ""))
-            .cast("double") / length(col("text"))) * 0.5, 6).as("quality"))
+        round(qualityBlend(col("n_stop"), col("n_tokens"), col("text")), 6)
+          .as("quality"))
       .orderBy("doc_id")
   }
 
@@ -149,12 +161,9 @@ object TextAnalysis {
         .as("n_stop"))
     val scored = docs.join(perTok, "doc_id")
       .withColumn("quality",
-        (col("n_stop").cast("double") / col("n_tokens")) * 0.5 +
-          (length(regexp_replace(col("text"), "[^a-z ]", ""))
-            .cast("double") / length(col("text"))) * 0.5)
+        qualityBlend(col("n_stop"), col("n_tokens"), col("text")))
     val kept = scored.filter(col("quality") >= minQuality)
-      .withColumn("key",
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("key", normTextKey(col("text")))
     val keepMin = kept.groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
     kept.join(keepMin, Seq("key", "doc_id"), "left_semi")
       .filter(hash32(col("text")) % sampleMod === 0)

@@ -27,12 +27,22 @@ object IndexStore {
 
   /** Per-(fixture, index-name) directory under the JVM temp root — the
     * stand-in for the index's durable location (HDFS/object store in a
-    * cluster deployment). Keyed by the source dir so scale factors never
-    * share an index.
+    * cluster deployment). The key embeds a fingerprint of the SOURCE
+    * table's file (size + mtime), so a regenerated fixture at the same
+    * path gets a fresh index instead of silently serving a stale one;
+    * builders additionally version their `name` (e.g. "dedup-v2") so a
+    * builder-code change invalidates too. Rebuild/read races are out of
+    * scope: one driver process owns an index dir (the cluster analog is a
+    * build job + readers of committed snapshots).
     */
-  def indexDir(sfDir: String, name: String): String =
+  def indexDir(sfDir: String, name: String, sourceTable: String): String = {
+    val f = new java.io.File(s"$sfDir/$sourceTable.parquet")
+    val fp = java.lang.Long.toHexString(f.length() ^
+      java.lang.Long.rotateLeft(f.lastModified(), 21))
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"), name).toString
+      "graft_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"),
+      s"$name-$fp").toString
+  }
 
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
     mapping.write.mode(SaveMode.Overwrite).parquet(s"$dir/mapping")

@@ -18,8 +18,8 @@ class AnnSpec extends SparkSpec {
   }
 
   test("persisted IVF probe prunes cluster partitions at the file source") {
-    AnnSearch.buildIvfIndex(spark, sf)
-    val dir = IndexStore.indexDir(sf, "ivf16")
+    val dir = AnnSearch.buildIvfIndex(spark, sf)
+    assert(dir == IndexStore.indexDir(sf, "ivf16-v1", "embeddings"))
     assert(IndexStore.committed(s"$dir/centroids"))
     val res = AnnSearch.ivfKnn(spark, sf)
     assert(res.count() > 0)
@@ -30,9 +30,10 @@ class AnnSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
     // and the persisted layout is physically partitioned by cluster id
     // (hive-style dirs), so those PartitionFilters prune at file listing
+    // (k-means may legitimately leave some of the 16 clusters empty)
     val clusterDirs = new java.io.File(s"$dir/vectors").listFiles()
       .count(_.getName.startsWith("cluster="))
-    assert(clusterDirs == 16)
+    assert(clusterDirs > 1 && clusterDirs <= 16)
   }
 
   test("typed CentroidAgg matches the explode+avg centroids") {
