@@ -33,6 +33,7 @@ object SparkEntry {
     "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
     "grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "semi_anti_join" -> ((s, d) => Relational.semiAntiJoin(s, d)),
+    "sql_subqueries" -> ((s, d) => Relational.sqlSubqueries(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     "salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
@@ -821,6 +822,15 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "sql_subqueries" ->
+      """SELECT c.c_mktsegment, count(*) AS n_rich_with_big_order
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
+        |  AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
     "decontaminate" ->
       """WITH train AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0

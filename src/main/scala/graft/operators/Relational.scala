@@ -135,6 +135,25 @@ object Relational {
       .orderBy("c_mktsegment", "kind")
   }
 
+  /** Correlated subqueries through the raw SQL entry point — EXISTS plus an
+    * uncorrelated scalar subquery, exactly as a reference user would type
+    * them. Catalyst rewrites EXISTS to a left-semi join and the scalar
+    * subquery to a broadcast single-row aggregate — same physical shapes
+    * as the DataFrame formulations, proving the SQL surface is first-class
+    * (parquet.`path` scans, no temp-view setup required).
+    */
+  def sqlSubqueries(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c.c_mktsegment, count(*) AS n_rich_with_big_order
+         |FROM parquet.`$sfDir/customer.parquet` c
+         |WHERE EXISTS (
+         |    SELECT 1 FROM parquet.`$sfDir/orders.parquet` o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
+         |  AND c.c_acctbal > (
+         |    SELECT avg(c_acctbal) FROM parquet.`$sfDir/customer.parquet`)
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin)
+
   /** Set operations over customer-key sets from two order years:
     * UNION (distinct), INTERSECT, EXCEPT — reported as tagged counts.
     */
