@@ -48,6 +48,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("schema evolution: mergeSchema unions columns across file vintages") {
+    // a 100 TB dataset is written over months; late files gain columns.
+    // Readers must see the union schema with nulls for pre-evolution files.
+    val v1 = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val v2 = Tables.load(spark, sf, "documents")
+      .select(col("doc_id") + 100000, col("text"), col("lang"))
+      .toDF("doc_id", "text", "lang")
+    v1.write.mode("overwrite").parquet(s"$tmp/docs_evolve/v1")
+    v2.write.mode("overwrite").parquet(s"$tmp/docs_evolve/v2")
+    val back = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/docs_evolve/v1", s"$tmp/docs_evolve/v2")
+    assert(back.schema.fieldNames.toSet == Set("doc_id", "text", "lang"))
+    assert(back.count() == v1.count() + v2.count())
+    // pre-evolution rows read as null for the added column
+    assert(back.filter(col("lang").isNull).count() == v1.count())
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     // in-memory catalog + on-disk warehouse: scrub leftover locations from
     // prior JVMs or CREATE TABLE fails with LOCATION_ALREADY_EXISTS
