@@ -60,6 +60,8 @@ object SparkEntry {
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
+    "token_shards" -> ((s, d) => TextAnalysis.tokenShards(s, d)),
+    "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -822,6 +824,29 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "token_shards" ->
+      s"""WITH $DuckToks,
+         |pd AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens, any_value(d.lang) AS lang
+         |  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+         |  GROUP BY t.doc_id
+         |),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pd
+         |)
+         |SELECT lang, CAST(cum - n_tokens AS BIGINT) // 2000 AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30
+        |       ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "sql_subqueries" ->
       """SELECT c.c_mktsegment, count(*) AS n_rich_with_big_order
         |FROM customer c

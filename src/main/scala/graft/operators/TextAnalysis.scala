@@ -172,6 +172,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-budget shard packing — "pack documents into ~budget-token
+    * training shards, per language": running token total over a
+    * deterministic doc order, shard = starting offset div budget. The
+    * window partitions by lang, so every language packs in parallel; at
+    * 100 TB the per-lang streams are independent single-pass windows (for
+    * truly huge single languages, sub-partition by a hash prefix first —
+    * same cumsum, one more key).
+    */
+  def tokenShards(spark: SparkSession, sfDir: String,
+                  budget: Long = 2000L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val perDoc = tokensPos(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "shard")
+  }
+
+  /** Stratified deterministic sampling — per-language keep rates (the
+    * language-rebalancing knob every multilingual corpus needs): a doc is
+    * kept iff its content hash mod 100 falls under its language's rate.
+    * Pure narrow filter, reproducible independent of partitioning.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(50L))
+      .when(col("lang") === "zh", lit(30L))
+      .otherwise(lit(10L))
+    Tables.load(spark, sfDir, "documents")
+      .filter(hash32(col("text")) % 100 < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus statistics (the "language filter" face of the
     * lang column): counts, text-length stats, distinct sources.
     */
