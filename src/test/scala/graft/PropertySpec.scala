@@ -52,6 +52,46 @@ class PropertySpec extends SparkSpec {
     assert(all.length == n - 1) // everything except self
   }
 
+  test("sessionFold over arbitrary batch splits == single-pass sessions") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{Ev, OpenSess}
+    val gapUs = 100L
+    def ref(evs: Seq[Ev]): Map[Long, (Long, Long, Long)] = {
+      var sid = 1L; var start = evs.head.us; var last = evs.head.us
+      var n = 0L
+      val out = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      evs.foreach { e =>
+        if (n > 0 && e.us - last > gapUs) {
+          out(sid) = (n, start, last); sid += 1; start = e.us; n = 0L
+        }
+        last = e.us; n += 1
+      }
+      out(sid) = (n, start, last)
+      out.toMap
+    }
+    def state(prev: Option[OpenSess]) = TestGroupState.create[OpenSess](
+      prev.map(Optional.of[OpenSess]).getOrElse(Optional.empty[OpenSess]()),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long](), false)
+    val caseGen = Gen.zip(
+      Gen.listOfN(30, Gen.choose(0L, 2000L)), Gen.choose(1, 29))
+    samples(caseGen, 20).foreach { case (times, splitAt) =>
+      val evs = times.sorted.zipWithIndex
+        .map { case (t, i) => Ev(1L, i.toLong, t) }
+      val (b1, b2) = evs.splitAt(splitAt)
+      val st1 = state(None)
+      val out1 = StreamingOps.sessionFold(1L, b1.iterator, st1, gapUs).toList
+      val st2 = state(if (st1.exists) Some(st1.get) else None)
+      val out2 = StreamingOps.sessionFold(1L, b2.iterator, st2, gapUs).toList
+      // update semantics: last emitted row per session id wins
+      val got = (out1 ++ out2).groupBy(_.session_id).map { case (sid, rs) =>
+        sid -> (rs.last.n_events, rs.last.start_us, rs.last.end_us)
+      }
+      assert(got == ref(evs), s"times=$times split=$splitAt")
+    }
+  }
+
   test("dedup idempotence: exactDedup of an already-unique corpus is empty") {
     val docs = Tables.load(spark, sf, "documents")
     val dups = docs.select(md5(lower(trim(col("text")))).as("k"))
