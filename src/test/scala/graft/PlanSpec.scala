@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan shape assertions for the flagship queries — the scale
+  * claims in SCALING.md/PLANS.md as executable checks, so a regression
+  * (lost pushdown, surprise shuffle, broadcast flip) fails tests instead
+  * of surfacing in a plan review.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the date filter and prunes columns at the scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
+    assert(!p.contains("l_comment")) // projection pruning reached the scan
+  }
+
+  test("knn_search broadcasts queries and group-limits before the exchange") {
+    val p = plan("knn_search")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("topk_global plans TakeOrdered, not a global sort") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("ngram_freq is join-free with a single aggregation shuffle") {
+    val p = plan("ngram_freq")
+    assert(!p.contains("Join"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(800))
+  }
+
+  test("id_assign has no window operator (prefix-sum path)") {
+    assert(!plan("id_assign").contains("Window"))
+  }
+
+  test("q5_join_chain broadcasts its dimension tables") {
+    assert(plan("q5_join_chain").contains("BroadcastHashJoin"))
+  }
+
+  test("sql_subqueries rewrites EXISTS to a left-semi join") {
+    assert(plan("sql_subqueries").contains("LeftSemi"))
+  }
+}
