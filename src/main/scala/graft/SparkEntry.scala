@@ -90,6 +90,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
     "streaming_dedup" ->
       ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
+    "streaming_join" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingJoin(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -824,6 +826,13 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "streaming_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
     "token_shards" ->
       s"""WITH $DuckToks,
          |pd AS (

@@ -93,6 +93,45 @@ object StreamingOps extends Serializable {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  /** Stream-stream inner join — click→purchase attribution within a
+    * 30-minute window per user. Both sides carry event-time watermarks and
+    * the join condition bounds p_ts to [c_ts, c_ts + window], so each
+    * side's join state is evicted once the other side's watermark passes
+    * the bound — bounded state, the canonical Structured Streaming
+    * interval-join shape (same code against Kafka at scale).
+    */
+  def streamingJoin(spark: SparkSession, sfDir: String,
+                    windowMinutes: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val base = spark.readStream.schema(schema)
+      .parquet(stageEventsDir(sfDir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"))
+    val name = "graft_stream_join"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+  }
+
   case class Ev(user_id: Long, event_id: Long, us: Long)
   /** [[Ev]] plus the event-time column the watermark is anchored on. */
   case class EvT(user_id: Long, event_id: Long, us: Long,
