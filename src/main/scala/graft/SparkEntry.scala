@@ -81,6 +81,7 @@ object SparkEntry {
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
+    "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
@@ -913,6 +914,23 @@ object SparkEntry {
          |FROM kept k JOIN keep_min m ON m.key = k.key AND m.doc_id = k.doc_id
          |WHERE ('0x' || substr(md5(k.text), 1, 8))::BIGINT % 4 = 0
          |ORDER BY k.doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |    text
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, 1 + n_bytes % 5 AS n_frames, text FROM x
+        |), f AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(text || '#' || i), 1, 8))::BIGINT AS fh
+        |  FROM b, UNNEST(range(1, CAST(n_frames AS BIGINT) + 1)) t(i)
+        |)
+        |SELECT doc_id, count(*) AS n_sampled, min(fh) AS min_hash,
+        |  max(fh) AS max_hash
+        |FROM f WHERE i % 2 = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(length(text)), 4) AS avg_chars,

@@ -111,6 +111,24 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame-sampling stage over decoded media: explode frame hashes into
+    * per-frame rows (the shape a frame-level feature extractor consumes —
+    * one row per sampled video frame), keep every 2nd frame, aggregate
+    * back per document. At scale this is the fan-out point between decode
+    * and per-frame inference: a narrow explode, no shuffle until the
+    * per-doc re-aggregation.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaBatches(spark, sfDir).mapPartitions(_.map(decodeOne)).toDF()
+      .select(col("doc_id"), posexplode(col("frame_hashes")).as(Seq("pos", "fh")))
+      .filter(col("pos") % 2 === 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("fh")).as("min_hash"),
+        max(col("fh")).as("max_hash"))
+      .orderBy("doc_id")
+  }
+
   private def csv(c: org.apache.spark.sql.Column) =
     array_join(transform(c, _.cast("string")), ",")
 
