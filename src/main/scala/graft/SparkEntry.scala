@@ -863,7 +863,7 @@ object SparkEntry {
         |WHERE EXISTS (
         |    SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
-        |  AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND c.c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer)
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin,
     "decontaminate" ->

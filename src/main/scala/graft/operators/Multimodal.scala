@@ -67,15 +67,21 @@ object Multimodal {
           length(col("text")).cast("long").as("n_bytes"),
           col("source")).as("meta"))
 
+  /** The decode stage proper (unordered): one mapPartitions pass over the
+    * controlled batches — shared by [[decode]] and [[frameSample]] so both
+    * consume the identical stage.
+    */
+  private def decoded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaBatches(spark, sfDir).mapPartitions(_.map(decodeOne)).toDF()
+  }
+
   /** Batched decode: repartition (controls batch size at scale) then one
     * mapPartitions pass. Output is flat columns + an array column — the
     * schema a feature-extraction stage would consume.
     */
-  def decode(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mediaBatches(spark, sfDir).mapPartitions(_.map(decodeOne)).toDF()
-      .orderBy("doc_id")
-  }
+  def decode(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir).orderBy("doc_id")
 
   /** Resize + feature-extract stage over decoded media: aspect-preserving
     * fit into 256×256 (integer arithmetic — exact in any engine) and a
@@ -119,8 +125,7 @@ object Multimodal {
     * per-doc re-aggregation.
     */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mediaBatches(spark, sfDir).mapPartitions(_.map(decodeOne)).toDF()
+    decoded(spark, sfDir)
       .select(col("doc_id"), posexplode(col("frame_hashes")).as(Seq("pos", "fh")))
       .filter(col("pos") % 2 === 0)
       .groupBy(col("doc_id"))

@@ -150,7 +150,11 @@ object Relational {
          |    SELECT 1 FROM parquet.`$sfDir/orders.parquet` o
          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
          |  AND c.c_acctbal > (
-         |    SELECT avg(c_acctbal) FROM parquet.`$sfDir/customer.parquet`)
+         |    -- floor() pins the float threshold: both engines compare
+         |    -- against the same exact value (determinism rule: no raw
+         |    -- cross-engine float-aggregate comparisons)
+         |    SELECT floor(avg(c_acctbal))
+         |    FROM parquet.`$sfDir/customer.parquet`)
          |GROUP BY c.c_mktsegment
          |ORDER BY c.c_mktsegment""".stripMargin)
 

@@ -34,31 +34,43 @@ object StreamingOps extends Serializable {
     dir.toString
   }
 
+  /** Micro-batch event stream over the staged landing dir, with `ts_us`
+    * (epoch-µs long) and `ts` (µs TimestampType) columns — the ONE place
+    * the fixture's TIMESTAMP(NANOS) handling lives on the streaming side
+    * (`nanosAsLong` + integer `div`, see [[graft.Tables.events]]).
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    spark.readStream.schema(schema).parquet(stageEventsDir(sfDir))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Run a streaming frame to completion against a memory sink and return
+    * the resulting table.
+    */
+  private def runToMemory(df: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
   /** Tumbling 5-minute windowed counts per event type, computed by a
     * streaming query over the events parquet. Returns the complete result
     * table (deterministic: the single input file is one micro-batch).
     */
   def streamingEventWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val stream = spark.readStream
-      .schema(schema)
-      .parquet(stageEventsDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val agg = eventStream(spark, sfDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_val"))
-    val name = "graft_stream_windows"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("window_start", "event_type")
+    runToMemory(agg, "graft_stream_windows", "complete")
+      .orderBy("window_start", "event_type")
   }
 
   /** Streaming dedup-at-the-door — the ingest-side exact dedup every
@@ -74,23 +86,13 @@ object StreamingOps extends Serializable {
     * oracle-checkable.
     */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val deduped = spark.readStream.schema(schema)
-      .parquet(stageEventsDir(sfDir))
-      .select(col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val deduped = eventStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val name = "graft_stream_dedup"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("user_id", "event_type")
+    runToMemory(deduped, "graft_stream_dedup", "append")
+      .orderBy("user_id", "event_type")
   }
 
   /** Stream-stream inner join — click→purchase attribution within a
@@ -102,12 +104,8 @@ object StreamingOps extends Serializable {
     */
   def streamingJoin(spark: SparkSession, sfDir: String,
                     windowMinutes: Int = 30): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val base = spark.readStream.schema(schema)
-      .parquet(stageEventsDir(sfDir))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val base = eventStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
     val clicks = base.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
@@ -122,14 +120,8 @@ object StreamingOps extends Serializable {
           col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"))
-    val name = "graft_stream_join"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+    runToMemory(joined, "graft_stream_join", "append")
+      .orderBy("user_id", "click_id", "purchase_id")
   }
 
   case class Ev(user_id: Long, event_id: Long, us: Long)
@@ -223,33 +215,22 @@ object StreamingOps extends Serializable {
   def streamingSessionize(spark: SparkSession, sfDir: String,
                           gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
-    val schema = Tables.load(spark, sfDir, "events").schema
 
     def fn(user: Long, it: Iterator[EvT],
            state: GroupState[OpenSess]): Iterator[SessOut] =
       sessionFoldEvict(user,
         it.map(e => Ev(e.user_id, e.event_id, e.us)), state, gapUs)
 
-    val sessions = spark.readStream.schema(schema)
-      .parquet(stageEventsDir(sfDir))
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val sessions = eventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
+        col("ts"))
       .withWatermark("ts", s"$gapMinutes minutes")
       .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
-    val name = "graft_stream_sessions"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    runToMemory(sessions.toDF(), "graft_stream_sessions", "append")
       .select(col("user_id"), col("session_id"), col("n_events"),
         round((col("end_us") - col("start_us")).cast("double") / 1000000.0, 3)
           .as("duration_s"))

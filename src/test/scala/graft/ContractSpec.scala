@@ -6,7 +6,7 @@ class ContractSpec extends SparkSpec {
   test("every oracle key has a query; no silent Map-key collisions") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size >= 51)
+    assert(SparkEntry.queries.size >= 69)
     // all but the sketch/model-based quartet carry oracles
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
