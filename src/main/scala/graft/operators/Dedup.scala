@@ -353,12 +353,12 @@ object Dedup {
                          bandBits: Int = 8): DataFrame = {
     val normed = embedCorpus(spark, sfDir)
     val dim = Tables.load(spark, sfDir, "embeddings")
-      .select(size(col("embedding"))).head.getInt(0)
+      .select(size(col("embedding"))).head().getInt(0)
     val rng = new scala.util.Random(0x5eedL)
     val planes = Array.fill(nBands * bandBits, dim)(rng.nextGaussian())
     val bandCols = (0 until nBands).map { bnd =>
       val key = (0 until bandBits).map { j =>
-        val r = array(planes(bnd * bandBits + j).map(lit): _*)
+        val r = array(planes(bnd * bandBits + j).toIndexedSeq.map(lit): _*)
         when(dot(col("u"), r) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(bnd.toLong).as("band"), key.as("key"))

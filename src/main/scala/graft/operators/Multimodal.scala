@@ -94,7 +94,7 @@ object Multimodal {
     val height = 64 + (x / 960) % 960
     val m = math.max(width, height)
     val feats = (1 to 4).map { i =>
-      hash32(md5hex((r.doc_id + ":" + i).getBytes("UTF-8")))
+      hash32(md5hex(s"${r.doc_id}:$i".getBytes("UTF-8")))
     }
     Featurized(r.doc_id, width, height, width * 256 / m, height * 256 / m,
       feats)

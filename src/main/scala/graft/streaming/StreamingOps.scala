@@ -191,7 +191,7 @@ object StreamingOps extends Serializable {
         // current watermark (Spark rejects a timeout in the past)
         val evictAtMs = open.lastUs / 1000L + gapUs / 1000L
         state.setTimeoutTimestamp(
-          math.max(evictAtMs, state.getCurrentWatermarkMs + 1))
+          math.max(evictAtMs, state.getCurrentWatermarkMs() + 1))
       }
       out
     }
