@@ -22,7 +22,11 @@ object Bench {
     // steady-state query cost. No-ops when the index is already committed.
     Seq("ann_ivf_persisted", "incremental_dedup").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        // surface it: a swallowed build failure would silently shift the
+        // one-time build cost into the timed pass
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

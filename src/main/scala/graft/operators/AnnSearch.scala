@@ -137,7 +137,7 @@ object AnnSearch {
     val probedClusters = probeRows.map(_._3).distinct.sorted
     val probes = probeRows.toSeq.toDF("query_id", "qv", "cluster")
     val assigned = spark.read.parquet(s"$dir/vectors")
-      .filter(col("cluster").isin(probedClusters.toIndexedSeq.map(Integer.valueOf): _*))
+      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
     broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))

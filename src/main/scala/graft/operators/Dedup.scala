@@ -60,14 +60,29 @@ object Dedup {
   private def hashedShingles(corpus: DataFrame): DataFrame =
     hashShingleCol(shingles(corpus))
 
+  /** Both hash views of a shingle set in one projection: the 48-bit
+    * set-intersection key `h` and the 32-bit minhash input `x`. This is
+    * the dataset the index store persists — ONE tokenize pass yields
+    * everything signatures and verification need.
+    */
+  private def shingleTable(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"),
+      hash32(col("sh")).as("x"))
+
   /** (doc_id, band, band_key) LSH band keys from a (doc_id, sh) shingle
     * set: all 12 minhashes in ONE aggregation pass (no 12× row blowup, no
     * (doc, i) shuffle — one min() column per hash function), then the 4
     * order-free band keys built column-wise (Σ mh·(slot+1) over the band's
     * 3 slots — identical integer math to the oracle).
     */
-  private[operators] def bandKeys(sh: DataFrame): DataFrame = {
-    val hashes = sh.select(col("doc_id"), hash32(col("sh")).as("x"))
+  private[operators] def bandKeys(sh: DataFrame): DataFrame =
+    bandKeysFromHashes(sh.select(col("doc_id"), hash32(col("sh")).as("x")))
+
+  /** [[bandKeys]] from an already-hashed (doc_id, x) view — lets callers
+    * that materialized [[shingleTable]] derive bands without re-shingling.
+    */
+  private def bandKeysFromHashes(hashes: DataFrame): DataFrame = {
     val consts = minhashConsts(12)
     val sig = hashes.groupBy(col("doc_id"))
       .agg(
@@ -134,18 +149,22 @@ object Dedup {
     jaccardFromCounts(inter, hsh, threshold)
   }
 
-  /** Build (once) the persisted dedup index for the corpus: LSH band keys
-    * + 48-bit hashed shingles, each a committed parquet dataset. At 100 TB
-    * this is the nightly/bootstrap job; every incremental batch then joins
-    * against these artifacts without touching corpus text again.
+  /** Build (once) the persisted dedup index for the corpus: the shingle
+    * hash table is materialized FIRST (one tokenize pass), then the band
+    * keys are derived from the stored 32-bit hashes — the corpus text is
+    * shingled exactly once in the whole build. At 100 TB this is the
+    * nightly/bootstrap job; every incremental batch then joins against
+    * these artifacts without touching corpus text again.
     */
   def buildDedupIndex(spark: SparkSession, sfDir: String,
                       dir: String): Unit = {
     val corpus = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val sh = shingles(corpus)
-    IndexStore.saveDataset(bandKeys(sh), s"$dir/bands")
-    IndexStore.saveDataset(hashShingleCol(sh), s"$dir/shingles")
+    IndexStore.saveDataset(shingleTable(shingles(corpus)), s"$dir/shingles")
+    val stored = spark.read.parquet(s"$dir/shingles")
+    IndexStore.saveDataset(
+      bandKeysFromHashes(stored.select(col("doc_id"), col("x"))),
+      s"$dir/bands")
   }
 
   /** Incremental near-dup: dedupe a NEW batch against the EXISTING corpus
@@ -162,7 +181,7 @@ object Dedup {
     */
   def incrementalDedup(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.5): DataFrame = {
-    val dir = IndexStore.indexDir(sfDir, "dedup-v1", "documents")
+    val dir = IndexStore.indexDir(sfDir, "dedup-v2", "documents")
     if (!IndexStore.committed(s"$dir/bands") ||
         !IndexStore.committed(s"$dir/shingles"))
       buildDedupIndex(spark, sfDir, dir)
@@ -171,14 +190,21 @@ object Dedup {
     val batch = Tables.load(spark, sfDir, "documents")
       .select((col("doc_id") + 10000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    val bsh = shingles(batch)
+    // Materialize the batch's own shingle table once per run (production:
+    // these are the signatures later merged into the corpus index); bands,
+    // intersection and size counts all read the stored copy, so the batch
+    // text is shingled exactly ONCE per run — not once per consumer.
+    IndexStore.saveDataset(shingleTable(shingles(batch)),
+      s"$dir/batch_shingles")
+    val bt = spark.read.parquet(s"$dir/batch_shingles")
     val cand = corpusBands
       .select(col("doc_id").as("dup_of"), col("band"), col("band_key"))
-      .join(bandKeys(bsh).select(col("doc_id").as("new_doc"),
-          col("band").as("b2"), col("band_key").as("k2")),
+      .join(bandKeysFromHashes(bt.select(col("doc_id"), col("x")))
+          .select(col("doc_id").as("new_doc"),
+            col("band").as("b2"), col("band_key").as("k2")),
         col("band") === col("b2") && col("band_key") === col("k2"))
       .select(col("new_doc"), col("dup_of")).distinct()
-    val bh = hashShingleCol(bsh)
+    val bh = bt.select(col("doc_id"), col("h"))
     val inter = cand
       .join(bh.select(col("doc_id").as("new_doc"), col("h")), "new_doc")
       .join(corpusSh.select(col("doc_id").as("c2"), col("h").as("h2")),

@@ -148,8 +148,10 @@ object TextAnalysis {
     * the [[qualityScore]] blend) → exact dedup (keep min doc_id per
     * whitespace-normalized digest) → deterministic content-hash sample
     * (1/sampleMod) → per-doc stats. Every stage is a narrow filter or a
-    * 16-byte-key aggregate; chaining adds no extra scans beyond the
-    * tokenize pass (Catalyst fuses the filters into the join output).
+    * 16-byte-key aggregate. The semi-join dedup evaluates the scored
+    * subplan on both sides (the keep-min aggregate diverges below any
+    * reusable exchange) — at batch scale, materialize `kept` once between
+    * the quality filter and the dedup, exactly like the dedup index does.
     */
   def corpusPrepare(spark: SparkSession, sfDir: String,
                     minQuality: Double = 0.53,

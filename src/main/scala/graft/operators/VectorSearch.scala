@@ -56,9 +56,7 @@ object VectorSearch {
     */
   def textEmbed(docs: DataFrame, dim: Int = 16): DataFrame = {
     import graft.functions.TextHash.hash32
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+    val toks = TextAnalysis.tokensPos(docs)
       .select(col("doc_id"), pmod(hash32(col("tok")), lit(dim)).as("j"))
     val counts = toks.groupBy(col("doc_id")).agg(
       sum(when(col("j") === 0, 1L).otherwise(0L)).cast("double").as("c0"),

@@ -36,12 +36,27 @@ object IndexStore {
     * build job + readers of committed snapshots).
     */
   def indexDir(sfDir: String, name: String, sourceTable: String): String = {
-    val f = new java.io.File(s"$sfDir/$sourceTable.parquet")
-    val fp = java.lang.Long.toHexString(f.length() ^
-      java.lang.Long.rotateLeft(f.lastModified(), 21))
+    val fp = java.lang.Long.toHexString(
+      fingerprint(new java.io.File(s"$sfDir/$sourceTable.parquet")))
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"),
       s"$name-$fp").toString
+  }
+
+  /** Recursive (name, size, mtime) digest — handles both single-file and
+    * directory-shaped parquet datasets (a directory's own length/mtime say
+    * nothing about part-file rewrites). Children are folded in sorted
+    * order so listing order can't change the value. An in-place rewrite
+    * within one mtime millisecond AND identical sizes still collides —
+    * the usual mtime-check caveat, accepted here.
+    */
+  private def fingerprint(f: java.io.File): Long = {
+    val own = f.getName.hashCode.toLong ^ f.length() ^
+      java.lang.Long.rotateLeft(f.lastModified(), 21)
+    if (!f.isDirectory) own
+    else f.listFiles().sortBy(_.getName).foldLeft(own) { (acc, c) =>
+      java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(c)
+    }
   }
 
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {

@@ -175,8 +175,11 @@ object StreamingOps extends Serializable {
     * it, so the timeout callback only has to drop the state. Bounded state:
     * each user's entry lives for at most one gap past their last event.
     * Session ids restart after eviction (a user idle past the gap AND the
-    * watermark starts again at id 1) — unique within any state lifetime,
-    * which is the contract consumers of gap sessions get.
+    * watermark starts again at id 1), so across eviction epochs the
+    * unique session key is (user_id, session_id, start_us) — start_us is
+    * stable across re-emissions of one session and necessarily differs
+    * between two sessions that reuse an id. Consumers dedupe on that
+    * triple, not on (user_id, session_id) alone.
     */
   def sessionFoldEvict(user: Long, it: Iterator[Ev],
                        state: GroupState[OpenSess],
@@ -203,7 +206,9 @@ object StreamingOps extends Serializable {
     * tail session (id, start, last, count) across micro-batches, so a
     * batch whose first event continues the open session extends it —
     * re-emitting the same session_id with updated aggregates. Consumers
-    * take the last row per (user_id, session_id) (Update-mode semantics);
+    * take the last row per (user_id, session_id, start_us) — see
+    * [[sessionFoldEvict]] for why start_us is part of the key once
+    * eviction can recycle ids (Update-mode semantics);
     * with the single-batch fixture each session is emitted exactly once
     * and the output matches the batch
     * [[graft.operators.Events.sessionize]] oracle. State is BOUNDED:
