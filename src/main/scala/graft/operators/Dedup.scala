@@ -57,9 +57,6 @@ object Dedup {
     sh.select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
 
-  private def hashedShingles(corpus: DataFrame): DataFrame =
-    hashShingleCol(shingles(corpus))
-
   /** Both hash views of a shingle set in one projection: the 48-bit
     * set-intersection key `h` and the 32-bit minhash input `x`. This is
     * the dataset the index store persists — ONE tokenize pass yields
@@ -101,6 +98,22 @@ object Dedup {
         col("bk.band_key").as("band_key"))
   }
 
+  /** Load-or-build the injected-corpus shingle table — the same
+    * signature-store pattern as the incremental index: the corpus is
+    * shingled once per data fingerprint, and every minhash/jaccard query
+    * after that reads the stored (doc_id, h, x) table instead of
+    * re-tokenizing the corpus.
+    */
+  private def injectedShingleTable(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir, "dedup-inj-v1", "documents")
+    if (!IndexStore.committed(s"$dir/shingles"))
+      IndexStore.saveDataset(
+        shingleTable(shingles(nearDupCorpus(spark, sfDir))),
+        s"$dir/shingles")
+    spark.read.parquet(s"$dir/shingles")
+  }
+
   /** Exact dedup: group by whitespace-normalized lowercase text, keep the
     * min id as canonical; output duplicate groups. Corpus = documents plus
     * exact copies (id + 10000) so groups exist.
@@ -122,14 +135,14 @@ object Dedup {
   /** MinHash + LSH banding near-dup detection, then exact Jaccard
     * verification of the banded candidates. 12 hashes, 4 bands of 3.
     *
-    * The shingle pipeline is evaluated by both the signature branch and
-    * the verification branch (no cache — persisting here would pin a copy
-    * per call with no unpersist hook); at scale, materialize shingles once
-    * to a temp dataset and feed both branches from it.
+    * Signature and verification branches both read the PERSISTED shingle
+    * table ([[injectedShingleTable]]) — the corpus is tokenized once per
+    * data version, not once per branch per query.
     */
   def minhashDedup(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.5): DataFrame = {
-    val bands = bandKeys(shingles(nearDupCorpus(spark, sfDir)))
+    val t = injectedShingleTable(spark, sfDir)
+    val bands = bandKeysFromHashes(t.select(col("doc_id"), col("x")))
     val left = bands.select(col("doc_id").as("doc_a"), col("band"),
       col("band_key"))
     val right = bands.select(col("doc_id").as("doc_b"), col("band").as("b2"),
@@ -138,7 +151,7 @@ object Dedup {
         col("band") === col("b2") && col("band_key") === col("k2") &&
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val hsh = hashedShingles(nearDupCorpus(spark, sfDir))
+    val hsh = t.select(col("doc_id"), col("h"))
     val s1 = hsh.select(col("doc_id").as("doc_a"), col("h"))
     val s2 = hsh.select(col("doc_id").as("doc_b2"), col("h").as("h2"))
     // candidates are few → drive the joins from cand so only candidate
@@ -311,10 +324,12 @@ object Dedup {
 
   /** n-gram Jaccard dedup without LSH: blocking equi-join on shared
     * shingles generates candidates, then exact Jaccard ≥ threshold.
+    * Reads the persisted shingle table (shared with [[minhashDedup]]).
     */
   def jaccardDupes(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.4): DataFrame = {
-    val hsh = hashedShingles(nearDupCorpus(spark, sfDir))
+    val hsh = injectedShingleTable(spark, sfDir)
+      .select(col("doc_id"), col("h"))
     val s1 = hsh.select(col("doc_id").as("doc_a"), col("h"))
     val s2 = hsh.select(col("doc_id").as("doc_b"), col("h").as("h2"))
     // One equi-join on the hashed shingle + direct aggregation gives the

@@ -48,14 +48,27 @@ object StreamingOps extends Serializable {
   }
 
   /** Run a streaming frame to completion against a memory sink and return
-    * the resulting table.
+    * the resulting table. `statePartitions` pins
+    * `spark.sql.shuffle.partitions` for the query's lifetime — stateful
+    * operators allocate one state store per shuffle partition AT QUERY
+    * START (the count is then fixed in the checkpoint), so state-heavy
+    * queries size it to their state volume explicitly rather than
+    * inheriting the batch default; restored afterwards.
     */
-  private def runToMemory(df: DataFrame, name: String,
-                          mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+  private def runToMemory(df: DataFrame, name: String, mode: String,
+                          statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    spark.table(name)
   }
 
   /** Tumbling 5-minute windowed counts per event type, computed by a
@@ -120,7 +133,10 @@ object StreamingOps extends Serializable {
           col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"))
-    runToMemory(joined, "graft_stream_join", "append")
+    // two watermarked join-state operators × per-partition state stores:
+    // size partitions to the (small) per-side state, not the batch default
+    runToMemory(joined, "graft_stream_join", "append",
+        statePartitions = Some(8))
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
