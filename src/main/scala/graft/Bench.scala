@@ -20,8 +20,8 @@ object Bench {
     // once untimed so the one-time index build (k-means fit + bucketed
     // write / corpus signatures) lands here and the timed pass measures
     // steady-state query cost. No-ops when the index is already committed.
-    Seq("ann_ivf_persisted", "incremental_dedup", "minhash_dedup")
-      .foreach { n =>
+    Seq("ann_ivf_persisted", "incremental_dedup", "minhash_dedup",
+        "embed_near_dup_pruned").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the

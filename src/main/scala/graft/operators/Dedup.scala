@@ -285,16 +285,20 @@ object Dedup {
     val b = withBands.select(col("doc_id").as("doc_b"),
       col("simhash").as("sig_b"), col("lo").as("lo2"), col("hi").as("hi2"))
     // An OR join condition can't hash-join (it plans as a nested loop);
-    // union of the two equi-joins + distinct is the same pair set with two
-    // shuffle hash joins.
-    // hamming filter INSIDE each half, before the distinct: the dedup
-    // shuffle then only carries surviving pairs.
-    def half(key: String, key2: String) =
-      a.join(b, col(key) === col(key2) && col("doc_a") < col("doc_b"))
+    // the same pair set comes from two equi-joins whose results are made
+    // DISJOINT by construction — the hi half additionally requires the lo
+    // halves to differ — so their unionAll needs no distinct: the 6M-pair
+    // dedup shuffle disappears entirely. Hamming filter inside each half
+    // keeps the union to surviving pairs only.
+    def half(key: String, key2: String,
+             extra: org.apache.spark.sql.Column) =
+      a.join(b, col(key) === col(key2) && extra &&
+          col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
-    half("lo", "lo2").unionAll(half("hi", "hi2")).distinct()
+    half("lo", "lo2", lit(true))
+      .unionAll(half("hi", "hi2", col("lo") =!= col("lo2")))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -392,21 +396,36 @@ object Dedup {
   def embedNearDupPruned(spark: SparkSession, sfDir: String,
                          threshold: Double = 0.9, nBands: Int = 8,
                          bandBits: Int = 8): DataFrame = {
-    val normed = embedCorpus(spark, sfDir)
-    val dim = Tables.load(spark, sfDir, "embeddings")
-      .select(size(col("embedding"))).head().getInt(0)
-    val rng = new scala.util.Random(0x5eedL)
-    val planes = Array.fill(nBands * bandBits, dim)(rng.nextGaussian())
-    val bandCols = (0 until nBands).map { bnd =>
-      val key = (0 until bandBits).map { j =>
-        val r = array(planes(bnd * bandBits + j).toIndexedSeq.map(lit): _*)
-        when(dot(col("u"), r) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(bnd.toLong).as("band"), key.as("key"))
+    // Load-or-build the SRP index (same store pattern as IVF/dedup): the
+    // normalized corpus and its band signatures persist per data version,
+    // so queries are pure equi-joins over stored tables — the 64 dots per
+    // vector run once per corpus, not twice per query.
+    val dir = IndexStore.indexDir(sfDir, s"embsrp$nBands-$bandBits-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$dir/vectors") ||
+        !IndexStore.committed(s"$dir/sigs")) {
+      val built = embedCorpus(spark, sfDir)
+      IndexStore.saveDataset(built, s"$dir/vectors")
+      val dim = Tables.load(spark, sfDir, "embeddings")
+        .select(size(col("embedding"))).head().getInt(0)
+      val rng = new scala.util.Random(0x5eedL)
+      val planes = Array.fill(nBands * bandBits, dim)(rng.nextGaussian())
+      val bandCols = (0 until nBands).map { bnd =>
+        val key = (0 until bandBits).map { j =>
+          val r = array(planes(bnd * bandBits + j).toIndexedSeq.map(lit): _*)
+          when(dot(col("u"), r) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(bnd.toLong).as("band"), key.as("key"))
+      }
+      IndexStore.saveDataset(
+        spark.read.parquet(s"$dir/vectors")
+          .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"),
+            col("bk.key").as("key")),
+        s"$dir/sigs")
     }
-    val slim = normed
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val normed = spark.read.parquet(s"$dir/vectors")
+    val slim = spark.read.parquet(s"$dir/sigs")
     val cand = slim.select(col("vec_id").as("id_a"), col("band"), col("key"))
       .join(slim.select(col("vec_id").as("id_b"), col("band").as("b2"),
           col("key").as("k2")),
