@@ -44,6 +44,7 @@ object SparkEntry {
     "topk_global" -> ((s, d) => Relational.topkGlobal(s, d)),
     "range_join_orders" -> ((s, d) => Relational.rangeJoinOrders(s, d)),
     "agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
+    "corr_stats" -> ((s, d) => Relational.corrStats(s, d)),
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "tokenize_stats" -> ((s, d) => TextAnalysis.tokenizeStats(s, d)),
     "ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
@@ -468,6 +469,14 @@ object SparkEntry {
         |  round(avg(c_acctbal), 4) AS avg_bal,
         |  round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2)
+        |    AS covar_qty_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS std_price,
+        |  round(var_samp(l_quantity), 6) AS var_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "tokenize_stats" ->
       s"""WITH $DuckToks
          |SELECT doc_id, count(*) AS n_tokens,

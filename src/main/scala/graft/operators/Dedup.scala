@@ -236,6 +236,29 @@ object Dedup {
       .orderBy("new_doc", "dup_of")
   }
 
+  /** The final step of the incremental loop: fold the current batch's
+    * materialized signatures into a NEW index version at `out`. Readers
+    * keep using the old `dir` until the caller switches — version-swap
+    * atomicity by construction, no in-place mutation of a live index.
+    * Band keys are re-derived from the merged STORED hashes (no text is
+    * touched). Typically the caller merges only non-duplicate batch docs
+    * (`keepIds`); passing None merges the whole batch.
+    */
+  def mergeBatchIntoIndex(spark: SparkSession, dir: String, out: String,
+                          keepIds: Option[DataFrame] = None): Unit = {
+    val batch = spark.read.parquet(s"$dir/batch_shingles")
+    val kept = keepIds.fold(batch)(ids =>
+      batch.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi"))
+    IndexStore.saveDataset(
+      spark.read.parquet(s"$dir/shingles").unionAll(kept),
+      s"$out/shingles")
+    IndexStore.saveDataset(
+      bandKeysFromHashes(spark.read.parquet(s"$out/shingles")
+        .select(col("doc_id"), col("x"))),
+      s"$out/bands")
+  }
+
   /** (doc_a, doc_b, ni) + per-doc set sizes → thresholded Jaccard. */
   private def jaccardFromCounts(inter: DataFrame, sh: DataFrame,
                                 threshold: Double): DataFrame = {

@@ -330,6 +330,23 @@ object Relational {
   /** Aggregate statistics battery per market segment: counts, distinct
     * counts, min/max/avg/sum.
     */
+  /** Second-moment aggregate battery: correlation, sample covariance /
+    * stddev / variance per group — single-pass streaming co-moments in
+    * both engines (map-side partials merge associatively), rounded at the
+    * output edge to absorb merge-order last-ulp drift.
+    */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"))
+      .orderBy("l_returnflag")
+
   def aggStats(spark: SparkSession, sfDir: String): DataFrame =
     cust(spark, sfDir)
       .groupBy(col("c_mktsegment"))

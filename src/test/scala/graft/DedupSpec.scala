@@ -54,6 +54,25 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_index_"))
   }
 
+  test("mergeBatchIntoIndex produces a complete next index version") {
+    import graft.sources.IndexStore
+    // ensure the corpus index + this run's batch artifacts exist
+    Dedup.incrementalDedup(spark, sf).count()
+    val dir = IndexStore.indexDir(sf, "dedup-v2", "documents")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_merge").toString
+    Dedup.mergeBatchIntoIndex(spark, dir, out)
+    assert(IndexStore.committed(s"$out/shingles") &&
+      IndexStore.committed(s"$out/bands"))
+    val oldN = spark.read.parquet(s"$dir/shingles").count()
+    val batchN = spark.read.parquet(s"$dir/batch_shingles").count()
+    val merged = spark.read.parquet(s"$out/shingles")
+    assert(merged.count() == oldN + batchN)
+    // 4 band rows per doc in the merged band table
+    val nDocs = merged.select("doc_id").distinct().count()
+    assert(spark.read.parquet(s"$out/bands").count() == 4 * nDocs)
+  }
+
   test("embedNearDupPruned recovers the exact all-pairs result") {
     val exact = Dedup.embedNearDup(spark, sf).collect().map(_.toSeq).toSeq
     val pruned = Dedup.embedNearDupPruned(spark, sf).collect()
