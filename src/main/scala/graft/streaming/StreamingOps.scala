@@ -108,6 +108,27 @@ object StreamingOps extends Serializable {
       .orderBy("user_id", "event_type")
   }
 
+  /** Checkpointed file-sink ingest — the production landing path: process
+    * everything currently in `srcDir` (Trigger.AvailableNow) into a
+    * parquet dataset at `outDir`, recording progress in `checkpointDir`.
+    * Re-invocations resume FROM THE CHECKPOINT: already-processed files
+    * are never re-read, and the file-sink commit log gives exactly-once
+    * output across restarts — the property the memory-sink test queries
+    * can't demonstrate. Same code against Kafka + cloud storage at scale.
+    */
+  def streamingIngestOnce(spark: SparkSession, srcDir: String,
+                          outDir: String, checkpointDir: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream inner join — click→purchase attribution within a
     * 30-minute window per user. Both sides carry event-time watermarks and
     * the join condition bounds p_ts to [c_ts, c_ts + window], so each
