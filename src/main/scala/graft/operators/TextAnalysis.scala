@@ -147,11 +147,10 @@ object TextAnalysis {
     * shard" flow chained as ONE lazy plan: quality filter (≥ minQuality on
     * the [[qualityScore]] blend) → exact dedup (keep min doc_id per
     * whitespace-normalized digest) → deterministic content-hash sample
-    * (1/sampleMod) → per-doc stats. Every stage is a narrow filter or a
-    * 16-byte-key aggregate. The semi-join dedup evaluates the scored
-    * subplan on both sides (the keep-min aggregate diverges below any
-    * reusable exchange) — at batch scale, materialize `kept` once between
-    * the quality filter and the dedup, exactly like the dedup index does.
+    * (1/sampleMod) → per-doc stats. Every stage is a narrow filter or one
+    * hash-partition pass: the dedup keeps the min-id row per digest via a
+    * window over the 16-byte key — ONE evaluation of the scored subplan,
+    * one shuffle, no self-join.
     */
   def corpusPrepare(spark: SparkSession, sfDir: String,
                     minQuality: Double = 0.53,
@@ -166,8 +165,8 @@ object TextAnalysis {
         qualityBlend(col("n_stop"), col("n_tokens"), col("text")))
     val kept = scored.filter(col("quality") >= minQuality)
       .withColumn("key", normTextKey(col("text")))
-    val keepMin = kept.groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
-    kept.join(keepMin, Seq("key", "doc_id"), "left_semi")
+    val wk = Window.partitionBy("key").orderBy("doc_id")
+    kept.withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
       .filter(hash32(col("text")) % sampleMod === 0)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("quality"), 6).as("quality"))
