@@ -67,17 +67,13 @@ object Dedup {
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"),
       hash32(col("sh")).as("x"))
 
-  /** (doc_id, band, band_key) LSH band keys from a (doc_id, sh) shingle
-    * set: all 12 minhashes in ONE aggregation pass (no 12× row blowup, no
-    * (doc, i) shuffle — one min() column per hash function), then the 4
-    * order-free band keys built column-wise (Σ mh·(slot+1) over the band's
-    * 3 slots — identical integer math to the oracle).
-    */
-  private[operators] def bandKeys(sh: DataFrame): DataFrame =
-    bandKeysFromHashes(sh.select(col("doc_id"), hash32(col("sh")).as("x")))
-
-  /** [[bandKeys]] from an already-hashed (doc_id, x) view — lets callers
-    * that materialized [[shingleTable]] derive bands without re-shingling.
+  /** (doc_id, band, band_key) LSH band keys from a hashed (doc_id, x)
+    * shingle view (callers feed it the materialized [[shingleTable]] —
+    * bands derive from stored hashes, never from re-shingled text): all
+    * 12 minhashes in ONE aggregation pass (no 12× row blowup, no (doc, i)
+    * shuffle — one min() column per hash function), then the 4 order-free
+    * band keys built column-wise (Σ mh·(slot+1) over the band's 3 slots —
+    * identical integer math to the oracle).
     */
   private def bandKeysFromHashes(hashes: DataFrame): DataFrame = {
     val consts = minhashConsts(12)
@@ -246,6 +242,13 @@ object Dedup {
     */
   def mergeBatchIntoIndex(spark: SparkSession, dir: String, out: String,
                           keepIds: Option[DataFrame] = None): Unit = {
+    // gate on committed inputs — a crashed batch write must read as
+    // "never written", per the store's contract, or the merged version
+    // would commit an incomplete batch as truth
+    Seq("shingles", "bands", "batch_shingles").foreach { d =>
+      require(IndexStore.committed(s"$dir/$d"),
+        s"$dir/$d is not a committed dataset — build/run the batch first")
+    }
     val batch = spark.read.parquet(s"$dir/batch_shingles")
     val kept = keepIds.fold(batch)(ids =>
       batch.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
@@ -253,9 +256,12 @@ object Dedup {
     IndexStore.saveDataset(
       spark.read.parquet(s"$dir/shingles").unionAll(kept),
       s"$out/shingles")
+    // band keys are per-doc, so existing docs' bands are reused verbatim;
+    // only the kept batch rows are signed — O(batch) per merge, not
+    // O(corpus)
     IndexStore.saveDataset(
-      bandKeysFromHashes(spark.read.parquet(s"$out/shingles")
-        .select(col("doc_id"), col("x"))),
+      spark.read.parquet(s"$dir/bands").unionAll(
+        bandKeysFromHashes(kept.select(col("doc_id"), col("x")))),
       s"$out/bands")
   }
 

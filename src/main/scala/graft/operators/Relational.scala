@@ -327,9 +327,6 @@ object Relational {
         round(expr("percentile(c_acctbal, 0.1)"), 4).as("p10_bal"))
       .orderBy("c_mktsegment")
 
-  /** Aggregate statistics battery per market segment: counts, distinct
-    * counts, min/max/avg/sum.
-    */
   /** Second-moment aggregate battery: correlation, sample covariance /
     * stddev / variance per group — single-pass streaming co-moments in
     * both engines (map-side partials merge associatively), rounded at the
@@ -347,6 +344,9 @@ object Relational {
         round(var_samp(col("l_quantity")), 6).as("var_qty"))
       .orderBy("l_returnflag")
 
+  /** Aggregate statistics battery per market segment: counts, distinct
+    * counts, min/max/avg/sum.
+    */
   def aggStats(spark: SparkSession, sfDir: String): DataFrame =
     cust(spark, sfDir)
       .groupBy(col("c_mktsegment"))

@@ -58,15 +58,18 @@ object StreamingOps extends Serializable {
   private def runToMemory(df: DataFrame, name: String, mode: String,
                           statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
+    def run(): Unit = {
       val q = df.writeStream.outputMode(mode).format("memory")
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    statePartitions match {
+      case None => run() // no conf touched on the default path
+      case Some(n) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        try run()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(name)
   }
