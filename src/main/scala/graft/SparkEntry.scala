@@ -59,6 +59,7 @@ object SparkEntry {
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
     "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
     "token_shards" -> ((s, d) => TextAnalysis.tokenShards(s, d)),
@@ -569,6 +570,24 @@ object SparkEntry {
         |FROM k GROUP BY key HAVING count(*) >= 2
         |ORDER BY keep_id""".stripMargin,
     "minhash_dedup" -> MinhashOracleSql,
+    // connected components of the near-dup pair graph: min label
+    // reachable from each node == the component's min doc_id
+    "dup_groups" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |$MinhashOracleSql
+         |  )
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(label) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "incremental_dedup" ->
       s"""SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard FROM (
          |$MinhashOracleSql

@@ -232,6 +232,49 @@ object Dedup {
       .orderBy("new_doc", "dup_of")
   }
 
+  /** Duplicate GROUPS from the near-dup pair graph: connected components
+    * by iterative min-label propagation (the Pregel pattern) — every doc
+    * in a component gets the component's min doc_id as its label, which
+    * is the form a pipeline actually deletes from (keep label, drop the
+    * rest), vs the raw pair list.
+    *
+    * Scale shape: each round is one equi-join + min-aggregate over the
+    * edge list; rounds needed = component diameter (near-dup components
+    * are tiny). The driver-side loop is the CONTROL plane only (a
+    * converged? flag per round, exactly like GraphX/Pregel); per-round
+    * lineage is cut with an eager localCheckpoint so plans stay O(1)
+    * deep regardless of iteration count.
+    */
+  def dupGroups(spark: SparkSession, sfDir: String,
+                threshold: Double = 0.5,
+                maxIters: Int = 20): DataFrame = {
+    val pairs = minhashDedup(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("new_label"), col("label").as("old_label"))
+        .localCheckpoint(true)
+      converged = updated
+        .filter(col("new_label") < col("old_label")).limit(1).count() == 0
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** The final step of the incremental loop: fold the current batch's
     * materialized signatures into a NEW index version at `out`. Readers
     * keep using the old `dir` until the caller switches — version-swap

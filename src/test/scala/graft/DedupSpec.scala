@@ -54,6 +54,18 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_index_"))
   }
 
+  test("dupGroups labels every injected pair with one component") {
+    val comp = Dedup.dupGroups(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    // a component label is the min member, so label <= id
+    assert(comp.forall { case (id, label) => label <= id })
+    // every injected near-dup pair ends up in the same component
+    val pairedIds = comp.keySet.filter(id => id < 10000 &&
+      comp.contains(id + 10000))
+    assert(pairedIds.nonEmpty)
+    pairedIds.foreach(id => assert(comp(id) == comp(id + 10000)))
+  }
+
   test("mergeBatchIntoIndex produces a complete next index version") {
     import graft.sources.IndexStore
     // ensure the corpus index + this run's batch artifacts exist
