@@ -28,6 +28,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(empty.schema == vectors.schema)
   }
 
+  test("indexDir fingerprint invalidates on source change, incl. dirs") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val d = Files.createTempDirectory("graft_fp").toString
+    // single-file source: a size change changes the index path
+    Files.writeString(Paths.get(d, "t.parquet"), "aa")
+    val dir1 = IndexStore.indexDir(d, "x-v1", "t")
+    Files.writeString(Paths.get(d, "t.parquet"), "aaa")
+    assert(IndexStore.indexDir(d, "x-v1", "t") != dir1)
+    // directory-shaped source: a same-size part-file rewrite (new mtime)
+    // changes the path even though the dir entry itself is unchanged
+    val ds = Paths.get(d, "u.parquet")
+    Files.createDirectories(ds)
+    val part = ds.resolve("part-0")
+    Files.writeString(part, "aa")
+    Files.setLastModifiedTime(part, FileTime.fromMillis(1000000L))
+    val dir3 = IndexStore.indexDir(d, "x-v1", "u")
+    Files.writeString(part, "bb")
+    Files.setLastModifiedTime(part, FileTime.fromMillis(2000000L))
+    assert(IndexStore.indexDir(d, "x-v1", "u") != dir3)
+    // stable inputs → stable path (no accidental churn)
+    assert(IndexStore.indexDir(d, "x-v1", "u") ==
+      IndexStore.indexDir(d, "x-v1", "u"))
+  }
+
   test("searching an empty index yields an empty result, not an error") {
     // the reference's empty-index guard (main.py:152-153) — batch form:
     // k-NN over zero candidates is simply zero result rows
