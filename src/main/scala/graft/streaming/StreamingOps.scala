@@ -85,7 +85,8 @@ object StreamingOps extends Serializable {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_val"))
-    runToMemory(agg, "graft_stream_windows", "complete")
+    runToMemory(agg, "graft_stream_windows", "complete",
+        statePartitions = Some(8))
       .orderBy("window_start", "event_type")
   }
 
@@ -107,7 +108,8 @@ object StreamingOps extends Serializable {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToMemory(deduped, "graft_stream_dedup", "append")
+    runToMemory(deduped, "graft_stream_dedup", "append",
+        statePartitions = Some(8))
       .orderBy("user_id", "event_type")
   }
 
@@ -275,7 +277,8 @@ object StreamingOps extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
-    runToMemory(sessions.toDF(), "graft_stream_sessions", "append")
+    runToMemory(sessions.toDF(), "graft_stream_sessions", "append",
+        statePartitions = Some(8))
       .select(col("user_id"), col("session_id"), col("n_events"),
         round((col("end_us") - col("start_us")).cast("double") / 1000000.0, 3)
           .as("duration_s"))
