@@ -701,8 +701,10 @@ object SparkEntry {
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    -- lag ordered at the SAME µs precision the engine uses, so a
+        |    -- sub-µs tie can't attach the gap flag to a different row
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_us
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
         |  FROM events
         |),
         |flagged AS (
@@ -1001,8 +1003,10 @@ object SparkEntry {
     "streaming_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    -- lag ordered at the SAME µs precision the engine uses, so a
+        |    -- sub-µs tie can't attach the gap flag to a different row
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_us
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
         |  FROM events
         |),
         |flagged AS (

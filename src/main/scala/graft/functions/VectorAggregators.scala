@@ -19,6 +19,12 @@ object VectorAggregators {
   class CentroidAgg(dim: Int) extends Aggregator[Seq[Float], Buf, Seq[Double]] {
     override def zero: Buf = (Array.fill(dim)(0.0), 0L)
     override def reduce(b: Buf, v: Seq[Float]): Buf = {
+      // fail fast on malformed rows: silently truncating a longer vector
+      // (or indexing past a shorter one) would skew the centroid with no
+      // error signal
+      require(v != null && v.length == dim,
+        s"CentroidAgg(dim=$dim) got vector of length " +
+          s"${if (v == null) "null" else v.length}")
       val (sums, n) = b
       var i = 0
       while (i < dim) { sums(i) += v(i); i += 1 }

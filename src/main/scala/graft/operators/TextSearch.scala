@@ -20,11 +20,13 @@ import graft.Tables
   */
 object TextSearch {
 
-  /** (doc_id, tok) pairs, empty tokens dropped. */
+  /** (doc_id, tok) pairs, empty tokens dropped — THE corpus tokenizer
+    * ([[TextAnalysis.tokensPos]]), so search and analysis can never
+    * tokenize differently.
+    */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+    TextAnalysis.tokensPos(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("tok"))
 
   def searchExact(spark: SparkSession, sfDir: String, nTerms: Int = 3,
                   topK: Int = 20): DataFrame = {

@@ -38,6 +38,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(res(2).getDouble(1) - 4.0) < 1e-12) // antipodal: max dist
   }
 
+  test("vector expressions: mismatch/null elements -> NULL; floats fail") {
+    import spark.implicits._
+    val mism = Seq(1).toDF("x")
+      .selectExpr("array(1.0d, 2.0d) AS a", "array(1.0d, 2.0d, 3.0d) AS b")
+    assert(mism.select(dot(col("a"), col("b"))).head().isNullAt(0))
+    assert(mism.select(squaredL2(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = Seq(1).toDF("x")
+      .selectExpr("array(1.0d, cast(null as double)) AS a",
+        "array(1.0d, 2.0d) AS b")
+    assert(withNull.select(dot(col("a"), col("b"))).head().isNullAt(0))
+    assert(withNull.select(l2Normalize(col("a"))).head().isNullAt(0))
+    // un-cast float arrays are an analysis-time error (no byte games);
+    // construct the expression directly — the VectorOps wrappers cast
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val fl = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      fl.select(column(graft.functions.ArrayDot(
+        expression(col("a")), expression(col("b"))))).collect()
+    }
+    assert(err.getMessage.contains("array<double>"))
+  }
+
   test("knnSearch on fixtures: k rows per query, ascending distance") {
     val res = VectorSearch.knnSearch(spark, sf, nQueries = 3, k = 5).collect()
     assert(res.length == 15)
