@@ -199,12 +199,18 @@ object Dedup {
     val batch = Tables.load(spark, sfDir, "documents")
       .select((col("doc_id") + 10000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    // Materialize the batch's own shingle table once per run (production:
-    // these are the signatures later merged into the corpus index); bands,
+    // Materialize the batch's shingle table once per data version, gated
+    // on committed() exactly like the corpus artifacts (production: these
+    // are the signatures later merged into the corpus index); bands,
     // intersection and size counts all read the stored copy, so the batch
-    // text is shingled exactly ONCE per run — not once per consumer.
-    IndexStore.saveDataset(shingleTable(shingles(batch)),
-      s"$dir/batch_shingles")
+    // text is shingled exactly ONCE — not once per consumer. Committed-
+    // gating (vs overwrite-per-run) also means a DataFrame returned by an
+    // earlier call never holds a stale file listing, and concurrent calls
+    // can't race on the shared fingerprinted dir: the first writer wins
+    // and everyone reads the same committed snapshot.
+    if (!IndexStore.committed(s"$dir/batch_shingles"))
+      IndexStore.saveDataset(shingleTable(shingles(batch)),
+        s"$dir/batch_shingles")
     val bt = spark.read.parquet(s"$dir/batch_shingles")
     val cand = corpusBands
       .select(col("doc_id").as("dup_of"), col("band"), col("band_key"))
@@ -271,6 +277,13 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    // an unconverged exit would silently return WRONG component labels
+    // (some nodes not yet at their component minimum) — fail loudly
+    // instead; near-dup components are tiny, so hitting this means the
+    // graph shape changed and the caller must raise maxIters
+    require(converged,
+      s"dupGroups: min-label propagation not converged after $maxIters " +
+        "rounds (component diameter exceeds the cap); raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
   }

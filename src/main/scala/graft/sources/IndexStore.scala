@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -11,9 +13,18 @@ import org.apache.spark.sql.types.StructType
   * Here both halves of the state (id mapping + vector table) are written by
   * the same job, each dataset commits atomically via the Parquet committer
   * (`_SUCCESS` marker), and readers see either the old or the new snapshot
-  * of a dataset — no shutdown-hook durability.
+  * of a dataset — no shutdown-hook durability. All existence/metadata
+  * checks go through the Hadoop [[FileSystem]] API, so the same pattern
+  * works unchanged when the store root is an `hdfs://`/`s3a://` URI in a
+  * cluster deployment (a `java.io.File` check would silently report "not
+  * committed" there and rebuild on every query).
   */
 object IndexStore {
+
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   /** One committed parquet dataset of any derived index artifact (band
     * keys, signatures, centroids…). Readers gate on [[committed]], so a
@@ -22,22 +33,28 @@ object IndexStore {
   def saveDataset(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  def committed(path: String): Boolean =
-    new java.io.File(s"$path/_SUCCESS").exists()
+  def committed(path: String): Boolean = {
+    val p = new Path(path, "_SUCCESS")
+    p.getFileSystem(hadoopConf).exists(p)
+  }
 
   /** Per-(fixture, index-name) directory under the JVM temp root — the
     * stand-in for the index's durable location (HDFS/object store in a
-    * cluster deployment). The key embeds a fingerprint of the SOURCE
-    * table's file (size + mtime), so a regenerated fixture at the same
-    * path gets a fresh index instead of silently serving a stale one;
-    * builders additionally version their `name` (e.g. "dedup-v2") so a
-    * builder-code change invalidates too. Rebuild/read races are out of
-    * scope: one driver process owns an index dir (the cluster analog is a
-    * build job + readers of committed snapshots).
+    * cluster deployment; swap the root for a `hdfs://`/`s3a://` URI and
+    * the FileSystem-based checks keep working). The key embeds a
+    * fingerprint of the SOURCE table's file (size + mtime), so a
+    * regenerated fixture at the same path gets a fresh index instead of
+    * silently serving a stale one; builders additionally version their
+    * `name` (e.g. "dedup-v2") so a builder-code change invalidates too.
+    * Rebuild/read races are out of scope: one driver process owns an
+    * index dir (the cluster analog is a build job + readers of committed
+    * snapshots).
     */
   def indexDir(sfDir: String, name: String, sourceTable: String): String = {
+    val src = new Path(sfDir, s"$sourceTable.parquet")
+    val fs = src.getFileSystem(hadoopConf)
     val fp = java.lang.Long.toHexString(
-      fingerprint(new java.io.File(s"$sfDir/$sourceTable.parquet")))
+      fingerprint(fs, fs.getFileStatus(src)))
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"),
       s"$name-$fp").toString
@@ -50,13 +67,14 @@ object IndexStore {
     * within one mtime millisecond AND identical sizes still collides —
     * the usual mtime-check caveat, accepted here.
     */
-  private def fingerprint(f: java.io.File): Long = {
-    val own = f.getName.hashCode.toLong ^ f.length() ^
-      java.lang.Long.rotateLeft(f.lastModified(), 21)
-    if (!f.isDirectory) own
-    else f.listFiles().sortBy(_.getName).foldLeft(own) { (acc, c) =>
-      java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(c)
-    }
+  private def fingerprint(fs: FileSystem, st: FileStatus): Long = {
+    val own = st.getPath.getName.hashCode.toLong ^ st.getLen ^
+      java.lang.Long.rotateLeft(st.getModificationTime, 21)
+    if (!st.isDirectory) own
+    else fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+      .foldLeft(own) { (acc, c) =>
+        java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(fs, c)
+      }
   }
 
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
@@ -69,12 +87,10 @@ object IndexStore {
     * `main.py:55-63`).
     */
   def loadOrInit(spark: SparkSession, path: String,
-                 schema: StructType): DataFrame = {
-    val committed = new java.io.File(s"$path/_SUCCESS").exists()
-    if (committed) spark.read.schema(schema).parquet(path)
+                 schema: StructType): DataFrame =
+    if (committed(path)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 
   def loadMapping(spark: SparkSession, dir: String,
                   schema: StructType): DataFrame =
