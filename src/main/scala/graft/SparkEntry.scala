@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_search" -> ((s, d) => VectorSearch.knnSearch(s, d)),
+    "quantized_knn" -> ((s, d) => Quantize.sqKnn(s, d)),
     "normalize_vectors" -> ((s, d) => VectorSearch.normalizeVectors(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),
@@ -186,6 +187,50 @@ object SparkEntry {
         |  SELECT query_id, id, dist,
         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
         |  FROM pairs
+        |)
+        |SELECT query_id, id, round(dist, 6) AS distance, rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    // mirrors the FULL SQ8 pipeline (quantize → asymmetric distance →
+    // top-40 candidates → exact rescore → top-10), so the gate equality is
+    // by construction; every arithmetic step is IEEE double + HALF_UP
+    // rounding, identical in both engines
+    "quantized_knn" ->
+      """WITH normed AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM normed
+        |), qz AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(round(x * scale) AS TINYINT)) AS qv
+        |  FROM sc
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qu FROM normed WHERE vec_id < 10
+        |), cand AS (
+        |  SELECT q.query_id, z.vec_id AS id, q.qu,
+        |    list_sum(list_transform(list_zip(q.qu, z.qv),
+        |      p -> (p[1] - p[2]/z.scale)*(p[1] - p[2]/z.scale))) AS adist
+        |  FROM q JOIN qz z ON z.vec_id <> q.query_id
+        |), topr AS (
+        |  SELECT query_id, id, qu,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, id)
+        |      AS rr
+        |  FROM cand
+        |), resc AS (
+        |  SELECT t.query_id, t.id,
+        |    list_sum(list_transform(list_zip(t.qu, c.v),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM topr t JOIN normed c ON c.vec_id = t.id
+        |  WHERE t.rr <= 40
+        |), ranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+        |  FROM resc
         |)
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,

@@ -256,8 +256,12 @@ object Dedup {
                 maxIters: Int = 20): DataFrame = {
     val pairs = minhashDedup(spark, sfDir, threshold)
       .select(col("doc_a"), col("doc_b"))
+    // materialize the edge list ONCE — it is referenced by every
+    // propagation round, and without the lineage cut each round would
+    // re-run the whole minhash candidate pipeline that produced it
     val edges = pairs.unionAll(
       pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+import graft.sources.IndexStore
+
+/** Int8 scalar quantization (SQ8) of the vector store — the storage-side
+  * half of the reference's index trade-off (`main.py:60-62` holds raw
+  * float32; FAISS deployments at scale swap in `SQ8` for the same reason
+  * this exists): a 64-dim float32 embedding is 256 B, its (tinyint[64],
+  * double scale) form is 72 B — a ~3.5× scan/shuffle/storage reduction
+  * that compounds at 100 TB, where the vector table IS the bulk of the
+  * bytes. Search quality is recovered by exact re-ranking of a small
+  * candidate margin, so the final top-k is computed on true vectors.
+  *
+  * Quantization is per-vector symmetric: scale = 127 / max|x_i|,
+  * q_i = round(x_i · scale) ∈ [−127, 127]. Everything is plain IEEE
+  * double math + HALF_UP rounding, so the DuckDB oracle reproduces the
+  * whole pipeline bit-for-bit — the gate checks the quantized search
+  * end-to-end, not just the exact rescue path.
+  *
+  * Scale shape: the quantized table is the persisted, build-once artifact
+  * ([[IndexStore]] pattern); a query broadcasts Q query vectors over one
+  * map-side pass of the (3.5× smaller) quantized scan, keeps a bounded
+  * Q·rerank candidate set, and rescores only those rows against the full-
+  * precision table via a broadcast semi-style join — no shuffle of either
+  * vector table, ever.
+  */
+object Quantize {
+
+  /** (vec_id, scale, qv: array<tinyint>) from (vec_id, v: array<double>). */
+  def quantize(normed: DataFrame): DataFrame =
+    normed
+      .select(col("vec_id"), col("v"),
+        (lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x * col("scale"), 0).cast("tinyint"))
+          .as("qv"))
+
+  /** Load-or-build the persisted quantized vector table (the SQ8 index). */
+  def buildSqIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = IndexStore.indexDir(sfDir, "sq8-v1", "embeddings")
+    if (!IndexStore.committed(s"$dir/qvectors"))
+      IndexStore.saveDataset(
+        quantize(VectorSearch.normalized(spark, sfDir)), s"$dir/qvectors")
+    dir
+  }
+
+  /** Top-k search over the quantized store with exact re-ranking:
+    * asymmetric distance (full-precision query vs dequantized candidates)
+    * prunes to `rerank` candidates per query; the true top-k among them is
+    * computed on full-precision vectors. With this fixture's margins the
+    * result equals [[VectorSearch.knnSearch]] exactly (spec-asserted);
+    * the oracle nevertheless mirrors the FULL quantized pipeline, so gate
+    * equality is by construction, not by the margin argument.
+    */
+  def sqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+            k: Int = 10, rerank: Int = 40): DataFrame = {
+    val dir = buildSqIndex(spark, sfDir)
+    val qvecs = spark.read.parquet(s"$dir/qvectors")
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
+    val adist = qvecs
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id").as("id"),
+        squaredL2(col("qu"),
+          transform(col("qv"), x => x.cast("double") / col("scale")))
+          .as("adist"))
+    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
+    val cands = adist
+      .withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= rerank)
+      .select(col("query_id"), col("qu"), col("id"))
+    val rescored = normed.select(col("vec_id").as("id"), col("v"))
+      .join(broadcast(cands), "id")
+      .select(col("query_id"), col("id"),
+        squaredL2(col("qu"), col("v")).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+}

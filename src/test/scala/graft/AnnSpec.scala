@@ -36,6 +36,33 @@ class AnnSpec extends SparkSpec {
     assert(clusterDirs > 1 && clusterDirs <= 16)
   }
 
+  test("SQ8 quantized search equals the exact kNN after rescoring") {
+    import graft.operators.{Quantize, VectorSearch}
+    val exact = VectorSearch.knnSearch(spark, sf).collect().map(_.toSeq)
+    val sq = Quantize.sqKnn(spark, sf).collect().map(_.toSeq)
+    assert(sq.toSeq == exact.toSeq)
+    // the quantized plan must read the PERSISTED SQ8 table, not recompute
+    val plan = Quantize.sqKnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index_"))
+  }
+
+  test("SQ8 reconstruction error is within the half-step bound") {
+    import graft.operators.{Quantize, VectorSearch}
+    val normed = VectorSearch.normalized(spark, sf)
+    val err = Quantize.quantize(normed)
+      .join(normed, "vec_id")
+      .select(expr(
+        """aggregate(zip_with(v, qv, (x, q) ->
+          |  abs(x - CAST(q AS DOUBLE) / scale)),
+          |  0D, (acc, e) -> greatest(acc, e)) AS maxerr""".stripMargin),
+        (lit(0.5) / col("scale")).as("bound"))
+      .collect()
+    // |x - q/scale| <= 0.5/scale per element by HALF_UP rounding
+    err.foreach(r => assert(
+      r.getAs[Double]("maxerr") <= r.getAs[Double]("bound") + 1e-12))
+  }
+
   test("typed CentroidAgg matches the explode+avg centroids") {
     val emb = Tables.load(spark, sf, "embeddings")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
