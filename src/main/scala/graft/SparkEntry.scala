@@ -96,6 +96,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
     "streaming_join" ->
       ((s, d) => graft.streaming.StreamingOps.streamingJoin(s, d)),
+    "streaming_index_ingest" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingIndexIngest(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -916,6 +918,45 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+    // batch restatement of the two-batch streaming upsert: batch0 adds all
+    // docs (dense ids in str_id order), batch1 updates every 3rd doc's
+    // text (id and vector kept) and adds 10000-shifted new docs with
+    // continuation ids
+    "streaming_index_ingest" ->
+      """WITH base AS (
+        |  SELECT d.doc_id, d.text
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |), b0 AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS str_id,
+        |    text, doc_id
+        |  FROM base
+        |), m0 AS (
+        |  SELECT str_id,
+        |    CAST(row_number() OVER (ORDER BY str_id) AS BIGINT) AS faiss_id,
+        |    text, doc_id
+        |  FROM b0
+        |), upd AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS str_id,
+        |    upper(text) AS text
+        |  FROM base WHERE doc_id % 3 = 0
+        |), nw AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id + 10000 AS VARCHAR), 5, '0')
+        |    AS str_id, text
+        |  FROM base
+        |), mnew AS (
+        |  SELECT str_id,
+        |    (SELECT max(faiss_id) FROM m0) +
+        |      CAST(row_number() OVER (ORDER BY str_id) AS BIGINT)
+        |      AS faiss_id,
+        |    text
+        |  FROM nw
+        |), fin AS (
+        |  SELECT m0.str_id, m0.faiss_id, coalesce(u.text, m0.text) AS text
+        |  FROM m0 LEFT JOIN upd u ON u.str_id = m0.str_id
+        |  UNION ALL
+        |  SELECT str_id, faiss_id, text FROM mnew
+        |)
+        |SELECT str_id, faiss_id, text FROM fin ORDER BY str_id""".stripMargin,
     "token_shards" ->
       s"""WITH $DuckToks,
          |pd AS (

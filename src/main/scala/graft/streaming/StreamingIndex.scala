@@ -1,0 +1,204 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.IndexStore
+
+/** The reference's ingest endpoint (`POST /add_drawing`,
+  * `main.py:104-135`) as a STREAMING pipeline: add-requests land as files,
+  * a checkpointed micro-batch query folds each batch into the persisted
+  * index with the reference's exact upsert semantics —
+  *
+  *  - an existing `str_id` gets its text updated but KEEPS its original
+  *    faiss_id and vector (`main.py:119-126`);
+  *  - new ids get dense sequential faiss_ids continuing after the current
+  *    max (`main.py:129-130`);
+  *  - new vectors are appended (`main.py:134`).
+  *
+  * Durability beats the reference's: each micro-batch writes a complete
+  * NEW index version at `root/v<batchId>` (version-swap, never in-place),
+  * and the version name is derived from the checkpointed batch id — a
+  * crash-and-replay of a batch rewrites the same version from the same
+  * predecessor, so the ingest is idempotent end-to-end. Readers take the
+  * highest fully-committed version. At 100 TB the per-version cost is
+  * bounded by rewriting the (small) mapping plus appending the batch's
+  * vectors; the vector table append can become true file-append
+  * (partitioned by batch) without changing the reader contract.
+  */
+object StreamingIndex {
+
+  /** Add-request schema: user string id, OCR/text payload, embedding. */
+  val BatchSchema: StructType = StructType(Seq(
+    StructField("str_id", StringType),
+    StructField("text", StringType),
+    StructField("v", ArrayType(DoubleType))))
+
+  val MappingSchema: StructType = StructType(Seq(
+    StructField("str_id", StringType),
+    StructField("faiss_id", LongType),
+    StructField("text", StringType)))
+
+  val VectorSchema: StructType = StructType(Seq(
+    StructField("faiss_id", LongType),
+    StructField("v", ArrayType(DoubleType))))
+
+  /** Highest fully-committed index version under `root` below `limit`
+    * (exclusive). The limit is what makes a checkpoint REPLAY safe: a
+    * re-run of batch n must fold into n's true predecessor, not into
+    * n's own (possibly half-committed) output from the crashed attempt.
+    */
+  def latestVersion(root: String,
+                    limit: Long = Long.MaxValue): Option[Long] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .filter(v => v < limit &&
+        IndexStore.committed(s"$root/v$v/mapping") &&
+        IndexStore.committed(s"$root/v$v/vectors"))
+      .sorted.lastOption
+  }
+
+  /** Fold one add-batch into (mapping, vectors) — the reference's
+    * per-request upsert (`main.py:119-135`) batched. `batch` must carry
+    * unique str_ids (a landing batch is one file of distinct requests;
+    * pre-aggregate with LWW if a producer can repeat ids in one batch).
+    */
+  def mergeBatch(mapping: DataFrame, vectors: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    // existing ids: text from the batch wins, faiss_id + vector kept
+    val updated = mapping
+      .join(batch.select(col("str_id"), col("text").as("new_text")),
+        Seq("str_id"), "left")
+      .select(col("str_id"), col("faiss_id"),
+        coalesce(col("new_text"), col("text")).as("text"))
+    val news = batch.join(mapping.select("str_id"), Seq("str_id"),
+      "left_anti")
+    val maxId = mapping.agg(coalesce(max(col("faiss_id")), lit(0L))
+      .as("max_id"))
+    // dense id continuation without a single-partition window: range
+    // partition on the order key, rank per partition, prefix-sum offsets
+    // (zipWithIndex), then add the store's current max
+    val base = news.select(col("str_id"), col("text"), col("v"))
+      .repartitionByRange(col("str_id"))
+      .sortWithinPartitions(col("str_id"))
+    val withIdx = base.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    val newMapped = spark.createDataFrame(withIdx,
+        base.schema.add("rn", LongType))
+      .crossJoin(broadcast(maxId))
+      .select(col("str_id"), (col("max_id") + col("rn")).as("faiss_id"),
+        col("text"), col("v"))
+    (updated.unionByName(newMapped.select("str_id", "faiss_id", "text")),
+      vectors.unionByName(newMapped.select(col("faiss_id"), col("v"))))
+  }
+
+  /** Process every add-file currently in `srcDir` (Trigger.AvailableNow)
+    * into versioned index snapshots under `root`, checkpointing source
+    * progress in `ckptDir`. Re-invocations resume from the checkpoint:
+    * already-folded files are never re-read, a replayed batch rewrites
+    * its own version deterministically.
+    */
+  def ingestAvailable(spark: SparkSession, srcDir: String, root: String,
+                      ckptDir: String): Unit = {
+    val q = spark.readStream.schema(BatchSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
+                       batchId: Long) =>
+        val prev = latestVersion(root, limit = batchId)
+        val prevMapping = prev match {
+          case Some(v) => spark.read.schema(MappingSchema)
+            .parquet(s"$root/v$v/mapping")
+          case None => IndexStore.loadOrInit(spark, s"$root/missing",
+            MappingSchema)
+        }
+        val prevVectors = prev match {
+          case Some(v) => spark.read.schema(VectorSchema)
+            .parquet(s"$root/v$v/vectors")
+          case None => IndexStore.loadOrInit(spark, s"$root/missing",
+            VectorSchema)
+        }
+        val (m, vecs) = mergeBatch(prevMapping, prevVectors, batch)
+        IndexStore.saveDataset(m, s"$root/v$batchId/mapping")
+        IndexStore.saveDataset(vecs, s"$root/v$batchId/vectors")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Stage `df` as flat `<prefix>-<i>.parquet` files inside the landing
+    * dir (what a producer dropping add-request files would do). Idempotent:
+    * if the prefix's first file already landed, the batch is already there
+    * — and the checkpoint tracks processed paths anyway.
+    */
+  private def stageInto(df: DataFrame, landing: String,
+                        prefix: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val landingPath = new Path(landing)
+    val fs = landingPath.getFileSystem(conf)
+    if (fs.exists(new Path(landing, s"$prefix-0.parquet"))) return
+    val tmp = s"$landing-stage-$prefix"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.mkdirs(landingPath)
+    fs.listStatus(new Path(tmp)).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (st, i) =>
+        fs.rename(st.getPath, new Path(landing, s"$prefix-$i.parquet"))
+      }
+    fs.delete(new Path(tmp), true)
+  }
+
+  private def strId(c: org.apache.spark.sql.Column) =
+    concat(lit("doc-"), lpad(c.cast("string"), 5, "0"))
+
+  /** End-to-end fixture run of the streaming ingest: batch 0 adds every
+    * document (text + embedding), batch 1 re-adds every 3rd id with
+    * uppercased text and a DIFFERENT embedding (which must be ignored —
+    * the reference keeps the original vector on re-add) plus 10000-shifted
+    * brand-new ids. The two batches go through two checkpointed
+    * AvailableNow invocations — the restart path, not one big batch.
+    * Returns the final mapping (str_id, faiss_id, text): dense ids in
+    * str_id order, batch-1 text for updated ids, continuation ids for new
+    * ones. Deterministic, so the DuckDB oracle checks the whole streaming
+    * upsert end-to-end; vector-kept semantics are spec-asserted.
+    */
+  def streamingIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = IndexStore.indexDir(sfDir, "stream-index-v1", "documents")
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    if (!latestVersion(root).exists(_ >= 1L)) {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val b0 = joined.select(strId(col("doc_id")).as("str_id"),
+        col("text"), col("v"))
+      stageInto(b0, landing, "batch0")
+      ingestAvailable(spark, landing, root, ckpt)
+      val upd = joined.filter(col("doc_id") % 3 === 0)
+        .select(strId(col("doc_id")).as("str_id"),
+          upper(col("text")).as("text"),
+          transform(col("v"), x => x + 0.5).as("v"))
+      val nw = joined.select(strId(col("doc_id") + 10000).as("str_id"),
+        col("text"), transform(col("v"), x => x + 0.01).as("v"))
+      stageInto(upd.unionByName(nw), landing, "batch1")
+      ingestAvailable(spark, landing, root, ckpt)
+    }
+    val v = latestVersion(root).get
+    spark.read.schema(MappingSchema).parquet(s"$root/v$v/mapping")
+      .orderBy("str_id")
+  }
+}

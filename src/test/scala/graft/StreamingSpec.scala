@@ -109,6 +109,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == ev.count())
   }
 
+  test("streaming index ingest keeps vectors on re-add and continues ids") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    val mapping = StreamingIndex.streamingIndexIngest(spark, sf).collect()
+    val root = IndexStore.indexDir(sf, "stream-index-v1", "documents")
+    val v = StreamingIndex.latestVersion(root).get
+    assert(v == 1L)
+    val nBase = Tables.load(spark, sf, "documents")
+      .join(Tables.load(spark, sf, "embeddings"),
+        col("doc_id") === col("vec_id")).count()
+    // batch0 docs + batch1 new docs, ids dense over the union
+    assert(mapping.length == 2 * nBase)
+    assert(mapping.map(_.getAs[Long]("faiss_id")).sorted.toSeq ==
+      (1L to 2 * nBase).toSeq)
+    // re-added ids keep their ORIGINAL vector: every v1 vector for a
+    // batch0 faiss_id must equal the v0 vector (batch1 sent x+0.5)
+    val v0 = spark.read.parquet(s"$root/v0/vectors")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val v1 = spark.read.parquet(s"$root/v1/vectors")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(v1.size == 2 * nBase)
+    v0.foreach { case (id, vec) => assert(v1(id) == vec) }
+    // idempotent: a re-invocation with nothing new to process neither
+    // bumps the version nor changes the mapping
+    val again = StreamingIndex.streamingIndexIngest(spark, sf).collect()
+    assert(StreamingIndex.latestVersion(root).get == 1L)
+    assert(again.map(_.toSeq).toSeq == mapping.map(_.toSeq).toSeq)
+  }
+
   test("idle open-session state is evicted on event-time timeout") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
