@@ -52,6 +52,8 @@ object SparkEntry {
     "langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "repetition_ratio" -> ((s, d) => TextAnalysis.repetitionRatio(s, d)),
+    "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
@@ -587,6 +589,49 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_ratio" ->
+      """WITH l AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS l
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, l,
+        |    CASE WHEN len(l) >= 3 THEN
+        |      list_transform(range(1, len(l) - 1),
+        |        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+        |    ELSE [] END AS g
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tokens,
+        |  CAST(len(g) AS BIGINT) AS n_trigrams,
+        |  round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+        |    AS token_rep,
+        |  CASE WHEN len(g) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+        |  ELSE 0.0 END AS trigram_rep
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com or 555-01' ||
+        |      lpad(CAST(doc_id AS VARCHAR), 2, '0') ||
+        |      ' ref ' || CAST(doc_id * 137 + 10007 AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4,5}'))
+        |    AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    '[0-9]{3}-[0-9]{4,5}', '<PHONE>', 'g'),
+        |    '[0-9]{5,}', '<NUM>', 'g')) AS scrub_md5
+        |FROM injected ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH tp AS (
         |  SELECT doc_id, unnest(l) AS tok,

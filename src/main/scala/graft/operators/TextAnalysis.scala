@@ -131,6 +131,71 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Per-document repetition ratios — the repeated-n-gram quality signal
+    * LLM corpus filters cut on (a doc whose trigrams are mostly repeats of
+    * each other is boilerplate/spam): 1 − distinct/total for tokens and
+    * for word trigrams. Pure array expressions per row (split → slice
+    * windows → array_distinct) — no explode, no join, no shuffle before
+    * the final sort; at 100 TB this is a map-only pass.
+    */
+  def repetitionRatio(spark: SparkSession, sfDir: String,
+                      n: Int = 3): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val grams = when(size(col("l")) >= n,
+      transform(sequence(lit(1), size(col("l")) - (n - 1)),
+        k => concat_ws(" ", slice(col("l"), k, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"), col("l"), grams.as("g"))
+      .select(
+        col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        size(col("g")).cast("long").as("n_trigrams"),
+        round(lit(1.0) - size(array_distinct(col("l"))).cast("double") /
+          size(col("l")), 6).as("token_rep"),
+        when(size(col("g")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+            size(col("g")), 6)).otherwise(lit(0.0)).as("trigram_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing — redact emails, phone-shaped numbers and long digit
+    * runs before a corpus ships to training (the standard cleaning pass).
+    * The fixture text contains none, so a deterministic contact line is
+    * appended per doc (mirrored in the oracle) to prove each rule fires.
+    * Counts are taken before scrubbing; the scrubbed text is returned as
+    * its md5 so the gate compares content without hauling full text.
+    * Single regex map-pass per row: no shuffle until the final sort.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    // [.] instead of backslash-dot: the pattern crosses a Scala string, a
+    // Spark SQL literal and a DuckDB literal, which disagree on backslash
+    // processing — a character class survives all three verbatim
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val PhoneRe = "[0-9]{3}-[0-9]{4,5}"
+    val NumRe = "[0-9]{5,}"
+    val withPii = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
+        lpad(col("doc_id").cast("string"), 2, "0"),
+        lit(" ref "), (col("doc_id") * 137 + 10007).cast("string"))
+        .as("text"))
+    withPii
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$EmailRe', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '$PhoneRe', 0)"))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          NumRe, "<NUM>")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic content-hash sampling — the reproducible alternative to
     * `df.sample` for pipelines (a row's membership depends only on its
     * content, not on partitioning or seed plumbing): keep docs whose text

@@ -107,6 +107,34 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("score") > 0))
   }
 
+  test("repetitionRatio bounds hold and the small-vocab corpus repeats") {
+    val rows = TextAnalysis.repetitionRatio(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val tr = r.getAs[Double]("token_rep")
+      val gr = r.getAs[Double]("trigram_rep")
+      assert(tr >= 0.0 && tr < 1.0)
+      assert(gr >= 0.0 && gr <= 1.0)
+      assert(r.getAs[Long]("n_trigrams") ==
+        math.max(r.getAs[Long]("n_tokens") - 2, 0))
+    }
+    // the fixture's ~40-word vocabulary forces heavy token repetition
+    assert(rows.count(_.getAs[Double]("token_rep") > 0.5) > rows.length / 2)
+  }
+
+  test("piiScrub fires every rule once per injected contact line") {
+    val rows = TextAnalysis.piiScrub(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_phones") == 1L)
+    }
+    // distinct docs scrub to distinct digests (the redaction is not
+    // collapsing everything to one token soup)
+    assert(rows.map(_.getAs[String]("scrub_md5")).distinct.length ==
+      rows.length)
+  }
+
   test("docFingerprint is order-sensitive and stable") {
     val a = TextAnalysis.docFingerprint(spark, sf).collect()
     val b = TextAnalysis.docFingerprint(spark, sf).collect()
