@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_search" -> ((s, d) => VectorSearch.knnSearch(s, d)),
     "quantized_knn" -> ((s, d) => Quantize.sqKnn(s, d)),
+    "ann_ivf_sq" -> ((s, d) => AnnSearch.ivfSqKnn(s, d)),
     "normalize_vectors" -> ((s, d) => VectorSearch.normalizeVectors(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),

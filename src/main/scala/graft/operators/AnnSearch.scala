@@ -150,6 +150,87 @@ object AnnSearch {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
+    * cluster id is the PHYSICAL partition key (a probe's `cluster IN`
+    * literals prune at file listing, touching nprobe/k of the data) AND
+    * every row inside a partition is int8-quantized (~3.5× fewer bytes
+    * per scanned row, [[Quantize]]). A probe therefore reads
+    * nprobe/k × 1/3.5 of the raw vector bytes; exactness is recovered by
+    * rescoring the bounded candidate margin against full-precision rows.
+    * Reuses the plain IVF build for the k-means fit (load-or-build), so
+    * the fit still happens once per data version across BOTH layouts.
+    */
+  def buildIvfSqIndex(spark: SparkSession, sfDir: String,
+                      nClusters: Int = 16): String = {
+    val dir = IndexStore.indexDir(sfDir, s"ivfsq$nClusters-v1", "embeddings")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/vectors")) {
+      val ivfDir = {
+        val d = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
+        if (!IndexStore.committed(s"$d/centroids") ||
+            !IndexStore.committed(s"$d/vectors"))
+          buildIvfIndex(spark, sfDir, nClusters)
+        d
+      }
+      IndexStore.saveDataset(
+        spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
+      val assigned = spark.read.parquet(s"$ivfDir/vectors")
+      Quantize.quantize(assigned.select(col("vec_id"), col("v")))
+        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(s"$dir/vectors")
+    }
+    dir
+  }
+
+  /** [[ivfKnn]] over the composed IVF+SQ8 layout: probe-pruned partitions,
+    * asymmetric distance on dequantized rows, exact rescore of the
+    * per-query candidate margin against full-precision vectors.
+    */
+  def ivfSqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+               k: Int = 10, nClusters: Int = 16, nProbe: Int = 6,
+               rerank: Int = 40): DataFrame = {
+    val dir = buildIvfSqIndex(spark, sfDir, nClusters)
+    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("cluster"))
+    import spark.implicits._
+    val probeRows = queries.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", squaredL2(col("qu"), col("center")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qu"), col("cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val probedClusters = probeRows.map(_._3).distinct.sorted
+    val probes = probeRows.toSeq.toDF("query_id", "qu", "cluster")
+    val assigned = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
+    val cands = broadcast(probes).join(assigned, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id").as("id"),
+        squaredL2(col("qu"),
+          transform(col("qv"), x => x.cast("double") / col("scale")))
+          .as("adist"))
+      .withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= rerank)
+      .select(col("query_id"), col("qu"), col("id"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    normed.select(col("vec_id").as("id"), col("v"))
+      .join(broadcast(cands), "id")
+      .select(col("query_id"), col("id"),
+        squaredL2(col("qu"), col("v")).as("dist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Recall of the approximate searches against the exact k-NN, per query
     * and method — the accuracy report the reference's `efSearch` knob
     * (`main.py:31`) trades against. `meets_floor` flags queries below the
@@ -176,6 +257,7 @@ object AnnSearch {
     }
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
+      .unionAll(recallOf("ivf_sq", ivfSqKnn(spark, sfDir, nQueries, k)))
       .select(col("method"), col("query_id"), col("recall"),
         (col("recall") >= floor).as("meets_floor"))
       .orderBy("method", "query_id")

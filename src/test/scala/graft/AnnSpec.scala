@@ -15,6 +15,10 @@ class AnnSpec extends SparkSpec {
     }
     assert(byMethod("lsh") >= 0.8, s"lsh recall ${byMethod("lsh")}")
     assert(byMethod("ivf") >= 0.6, s"ivf recall ${byMethod("ivf")}")
+    // same probe set as ivf + exact rescore of a generous margin: the SQ8
+    // layout must not cost recall beyond the shared probe misses
+    assert(byMethod("ivf_sq") >= byMethod("ivf") - 1e-9,
+      s"ivf_sq recall ${byMethod("ivf_sq")} < ivf ${byMethod("ivf")}")
   }
 
   test("persisted IVF probe prunes cluster partitions at the file source") {
@@ -34,6 +38,18 @@ class AnnSpec extends SparkSpec {
     val clusterDirs = new java.io.File(s"$dir/vectors").listFiles()
       .count(_.getName.startsWith("cluster="))
     assert(clusterDirs > 1 && clusterDirs <= 16)
+  }
+
+  test("IVF+SQ8 probe prunes partitions and scans quantized rows") {
+    import graft.operators.AnnSearch
+    val res = AnnSearch.ivfSqKnn(spark, sf)
+    assert(res.count() > 0)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // the probed scan reads the QUANTIZED store (tinyint qv + scale),
+    // not the full-precision table
+    assert(plan.contains("ivfsq16-v1"))
   }
 
   test("SQ8 quantized search equals the exact kNN after rescoring") {
