@@ -21,8 +21,8 @@ object Bench {
     // write / corpus signatures) lands here and the timed pass measures
     // steady-state query cost. No-ops when the index is already committed.
     Seq("ann_ivf_persisted", "ann_ivf_sq", "incremental_dedup",
-        "minhash_dedup", "embed_near_dup_pruned",
-        "quantized_knn").foreach { n =>
+        "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
+        "streaming_index_ingest").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the
