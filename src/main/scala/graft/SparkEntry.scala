@@ -206,13 +206,18 @@ object SparkEntry {
         |      sqrt(list_sum(list_transform(embedding,
         |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
         |  FROM embeddings
+        |), mx AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+        |  FROM normed
         |), sc AS (
         |  SELECT vec_id, v,
-        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
-        |  FROM normed
+        |    CASE WHEN m > 0 AND NOT isnan(m) THEN 127.0 / m END AS scale
+        |  FROM mx
         |), qz AS (
         |  SELECT vec_id, scale,
-        |    list_transform(v, x -> CAST(round(x * scale) AS TINYINT)) AS qv
+        |    CASE WHEN scale IS NOT NULL THEN
+        |      list_transform(v, x -> CAST(round(x * scale) AS TINYINT))
+        |    END AS qv
         |  FROM sc
         |), q AS (
         |  SELECT vec_id AS query_id, v AS qu FROM normed WHERE vec_id < 10
@@ -606,8 +611,9 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(l) AS BIGINT) AS n_tokens,
         |  CAST(len(g) AS BIGINT) AS n_trigrams,
-        |  round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
-        |    AS token_rep,
+        |  CASE WHEN len(l) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+        |  ELSE 0.0 END AS token_rep,
         |  CASE WHEN len(g) > 0 THEN
         |    round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
         |  ELSE 0.0 END AS trigram_rep

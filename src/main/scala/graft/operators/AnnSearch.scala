@@ -99,16 +99,43 @@ object AnnSearch {
     dir
   }
 
+  /** nprobe nearest centroids per query (tiny crossJoin: Q × k centroids).
+    * The probe set (≤ Q·nprobe rows, Q·d doubles) is collected ONCE,
+    * deliberately: the distinct cluster ids become `isin` literals — what
+    * the parquet source turns into PartitionFilters, the file-level
+    * pruning that makes a probe touch nprobe/k of a 100 TB index — and
+    * the rows become the broadcast join side. This bounded collect IS the
+    * index probe mechanism, not a driver-side compute loop; without it
+    * the probe subplan would run twice (collect + lazy plan). Shared by
+    * both IVF layouts so probe tie-breaking can never drift.
+    */
+  private def probe(spark: SparkSession, queries: DataFrame,
+                    centersDf: DataFrame,
+                    nProbe: Int): (Seq[Int], DataFrame) = {
+    import spark.implicits._
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("cluster"))
+    val rows = queries.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", squaredL2(col("qu"), col("center")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qu"), col("cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    (rows.map(_._3).distinct.sorted.toIndexedSeq,
+      rows.toSeq.toDF("query_id", "qu", "cluster"))
+  }
+
+  private def queryVectors(spark: SparkSession, sfDir: String,
+                           nQueries: Int): DataFrame =
+    normalizedVec(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
+
   /** IVF-style approximate top-k against the PERSISTED index
     * (load-or-build): nprobe nearest centroids per query from the tiny
-    * persisted centroid table, then candidates read only from the probed
-    * cluster partitions.
-    *
-    * The probed-cluster set (≤ Q·nprobe ints) is collected to the driver
-    * deliberately: `isin` literals are what the parquet source turns into
-    * PartitionFilters — the file-level pruning that makes a probe touch
-    * nprobe/k of a 100 TB index. This bounded collect IS the index probe
-    * mechanism, not a driver-side compute loop.
+    * persisted centroid table ([[probe]]), then candidates read only from
+    * the probed cluster partitions.
     */
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
              k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
@@ -117,37 +144,15 @@ object AnnSearch {
         !IndexStore.committed(s"$dir/vectors"))
       buildIvfIndex(spark, sfDir, nClusters)
     val centersDf = spark.read.parquet(s"$dir/centroids")
-    val queries = normalizedVec(spark, sfDir)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // nprobe nearest centroids per query (tiny crossJoin: Q × k centroids)
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("cdist"), col("cluster"))
-    // materialize the probe set ONCE (≤ Q·nprobe rows, Q·d doubles): it is
-    // both the isin pruning literals and the broadcast join side — without
-    // this the probe subplan would run twice (collect + lazy plan)
-    import spark.implicits._
-    val probeRows = queries.crossJoin(broadcast(centersDf))
-      .withColumn("cdist", squaredL2(col("qv"), col("center")))
-      .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cluster"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
-    val probedClusters = probeRows.map(_._3).distinct.sorted
-    val probes = probeRows.toSeq.toDF("query_id", "qv", "cluster")
+    val (probedClusters, probes) =
+      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf, nProbe)
     val assigned = spark.read.parquet(s"$dir/vectors")
-      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    broadcast(probes).join(assigned, "cluster")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("id"),
-        squaredL2(col("qv"), col("v")).as("dist"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("id"),
-        round(col("dist"), 6).as("distance"), col("rn"))
-      .orderBy("query_id", "rn")
+      .filter(col("cluster").isin(probedClusters: _*))
+    VectorSearch.topK(
+      broadcast(probes).join(assigned, "cluster")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
   }
 
   /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
@@ -162,7 +167,7 @@ object AnnSearch {
     */
   def buildIvfSqIndex(spark: SparkSession, sfDir: String,
                       nClusters: Int = 16): String = {
-    val dir = IndexStore.indexDir(sfDir, s"ivfsq$nClusters-v1", "embeddings")
+    val dir = IndexStore.indexDir(sfDir, s"ivfsq$nClusters-v2", "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/vectors")) {
       val ivfDir = {
@@ -174,9 +179,9 @@ object AnnSearch {
       }
       IndexStore.saveDataset(
         spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
-      val assigned = spark.read.parquet(s"$ivfDir/vectors")
-      Quantize.quantize(assigned.select(col("vec_id"), col("v")))
-        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      // quantize passes the cluster column through — one map pass over the
+      // assigned table, no self-join to re-attach the partition key
+      Quantize.quantize(spark.read.parquet(s"$ivfDir/vectors"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cluster").parquet(s"$dir/vectors")
     }
@@ -192,23 +197,10 @@ object AnnSearch {
                rerank: Int = 40): DataFrame = {
     val dir = buildIvfSqIndex(spark, sfDir, nClusters)
     val centersDf = spark.read.parquet(s"$dir/centroids")
-    val normed = VectorSearch.normalized(spark, sfDir)
-    val queries = normed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qu"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("cdist"), col("cluster"))
-    import spark.implicits._
-    val probeRows = queries.crossJoin(broadcast(centersDf))
-      .withColumn("cdist", squaredL2(col("qu"), col("center")))
-      .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nProbe)
-      .select(col("query_id"), col("qu"), col("cluster"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
-    val probedClusters = probeRows.map(_._3).distinct.sorted
-    val probes = probeRows.toSeq.toDF("query_id", "qu", "cluster")
+    val (probedClusters, probes) =
+      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf, nProbe)
     val assigned = spark.read.parquet(s"$dir/vectors")
-      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+      .filter(col("cluster").isin(probedClusters: _*))
     val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
     val cands = broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
@@ -219,16 +211,7 @@ object AnnSearch {
       .withColumn("rr", row_number().over(wr))
       .filter(col("rr") <= rerank)
       .select(col("query_id"), col("qu"), col("id"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    normed.select(col("vec_id").as("id"), col("v"))
-      .join(broadcast(cands), "id")
-      .select(col("query_id"), col("id"),
-        squaredL2(col("qu"), col("v")).as("dist"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("id"),
-        round(col("dist"), 6).as("distance"), col("rn"))
-      .orderBy("query_id", "rn")
+    VectorSearch.rescoreTopK(cands, VectorSearch.normalized(spark, sfDir), k)
   }
 
   /** Recall of the approximate searches against the exact k-NN, per query

@@ -31,19 +31,28 @@ import graft.sources.IndexStore
   */
 object Quantize {
 
-  /** (vec_id, scale, qv: array<tinyint>) from (vec_id, v: array<double>). */
+  /** Append (scale, qv: array<tinyint>) and drop `v` — all other columns
+    * (e.g. a cluster id) pass through, so layouts compose without a
+    * self-join. Degenerate vectors (zero-norm → NaN after normalization,
+    * or all-zero) quantize to NULL scale/qv instead of crashing the build
+    * on an ANSI tinyint cast: a NULL row ranks last in any distance
+    * ordering, i.e. degenerate rows are un-indexable, not fatal.
+    */
   def quantize(normed: DataFrame): DataFrame =
     normed
-      .select(col("vec_id"), col("v"),
-        (lit(127.0) / array_max(transform(col("v"), x => abs(x))))
-          .as("scale"))
-      .select(col("vec_id"), col("scale"),
-        transform(col("v"), x => round(x * col("scale"), 0).cast("tinyint"))
-          .as("qv"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      // NaN > 0 is TRUE under Spark's NaN ordering — exclude it explicitly
+      .withColumn("ok", col("maxabs") > 0 && !isnan(col("maxabs")))
+      .withColumn("scale", when(col("ok"), lit(127.0) / col("maxabs")))
+      .withColumn("qv",
+        when(col("ok"),
+          transform(col("v"),
+            x => round(x * col("scale"), 0).cast("tinyint"))))
+      .drop("v", "maxabs", "ok")
 
   /** Load-or-build the persisted quantized vector table (the SQ8 index). */
   def buildSqIndex(spark: SparkSession, sfDir: String): String = {
-    val dir = IndexStore.indexDir(sfDir, "sq8-v1", "embeddings")
+    val dir = IndexStore.indexDir(sfDir, "sq8-v2", "embeddings")
     if (!IndexStore.committed(s"$dir/qvectors"))
       IndexStore.saveDataset(
         quantize(VectorSearch.normalized(spark, sfDir)), s"$dir/qvectors")
@@ -76,15 +85,6 @@ object Quantize {
       .withColumn("rr", row_number().over(wr))
       .filter(col("rr") <= rerank)
       .select(col("query_id"), col("qu"), col("id"))
-    val rescored = normed.select(col("vec_id").as("id"), col("v"))
-      .join(broadcast(cands), "id")
-      .select(col("query_id"), col("id"),
-        squaredL2(col("qu"), col("v")).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    rescored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("id"),
-        round(col("dist"), 6).as("distance"), col("rn"))
-      .orderBy("query_id", "rn")
+    VectorSearch.rescoreTopK(cands, normed, k)
   }
 }

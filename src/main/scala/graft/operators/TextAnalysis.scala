@@ -152,8 +152,9 @@ object TextAnalysis {
         col("doc_id"),
         size(col("l")).cast("long").as("n_tokens"),
         size(col("g")).cast("long").as("n_trigrams"),
-        round(lit(1.0) - size(array_distinct(col("l"))).cast("double") /
-          size(col("l")), 6).as("token_rep"),
+        when(size(col("l")) > 0,
+          round(lit(1.0) - size(array_distinct(col("l"))).cast("double") /
+            size(col("l")), 6)).otherwise(lit(0.0)).as("token_rep"),
         when(size(col("g")) > 0,
           round(lit(1.0) - size(array_distinct(col("g"))).cast("double") /
             size(col("g")), 6)).otherwise(lit(0.0)).as("trigram_rep"))

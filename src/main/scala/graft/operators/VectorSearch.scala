@@ -26,6 +26,33 @@ object VectorSearch {
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), l2Normalize(col("embedding")).as("v"))
 
+  /** Rank (query_id, id, dist) pairs into the top-k result contract
+    * (query_id, id, distance, rn) — the ONE ranking tail every search
+    * variant shares, so tie-breaking (dist, then id) and output rounding
+    * cannot drift between the exact, quantized and IVF paths. Plans as
+    * `WindowGroupLimit` before the exchange (per-partition truncation to
+    * k rows per query).
+    */
+  private[operators] def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"),
+        round(col("dist"), 6).as("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Exact re-ranking of a bounded candidate set (query_id, qu, id)
+    * against full-precision vectors: broadcast the candidates into one
+    * map-side join with the vector table, then [[topK]].
+    */
+  private[operators] def rescoreTopK(cands: DataFrame, normed: DataFrame,
+                                     k: Int): DataFrame =
+    topK(normed.select(col("vec_id").as("id"), col("v"))
+      .join(broadcast(cands), "id")
+      .select(col("query_id"), col("id"),
+        squaredL2(col("qu"), col("v")).as("dist")), k)
+
   /** Exact top-k neighbors for each query vector (vec_id < nQueries).
     * Output: (query_id, id, distance, rn) ordered by (query_id, rn).
     */
@@ -36,15 +63,9 @@ object VectorSearch {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // broadcast(queries) → BroadcastNestedLoopJoin: one pass over candidates,
     // no shuffle of the big side.
-    val pairs = normed.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    topK(normed.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("id"),
-        squaredL2(col("qv"), col("v")).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    pairs.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("id"),
-        round(col("dist"), 6).as("distance"), col("rn"))
-      .orderBy("query_id", "rn")
+        squaredL2(col("qv"), col("v")).as("dist")), k)
   }
 
   /** Hashing-trick text embeddings: token-count vector over `dim` hash
@@ -79,15 +100,9 @@ object VectorSearch {
       dim)
     val queries = emb.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("v").as("qv"))
-    val pairs = emb.join(broadcast(queries), col("doc_id") =!= col("query_id"))
+    topK(emb.join(broadcast(queries), col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("id"),
-        squaredL2(col("qv"), col("v")).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    pairs.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("id"),
-        round(col("dist"), 6).as("distance"), col("rn"))
-      .orderBy("query_id", "rn")
+        squaredL2(col("qv"), col("v")).as("dist")), k)
   }
 
   /** Per-vector L2 norm before normalization plus a post-normalization norm

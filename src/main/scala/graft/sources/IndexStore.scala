@@ -21,10 +21,22 @@ import org.apache.spark.sql.types.StructType
   */
 object IndexStore {
 
-  private def hadoopConf: Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  /** Session Hadoop conf (spark.hadoop.* properties — credentials,
+    * endpoints, defaultFS), resolved once and cached: committed() sits on
+    * every persisted-index query path and newHadoopConf() copies the full
+    * property set per call. One conf per JVM is correct here — a session's
+    * hadoop conf does not change mid-run. Shared package-wide so every
+    * FileSystem lookup (e.g. [[graft.streaming.StreamingIndex]]) resolves
+    * against the SAME configuration as the committed() checks.
+    */
+  @transient @volatile private var cachedConf: Configuration = _
+  private[graft] def hadoopConf: Configuration = {
+    if (cachedConf == null)
+      cachedConf = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+    cachedConf
+  }
 
   /** One committed parquet dataset of any derived index artifact (band
     * keys, signatures, centroids…). Readers gate on [[committed]], so a

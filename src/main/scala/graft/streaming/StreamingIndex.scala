@@ -55,7 +55,7 @@ object StreamingIndex {
   def latestVersion(root: String,
                     limit: Long = Long.MaxValue): Option[Long] = {
     val p = new Path(root)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(IndexStore.hadoopConf)
     if (!fs.exists(p)) return None
     fs.listStatus(p).toSeq
       .map(_.getPath.getName)
@@ -145,9 +145,8 @@ object StreamingIndex {
     */
   private def stageInto(df: DataFrame, landing: String,
                         prefix: String): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val landingPath = new Path(landing)
-    val fs = landingPath.getFileSystem(conf)
+    val fs = landingPath.getFileSystem(IndexStore.hadoopConf)
     if (fs.exists(new Path(landing, s"$prefix-0.parquet"))) return
     val tmp = s"$landing-stage-$prefix"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -49,7 +49,7 @@ class AnnSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
     // the probed scan reads the QUANTIZED store (tinyint qv + scale),
     // not the full-precision table
-    assert(plan.contains("ivfsq16-v1"))
+    assert(plan.contains("ivfsq16-v2"))
   }
 
   test("SQ8 quantized search equals the exact kNN after rescoring") {
