@@ -55,6 +55,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "repetition_ratio" -> ((s, d) => TextAnalysis.repetitionRatio(s, d)),
     "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "balanced_sample" -> ((s, d) => TextAnalysis.balancedSample(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
@@ -639,6 +640,19 @@ object SparkEntry {
         |    '[0-9]{3}-[0-9]{4,5}', '<PHONE>', 'g'),
         |    '[0-9]{5,}', '<NUM>', 'g')) AS scrub_md5
         |FROM injected ORDER BY doc_id""".stripMargin,
+    "balanced_sample" ->
+      """WITH q AS (
+        |  SELECT min(n) AS q FROM (
+        |    SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+        |), r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(text), 1, 8))::BIGINT, doc_id)
+        |      AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source FROM r, q
+        |WHERE rn <= q.q ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH tp AS (
         |  SELECT doc_id, unnest(l) AS tok,

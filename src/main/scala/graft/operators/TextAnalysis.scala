@@ -209,6 +209,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Balanced-mixture sampling — equalize a skewed corpus across groups
+    * (the "domain mixing" step of training-data prep): every language
+    * keeps exactly min-group-size docs, selected in content-hash order so
+    * membership is reproducible and independent of doc_id assignment or
+    * arrival order. One window shuffle on the group key plus a broadcast
+    * 1-row quota; for a group too large for one partition, sub-salt the
+    * window exactly as in [[tokenShards]]'s scaladoc.
+    */
+  def balancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("q"))
+    val w = Window.partitionBy("lang")
+      .orderBy(hash32(col("text")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(quota))
+      .filter(col("rn") <= col("q"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Composite corpus-preparation pipeline — the "prepare a training
     * shard" flow chained as ONE lazy plan: quality filter (≥ minQuality on
     * the [[qualityScore]] blend) → exact dedup (keep min doc_id per

@@ -135,6 +135,17 @@ class DedupSpec extends SparkSpec {
       rows.length)
   }
 
+  test("balancedSample keeps exactly min-group-size docs per language") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val minN = docs.groupBy("lang").count()
+      .agg(min("count")).head.getLong(0)
+    val byLang = TextAnalysis.balancedSample(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang"))
+    assert(byLang.size == docs.select("lang").distinct().count())
+    byLang.values.foreach(rows => assert(rows.length == minN))
+  }
+
   test("docFingerprint is order-sensitive and stable") {
     val a = TextAnalysis.docFingerprint(spark, sf).collect()
     val b = TextAnalysis.docFingerprint(spark, sf).collect()
