@@ -65,6 +65,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("lang").isNull).count() == v1.count())
   }
 
+  test("binaryFile source lands opaque bytes for the multimodal path") {
+    // the ingest source a real image/audio corpus uses: every file
+    // becomes (path, modificationTime, length, content: binary) — the
+    // opaque-bytes column Multimodal.decode consumes. Any file serves to
+    // prove the contract; here the fixture parquet files themselves.
+    val bin = spark.read.format("binaryFile")
+      .load(s"$sf/documents.parquet")
+    assert(bin.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val row = bin.head()
+    val expected = new java.io.File(s"$sf/documents.parquet").length()
+    assert(row.getAs[Long]("length") == expected)
+    assert(row.getAs[Array[Byte]]("content").length == expected)
+    // pushdown: a length predicate prunes without reading file contents
+    assert(bin.filter(col("length") > expected).count() == 0)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     // in-memory catalog + on-disk warehouse: scrub leftover locations from
     // prior JVMs or CREATE TABLE fails with LOCATION_ALREADY_EXISTS
