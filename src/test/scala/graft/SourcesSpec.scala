@@ -78,8 +78,13 @@ class SourcesSpec extends SparkSpec {
     val expected = new java.io.File(s"$sf/documents.parquet").length()
     assert(row.getAs[Long]("length") == expected)
     assert(row.getAs[Array[Byte]]("content").length == expected)
-    // pushdown: a length predicate prunes without reading file contents
-    assert(bin.filter(col("length") > expected).count() == 0)
+    // pushdown: the length predicate must reach the source as a
+    // PushedFilters entry (pruning on metadata, not after content reads)
+    val pruned = bin.filter(col("length") > expected)
+    assert(pruned.count() == 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*length".r.findFirstIn(plan).nonEmpty,
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
   test("bucketed tables join without an exchange on the bucket key") {
