@@ -43,4 +43,20 @@ object Formats {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Time-partitioned fact layout: hive-style `day=YYYY-MM-DD` dirs from
+    * a timestamp column — the standard warehouse layout that turns time-
+    * range predicates into PartitionFilters (file-listing pruning), the
+    * single biggest lever on a 100 TB append-only event table. Rows are
+    * additionally sorted by `tsCol` within partitions so parquet row-group
+    * min/max stats prune intra-day reads too.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String,
+                           tsCol: String): Unit =
+    df.withColumn("day",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col(tsCol)))
+      .sortWithinPartitions("day", tsCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day").parquet(path)
 }

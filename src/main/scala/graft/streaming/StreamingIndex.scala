@@ -138,6 +138,39 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** The read side of the streamed lifecycle — the reference's
+    * `POST /search_drawing` (`main.py:138-165`) against the latest
+    * committed snapshot: rank the version's vectors by squared L2 to the
+    * query, keep top-k, remap to user-facing ids via the same version's
+    * mapping (inner join = drop-on-miss, `main.py:158-163`). An empty or
+    * absent index returns an empty frame, not an error (the reference's
+    * empty-index guard, `main.py:152-153`).
+    */
+  def searchLatest(spark: SparkSession, root: String, query: Seq[Double],
+                   k: Int = 10): DataFrame = {
+    import graft.functions.VectorOps.squaredL2
+    val (mapping, vectors) = latestVersion(root) match {
+      case Some(v) => (
+        spark.read.schema(MappingSchema).parquet(s"$root/v$v/mapping"),
+        spark.read.schema(VectorSchema).parquet(s"$root/v$v/vectors"))
+      case None => (
+        IndexStore.loadOrInit(spark, s"$root/missing", MappingSchema),
+        IndexStore.loadOrInit(spark, s"$root/missing", VectorSchema))
+    }
+    val q = array(query.map(lit): _*)
+    // orderBy+limit plans TakeOrdered over the scan; the k-row result is
+    // the broadcast side of the remap join (the mapping is the big table
+    // at scale, never broadcast)
+    val topk = vectors
+      .select(col("faiss_id"), squaredL2(q, col("v")).as("distance"))
+      .orderBy(col("distance"), col("faiss_id"))
+      .limit(k)
+    mapping.join(broadcast(topk), "faiss_id")
+      .select(col("str_id").as("id"), round(col("distance"), 6)
+        .as("distance"))
+      .orderBy("distance", "id")
+  }
+
   /** Stage `df` as flat `<prefix>-<i>.parquet` files inside the landing
     * dir (what a producer dropping add-request files would do). Idempotent:
     * if the prefix's first file already landed, the batch is already there

@@ -87,6 +87,49 @@ class SourcesSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("date-partitioned events prune at the file listing on day filters") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_daypart").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    Formats.writeDatePartitioned(ev, s"$tmp/events_by_day", "ts")
+    val days = new java.io.File(s"$tmp/events_by_day").listFiles()
+      .count(_.getName.startsWith("day="))
+    assert(days > 1, s"fixture spans $days day(s)")
+    val firstDay = ev.select(to_date(col("ts"))).orderBy(col("ts"))
+      .head.getDate(0)
+    val back = spark.read.parquet(s"$tmp/events_by_day")
+      .filter(col("day") === lit(firstDay))
+    val plan = back.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).nonEmpty,
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(back.count() ==
+      ev.filter(to_date(col("ts")) === lit(firstDay)).count())
+  }
+
+  test("streamed index answers the add-then-search journey end to end") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    // build (or reuse) the two-batch streamed index, then search it with
+    // doc 7's embedding: its own entry must come back at distance 0 first
+    StreamingIndex.streamingIndexIngest(spark, sf).count()
+    val root = IndexStore.indexDir(sf, "stream-index-v1", "documents")
+    val q = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .head.getSeq[Double](0)
+    val hits = StreamingIndex.searchLatest(spark, root, q, k = 5).collect()
+    assert(hits.length == 5)
+    assert(hits.head.getAs[String]("id") == "doc-00007")
+    assert(hits.head.getAs[Double]("distance") == 0.0)
+    val dists = hits.map(_.getAs[Double]("distance")).toSeq
+    assert(dists == dists.sorted)
+    // the empty-index guard (main.py:152-153): absent root → empty result
+    val none = StreamingIndex.searchLatest(spark,
+      s"$root-definitely-missing", q)
+    assert(none.isEmpty)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     // in-memory catalog + on-disk warehouse: scrub leftover locations from
     // prior JVMs or CREATE TABLE fails with LOCATION_ALREADY_EXISTS
