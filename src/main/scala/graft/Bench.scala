@@ -20,7 +20,7 @@ object Bench {
     // once untimed so the one-time index build (k-means fit + bucketed
     // write / corpus signatures) lands here and the timed pass measures
     // steady-state query cost. No-ops when the index is already committed.
-    Seq("ann_ivf_persisted", "ann_ivf_sq", "incremental_dedup",
+    Seq("ann_ivf_persisted", "ann_ivf_sq", "ann_pq", "incremental_dedup",
         "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
         "streaming_index_ingest").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()

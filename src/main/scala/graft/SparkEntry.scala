@@ -23,6 +23,7 @@ object SparkEntry {
     "knn_search" -> ((s, d) => VectorSearch.knnSearch(s, d)),
     "quantized_knn" -> ((s, d) => Quantize.sqKnn(s, d)),
     "ann_ivf_sq" -> ((s, d) => AnnSearch.ivfSqKnn(s, d)),
+    "ann_pq" -> ((s, d) => Quantize.pqKnn(s, d)),
     "normalize_vectors" -> ((s, d) => VectorSearch.normalizeVectors(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),

@@ -241,6 +241,8 @@ object AnnSearch {
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallOf("ivf_sq", ivfSqKnn(spark, sfDir, nQueries, k)))
+      .unionAll(recallOf("pq",
+        Quantize.pqKnn(spark, sfDir, nQueries, k)))
       .select(col("method"), col("query_id"), col("recall"),
         (col("recall") >= floor).as("meets_floor"))
       .orderBy("method", "query_id")

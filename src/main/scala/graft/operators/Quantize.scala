@@ -59,6 +59,99 @@ object Quantize {
     dir
   }
 
+  /** Build (once) the persisted product-quantization index: the vector
+    * space is split into `m` subspaces of dim/m dims, each with its own
+    * `nCodes`-entry k-means codebook; a vector is stored as m small codes
+    * (here 8 × 4 bits of information in a byte each ≈ 8 B vs 256 B
+    * float32 — PQ is the aggressive end of the storage/recall trade, cf.
+    * SQ8's ~3.5×). Artifacts: `dir/codebooks` (subspace, code, center)
+    * and `dir/codes` (vec_id, codes array) — the fit runs at build time,
+    * never in a query.
+    */
+  def buildPqIndex(spark: SparkSession, sfDir: String, m: Int = 8,
+                   nCodes: Int = 16): String = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val dir = IndexStore.indexDir(sfDir, s"pq$m-$nCodes-v1", "embeddings")
+    if (IndexStore.committed(s"$dir/codebooks") &&
+        IndexStore.committed(s"$dir/codes")) return dir
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val dim = normed.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val parts = (0 until m).map { j =>
+      val sv = normed.select(col("vec_id"),
+        slice(col("v"), j * sub + 1, sub).as("sv"))
+        .withColumn("features", array_to_vector(col("sv")))
+      val model = new KMeans().setK(nCodes).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("code").fit(sv)
+      val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (j, i, c.toArray.toSeq)
+      }.toSeq.toDF("subspace", "code", "center")
+      (centers, model.transform(sv)
+        .select(col("vec_id"), lit(j).as("subspace"), col("code")))
+    }
+    IndexStore.saveDataset(parts.map(_._1).reduce(_ unionAll _),
+      s"$dir/codebooks")
+    val codes = parts.map(_._2).reduce(_ unionAll _)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(
+        collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    IndexStore.saveDataset(codes, s"$dir/codes")
+    dir
+  }
+
+  /** PQ top-k with exact re-ranking (asymmetric distance computation):
+    * per query the driver precomputes the m×nCodes lookup table of
+    * subspace distances (tiny: Q·m·nCodes doubles — this is the broadcast
+    * side, the ADC analog of the IVF probe collect), the code table scan
+    * sums m table lookups per row, and the bounded candidate margin is
+    * rescored on full-precision vectors. Recall is gauged by `ann_recall`
+    * (method "pq") — PQ trades more recall for 30× storage than SQ8, so
+    * its floor is the loosest of the family.
+    */
+  def pqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+            k: Int = 10, m: Int = 8, nCodes: Int = 16,
+            rerank: Int = 40): DataFrame = {
+    import spark.implicits._
+    val dir = buildPqIndex(spark, sfDir, m, nCodes)
+    val books = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code")) ->
+        r.getSeq[Double](r.fieldIndex("center"))).toMap
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val queryRows = normed.filter(col("vec_id") < nQueries).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val sub = queryRows.headOption.map(_._2.length / m).getOrElse(0)
+    val luts = queryRows.map { case (qid, qv) =>
+      val lut = for (j <- 0 until m; c <- 0 until nCodes) yield {
+        val center = books((j, c))
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = qv(j * sub + i) - center(i)
+          s += d * d
+          i += 1
+        }
+        s
+      }
+      (qid, qv, lut)
+    }.toSeq.toDF("query_id", "qu", "lut")
+    val adist = spark.read.parquet(s"$dir/codes")
+      .join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id").as("id"),
+        expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
+          acc + element_at(lut, j * $nCodes +
+            element_at(codes, j + 1) + 1))""").as("adist"))
+    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
+    val cands = adist
+      .withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= rerank)
+      .select(col("query_id"), col("qu"), col("id"))
+    VectorSearch.rescoreTopK(cands, normed, k)
+  }
+
   /** Top-k search over the quantized store with exact re-ranking:
     * asymmetric distance (full-precision query vs dequantized candidates)
     * prunes to `rerank` candidates per query; the true top-k among them is

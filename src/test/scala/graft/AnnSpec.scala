@@ -19,6 +19,9 @@ class AnnSpec extends SparkSpec {
     // layout must not cost recall beyond the shared probe misses
     assert(byMethod("ivf_sq") >= byMethod("ivf") - 1e-9,
       s"ivf_sq recall ${byMethod("ivf_sq")} < ivf ${byMethod("ivf")}")
+    // PQ trades the most recall for 30x storage; the exact-rescore margin
+    // still has to keep it useful (measured ~0.63 avg on the fixture)
+    assert(byMethod("pq") >= 0.5, s"pq recall ${byMethod("pq")}")
   }
 
   test("persisted IVF probe prunes cluster partitions at the file source") {

@@ -7,11 +7,11 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
     assert(SparkEntry.queries.size >= 69)
-    // all but the sketch/model-based quintet carry oracles
+    // all but the sketch/model-based six carry oracles
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
       Set("approx_distinct", "ann_lsh", "ann_ivf_persisted", "ann_ivf_sq",
-        "ann_recall"), noOracle)
+        "ann_pq", "ann_recall"), noOracle)
   }
 
   test("entry() smoke: flagship returns rows on sf0.001") {
