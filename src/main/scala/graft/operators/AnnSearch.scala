@@ -217,12 +217,17 @@ object AnnSearch {
   /** Recall of the approximate searches against the exact k-NN, per query
     * and method — the accuracy report the reference's `efSearch` knob
     * (`main.py:31`) trades against. `meets_floor` flags queries below the
-    * recall floor so a recall regression is visible row-by-row in the
-    * correctness dump (the spec additionally asserts per-method averages).
+    * method's OWN recall floor (each method sits at a different point on
+    * the storage/recall trade — a single global floor would make the flag
+    * permanently red for PQ and meaningless as a regression signal), so a
+    * recall regression is visible row-by-row in the correctness dump
+    * (the spec additionally asserts per-method averages).
     */
   def annRecall(spark: SparkSession, sfDir: String,
                 nQueries: Int = 10, k: Int = 10,
-                floor: Double = 0.8): DataFrame = {
+                floors: Map[String, Double] =
+                  Map("lsh" -> 0.8, "ivf" -> 0.6, "ivf_sq" -> 0.6,
+                    "pq" -> 0.4)): DataFrame = {
     val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("id"))
     val allQueries = exact.select(col("query_id")).distinct()
@@ -237,6 +242,8 @@ object AnnSearch {
         .select(col("query_id"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
         .withColumn("method", lit(name))
+        .withColumn("meets_floor",
+          col("recall") >= lit(floors.getOrElse(name, 0.8)))
     }
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
@@ -244,7 +251,7 @@ object AnnSearch {
       .unionAll(recallOf("pq",
         Quantize.pqKnn(spark, sfDir, nQueries, k)))
       .select(col("method"), col("query_id"), col("recall"),
-        (col("recall") >= floor).as("meets_floor"))
+        col("meets_floor"))
       .orderBy("method", "query_id")
   }
 }

@@ -76,7 +76,11 @@ object Quantize {
     val dir = IndexStore.indexDir(sfDir, s"pq$m-$nCodes-v1", "embeddings")
     if (IndexStore.committed(s"$dir/codebooks") &&
         IndexStore.committed(s"$dir/codes")) return dir
-    val normed = VectorSearch.normalized(spark, sfDir)
+    // one normalize pass cached across the dim probe, the m k-means
+    // fits and the m assignment transforms — without this the build
+    // re-scans and re-normalizes the source ~2m+1 times; safe here
+    // because the build completes (and unpersists) inside this call
+    val normed = VectorSearch.normalized(spark, sfDir).cache()
     val dim = normed.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -100,6 +104,7 @@ object Quantize {
         collect_list(struct(col("subspace"), col("code")))),
         s => s.getField("code")).as("codes"))
     IndexStore.saveDataset(codes, s"$dir/codes")
+    normed.unpersist()
     dir
   }
 
@@ -125,8 +130,11 @@ object Quantize {
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
     val sub = queryRows.headOption.map(_._2.length / m).getOrElse(0)
     val luts = queryRows.map { case (qid, qv) =>
-      val lut = for (j <- 0 until m; c <- 0 until nCodes) yield {
-        val center = books((j, c))
+      // fill from the codebook rows that actually exist: k-means may
+      // return < nCodes centers on a degenerate subspace, and no stored
+      // code can reference an absent slot — +inf keeps the layout dense
+      val lut = Array.fill(m * nCodes)(Double.PositiveInfinity)
+      books.foreach { case ((j, c), center) =>
         var s = 0.0
         var i = 0
         while (i < sub) {
@@ -134,9 +142,9 @@ object Quantize {
           s += d * d
           i += 1
         }
-        s
+        lut(j * nCodes + c) = s
       }
-      (qid, qv, lut)
+      (qid, qv, lut.toSeq)
     }.toSeq.toDF("query_id", "qu", "lut")
     val adist = spark.read.parquet(s"$dir/codes")
       .join(broadcast(luts), col("vec_id") =!= col("query_id"))
@@ -144,12 +152,8 @@ object Quantize {
         expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
           acc + element_at(lut, j * $nCodes +
             element_at(codes, j + 1) + 1))""").as("adist"))
-    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
-    val cands = adist
-      .withColumn("rr", row_number().over(wr))
-      .filter(col("rr") <= rerank)
-      .select(col("query_id"), col("qu"), col("id"))
-    VectorSearch.rescoreTopK(cands, normed, k)
+    VectorSearch.rescoreTopK(
+      VectorSearch.pruneCandidates(adist, rerank), normed, k)
   }
 
   /** Top-k search over the quantized store with exact re-ranking:
@@ -173,11 +177,7 @@ object Quantize {
         squaredL2(col("qu"),
           transform(col("qv"), x => x.cast("double") / col("scale")))
           .as("adist"))
-    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
-    val cands = adist
-      .withColumn("rr", row_number().over(wr))
-      .filter(col("rr") <= rerank)
-      .select(col("query_id"), col("qu"), col("id"))
-    VectorSearch.rescoreTopK(cands, normed, k)
+    VectorSearch.rescoreTopK(
+      VectorSearch.pruneCandidates(adist, rerank), normed, k)
   }
 }

@@ -42,6 +42,19 @@ object VectorSearch {
       .orderBy("query_id", "rn")
   }
 
+  /** Approximate-distance candidate pruning: keep the `rerank` best rows
+    * per query by `adist` (ties on id), carrying the query vector for the
+    * subsequent exact rescore. Shared by every quantized path (SQ8,
+    * IVF+SQ8, PQ) so the margin semantics cannot drift between them.
+    */
+  private[operators] def pruneCandidates(adist: DataFrame,
+                                         rerank: Int): DataFrame = {
+    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
+    adist.withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= rerank)
+      .select(col("query_id"), col("qu"), col("id"))
+  }
+
   /** Exact re-ranking of a bounded candidate set (query_id, qu, id)
     * against full-precision vectors: broadcast the candidates into one
     * map-side join with the vector table, then [[topK]].

@@ -51,11 +51,15 @@ object Formats {
     * additionally sorted by `tsCol` within partitions so parquet row-group
     * min/max stats prune intra-day reads too.
     */
-  def writeDatePartitioned(df: DataFrame, path: String,
-                           tsCol: String): Unit =
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String,
+                           partitions: Int = 8): Unit =
     df.withColumn("day",
         org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col(tsCol)))
+      // repartition on day so each day's rows land in one shuffle
+      // partition → one file per day dir, not upstream-partitions × days
+      // (the small-files trap); `partitions` sizes the shuffle itself
+      .repartition(partitions, org.apache.spark.sql.functions.col("day"))
       .sortWithinPartitions("day", tsCol)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("day").parquet(path)

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.VectorOps.l2Normalize
 import graft.sources.IndexStore
 
 /** The reference's ingest endpoint (`POST /add_drawing`,
@@ -70,9 +71,14 @@ object StreamingIndex {
     * per-request upsert (`main.py:119-135`) batched. `batch` must carry
     * unique str_ids (a landing batch is one file of distinct requests;
     * pre-aggregate with LWW if a producer can repeat ids in one batch).
+    * Incoming vectors are L2-normalized before storage — the index
+    * invariant the reference establishes at `main.py:87` (unit vectors,
+    * so L2 ranking ≡ cosine ranking); degenerate zero-norm vectors are
+    * the producer's bug, as in the reference.
     */
   def mergeBatch(mapping: DataFrame, vectors: DataFrame,
-                 batch: DataFrame): (DataFrame, DataFrame) = {
+                 rawBatch: DataFrame): (DataFrame, DataFrame) = {
+    val batch = rawBatch.withColumn("v", l2Normalize(col("v")))
     val spark = batch.sparkSession
     // existing ids: text from the batch wins, faiss_id + vector kept
     val updated = mapping
@@ -116,19 +122,12 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
                        batchId: Long) =>
-        val prev = latestVersion(root, limit = batchId)
-        val prevMapping = prev match {
-          case Some(v) => spark.read.schema(MappingSchema)
-            .parquet(s"$root/v$v/mapping")
-          case None => IndexStore.loadOrInit(spark, s"$root/missing",
-            MappingSchema)
-        }
-        val prevVectors = prev match {
-          case Some(v) => spark.read.schema(VectorSchema)
-            .parquet(s"$root/v$v/vectors")
-          case None => IndexStore.loadOrInit(spark, s"$root/missing",
-            VectorSchema)
-        }
+        val base = latestVersion(root, limit = batchId)
+          .map(v => s"$root/v$v").getOrElse(s"$root/missing")
+        val prevMapping = IndexStore.loadMapping(spark, base,
+          MappingSchema)
+        val prevVectors = IndexStore.loadVectors(spark, base,
+          VectorSchema)
         val (m, vecs) = mergeBatch(prevMapping, prevVectors, batch)
         IndexStore.saveDataset(m, s"$root/v$batchId/mapping")
         IndexStore.saveDataset(vecs, s"$root/v$batchId/vectors")
@@ -149,15 +148,18 @@ object StreamingIndex {
   def searchLatest(spark: SparkSession, root: String, query: Seq[Double],
                    k: Int = 10): DataFrame = {
     import graft.functions.VectorOps.squaredL2
-    val (mapping, vectors) = latestVersion(root) match {
-      case Some(v) => (
-        spark.read.schema(MappingSchema).parquet(s"$root/v$v/mapping"),
-        spark.read.schema(VectorSchema).parquet(s"$root/v$v/vectors"))
-      case None => (
-        IndexStore.loadOrInit(spark, s"$root/missing", MappingSchema),
-        IndexStore.loadOrInit(spark, s"$root/missing", VectorSchema))
-    }
-    val q = array(query.map(lit): _*)
+    // the store holds COMMITTED snapshots only; an absent/uncommitted
+    // version degrades to the empty schema'd frame via loadOrInit
+    val base = latestVersion(root).map(v => s"$root/v$v")
+      .getOrElse(s"$root/missing")
+    val mapping = IndexStore.loadMapping(spark, base, MappingSchema)
+    val vectors = IndexStore.loadVectors(spark, base, VectorSchema)
+    // normalize the query exactly as the stored side was (main.py:87
+    // normalizes BOTH sides; same left-fold sum + divide → bit-identical
+    // to the codegen normalizer, so a self-query lands at distance 0)
+    val norm = math.sqrt(query.map(x => x * x).sum)
+    val q = array((if (norm > 0) query.map(_ / norm) else query)
+      .map(lit): _*)
     // orderBy+limit plans TakeOrdered over the scan; the k-row result is
     // the broadcast side of the remap join (the mapping is the big table
     // at scale, never broadcast)
@@ -207,7 +209,7 @@ object StreamingIndex {
     * upsert end-to-end; vector-kept semantics are spec-asserted.
     */
   def streamingIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = IndexStore.indexDir(sfDir, "stream-index-v1", "documents")
+    val root = IndexStore.indexDir(sfDir, "stream-index-v2", "documents")
     val landing = s"$root/landing"
     val ckpt = s"$root/ckpt"
     if (!latestVersion(root).exists(_ >= 1L)) {

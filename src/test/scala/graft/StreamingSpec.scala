@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
     val mapping = StreamingIndex.streamingIndexIngest(spark, sf).collect()
-    val root = IndexStore.indexDir(sf, "stream-index-v1", "documents")
+    val root = IndexStore.indexDir(sf, "stream-index-v2", "documents")
     val v = StreamingIndex.latestVersion(root).get
     assert(v == 1L)
     val nBase = Tables.load(spark, sf, "documents")
