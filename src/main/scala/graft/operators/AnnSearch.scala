@@ -155,6 +155,58 @@ object AnnSearch {
           squaredL2(col("qu"), col("v")).as("dist")), k)
   }
 
+  /** Incremental add to the persisted IVF index — the reference's
+    * `index.add_with_ids` (`main.py:134`) applied to the scale layout:
+    * new vectors are assigned to their NEAREST EXISTING centroid (no
+    * refit — exactly how FAISS IVF adds work) and a NEW index version is
+    * produced at `out` by file-level copy of the untouched cluster
+    * partitions plus one Spark write of the batch. Compute is O(batch):
+    * the existing vectors are never decoded, re-encoded or shuffled —
+    * only their files are copied (on an object store, a server-side
+    * copy/rename). Readers keep using the old `dir` until the caller
+    * switches — version-swap, never in-place; the parquet committer's
+    * `_SUCCESS` from the batch write is the LAST artifact created, so
+    * [[IndexStore.committed]] gates the whole new version.
+    */
+  def appendToIvfIndex(spark: SparkSession, sfDir: String,
+                       batch: DataFrame, out: String,
+                       nClusters: Int = 16): Unit = {
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/vectors"))
+      buildIvfIndex(spark, sfDir, nClusters)
+    val centersDf = spark.read.parquet(s"$dir/centroids")
+    IndexStore.saveDataset(centersDf, s"$out/centroids")
+    // copy the existing cluster partitions file-by-file BEFORE the batch
+    // write: no _SUCCESS exists at out/vectors until the Spark job
+    // commits, so a crash mid-copy reads as "never built"
+    val conf = IndexStore.hadoopConf
+    val srcRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val dstRoot = new org.apache.hadoop.fs.Path(s"$out/vectors")
+    val fs = srcRoot.getFileSystem(conf)
+    fs.listStatus(srcRoot).filter(_.isDirectory).foreach { cl =>
+      val dstDir = new org.apache.hadoop.fs.Path(dstRoot, cl.getPath.getName)
+      fs.mkdirs(dstDir)
+      fs.listStatus(cl.getPath).filterNot(_.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+            new org.apache.hadoop.fs.Path(dstDir, f.getPath.getName),
+            false, conf)
+        }
+    }
+    // assign each batch vector to its nearest existing centroid (tiny
+    // broadcast of k centers, one map pass over the batch)
+    val wb = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cluster"))
+    batch.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("cdist", squaredL2(col("v"), col("center")))
+      .withColumn("cr", row_number().over(wb))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$out/vectors")
+  }
+
   /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
     * cluster id is the PHYSICAL partition key (a probe's `cluster IN`
     * literals prune at file listing, touching nprobe/k of the data) AND

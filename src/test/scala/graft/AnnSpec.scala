@@ -43,6 +43,32 @@ class AnnSpec extends SparkSpec {
     assert(clusterDirs > 1 && clusterDirs <= 16)
   }
 
+  test("appendToIvfIndex adds a batch O(batch) into a committed version") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    val batch = Tables.load(spark, sf, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + 0.01)").as("v"))
+    AnnSearch.appendToIvfIndex(spark, sf, batch, out)
+    assert(IndexStore.committed(s"$out/vectors"))
+    val dir = IndexStore.indexDir(sf, "ivf16-v1", "embeddings")
+    val oldN = spark.read.parquet(s"$dir/vectors").count()
+    val merged = spark.read.parquet(s"$out/vectors")
+    assert(merged.count() == oldN + batch.count())
+    // every appended vector landed in its nearest EXISTING centroid's
+    // partition (no refit — the add semantics of main.py:134 on IVF)
+    val centers = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        r.getSeq[Double](r.fieldIndex("center"))).toMap
+    merged.filter(col("vec_id") >= 20000).limit(20).collect().foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      val best = centers.minBy { case (_, c) =>
+        c.zip(v).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+      }._1
+      assert(r.getAs[Int]("cluster") == best)
+    }
+  }
+
   test("IVF+SQ8 probe prunes partitions and scans quantized rows") {
     import graft.operators.AnnSearch
     val res = AnnSearch.ivfSqKnn(spark, sf)
