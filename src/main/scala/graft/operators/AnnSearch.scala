@@ -171,6 +171,9 @@ object AnnSearch {
   def appendToIvfIndex(spark: SparkSession, sfDir: String,
                        batch: DataFrame, out: String,
                        nClusters: Int = 16): Unit = {
+    // a committed `out` means this version already folded its batch — a
+    // re-invocation (crash-replay, retried job) must not append it twice
+    if (IndexStore.committed(s"$out/vectors")) return
     val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/vectors"))

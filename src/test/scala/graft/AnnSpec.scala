@@ -55,6 +55,11 @@ class AnnSpec extends SparkSpec {
     val oldN = spark.read.parquet(s"$dir/vectors").count()
     val merged = spark.read.parquet(s"$out/vectors")
     assert(merged.count() == oldN + batch.count())
+    // replayed invocation on a committed version is a no-op, never a
+    // double-append
+    AnnSearch.appendToIvfIndex(spark, sf, batch, out)
+    assert(spark.read.parquet(s"$out/vectors").count() ==
+      oldN + batch.count())
     // every appended vector landed in its nearest EXISTING centroid's
     // partition (no refit — the add semantics of main.py:134 on IVF)
     val centers = spark.read.parquet(s"$dir/centroids").collect()
