@@ -22,6 +22,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_search" -> ((s, d) => VectorSearch.knnSearch(s, d)),
     "quantized_knn" -> ((s, d) => Quantize.sqKnn(s, d)),
+    // the flagship through the pure-SQL surface: the injected native
+    // expressions (graft_*) inside an ANSI query — what a SQL-only
+    // consumer of the library runs
+    "sql_vector_knn" -> ((s, d) => {
+      GraftFunctions.register(s)
+      graft.Tables.load(s, d, "embeddings")
+        .createOrReplaceTempView("emb_sql")
+      s.sql(
+        """WITH normed AS (
+          |  SELECT vec_id, graft_l2_normalize(
+          |    transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+          |  FROM emb_sql
+          |), pairs AS (
+          |  SELECT /*+ BROADCAST(q) */
+          |    q.vec_id AS query_id, c.vec_id AS id,
+          |    graft_squared_l2(q.v, c.v) AS dist
+          |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 10
+          |), ranked AS (
+          |  SELECT query_id, id, dist,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY dist, id) AS rn
+          |  FROM pairs
+          |)
+          |SELECT query_id, id, round(dist, 6) AS distance,
+          |  CAST(rn AS BIGINT) AS rn
+          |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
+    }),
     "ann_ivf_sq" -> ((s, d) => AnnSearch.ivfSqKnn(s, d)),
     "ann_pq" -> ((s, d) => Quantize.pqKnn(s, d)),
     "normalize_vectors" -> ((s, d) => VectorSearch.normalizeVectors(s, d)),
@@ -178,6 +206,28 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "knn_search" ->
+      """WITH normed AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT query_id, id, round(dist, 6) AS distance, rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    // same result contract as knn_search - the SQL-surface variant shares
+    // its oracle formulation
+    "sql_vector_knn" ->
       """WITH normed AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
