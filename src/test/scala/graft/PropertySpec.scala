@@ -98,4 +98,37 @@ class PropertySpec extends SparkSpec {
       .groupBy("k").count().filter(col("count") >= 2)
     assert(dups.count() == 0) // fixture is dup-free; operator finds none
   }
+
+  test("SQ8 invariants hold for arbitrary vectors incl. degenerate rows") {
+    import graft.operators.Quantize
+    val cases = samples(vecGen, 30)
+      .map(_.map(_.toDouble).toSeq)
+    // append the degenerate shapes the guard exists for: all-zero (scale
+    // would be inf) and a NaN element (normalization of a zero vector)
+    val all = cases :+ Seq.fill(8)(0.0) :+
+      (Seq(Double.NaN) ++ Seq.fill(7)(1.0))
+    val df = all.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "v")
+    val out = Quantize.quantize(df).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("scale"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("qv")))
+            .map(_.asInstanceOf[scala.collection.Seq[Byte]]))).toMap
+    all.zipWithIndex.foreach { case (v, i) =>
+      val (scale, qv) = out(i.toLong)
+      val maxabs = v.map(x => math.abs(x)).max
+      if (maxabs > 0 && !maxabs.isNaN) {
+        // reconstruction within the half-step bound, codes in [-127,127]
+        assert(scale.nonEmpty && qv.nonEmpty)
+        qv.get.zip(v).foreach { case (q, x) =>
+          assert(math.abs(q) <= 127)
+          assert(math.abs(x - q.toDouble / scale.get) <=
+            0.5 / scale.get + 1e-12)
+        }
+      } else {
+        // degenerate rows quantize to NULL, not a crash or garbage codes
+        assert(scale.isEmpty && qv.isEmpty, s"row $i: $v")
+      }
+    }
+  }
 }
