@@ -131,6 +131,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingOps.streamingJoin(s, d)),
     "streaming_index_ingest" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingIndexIngest(s, d)),
+    "streaming_sliding" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -946,6 +948,23 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding 10m/5m: each event belongs to exactly two 5-min-aligned
+    // windows — the floor bucket and the one before it
+    "streaming_sliding" ->
+      """WITH cand AS (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '5 minutes', ts),
+        |      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        |    ]) AS window_start,
+        |    event_type, value, ts
+        |  FROM events
+        |)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_val
+        |FROM cand
+        |WHERE ts >= window_start
+        |  AND ts < window_start + INTERVAL '10 minutes'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "vector_centroids" ->
       """WITH e AS (
         |  SELECT label, unnest(embedding) AS x,

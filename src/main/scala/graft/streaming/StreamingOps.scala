@@ -90,6 +90,25 @@ object StreamingOps extends Serializable {
       .orderBy("window_start", "event_type")
   }
 
+  /** Sliding 10-minute windows every 5 minutes — each event contributes
+    * to TWO overlapping windows (window duration / slide), the shape for
+    * "rolling rate over the last N minutes" dashboards. Same bounded
+    * window-agg state as the tumbling form, ×(duration/slide) entries.
+    */
+  def streamingSlidingWindows(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_val"))
+    runToMemory(agg, "graft_stream_sliding", "complete",
+        statePartitions = Some(8))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Streaming dedup-at-the-door — the ingest-side exact dedup every
     * training pipeline runs before anything else touches the stream.
     * `dropDuplicatesWithinWatermark` keeps ONE state entry per key seen
