@@ -196,6 +196,30 @@ object SparkEntry {
        |),
        |""" + DuckJaccardTail.replace("THRESH", "0.5")).stripMargin
 
+  /** Exact-kNN oracle, shared verbatim by `knn_search` and its pure-SQL
+    * twin `sql_vector_knn` — one formulation, two gate entries.
+    */
+  private val DuckKnnOracle =
+    """WITH normed AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT query_id, id, round(dist, 6) AS distance, rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   private val DuckToks =
     """toks AS (
       |  SELECT doc_id, tok FROM (
@@ -207,48 +231,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "knn_search" ->
-      """WITH normed AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |      sqrt(list_sum(list_transform(embedding,
-        |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
-        |  FROM embeddings
-        |), pairs AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |    list_sum(list_transform(list_zip(q.v, c.v),
-        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-        |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 10
-        |), ranked AS (
-        |  SELECT query_id, id, dist,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
-        |  FROM pairs
-        |)
-        |SELECT query_id, id, round(dist, 6) AS distance, rn
-        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    "knn_search" -> DuckKnnOracle,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
-    "sql_vector_knn" ->
-      """WITH normed AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |      sqrt(list_sum(list_transform(embedding,
-        |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
-        |  FROM embeddings
-        |), pairs AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |    list_sum(list_transform(list_zip(q.v, c.v),
-        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-        |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 10
-        |), ranked AS (
-        |  SELECT query_id, id, dist,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
-        |  FROM pairs
-        |)
-        |SELECT query_id, id, round(dist, 6) AS distance, rn
-        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    "sql_vector_knn" -> DuckKnnOracle,
     // mirrors the FULL SQ8 pipeline (quantize → asymmetric distance →
     // top-40 candidates → exact rescore → top-10), so the gate equality is
     // by construction; every arithmetic step is IEEE double + HALF_UP

@@ -139,10 +139,7 @@ object AnnSearch {
     */
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
              k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
-    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
-    if (!IndexStore.committed(s"$dir/centroids") ||
-        !IndexStore.committed(s"$dir/vectors"))
-      buildIvfIndex(spark, sfDir, nClusters)
+    val dir = loadOrBuildIvf(spark, sfDir, nClusters)
     val centersDf = spark.read.parquet(s"$dir/centroids")
     val (probedClusters, probes) =
       probe(spark, queryVectors(spark, sfDir, nQueries), centersDf, nProbe)
@@ -168,25 +165,46 @@ object AnnSearch {
     * `_SUCCESS` from the batch write is the LAST artifact created, so
     * [[IndexStore.committed]] gates the whole new version.
     */
+  /** Load-or-build gate for the persisted IVF index — the ONE place the
+    * committed-artifact check lives (three call sites would otherwise
+    * each have to learn about any new artifact added to the layout).
+    */
+  private def loadOrBuildIvf(spark: SparkSession, sfDir: String,
+                             nClusters: Int): String = {
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/vectors"))
+      buildIvfIndex(spark, sfDir, nClusters)
+    dir
+  }
+
   def appendToIvfIndex(spark: SparkSession, sfDir: String,
                        batch: DataFrame, out: String,
                        nClusters: Int = 16): Unit = {
     // a committed `out` means this version already folded its batch — a
     // re-invocation (crash-replay, retried job) must not append it twice
     if (IndexStore.committed(s"$out/vectors")) return
-    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
-    if (!IndexStore.committed(s"$dir/centroids") ||
-        !IndexStore.committed(s"$dir/vectors"))
-      buildIvfIndex(spark, sfDir, nClusters)
+    val dir = loadOrBuildIvf(spark, sfDir, nClusters)
     val centersDf = spark.read.parquet(s"$dir/centroids")
+    // the batch's dimension must match the index — a mismatch would make
+    // every squaredL2 NULL and silently dump the whole batch in cluster 0
+    val centerDim = centersDf.select(size(col("center"))).head.getInt(0)
+    batch.select(size(col("v"))).limit(1).collect().headOption.foreach {
+      r => require(r.getInt(0) == centerDim,
+        s"batch dim ${r.getInt(0)} != index dim $centerDim")
+    }
     IndexStore.saveDataset(centersDf, s"$out/centroids")
-    // copy the existing cluster partitions file-by-file BEFORE the batch
-    // write: no _SUCCESS exists at out/vectors until the Spark job
-    // commits, so a crash mid-copy reads as "never built"
     val conf = IndexStore.hadoopConf
     val srcRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val dstRoot = new org.apache.hadoop.fs.Path(s"$out/vectors")
     val fs = srcRoot.getFileSystem(conf)
+    // an EXISTING but uncommitted out/vectors is a crashed attempt —
+    // SaveMode.Append over its leftovers (committed task dirs, moved part
+    // files) would double-append the batch, so start from nothing
+    if (fs.exists(dstRoot)) fs.delete(dstRoot, true)
+    // copy the existing cluster partitions file-by-file BEFORE the batch
+    // write: no _SUCCESS exists at out/vectors until the Spark job
+    // commits, so a crash mid-copy reads as "never built"
     fs.listStatus(srcRoot).filter(_.isDirectory).foreach { cl =>
       val dstDir = new org.apache.hadoop.fs.Path(dstRoot, cl.getPath.getName)
       fs.mkdirs(dstDir)
@@ -197,10 +215,14 @@ object AnnSearch {
             false, conf)
         }
     }
-    // assign each batch vector to its nearest existing centroid (tiny
-    // broadcast of k centers, one map pass over the batch)
-    val wb = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cluster"))
+    // assign each batch ROW to its nearest existing centroid (tiny
+    // broadcast of k centers, one map pass over the batch). The window
+    // partitions by a per-row uid, not vec_id: duplicate ids in one batch
+    // are appended as distinct rows (FAISS add_with_ids semantics), never
+    // silently collapsed
+    val wb = Window.partitionBy("uid").orderBy(col("cdist"), col("cluster"))
     batch.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+      .withColumn("uid", monotonically_increasing_id())
       .crossJoin(broadcast(centersDf))
       .withColumn("cdist", squaredL2(col("v"), col("center")))
       .withColumn("cr", row_number().over(wb))
@@ -225,13 +247,7 @@ object AnnSearch {
     val dir = IndexStore.indexDir(sfDir, s"ivfsq$nClusters-v2", "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/vectors")) {
-      val ivfDir = {
-        val d = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
-        if (!IndexStore.committed(s"$d/centroids") ||
-            !IndexStore.committed(s"$d/vectors"))
-          buildIvfIndex(spark, sfDir, nClusters)
-        d
-      }
+      val ivfDir = loadOrBuildIvf(spark, sfDir, nClusters)
       IndexStore.saveDataset(
         spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
       // quantize passes the cluster column through — one map pass over the

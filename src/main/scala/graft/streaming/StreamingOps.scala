@@ -74,21 +74,30 @@ object StreamingOps extends Serializable {
     spark.table(name)
   }
 
+  /** Shared body of the windowed streaming aggregations — ONE place for
+    * the watermark, rounding and state sizing, so the tumbling and
+    * sliding entries cannot drift.
+    */
+  private def windowedAgg(spark: SparkSession, sfDir: String,
+                          win: org.apache.spark.sql.Column,
+                          sink: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_val"))
+    runToMemory(agg, sink, "complete", statePartitions = Some(8))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Tumbling 5-minute windowed counts per event type, computed by a
     * streaming query over the events parquet. Returns the complete result
     * table (deterministic: the single input file is one micro-batch).
     */
-  def streamingEventWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventStream(spark, sfDir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_val"))
-    runToMemory(agg, "graft_stream_windows", "complete",
-        statePartitions = Some(8))
-      .orderBy("window_start", "event_type")
-  }
+  def streamingEventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAgg(spark, sfDir, window(col("ts"), "5 minutes"),
+      "graft_stream_windows")
 
   /** Sliding 10-minute windows every 5 minutes — each event contributes
     * to TWO overlapping windows (window duration / slide), the shape for
@@ -96,18 +105,9 @@ object StreamingOps extends Serializable {
     * window-agg state as the tumbling form, ×(duration/slide) entries.
     */
   def streamingSlidingWindows(spark: SparkSession,
-                              sfDir: String): DataFrame = {
-    val agg = eventStream(spark, sfDir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_val"))
-    runToMemory(agg, "graft_stream_sliding", "complete",
-        statePartitions = Some(8))
-      .orderBy("window_start", "event_type")
-  }
+                              sfDir: String): DataFrame =
+    windowedAgg(spark, sfDir, window(col("ts"), "10 minutes", "5 minutes"),
+      "graft_stream_sliding")
 
   /** Streaming dedup-at-the-door — the ingest-side exact dedup every
     * training pipeline runs before anything else touches the stream.
