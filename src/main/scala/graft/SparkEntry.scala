@@ -268,8 +268,8 @@ object SparkEntry {
         |  FROM q JOIN qz z ON z.vec_id <> q.query_id
         |), topr AS (
         |  SELECT query_id, id, qu,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, id)
-        |      AS rr
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC NULLS LAST, id) AS rr
         |  FROM cand
         |), resc AS (
         |  SELECT t.query_id, t.id,
@@ -1049,7 +1049,7 @@ object SparkEntry {
         |  SELECT d.doc_id, d.text
         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |), b0 AS (
-        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS str_id,
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS str_id,
         |    text, doc_id
         |  FROM base
         |), m0 AS (
@@ -1058,11 +1058,11 @@ object SparkEntry {
         |    text, doc_id
         |  FROM b0
         |), upd AS (
-        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS str_id,
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS str_id,
         |    upper(text) AS text
         |  FROM base WHERE doc_id % 3 = 0
         |), nw AS (
-        |  SELECT 'doc-' || lpad(CAST(doc_id + 10000 AS VARCHAR), 5, '0')
+        |  SELECT 'doc-' || lpad(CAST(doc_id + 10000 AS VARCHAR), 7, '0')
         |    AS str_id, text
         |  FROM base
         |), mnew AS (

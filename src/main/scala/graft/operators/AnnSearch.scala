@@ -161,9 +161,11 @@ object AnnSearch {
     * the existing vectors are never decoded, re-encoded or shuffled —
     * only their files are copied (on an object store, a server-side
     * copy/rename). Readers keep using the old `dir` until the caller
-    * switches — version-swap, never in-place; the parquet committer's
-    * `_SUCCESS` from the batch write is the LAST artifact created, so
-    * [[IndexStore.committed]] gates the whole new version.
+    * switches — version-swap, never in-place. Commit protocol: artifacts
+    * are written vectors-then-centroids, so `committed(out/centroids)` —
+    * the LAST artifact — structurally gates the whole version (a reader
+    * gating on either artifact alone can never observe centroids without
+    * complete vectors, and the replay guard keys on the same marker).
     */
   /** Load-or-build gate for the persisted IVF index — the ONE place the
     * committed-artifact check lives (three call sites would otherwise
@@ -182,8 +184,10 @@ object AnnSearch {
                        batch: DataFrame, out: String,
                        nClusters: Int = 16): Unit = {
     // a committed `out` means this version already folded its batch — a
-    // re-invocation (crash-replay, retried job) must not append it twice
-    if (IndexStore.committed(s"$out/vectors")) return
+    // re-invocation (crash-replay, retried job) must not append it twice.
+    // centroids is the LAST artifact the happy path writes, so its
+    // _SUCCESS is the one whole-version commit marker
+    if (IndexStore.committed(s"$out/centroids")) return
     val dir = loadOrBuildIvf(spark, sfDir, nClusters)
     val centersDf = spark.read.parquet(s"$dir/centroids")
     // the batch's dimension must match the index — a mismatch would make
@@ -193,7 +197,6 @@ object AnnSearch {
       r => require(r.getInt(0) == centerDim,
         s"batch dim ${r.getInt(0)} != index dim $centerDim")
     }
-    IndexStore.saveDataset(centersDf, s"$out/centroids")
     val conf = IndexStore.hadoopConf
     val srcRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val dstRoot = new org.apache.hadoop.fs.Path(s"$out/vectors")
@@ -230,6 +233,9 @@ object AnnSearch {
       .select(col("vec_id"), col("v"), col("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster").parquet(s"$out/vectors")
+    // LAST: the centroids write commits the version (see commit protocol
+    // above) — a crash anywhere before this line reads as "never built"
+    IndexStore.saveDataset(centersDf, s"$out/centroids")
   }
 
   /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
@@ -272,7 +278,10 @@ object AnnSearch {
       probe(spark, queryVectors(spark, sfDir, nQueries), centersDf, nProbe)
     val assigned = spark.read.parquet(s"$dir/vectors")
       .filter(col("cluster").isin(probedClusters: _*))
-    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
+    // asc_nulls_last: degenerate rows carry NULL adist (NULL scale/qv from
+    // quantize) and must rank last, not first (Spark ASC = NULLS FIRST)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc_nulls_last, col("id"))
     val cands = broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),

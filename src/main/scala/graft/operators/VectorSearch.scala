@@ -46,10 +46,16 @@ object VectorSearch {
     * per query by `adist` (ties on id), carrying the query vector for the
     * subsequent exact rescore. Shared by every quantized path (SQ8,
     * IVF+SQ8, PQ) so the margin semantics cannot drift between them.
+    * `adist` is NULL for degenerate rows (zero-norm/NaN vectors get NULL
+    * scale/qv from [[Quantize.quantize]]); Spark's ASC default is NULLS
+    * FIRST, which would rank them ahead of every real candidate and burn
+    * rerank slots — asc_nulls_last matches DuckDB's ASC default and the
+    * "NULL ranks last in any distance ordering" contract.
     */
   private[operators] def pruneCandidates(adist: DataFrame,
                                          rerank: Int): DataFrame = {
-    val wr = Window.partitionBy("query_id").orderBy(col("adist"), col("id"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc_nulls_last, col("id"))
     adist.withColumn("rr", row_number().over(wr))
       .filter(col("rr") <= rerank)
       .select(col("query_id"), col("qu"), col("id"))

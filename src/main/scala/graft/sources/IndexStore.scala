@@ -22,21 +22,32 @@ import org.apache.spark.sql.types.StructType
 object IndexStore {
 
   /** Session Hadoop conf (spark.hadoop.* properties — credentials,
-    * endpoints, defaultFS), resolved once and cached: committed() sits on
-    * every persisted-index query path and newHadoopConf() copies the full
-    * property set per call. One conf per JVM is correct here — a session's
-    * hadoop conf does not change mid-run. Shared package-wide so every
-    * FileSystem lookup (e.g. [[graft.streaming.StreamingIndex]]) resolves
-    * against the SAME configuration as the committed() checks.
+    * endpoints, defaultFS), cached PER SESSION: committed() sits on every
+    * persisted-index query path and newHadoopConf() copies the full
+    * property set per call, but caching the first resolution for the JVM
+    * lifetime would silently serve a stale conf to a later session with
+    * different spark.hadoop.* settings (multi-session tests, relaunched
+    * sessions). The cache keys on session identity and re-resolves when
+    * the active session changes; with NO active session the bare
+    * Configuration is returned uncached so it can never mask a later
+    * session's properties. Shared package-wide so every FileSystem lookup
+    * (e.g. [[graft.streaming.StreamingIndex]]) resolves against the SAME
+    * configuration as the committed() checks.
     */
-  @transient @volatile private var cachedConf: Configuration = _
-  private[graft] def hadoopConf: Configuration = {
-    if (cachedConf == null)
-      cachedConf = SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-    cachedConf
-  }
+  @transient @volatile
+  private var cachedConf: (SparkSession, Configuration) = _
+  private[graft] def hadoopConf: Configuration =
+    SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = cachedConf
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val conf = s.sessionState.newHadoopConf()
+          cachedConf = (s, conf)
+          conf
+        }
+      case None => new Configuration()
+    }
 
   /** One committed parquet dataset of any derived index artifact (band
     * keys, signatures, centroids…). Readers gate on [[committed]], so a

@@ -122,6 +122,19 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
                        batchId: Long) =>
+        // checkpoint/root consistency: batch ids only ever grow under one
+        // checkpoint, so a committed version STRICTLY ABOVE this batch id
+        // means the checkpoint was lost/cleared (ids restarted) or points
+        // at a different root — folding from an empty/stale base here
+        // would silently rewrite history under readers. Fail loudly
+        // instead. (== batchId is a legitimate crash-replay of this very
+        // batch and rewrites deterministically.)
+        latestVersion(root).filter(_ > batchId).foreach { v =>
+          throw new IllegalStateException(
+            s"index root $root has committed version v$v > batch $batchId" +
+              ": checkpoint/root mismatch (lost checkpoint or wrong dir)" +
+              " — refusing to rewrite history")
+        }
         val base = latestVersion(root, limit = batchId)
           .map(v => s"$root/v$v").getOrElse(s"$root/missing")
         val prevMapping = IndexStore.loadMapping(spark, base,
@@ -194,8 +207,15 @@ object StreamingIndex {
     fs.delete(new Path(tmp), true)
   }
 
+  /** 7-digit pad: Spark and DuckDB `lpad` both TRUNCATE strings longer
+    * than the pad length, so a 5-digit pad would cut doc_id+10000 ≥ 100000
+    * to 5 chars and silently collide new adds into updates. 7 digits keeps
+    * every doc_id < 10^7 - 10000 collision-free; the fixture's dense-id
+    * ordering additionally assumes base doc_ids < 10000 (the 10000 shift
+    * makes every new id sort after every base id).
+    */
   private def strId(c: org.apache.spark.sql.Column) =
-    concat(lit("doc-"), lpad(c.cast("string"), 5, "0"))
+    concat(lit("doc-"), lpad(c.cast("string"), 7, "0"))
 
   /** End-to-end fixture run of the streaming ingest: batch 0 adds every
     * document (text + embedding), batch 1 re-adds every 3rd id with
@@ -209,7 +229,7 @@ object StreamingIndex {
     * upsert end-to-end; vector-kept semantics are spec-asserted.
     */
   def streamingIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = IndexStore.indexDir(sfDir, "stream-index-v2", "documents")
+    val root = IndexStore.indexDir(sfDir, "stream-index-v3", "documents")
     val landing = s"$root/landing"
     val ckpt = s"$root/ckpt"
     if (!latestVersion(root).exists(_ >= 1L)) {

@@ -50,7 +50,9 @@ class AnnSpec extends SparkSpec {
       .select((col("vec_id") + 20000).as("vec_id"),
         expr("transform(embedding, x -> cast(x as double) + 0.01)").as("v"))
     AnnSearch.appendToIvfIndex(spark, sf, batch, out)
+    // commit protocol: centroids is written LAST and gates the version
     assert(IndexStore.committed(s"$out/vectors"))
+    assert(IndexStore.committed(s"$out/centroids"))
     val dir = IndexStore.indexDir(sf, "ivf16-v1", "embeddings")
     val oldN = spark.read.parquet(s"$dir/vectors").count()
     val merged = spark.read.parquet(s"$out/vectors")

@@ -113,14 +113,14 @@ class SourcesSpec extends SparkSpec {
     // build (or reuse) the two-batch streamed index, then search it with
     // doc 7's embedding: its own entry must come back at distance 0 first
     StreamingIndex.streamingIndexIngest(spark, sf).count()
-    val root = IndexStore.indexDir(sf, "stream-index-v2", "documents")
+    val root = IndexStore.indexDir(sf, "stream-index-v3", "documents")
     val q = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") === 7)
       .select(expr("transform(embedding, x -> cast(x as double))"))
       .head.getSeq[Double](0)
     val hits = StreamingIndex.searchLatest(spark, root, q, k = 5).collect()
     assert(hits.length == 5)
-    assert(hits.head.getAs[String]("id") == "doc-00007")
+    assert(hits.head.getAs[String]("id") == "doc-0000007")
     assert(hits.head.getAs[Double]("distance") == 0.0)
     val dists = hits.map(_.getAs[Double]("distance")).toSeq
     assert(dists == dists.sorted)

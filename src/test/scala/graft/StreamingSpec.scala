@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
     val mapping = StreamingIndex.streamingIndexIngest(spark, sf).collect()
-    val root = IndexStore.indexDir(sf, "stream-index-v2", "documents")
+    val root = IndexStore.indexDir(sf, "stream-index-v3", "documents")
     val v = StreamingIndex.latestVersion(root).get
     assert(v == 1L)
     val nBase = Tables.load(spark, sf, "documents")
@@ -167,5 +167,34 @@ class StreamingSpec extends SparkSpec {
     assert(st2.getTimeoutTimestampMs.isPresent)
     assert(st2.getTimeoutTimestampMs.get() ==
       lastUs / 1000L + gapUs / 1000L)
+  }
+
+  test("index ingest refuses a fresh checkpoint over an older root") {
+    import graft.sources.IndexStore
+    import graft.streaming.StreamingIndex
+    // a committed v5 this (fresh) checkpoint knows nothing about: the
+    // lost-checkpoint scenario — batch ids restart at 0 and would fold
+    // from an EMPTY base, rewriting history under readers
+    val root = Files.createTempDirectory("graft_ckpt_mismatch").toString
+    IndexStore.saveDataset(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StreamingIndex.MappingSchema), s"$root/v5/mapping")
+    IndexStore.saveDataset(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StreamingIndex.VectorSchema), s"$root/v5/vectors")
+    assert(StreamingIndex.latestVersion(root).contains(5L))
+    val landing = s"$root/landing"
+    Seq(("doc-a", "text a", Seq(1.0, 0.0)))
+      .toDF("str_id", "text", "v").coalesce(1).write.parquet(landing)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIndex.ingestAvailable(spark, landing, root,
+        s"$root/ckpt-fresh")
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(msgs.contains("checkpoint/root mismatch"))
+    // and the refused batch rewrote nothing: v5 is still the latest
+    assert(StreamingIndex.latestVersion(root).contains(5L))
   }
 }
