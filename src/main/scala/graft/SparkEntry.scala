@@ -114,6 +114,8 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
     "ann_ivf_persisted" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
+    "ann_recall_violations" ->
+      ((s, d) => AnnSearch.annRecallViolations(s, d)),
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
@@ -231,6 +233,16 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // HARD recall gate: the engine returns the floor-VIOLATING rows of the
+    // per-method recall report, so the passing state is zero rows — the
+    // oracle is the typed empty relation, and any recall regression flips
+    // rows_match red instead of hiding inside a rows-only entry's column
+    "ann_recall_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method,
+        |  CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS DOUBLE) AS recall,
+        |  CAST(NULL AS DOUBLE) AS floor
+        |WHERE 1 = 0""".stripMargin,
     "knn_search" -> DuckKnnOracle,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation

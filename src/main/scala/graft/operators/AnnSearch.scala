@@ -322,8 +322,8 @@ object AnnSearch {
         .select(col("query_id"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
         .withColumn("method", lit(name))
-        .withColumn("meets_floor",
-          col("recall") >= lit(floors.getOrElse(name, 0.8)))
+        .withColumn("floor", lit(floors.getOrElse(name, 0.8)))
+        .withColumn("meets_floor", col("recall") >= col("floor"))
     }
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
@@ -331,7 +331,47 @@ object AnnSearch {
       .unionAll(recallOf("pq",
         Quantize.pqKnn(spark, sfDir, nQueries, k)))
       .select(col("method"), col("query_id"), col("recall"),
-        col("meets_floor"))
+        col("floor"), col("meets_floor"))
       .orderBy("method", "query_id")
+  }
+
+  /** HARD recall gate: an EMPTY result is the passing state, checked
+    * against a typed zero-row oracle, so a recall regression flips the
+    * driver's rows_match red instead of hiding inside a boolean column of
+    * a rows-only entry. Two violation levels (both rows of the same
+    * shape; method-level rows carry NULL query_id):
+    *
+    *  - method level: avg recall under the method's floor — the same
+    *    averages AnnSpec asserts, the real regression signal;
+    *  - query level: any single query under the method's CATASTROPHIC
+    *    minimum (set well below every observed per-query value, so it
+    *    trips on "a query found nothing", not on normal per-query
+    *    variance — a per-query gate at the average floor would be
+    *    knife-edge: ivf query 5 legitimately sits at 0.5 vs the 0.6
+    *    average floor at sf0.01).
+    *
+    * This is the regression alarm for the reference's accuracy knob
+    * (`main.py:31` efSearch — "higher = more accurate").
+    */
+  def annRecallViolations(spark: SparkSession, sfDir: String,
+                          nQueries: Int = 10, k: Int = 10,
+                          queryMinima: Map[String, Double] =
+                            Map("lsh" -> 0.5, "ivf" -> 0.25,
+                              "ivf_sq" -> 0.25, "pq" -> 0.15)): DataFrame = {
+    val r = annRecall(spark, sfDir, nQueries, k)
+    val qmin = queryMinima.foldLeft(lit(0.0)) { case (acc, (m, f)) =>
+      when(col("method") === m, lit(f)).otherwise(acc)
+    }
+    val methodViol = r.groupBy("method")
+      .agg(round(avg(col("recall")), 4).as("recall"),
+        first(col("floor")).as("floor"))
+      .filter(col("recall") < col("floor"))
+      .select(col("method"), lit(null).cast("long").as("query_id"),
+        col("recall"), col("floor"))
+    val queryViol = r.withColumn("qmin", qmin)
+      .filter(col("recall") < col("qmin"))
+      .select(col("method"), col("query_id"),
+        round(col("recall"), 4).as("recall"), col("qmin").as("floor"))
+    methodViol.unionAll(queryViol).orderBy("method", "query_id")
   }
 }
