@@ -31,6 +31,36 @@ import graft.sources.IndexStore
   */
 object AnnSearch {
 
+  /** IVF hyper-parameter auto-sizing. Every entry point takes explicit
+    * overrides; 0 (the default) derives from the indexed table's size:
+    *
+    *  - nClusters ≈ √n (the FAISS nlist guideline): keeps BOTH the
+    *    per-cluster scan (n/nlist rows) and the probe's centroid table
+    *    (nlist rows) at O(√n), so neither side degenerates as n grows.
+    *    Fixture n=500 → 22; at 10⁹ vectors → ~31.6k. Clamped to
+    *    [4, 65536]: above ~65k hive partition dirs, file-listing cost
+    *    dominates and the layout should move to hierarchical/bucketed
+    *    partition keys (see SCALING.md).
+    *  - nProbe = ⌈3/8 · nClusters⌉ at fixture scale — the probe FRACTION,
+    *    not the count, is what fixes the recall point, so the default
+    *    preserves the measured 16-cluster/6-probe operating point. (At
+    *    true 100 TB scale operators tune this down: recall-per-probe
+    *    rises with cluster count.)
+    */
+  private[graft] def autoClusters(n: Long): Int =
+    math.max(4, math.min(65536, math.round(math.sqrt(n.toDouble)).toInt))
+
+  private[graft] def autoProbe(nClusters: Int): Int =
+    math.max(1, (nClusters * 3 + 7) / 8)
+
+  private def resolveClusters(spark: SparkSession, sfDir: String,
+                              nClusters: Int): Int =
+    if (nClusters > 0) nClusters
+    else autoClusters(Tables.load(spark, sfDir, "embeddings").count())
+
+  private def resolveProbe(nClusters: Int, nProbe: Int): Int =
+    if (nProbe > 0) nProbe else autoProbe(nClusters)
+
   private def normalizedVec(spark: SparkSession, sfDir: String): DataFrame =
     VectorSearch.normalized(spark, sfDir)
       .select(col("vec_id"), array_to_vector(col("v")).as("features"),
@@ -80,11 +110,12 @@ object AnnSearch {
     * bucketing co-locates joins but prunes nothing.)
     */
   def buildIvfIndex(spark: SparkSession, sfDir: String,
-                    nClusters: Int = 16): String = {
+                    nClusters: Int = 0): String = {
     import spark.implicits._
-    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nc-v1", "embeddings")
     val data = normalizedVec(spark, sfDir)
-    val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
+    val km = new KMeans().setK(nc).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(data)
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -138,11 +169,13 @@ object AnnSearch {
     * the probed cluster partitions.
     */
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-             k: Int = 10, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
-    val dir = loadOrBuildIvf(spark, sfDir, nClusters)
+             k: Int = 10, nClusters: Int = 0, nProbe: Int = 0): DataFrame = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = loadOrBuildIvf(spark, sfDir, nc)
     val centersDf = spark.read.parquet(s"$dir/centroids")
     val (probedClusters, probes) =
-      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf, nProbe)
+      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf,
+        resolveProbe(nc, nProbe))
     val assigned = spark.read.parquet(s"$dir/vectors")
       .filter(col("cluster").isin(probedClusters: _*))
     VectorSearch.topK(
@@ -173,16 +206,17 @@ object AnnSearch {
     */
   private def loadOrBuildIvf(spark: SparkSession, sfDir: String,
                              nClusters: Int): String = {
-    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-v1", "embeddings")
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nc-v1", "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/vectors"))
-      buildIvfIndex(spark, sfDir, nClusters)
+      buildIvfIndex(spark, sfDir, nc)
     dir
   }
 
   def appendToIvfIndex(spark: SparkSession, sfDir: String,
                        batch: DataFrame, out: String,
-                       nClusters: Int = 16): Unit = {
+                       nClusters: Int = 0): Unit = {
     // a committed `out` means this version already folded its batch — a
     // re-invocation (crash-replay, retried job) must not append it twice.
     // centroids is the LAST artifact the happy path writes, so its
@@ -249,11 +283,12 @@ object AnnSearch {
     * the fit still happens once per data version across BOTH layouts.
     */
   def buildIvfSqIndex(spark: SparkSession, sfDir: String,
-                      nClusters: Int = 16): String = {
-    val dir = IndexStore.indexDir(sfDir, s"ivfsq$nClusters-v2", "embeddings")
+                      nClusters: Int = 0): String = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = IndexStore.indexDir(sfDir, s"ivfsq$nc-v2", "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/vectors")) {
-      val ivfDir = loadOrBuildIvf(spark, sfDir, nClusters)
+      val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
       IndexStore.saveDataset(
         spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
       // quantize passes the cluster column through — one map pass over the
@@ -270,12 +305,14 @@ object AnnSearch {
     * per-query candidate margin against full-precision vectors.
     */
   def ivfSqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-               k: Int = 10, nClusters: Int = 16, nProbe: Int = 6,
+               k: Int = 10, nClusters: Int = 0, nProbe: Int = 0,
                rerank: Int = 40): DataFrame = {
-    val dir = buildIvfSqIndex(spark, sfDir, nClusters)
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = buildIvfSqIndex(spark, sfDir, nc)
     val centersDf = spark.read.parquet(s"$dir/centroids")
     val (probedClusters, probes) =
-      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf, nProbe)
+      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf,
+        resolveProbe(nc, nProbe))
     val assigned = spark.read.parquet(s"$dir/vectors")
       .filter(col("cluster").isin(probedClusters: _*))
     // asc_nulls_last: degenerate rows carry NULL adist (NULL scale/qv from

@@ -31,6 +31,20 @@ import graft.sources.IndexStore
   */
 object Quantize {
 
+  /** PQ codebook auto-sizing: pass 0 to derive nCodes ≈ √n clamped to
+    * [8, 256] — 256 is the byte-code ceiling (one code must fit a byte
+    * for the m-bytes-per-vector storage story), and √n keeps ≥ √n points
+    * per centroid so the per-subspace k-means stays well-conditioned.
+    * Fixture n=500 → 22 codes; explicit overrides always win.
+    */
+  private def resolveCodes(spark: SparkSession, sfDir: String,
+                           nCodes: Int): Int =
+    if (nCodes > 0) nCodes
+    else {
+      val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+      math.max(8, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
+    }
+
   /** Append (scale, qv: array<tinyint>) and drop `v` — all other columns
     * (e.g. a cluster id) pass through, so layouts compose without a
     * self-join. Degenerate vectors (zero-norm → NaN after normalization,
@@ -69,11 +83,12 @@ object Quantize {
     * never in a query.
     */
   def buildPqIndex(spark: SparkSession, sfDir: String, m: Int = 8,
-                   nCodes: Int = 16): String = {
+                   nCodes: Int = 0): String = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-    val dir = IndexStore.indexDir(sfDir, s"pq$m-$nCodes-v1", "embeddings")
+    val nk = resolveCodes(spark, sfDir, nCodes)
+    val dir = IndexStore.indexDir(sfDir, s"pq$m-$nk-v1", "embeddings")
     if (IndexStore.committed(s"$dir/codebooks") &&
         IndexStore.committed(s"$dir/codes")) return dir
     // one normalize pass cached across the dim probe, the m k-means
@@ -88,7 +103,7 @@ object Quantize {
       val sv = normed.select(col("vec_id"),
         slice(col("v"), j * sub + 1, sub).as("sv"))
         .withColumn("features", array_to_vector(col("sv")))
-      val model = new KMeans().setK(nCodes).setSeed(42L + j).setMaxIter(5)
+      val model = new KMeans().setK(nk).setSeed(42L + j).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("code").fit(sv)
       val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (j, i, c.toArray.toSeq)
@@ -118,10 +133,11 @@ object Quantize {
     * its floor is the loosest of the family.
     */
   def pqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-            k: Int = 10, m: Int = 8, nCodes: Int = 16,
+            k: Int = 10, m: Int = 8, nCodes: Int = 0,
             rerank: Int = 40): DataFrame = {
     import spark.implicits._
-    val dir = buildPqIndex(spark, sfDir, m, nCodes)
+    val nk = resolveCodes(spark, sfDir, nCodes)
+    val dir = buildPqIndex(spark, sfDir, m, nk)
     val books = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code")) ->
         r.getSeq[Double](r.fieldIndex("center"))).toMap
@@ -133,7 +149,7 @@ object Quantize {
       // fill from the codebook rows that actually exist: k-means may
       // return < nCodes centers on a degenerate subspace, and no stored
       // code can reference an absent slot — +inf keeps the layout dense
-      val lut = Array.fill(m * nCodes)(Double.PositiveInfinity)
+      val lut = Array.fill(m * nk)(Double.PositiveInfinity)
       books.foreach { case ((j, c), center) =>
         var s = 0.0
         var i = 0
@@ -142,7 +158,7 @@ object Quantize {
           s += d * d
           i += 1
         }
-        lut(j * nCodes + c) = s
+        lut(j * nk + c) = s
       }
       (qid, qv, lut.toSeq)
     }.toSeq.toDF("query_id", "qu", "lut")
@@ -150,7 +166,7 @@ object Quantize {
       .join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
         expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
-          acc + element_at(lut, j * $nCodes +
+          acc + element_at(lut, j * $nk +
             element_at(codes, j + 1) + 1))""").as("adist"))
     VectorSearch.rescoreTopK(
       VectorSearch.pruneCandidates(adist, rerank), normed, k)

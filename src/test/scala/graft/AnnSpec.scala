@@ -25,8 +25,12 @@ class AnnSpec extends SparkSpec {
   }
 
   test("persisted IVF probe prunes cluster partitions at the file source") {
+    // auto-sized: √500 = 22 clusters on the fixture (nlist ≈ √n)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nc = AnnSearch.autoClusters(n)
+    assert(nc == math.round(math.sqrt(n.toDouble)).toInt)
     val dir = AnnSearch.buildIvfIndex(spark, sf)
-    assert(dir == IndexStore.indexDir(sf, "ivf16-v1", "embeddings"))
+    assert(dir == IndexStore.indexDir(sf, s"ivf$nc-v1", "embeddings"))
     assert(IndexStore.committed(s"$dir/centroids"))
     val res = AnnSearch.ivfKnn(spark, sf)
     assert(res.count() > 0)
@@ -37,10 +41,24 @@ class AnnSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
     // and the persisted layout is physically partitioned by cluster id
     // (hive-style dirs), so those PartitionFilters prune at file listing
-    // (k-means may legitimately leave some of the 16 clusters empty)
+    // (k-means may legitimately leave some clusters empty)
     val clusterDirs = new java.io.File(s"$dir/vectors").listFiles()
       .count(_.getName.startsWith("cluster="))
-    assert(clusterDirs > 1 && clusterDirs <= 16)
+    assert(clusterDirs > 1 && clusterDirs <= nc)
+  }
+
+  test("recall floors hold at a second (explicit) cluster count") {
+    // the auto default is √n ≈ 22 on the fixture; prove the floors are a
+    // property of the probe FRACTION, not of one tuned constant, by
+    // running the same operating point at nClusters=8 (nProbe=3 = ⌈3/8·8⌉)
+    val exact = graft.operators.VectorSearch.knnSearch(spark, sf)
+      .select(col("query_id"), col("id"))
+    val approx = AnnSearch.ivfKnn(spark, sf, nClusters = 8)
+      .select(col("query_id"), col("id"))
+    val nQ = exact.select("query_id").distinct().count()
+    val hits = exact.join(approx, Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.6, s"ivf recall $recall at nClusters=8")
   }
 
   test("appendToIvfIndex adds a batch O(batch) into a committed version") {
@@ -53,7 +71,9 @@ class AnnSpec extends SparkSpec {
     // commit protocol: centroids is written LAST and gates the version
     assert(IndexStore.committed(s"$out/vectors"))
     assert(IndexStore.committed(s"$out/centroids"))
-    val dir = IndexStore.indexDir(sf, "ivf16-v1", "embeddings")
+    val nc = AnnSearch.autoClusters(
+      Tables.load(spark, sf, "embeddings").count())
+    val dir = IndexStore.indexDir(sf, s"ivf$nc-v1", "embeddings")
     val oldN = spark.read.parquet(s"$dir/vectors").count()
     val merged = spark.read.parquet(s"$out/vectors")
     assert(merged.count() == oldN + batch.count())
@@ -85,7 +105,9 @@ class AnnSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
     // the probed scan reads the QUANTIZED store (tinyint qv + scale),
     // not the full-precision table
-    assert(plan.contains("ivfsq16-v2"))
+    val nc = AnnSearch.autoClusters(
+      Tables.load(spark, sf, "embeddings").count())
+    assert(plan.contains(s"ivfsq$nc-v2"))
   }
 
   test("SQ8 quantized search equals the exact kNN after rescoring") {
