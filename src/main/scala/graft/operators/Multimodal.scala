@@ -71,17 +71,20 @@ object Multimodal {
     * controlled batches — shared by [[decode]] and [[frameSample]] so both
     * consume the identical stage.
     */
-  private def decoded(spark: SparkSession, sfDir: String): DataFrame = {
+  private def decoded(spark: SparkSession, sfDir: String,
+                      targetBatchBytes: Long): DataFrame = {
     import spark.implicits._
-    mediaBatches(spark, sfDir).mapPartitions(_.map(decodeOne)).toDF()
+    mediaBatches(spark, sfDir, targetBatchBytes)
+      .mapPartitions(_.map(decodeOne)).toDF()
   }
 
-  /** Batched decode: repartition (controls batch size at scale) then one
-    * mapPartitions pass. Output is flat columns + an array column — the
-    * schema a feature-extraction stage would consume.
+  /** Batched decode: byte-targeted repartition (controls batch size at
+    * scale) then one mapPartitions pass. Output is flat columns + an
+    * array column — the schema a feature-extraction stage would consume.
     */
-  def decode(spark: SparkSession, sfDir: String): DataFrame =
-    decoded(spark, sfDir).orderBy("doc_id")
+  def decode(spark: SparkSession, sfDir: String,
+             targetBatchBytes: Long = DefaultBatchBytes): DataFrame =
+    decoded(spark, sfDir, targetBatchBytes).orderBy("doc_id")
 
   /** Resize + feature-extract stage over decoded media: aspect-preserving
     * fit into 256×256 (integer arithmetic — exact in any engine) and a
@@ -100,20 +103,48 @@ object Multimodal {
       feats)
   }
 
-  /** The shared batch shape for decode-style stages: payload column,
-    * controlled partitioning (= batch sizing at scale), typed rows.
+  /** Decode batches are sized by PAYLOAD BYTES, not row count: media rows
+    * vary by orders of magnitude (a thumbnail vs a video), and decoded
+    * frames amplify memory well beyond the encoded bytes, so the batch
+    * size is the executor-memory control. Default 32 MiB encoded per
+    * batch leaves room for a ~10–50× decode amplification inside a
+    * multi-GiB executor; callers override per modality.
     */
-  private def mediaBatches(spark: SparkSession, sfDir: String) = {
+  val DefaultBatchBytes: Long = 32L * 1024 * 1024
+
+  /** Partition count for `totalBytes` of payload at `targetBatchBytes`
+    * per batch — ⌈total/target⌉ clamped to [1, 1 << 20].
+    */
+  private[graft] def batchCount(totalBytes: Long,
+                                targetBatchBytes: Long): Int = {
+    require(targetBatchBytes > 0, s"targetBatchBytes=$targetBatchBytes")
+    math.max(1L, math.min(1L << 20,
+      (totalBytes + targetBatchBytes - 1) / targetBatchBytes)).toInt
+  }
+
+  /** The shared batch shape for decode-style stages: payload column,
+    * byte-targeted repartitioning (= batch sizing at scale), typed rows.
+    * The sizing scan is one cheap aggregate over the payload lengths; at
+    * 100 TB the same number comes from table statistics instead.
+    */
+  private[graft] def mediaBatches(spark: SparkSession, sfDir: String,
+                                  targetBatchBytes: Long) = {
     import spark.implicits._
-    mediaTable(spark, sfDir)
+    val media = mediaTable(spark, sfDir)
       .select(col("doc_id"), col("content"))
-      .repartition(8, col("doc_id"))
+    val totalBytes = media
+      .agg(coalesce(sum(length(col("content"))), lit(0L)))
+      .head.getLong(0)
+    media
+      .repartition(batchCount(totalBytes, targetBatchBytes), col("doc_id"))
       .as[MediaRow]
   }
 
-  def featurize(spark: SparkSession, sfDir: String): DataFrame = {
+  def featurize(spark: SparkSession, sfDir: String,
+                targetBatchBytes: Long = DefaultBatchBytes): DataFrame = {
     import spark.implicits._
-    mediaBatches(spark, sfDir).mapPartitions(_.map(featurizeOne)).toDF()
+    mediaBatches(spark, sfDir, targetBatchBytes)
+      .mapPartitions(_.map(featurizeOne)).toDF()
       .orderBy("doc_id")
   }
 
@@ -124,8 +155,9 @@ object Multimodal {
     * and per-frame inference: a narrow explode, no shuffle until the
     * per-doc re-aggregation.
     */
-  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    decoded(spark, sfDir)
+  def frameSample(spark: SparkSession, sfDir: String,
+                  targetBatchBytes: Long = DefaultBatchBytes): DataFrame = {
+    decoded(spark, sfDir, targetBatchBytes)
       .select(col("doc_id"), posexplode(col("frame_hashes")).as(Seq("pos", "fh")))
       .filter(col("pos") % 2 === 0)
       .groupBy(col("doc_id"))

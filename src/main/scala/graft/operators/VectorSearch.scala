@@ -91,20 +91,29 @@ object VectorSearch {
     * buckets, L2-normalized — the deterministic, engine-portable stand-in
     * for a model-produced text embedding (the reference's declared
     * text-search intent, `README.md:19-22`; a real deployment swaps this
-    * column for the model's). One narrow explode + one hash aggregate:
-    * no joins, no shuffle beyond the per-doc groupBy.
+    * column for the model's).
+    *
+    * Shape: explode → groupBy(doc_id, bucket) count → per-doc assembly of
+    * the dense array via a (bucket → count) map. Plan width is O(1) in
+    * `dim` — the obvious alternative (one `sum(when(j = k))` column per
+    * bucket) is a dim-wide aggregate whose generated code explodes past
+    * dim ≈ 100; this form runs identically at dim=16 and dim=4096. Both
+    * aggregates are partial (map-side combine), keys are (doc, bucket)
+    * so the first shuffle carries ≤ doc·distinct-bucket rows, never raw
+    * tokens.
     */
   def textEmbed(docs: DataFrame, dim: Int = 16): DataFrame = {
     import graft.functions.TextHash.hash32
     val toks = TextAnalysis.tokensPos(docs)
       .select(col("doc_id"), pmod(hash32(col("tok")), lit(dim)).as("j"))
-    val counts = toks.groupBy(col("doc_id")).agg(
-      sum(when(col("j") === 0, 1L).otherwise(0L)).cast("double").as("c0"),
-      (1 until dim).map(j =>
-        sum(when(col("j") === j, 1L).otherwise(0L)).cast("double")
-          .as(s"c$j")): _*)
-    counts.select(col("doc_id"),
-      l2Normalize(array((0 until dim).map(j => col(s"c$j")): _*)).as("v"))
+    val counts = toks.groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+        .as("jc"))
+      .select(col("doc_id"),
+        l2Normalize(transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("jc"), i), lit(0.0)))).as("v"))
   }
 
   /** Text-embedding k-NN search: [[knnSearch]]'s broadcast-queries plan

@@ -69,4 +69,44 @@ class VectorOpsSpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
     }
   }
+
+  test("textEmbed scales past toy dims: O(1) plan width at dim=256") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val emb = VectorSearch.textEmbed(docs, dim = 256)
+    // a sane plan: NO per-bucket aggregate expression fan-out — the old
+    // sum(when(j = k)) form would put 256 aggregate columns here
+    val agg = emb.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.length
+    }
+    assert(agg.nonEmpty && agg.forall(_ <= 4), s"agg widths $agg")
+    val rows = emb.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 256)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    // bucket counts land at the hashed index: recompute doc 0's vector
+    // driver-side from the same tokens and hash
+    val first = rows.head
+    val docId = first.getLong(0)
+    val text = docs.filter(col("doc_id") === docId)
+      .head.getString(1)
+    // same hash as TextHash.hash32: first 8 hex chars of md5, base 16
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+    val counts = new Array[Double](256)
+    text.split(" ").filter(_.nonEmpty).foreach { t =>
+      counts((h32(t) % 256).toInt) += 1.0
+    }
+    val n = math.sqrt(counts.map(x => x * x).sum)
+    first.getSeq[Double](1).zip(counts.map(_ / n)).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-9, s"doc $docId")
+    }
+  }
 }
