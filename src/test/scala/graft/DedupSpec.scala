@@ -153,4 +153,32 @@ class DedupSpec extends SparkSpec {
     // fingerprints mostly distinct across 500 distinct texts
     assert(a.map(_.getAs[Long]("fingerprint")).distinct.length > 490)
   }
+
+  test("components converges on a 50-node path well under the diameter") {
+    import spark.implicits._
+    // a path 0-1-2-...-49 has diameter 49: plain min-propagation needs 49
+    // rounds; pointer jumping must land the whole chain on component 0
+    // within a 10-round cap (O(log diameter))
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.components(chain, maxIters = 10).collect()
+    assert(labels.length == 50)
+    assert(labels.forall(_.getAs[Long]("component") == 0L))
+    // and two disjoint chains keep distinct minima
+    val two = ((0L until 9L).map(i => (i, i + 1)) ++
+      (100L until 109L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val l2 = Dedup.components(two, maxIters = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    (0L to 9L).foreach(i => assert(l2(i) == 0L))
+    (100L to 109L).foreach(i => assert(l2(i) == 100L))
+  }
+
+  test("decontaminate leaves the join strategy to AQE (broadcast here)") {
+    val df = Dedup.decontaminate(spark, sf)
+    df.collect()
+    // at fixture scale AQE must still pick a broadcast join for the tiny
+    // eval side — dropping the hard hint must not cost the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
