@@ -169,6 +169,63 @@ class StreamingSpec extends SparkSpec {
       lastUs / 1000L + gapUs / 1000L)
   }
 
+  test("windowed-agg state stays bounded: watermark eviction fires") {
+    // the 100 TB streaming risk is unbounded state, not wrong sums: an
+    // append-mode windowed aggregation over ≥3 time-ordered micro-batches
+    // must EVICT finalized windows as the watermark advances, so the
+    // state store never holds every window ever seen
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("us"))
+    val qs = ev.stat.approxQuantile("us", Array(0.25, 0.5, 0.75), 0.0)
+      .map(_.toLong)
+    val stage = Files.createTempDirectory("graft_state_evict")
+    val parts = Seq(
+      ev.filter(col("us") <= qs(0)),
+      ev.filter(col("us") > qs(0) && col("us") <= qs(1)),
+      ev.filter(col("us") > qs(1) && col("us") <= qs(2)),
+      ev.filter(col("us") > qs(2)))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = Files.createTempDirectory(s"graft_evict_w$i")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(f"batch$i%02d.parquet")
+      Files.copy(part.toPath, dst)
+      // file source orders batches by mtime — make the order explicit
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10000L - i * 1000L)))
+    }
+    val schema = parts.head.schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName("graft_evict_probe").start()
+      try q.processAllAvailable() finally q.stop()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3, s"only ${batches.length} micro-batches")
+      val stateRows = batches.map(_.stateOperators.head.numRowsTotal)
+      val removed = batches.map(_.stateOperators.head.numRowsRemoved).sum
+      val totalWindows = ev
+        .select((col("us") - (col("us") % (300L * 1000000L))).as("w"))
+        .distinct().count()
+      // eviction actually fired, and the final state holds only the
+      // un-finalized tail near the watermark — not every window ever seen
+      assert(removed > 0, s"no state rows removed across $batches")
+      assert(stateRows.last < totalWindows,
+        s"final state ${stateRows.last} >= all-windows $totalWindows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("index ingest refuses a fresh checkpoint over an older root") {
     import graft.sources.IndexStore
     import graft.streaming.StreamingIndex
