@@ -122,6 +122,9 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
+    "bm25_search" -> ((s, d) => TfIdf.bm25Search(s, d)),
+    "chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "fuzzy_token_join" -> ((s, d) => TextAnalysis.fuzzyTokenJoin(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
     "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
@@ -1211,6 +1214,89 @@ object SparkEntry {
          |  count(*) AS n_hits
          |FROM toks t JOIN w ON t.tok = w.tok
          |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin,
+    // BM25: every constant sub-expression ((1.2 + 1.0), (1.0 - 0.75)) is
+    // written as the SAME literal arithmetic the Spark side folds, so the
+    // two engines' doubles are bit-identical before the 4dp rounding
+    "bm25_search" ->
+      s"""WITH $DuckToks,
+         |terms AS (
+         |  SELECT tok FROM toks GROUP BY tok
+         |  ORDER BY count(*) DESC, tok LIMIT 5
+         |),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |dlen AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+         |  FROM toks GROUP BY 1
+         |),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+         |dft AS (
+         |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+         |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM dft, nn
+         |),
+         |tf AS (
+         |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1, 2, 3
+         |)
+         |SELECT tf.doc_id,
+         |  round(sum(tf.idf * tf.tf * (1.2 + 1.0) /
+         |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
+         |    AS score,
+         |  CAST(sum(tf.tf) AS BIGINT) AS n_hits
+         |FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id, ad
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin,
+    // chunking: lo is clamped non-negative BEFORE the division, so
+    // DuckDB's floor-// and Spark's truncating div agree
+    "chunk_docs" ->
+      """WITH tp AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    generate_subscripts(l, 1) - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |),
+        |tc AS (
+        |  SELECT doc_id, tok, pos,
+        |    unnest(range(greatest(pos - 64 + 48, 0) // 48,
+        |                 pos // 48 + 1)) AS k
+        |  FROM tp WHERE tok <> ''
+        |)
+        |SELECT doc_id, k AS chunk_ix, count(*) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |FROM tc GROUP BY doc_id, k
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
+    // SymSpell depth-2 deletion neighborhoods: {self} ∪ delete-1 ∪
+    // delete-2; shared-variant equi-join generates candidates, exact
+    // levenshtein verifies
+    "fuzzy_token_join" ->
+      s"""WITH $DuckToks,
+         |vocab AS (
+         |  SELECT tok, count(*) AS freq FROM toks
+         |  GROUP BY tok HAVING count(*) >= 5
+         |),
+         |d1 AS (
+         |  SELECT tok, freq,
+         |    list_transform(range(0, length(tok)),
+         |      i -> substr(tok, 1, i) || substr(tok, i + 2)) AS l1
+         |  FROM vocab
+         |),
+         |vars AS (
+         |  SELECT DISTINCT tok, freq, unnest(list_distinct(flatten([
+         |    [tok], l1,
+         |    flatten(list_transform(l1, v ->
+         |      list_transform(range(0, length(v)),
+         |        i -> substr(v, 1, i) || substr(v, i + 2))))
+         |  ]))) AS variant
+         |  FROM d1
+         |)
+         |SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+         |  a.freq AS freq_a, b.freq AS freq_b,
+         |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+         |FROM vars a JOIN vars b ON a.variant = b.variant
+         |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
+         |ORDER BY tok_a, tok_b""".stripMargin,
     "filter_like" ->
       """SELECT p_brand, count(*) AS n,
         |  round(avg(p_retailprice), 4) AS avg_price

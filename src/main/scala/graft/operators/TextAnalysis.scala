@@ -345,4 +345,79 @@ object TextAnalysis {
       .agg((sum(col("term")) % FingerprintPrime).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** RAG-style document chunking: overlapping fixed-size token windows.
+    * Chunk k of a doc covers token positions [k·stride, k·stride+size);
+    * with stride < size consecutive chunks overlap by size−stride tokens
+    * (the standard retrieval-chunking shape: no sentence straddles a hard
+    * boundary unseen).
+    *
+    * Scale shape: one narrow pass — each TOKEN computes the (≤
+    * ⌈size/stride⌉) chunk ids it belongs to and explodes to (token,
+    * chunk) rows; assembly is one groupBy(doc, chunk). No self-join, no
+    * window function, no per-doc collect; the shuffle carries each token
+    * at most size/stride times. Both engines compute chunk ranges with
+    * the same non-negative integer arithmetic (lo = max(pos−size+stride,
+    * 0) div stride — clamped BEFORE the division so truncating and floor
+    * division agree).
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String, size: Int = 64,
+                stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= size, s"stride $stride vs size $size")
+    tokensPos(Tables.load(spark, sfDir, "documents"))
+      .withColumn("k", explode(sequence(
+        expr(s"greatest(pos - $size + $stride, 0) div $stride"),
+        expr(s"pos div $stride"))))
+      .groupBy(col("doc_id"), col("k").cast("long").as("chunk_ix"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
+  /** Fuzzy token self-join via deletion neighborhoods (the SymSpell
+    * trick): two strings within edit distance d share a common string in
+    * their delete-up-to-d neighborhoods, so candidate generation is an
+    * EQUI-join on generated variants — never an all-pairs distance scan —
+    * and exact `levenshtein` verifies the collided pairs only. The
+    * data-cleaning primitive for typo clustering / vocab normalization.
+    *
+    * Scale shape: a token of length L explodes to O(L^d) variant rows
+    * (d=2 default: 1 + L + L·(L−1)/2, bounded by max token length), the
+    * join is a plain equi-shuffle on the variant string, and verification
+    * touches only collided pairs. Restricted to tokens with `minFreq`+
+    * occurrences — the vocabulary head, where typo clustering is
+    * meaningful.
+    */
+  def fuzzyTokenJoin(spark: SparkSession, sfDir: String,
+                     minFreq: Long = 5L, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3, s"maxDist $maxDist")
+    val vocab = tokensPos(Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    def delAll(c: Column): Column =
+      transform(sequence(lit(0), length(c) - 1),
+        i => concat(c.substr(lit(1), i), c.substr(i + 2, length(c))))
+    var neigh: Column = array(col("tok"))
+    var frontier: Column = array(col("tok"))
+    (1 to maxDist).foreach { _ =>
+      frontier = array_distinct(flatten(transform(frontier, delAll(_))))
+      neigh = array_distinct(concat(neigh, frontier))
+    }
+    val variants = vocab.select(col("tok"), col("freq"),
+      explode(neigh).as("variant"))
+    val a = variants.select(col("tok").as("tok_a"), col("freq").as("freq_a"),
+      col("variant"))
+    val bb = variants.select(col("tok").as("tok_b"), col("freq").as("freq_b"),
+      col("variant"))
+    a.join(bb, "variant")
+      .filter(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("freq_a"), col("freq_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .orderBy("tok_a", "tok_b")
+  }
 }

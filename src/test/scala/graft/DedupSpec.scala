@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, TextAnalysis, TfIdf}
+import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
@@ -152,6 +153,60 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     // fingerprints mostly distinct across 500 distinct texts
     assert(a.map(_.getAs[Long]("fingerprint")).distinct.length > 490)
+  }
+
+  test("bm25 ranks by saturated tf with length normalization") {
+    val res = TfIdf.bm25Search(spark, sf).collect()
+    assert(res.length == 20)
+    val scores = res.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(res.forall(_.getAs[Long]("n_hits") > 0))
+    // saturation: score grows sublinearly in tf — a doc can never score
+    // more than (k1+1) * sum(idf of its matched DISTINCT terms)
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("chunkDocs windows cover every token with the configured overlap") {
+    val size = 64
+    val stride = 48
+    val chunks = TextAnalysis.chunkDocs(spark, sf, size, stride).collect()
+    val toks = TextAnalysis.tokensPos(Tables.load(spark, sf, "documents"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == toks.keySet)
+    byDoc.foreach { case (doc, cs) =>
+      val (n, text) = toks(doc)
+      val words = text.split(" ")
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_ix"))
+      // chunk k holds exactly tokens [k*stride, k*stride+size)
+      sorted.foreach { c =>
+        val k = c.getAs[Long]("chunk_ix").toInt
+        val expect = words.slice(k * stride,
+          math.min(k * stride + size, n.toInt)).mkString(" ")
+        assert(c.getAs[String]("chunk_text") == expect, s"doc $doc chunk $k")
+      }
+      // chunk ids are contiguous from 0 and cover the last token
+      val ks = sorted.map(_.getAs[Long]("chunk_ix"))
+      assert(ks.head == 0L && ks.sameElements(0L until ks.length))
+      assert((ks.last * stride) < n && (ks.last * stride + size) >= n)
+    }
+  }
+
+  test("fuzzyTokenJoin finds the distance-2 vocabulary pairs via deletes") {
+    val res = TextAnalysis.fuzzyTokenJoin(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[String]("tok_a") < r.getAs[String]("tok_b"))
+      assert(r.getAs[Long]("dist") >= 1L && r.getAs[Long]("dist") <= 2L)
+    }
+    val pairs = res.map(r =>
+      (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))).toSet
+    assert(pairs.contains(("row", "slow"))) // substitution + insertion
   }
 
   test("components converges on a 50-node path well under the diameter") {
