@@ -37,7 +37,11 @@ object IndexStore {
   @transient @volatile
   private var cachedConf: (SparkSession, Configuration) = _
   private[graft] def hadoopConf: Configuration =
-    SparkSession.getActiveSession match {
+    // getActiveSession is THREAD-local (None on e.g. a streaming
+    // micro-batch worker thread) — fall back to the JVM-wide default
+    // session before surrendering to a bare spark.hadoop.*-less conf
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession) match {
       case Some(s) =>
         val c = cachedConf
         if (c != null && (c._1 eq s)) c._2
