@@ -130,6 +130,8 @@ object SparkEntry {
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
     "streaming_sessionize" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
+    "streaming_session_window" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingSessionWindows(s, d)),
     "streaming_dedup" ->
       ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
     "streaming_join" ->
@@ -1313,7 +1315,17 @@ object SparkEntry {
       s"""WITH $DuckToks
          |SELECT tok, count(*) AS cnt FROM toks
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
-    "streaming_sessionize" ->
+    "streaming_sessionize" -> DuckSessionOracle,
+    // the native session_window variant is shaped to the same contract,
+    // so it shares the oracle - semantic drift between the custom-state
+    // and declarative sessionizers flips the gate red
+    "streaming_session_window" -> DuckSessionOracle,
+  )
+
+  /** Gap-session oracle shared by the custom-state and native
+    * session_window streaming sessionizers.
+    */
+  private val DuckSessionOracle =
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
         |    -- lag ordered at the SAME µs precision the engine uses, so a
@@ -1339,6 +1351,5 @@ object SparkEntry {
         |  round(CAST(max(us) - min(us) AS DOUBLE) / 1000000.0, 3)
         |    AS duration_s
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-  )
+        |ORDER BY user_id, session_id""".stripMargin
 }

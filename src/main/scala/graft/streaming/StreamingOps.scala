@@ -186,6 +186,92 @@ object StreamingOps extends Serializable {
   }
 
   case class Ev(user_id: Long, event_id: Long, us: Long)
+  /** Stage the events file plus a LATER sentinel file holding one
+    * far-future event for user −1. The sentinel's only job is to advance
+    * the event-time watermark past every real session's end in a second
+    * micro-batch, so an APPEND-mode session aggregation finalizes and
+    * emits every real session (the standard watermark-flush pattern for
+    * bounded replays of gap-session queries — without it the tail
+    * sessions stay open in state forever and never reach the sink).
+    * Idempotent per fixture dir.
+    */
+  private def stageSessionDir(spark: SparkSession, sfDir: String): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sessw_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val sentinelDst = dir.resolve("b1-sentinel.parquet")
+    if (java.nio.file.Files.exists(sentinelDst)) return dir.toString
+    java.nio.file.Files.createDirectories(dir)
+    val b0 = dir.resolve("b0-events.parquet")
+    if (!java.nio.file.Files.exists(b0))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(spark, sfDir, "events")
+    // raw ts is epoch-NANOS (LongType under nanosAsLong); +10 days puts
+    // the sentinel far past every real session end + the watermark delay
+    val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
+    val tmp = dir.resolve("sentinel-stage")
+    ev.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(maxNs + 10L * 24 * 3600 * 1000000000L))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, sentinelDst)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    // file source orders micro-batches by mtime — make it explicit
+    java.nio.file.Files.setLastModifiedTime(b0,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L))
+    java.nio.file.Files.setLastModifiedTime(sentinelDst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis()))
+    dir.toString
+  }
+
+  /** Gap sessions via the NATIVE `session_window` operator — the
+    * declarative alternative to [[streamingSessionize]]'s custom
+    * `flatMapGroupsWithState`: Spark owns the session state (mergeable
+    * session-window store, watermark-evicted), which is the form that
+    * scales operationally (RocksDB state backend, no user state code).
+    * Two micro-batches (events, then the watermark-flush sentinel —
+    * [[stageSessionDir]]); output is shaped to the SAME contract as the
+    * custom sessionizer, so the two variants share one DuckDB oracle —
+    * any semantic drift between them flips the gate red.
+    */
+  def streamingSessionWindows(spark: SparkSession, sfDir: String,
+                              gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = stageSessionDir(spark, sfDir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"))
+    val out = runToMemory(agg, "graft_stream_sessw", "append",
+      statePartitions = Some(8))
+    // batch post-shape: drop the sentinel user, number sessions per user
+    // in start order — the custom sessionizer's output contract
+    out.filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round((col("end_us") - col("start_us")).cast("double") / 1000000.0,
+          3).as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** [[Ev]] plus the event-time column the watermark is anchored on. */
   case class EvT(user_id: Long, event_id: Long, us: Long,
                  ts: java.sql.Timestamp)

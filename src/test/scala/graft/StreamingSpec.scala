@@ -169,6 +169,18 @@ class StreamingSpec extends SparkSpec {
       lastUs / 1000L + gapUs / 1000L)
   }
 
+  test("native session_window equals the custom-state sessionizer") {
+    // two implementations of the same gap-session semantics — the
+    // declarative mergeable-session-state operator and the
+    // flatMapGroupsWithState fold — must agree row for row
+    val native = StreamingOps.streamingSessionWindows(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val custom = StreamingOps.streamingSessionize(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty)
+    assert(native == custom)
+  }
+
   test("windowed-agg state stays bounded: watermark eviction fires") {
     // the 100 TB streaming risk is unbounded state, not wrong sums: an
     // append-mode windowed aggregation over ≥3 time-ordered micro-batches
