@@ -362,9 +362,14 @@ object TextAnalysis {
     * division agree).
     */
   def chunkDocs(spark: SparkSession, sfDir: String, size: Int = 64,
-                stride: Int = 48): DataFrame = {
+                stride: Int = 48): DataFrame =
+    chunkTokens(Tables.load(spark, sfDir, "documents"), size, stride)
+
+  /** [[chunkDocs]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def chunkTokens(docs: DataFrame, size: Int,
+                                 stride: Int): DataFrame = {
     require(stride > 0 && stride <= size, s"stride $stride vs size $size")
-    tokensPos(Tables.load(spark, sfDir, "documents"))
+    tokensPos(docs)
       .withColumn("k", explode(sequence(
         expr(s"greatest(pos - $size + $stride, 0) div $stride"),
         expr(s"pos div $stride"))))
@@ -391,11 +396,17 @@ object TextAnalysis {
     * meaningful.
     */
   def fuzzyTokenJoin(spark: SparkSession, sfDir: String,
-                     minFreq: Long = 5L, maxDist: Int = 2): DataFrame = {
+                     minFreq: Long = 5L, maxDist: Int = 2): DataFrame =
+    fuzzyVocabJoin(
+      tokensPos(Tables.load(spark, sfDir, "documents"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= minFreq),
+      maxDist)
+
+  /** [[fuzzyTokenJoin]] over an arbitrary (tok, freq) vocabulary. */
+  private[graft] def fuzzyVocabJoin(vocab: DataFrame,
+                                    maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, s"maxDist $maxDist")
-    val vocab = tokensPos(Tables.load(spark, sfDir, "documents"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
     def delAll(c: Column): Column =
       transform(sequence(lit(0), length(c) - 1),
         i => concat(c.substr(lit(1), i), c.substr(i + 2, length(c))))

@@ -43,4 +43,28 @@ class PlanSpec extends SparkSpec {
   test("sql_subqueries rewrites EXISTS to a left-semi join") {
     assert(plan("sql_subqueries").contains("LeftSemi"))
   }
+
+  test("chunk_docs is join-free: explode + one agg shuffle + sort") {
+    val p = plan("chunk_docs")
+    assert(!p.contains("Join"), p.take(800))
+    // partial+final aggregate pair → exactly one hash exchange (plus the
+    // final presentation sort's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(1200))
+  }
+
+  test("bm25 broadcasts the term/idf/avgdl sides, never the token stream") {
+    val p = plan("bm25_search")
+    // three tiny broadcast sides: query terms, idf weights, avgdl
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3, p.take(1200))
+    // the big token stream is never broadcast: every BroadcastHashJoin
+    // builds on the right (the small side in each of these joins)
+    assert(!p.contains("BuildLeft"), p.take(1200))
+  }
+
+  test("fuzzy_token_join candidates come from an equi-join, no cartesian") {
+    val p = plan("fuzzy_token_join")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }

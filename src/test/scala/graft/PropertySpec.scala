@@ -131,4 +131,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkTokens reconstructs arbitrary docs exactly at any geometry") {
+    import graft.operators.TextAnalysis
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val docGen = Gen.choose(1, 150).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = samples(docGen, 25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((8, 8), (8, 5), (16, 4), (5, 1))) {
+      val got = TextAnalysis.chunkTokens(df, size, stride).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      docs.foreach { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        val chunks = got(id).sortBy(_.getAs[Long]("chunk_ix"))
+        // chunk k == words[k*stride, k*stride+size) EXACTLY, ids dense
+        chunks.zipWithIndex.foreach { case (c, k) =>
+          assert(c.getAs[Long]("chunk_ix") == k.toLong)
+          val want = words.slice(k * stride, k * stride + size)
+          assert(c.getAs[String]("chunk_text") == want.mkString(" "),
+            s"doc $id size $size stride $stride chunk $k")
+          assert(c.getAs[Long]("n_tokens") == want.length.toLong)
+        }
+        // coverage: the last chunk reaches the last token, no chunk past it
+        val nk = chunks.length
+        assert((nk - 1) * stride < words.length)
+        assert((nk - 1) * stride + size >= words.length)
+      }
+    }
+  }
+
+  test("fuzzyVocabJoin == brute-force levenshtein over random vocab") {
+    import graft.operators.TextAnalysis
+    val wordGen = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    // small alphabet → plenty of near pairs
+    val vocab = samples(wordGen, 120).distinct
+    val df = vocab.map(w => (w, 1L)).toDF("tok", "freq")
+    val got = TextAnalysis.fuzzyVocabJoin(df, maxDist = 2).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"),
+        r.getAs[Long]("dist"))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd.toLong)).toSet
+    assert(want.nonEmpty) // the generator actually produced near pairs
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
