@@ -125,6 +125,8 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => TfIdf.bm25Search(s, d)),
     "chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "fuzzy_token_join" -> ((s, d) => TextAnalysis.fuzzyTokenJoin(s, d)),
+    "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
+    "funnel" -> ((s, d) => Events.funnel(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
     "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
@@ -1269,6 +1271,62 @@ object SparkEntry {
         |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
         |FROM tc GROUP BY doc_id, k
         |ORDER BY doc_id, chunk_ix""".stripMargin,
+    // bigram-LM add-one smoothing; both engines average the same -ln
+    // values, rounded at the doc edge
+    "doc_perplexity" ->
+      s"""WITH $DuckToks,
+         |bg AS (
+         |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |        FROM documents),
+         |    UNNEST(range(1, greatest(len(l), 1))) t(i)
+         |  WHERE l[i] <> '' AND l[i + 1] <> ''
+         |),
+         |c1 AS (
+         |  SELECT tok AS w1, CAST(count(*) AS DOUBLE) AS c1
+         |  FROM toks GROUP BY 1
+         |),
+         |vs AS (
+         |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_size FROM toks
+         |),
+         |c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+         |  FROM bg GROUP BY 1, 2
+         |)
+         |SELECT bg.doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln((c12.c12 + 1.0) / (c1.c1 + vs.v_size))), 4)
+         |    AS avg_nll
+         |FROM bg
+         |JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+         |JOIN c1 ON bg.w1 = c1.w1, vs
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    // ordered funnel: each stage's first event strictly after the prior
+    // stage's anchor
+    "funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1
+        |),
+        |p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  round((SELECT count(*) FROM c) * 1.0 /
+        |    (SELECT count(*) FROM v), 4) AS view_to_click,
+        |  round((SELECT count(*) FROM p) * 1.0 /
+        |    (SELECT count(*) FROM c), 4) AS click_to_purchase""".stripMargin,
     // SymSpell depth-2 deletion neighborhoods: {self} ∪ delete-1 ∪
     // delete-2; shared-variant equi-join generates candidates, exact
     // levenshtein verifies

@@ -93,6 +93,41 @@ object Events {
     * (`last(..., ignoreNulls)`), keep the purchase rows. Equivalent to a
     * point-in-time join without any per-row lookup or range self-join.
     */
+  /** Ordered funnel conversion (view → click → purchase): per user, the
+    * first view, the first click strictly AFTER that view, the first
+    * purchase strictly after that click — each stage anchored on the
+    * previous one, so out-of-order events never count (the product
+    * analytics staple; SQL MATCH_RECOGNIZE's simplest shape).
+    *
+    * Scale shape: three per-user min-aggregates chained by equi-joins on
+    * user_id — each stage's frame is ≤ one row per user, so joins after
+    * the first aggregation are tiny; no window over the full event
+    * stream, no self-join of raw events against raw events (the stage
+    * tables, not the event table, are the join sides).
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val nv = v.agg(count(lit(1)).as("n_view"))
+    val nc = c.agg(count(lit(1)).as("n_click"))
+    val np = p.agg(count(lit(1)).as("n_purchase"))
+    nv.crossJoin(nc).crossJoin(np)
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 4)
+          .as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4)
+          .as("click_to_purchase"))
+  }
+
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = ev(spark, sfDir)
       .filter(col("event_type").isin("purchase", "signup"))

@@ -346,6 +346,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM negative log-likelihood per document — the CCNet-style
+    * perplexity quality filter (docs whose word transitions are unlikely
+    * under the corpus's own bigram model are boilerplate/garbled; LLM
+    * pipelines cut on exactly this score). Add-one smoothing:
+    * P(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁) + V); score = avg −ln P over the
+    * doc's bigrams. Docs with < 2 tokens carry no bigrams and drop out
+    * (both engines).
+    *
+    * Scale shape: the bigram stream is built with the [[ngramFreq]] array
+    * expressions (no self-join); the model is two count aggregates —
+    * c(w₁,w₂) joins the stream on the bigram key (shuffle join; the model
+    * table is vocabulary-sized, not corpus-sized), c(w₁) and V broadcast.
+    */
+  def docPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> named_struct('w1', t, 'w2', toks[i + 1])), " +
+          "p -> p.w1 != '' and p.w2 != '')")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val toks = tokensPos(docs)
+    val c1 = toks.groupBy(col("tok").as("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    val vocab = toks.agg(
+      countDistinct(col("tok")).cast("double").as("v_size"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("c12") + 1.0) / (col("c1") + col("v_size")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4)
+        .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** RAG-style document chunking: overlapping fixed-size token windows.
     * Chunk k of a doc covers token positions [k·stride, k·stride+size);
     * with stride < size consecutive chunks overlap by size−stride tokens

@@ -209,6 +209,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains(("row", "slow"))) // substitution + insertion
   }
 
+  test("docPerplexity scores every multi-token doc with positive nll") {
+    val rows = TextAnalysis.docPerplexity(spark, sf).collect()
+    val stats = TextAnalysis.tokenizeStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.length == stats.count(_._2 >= 2))
+    rows.foreach { r =>
+      // single-spaced fixture text: bigrams = tokens - 1, nll finite > 0
+      assert(r.getAs[Long]("n_bigrams") ==
+        stats(r.getLong(0)) - 1, s"doc ${r.getLong(0)}")
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll > 0.0 && !nll.isNaN && !nll.isInfinite)
+    }
+  }
+
+  test("funnel stages only shrink and ratios stay in [0, 1]") {
+    import graft.operators.Events
+    val r = Events.funnel(spark, sf).head()
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(v > 0 && v >= c && c >= p)
+    assert(r.getAs[Double]("view_to_click") <= 1.0)
+    assert(r.getAs[Double]("click_to_purchase") <= 1.0)
+  }
+
   test("components converges on a 50-node path well under the diameter") {
     import spark.implicits._
     // a path 0-1-2-...-49 has diameter 49: plain min-propagation needs 49
