@@ -127,6 +127,7 @@ object SparkEntry {
     "fuzzy_token_join" -> ((s, d) => TextAnalysis.fuzzyTokenJoin(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "funnel" -> ((s, d) => Events.funnel(s, d)),
+    "text_rank" -> ((s, d) => TextAnalysis.textRank(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
     "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
@@ -1271,6 +1272,7 @@ object SparkEntry {
         |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
         |FROM tc GROUP BY doc_id, k
         |ORDER BY doc_id, chunk_ix""".stripMargin,
+    "text_rank" -> DuckTextRankOracle,
     // bigram-LM add-one smoothing; both engines average the same -ln
     // values, rounded at the doc edge
     "doc_perplexity" ->
@@ -1379,6 +1381,48 @@ object SparkEntry {
     // and declarative sessionizers flips the gate red
     "streaming_session_window" -> DuckSessionOracle,
   )
+
+  /** TextRank oracle: the SAME ten power iterations the engine runs,
+    * unrolled as chained CTEs (standard SQL forbids aggregation in a
+    * recursive term, so the fixed iteration count is what makes a full
+    * oracle possible). Every arithmetic step — (1.0 - 0.85)/n, p·r sums,
+    * damping — is the identical double expression in both engines.
+    */
+  private val DuckTextRankOracle: String = {
+    val head =
+      """WITH bgr AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+        |    UNNEST(range(1, greatest(len(l), 1))) t(i)
+        |  WHERE l[i] <> '' AND l[i + 1] <> ''
+        |),
+        |w AS (
+        |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+        |  FROM bgr GROUP BY 1, 2
+        |),
+        |ow AS (SELECT w1, sum(c) AS ow FROM w GROUP BY 1),
+        |e AS (
+        |  SELECT w.w1, w.w2, w.c / ow.ow AS p
+        |  FROM w JOIN ow ON w.w1 = ow.w1
+        |),
+        |nodes AS (SELECT w1 AS tok FROM e UNION SELECT w2 FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |pr0 AS (SELECT tok, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to 10).map { i =>
+      s""",
+         |pr$i AS (
+         |  SELECT nodes.tok,
+         |    (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.x, 0.0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.w2 AS tok, sum(e.p * pr${i - 1}.r) AS x
+         |    FROM e JOIN pr${i - 1} ON e.w1 = pr${i - 1}.tok GROUP BY 1
+         |  ) s ON s.tok = nodes.tok
+         |)""".stripMargin
+    }.mkString
+    head + steps +
+      "\nSELECT tok, round(r, 6) AS rank FROM pr10" +
+      "\nORDER BY rank DESC, tok LIMIT 20"
+  }
 
   /** Gap-session oracle shared by the custom-state and native
     * session_window streaming sessionizers.

@@ -386,6 +386,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction: PageRank over the directed bigram
+    * graph (edge w₁→w₂ weighted by corpus count, transition probability
+    * = weight / out-weight), `iters` fixed power iterations with damping
+    * `d` — the classic unsupervised keyword scorer, and the engine's
+    * second iterative-graph operator next to [[Dedup.components]].
+    *
+    * Fixed iteration count (not convergence-tested) keeps the result
+    * closed-form enough for a full DuckDB oracle: the SQL unrolls the
+    * same ten join+aggregate rounds. Dangling mass (nodes with no
+    * out-edges) is dropped, as in the original TextRank formulation —
+    * both engines compute the identical recurrence:
+    * r′(v) = (1−d)/N + d·Σ_{u→v} p(u,v)·r(u).
+    *
+    * Scale shape: one bigram aggregate builds the edge list (vocabulary²
+    * bounded, not corpus bounded), each iteration is one equi-join of
+    * edges against the rank vector + one sum aggregate; per-iteration
+    * lineage is cut with a localCheckpoint exactly like components().
+    */
+  def textRank(spark: SparkSession, sfDir: String, iters: Int = 10,
+               damping: Double = 0.85, topK: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bgc = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> named_struct('w1', t, 'w2', toks[i + 1])), " +
+          "p -> p.w1 != '' and p.w2 != '')")).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val outw = bgc.groupBy(col("w1")).agg(sum(col("c")).as("ow"))
+    val edges = bgc.join(outw, "w1")
+      .select(col("w1"), col("w2"), (col("c") / col("ow")).as("p"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("w1").as("tok"))
+      .union(edges.select(col("w2"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val base = (lit(1.0) - lit(damping)) / lit(n)
+    var pr = nodes.withColumn("r", lit(1.0) / lit(n))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(pr.withColumnRenamed("tok", "w1"), "w1")
+        .groupBy(col("w2").as("tok"))
+        .agg(sum(col("p") * col("r")).as("x"))
+      pr = nodes.join(contrib, Seq("tok"), "left")
+        .select(col("tok"),
+          (base + lit(damping) * coalesce(col("x"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("tok"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("tok"))
+      .limit(topK)
+  }
+
   /** RAG-style document chunking: overlapping fixed-size token windows.
     * Chunk k of a doc covers token positions [k·stride, k·stride+size);
     * with stride < size consecutive chunks overlap by size−stride tokens

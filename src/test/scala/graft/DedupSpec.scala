@@ -233,6 +233,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("click_to_purchase") <= 1.0)
   }
 
+  test("textRank is a damped stochastic ranking over the bigram graph") {
+    val res = TextAnalysis.textRank(spark, sf).collect()
+    assert(res.length == 20)
+    val ranks = res.map(_.getAs[Double]("rank"))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    // every rank is at least the teleport floor (1-d)/N and the total
+    // over ALL nodes is <= 1 (dangling mass only leaks, never grows)
+    val all = TextAnalysis.textRank(spark, sf, topK = 10000).collect()
+    val n = all.length.toDouble
+    all.foreach(r =>
+      assert(r.getAs[Double]("rank") >= (1.0 - 0.85) / n - 1e-9))
+    assert(all.map(_.getAs[Double]("rank")).sum <= 1.0 + 1e-6)
+  }
+
   test("components converges on a 50-node path well under the diameter") {
     import spark.implicits._
     // a path 0-1-2-...-49 has diameter 49: plain min-propagation needs 49
