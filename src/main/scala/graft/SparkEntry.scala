@@ -128,6 +128,8 @@ object SparkEntry {
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "funnel" -> ((s, d) => Events.funnel(s, d)),
     "text_rank" -> ((s, d) => TextAnalysis.textRank(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
+    "scd2_merge" -> ((s, d) => Ingest.scd2Merge(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
     "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),
@@ -760,6 +762,80 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(label) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the deletion step: per duplicate component keep the best-quality
+    // member (ties -> lowest id); corpus copies (id >= 10000) score via
+    // their base doc
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |$MinhashOracleSql
+         |  )
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+         |), g AS (
+         |  SELECT id AS doc_id, min(label) AS component
+         |  FROM reach GROUP BY id
+         |), toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) WHERE tok <> ''
+         |), pt AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
+         |        THEN 1 ELSE 0 END) AS n_stop
+         |  FROM toks GROUP BY doc_id
+         |), q AS (
+         |  SELECT d.doc_id,
+         |    round((CAST(pt.n_stop AS DOUBLE) / pt.n_tokens) * 0.5 +
+         |      (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g'))
+         |        AS DOUBLE) / length(d.text)) * 0.5, 6) AS quality
+         |  FROM documents d JOIN pt ON pt.doc_id = d.doc_id
+         |), m AS (
+         |  SELECT g.doc_id, g.component, q.quality
+         |  FROM g JOIN q ON q.doc_id = g.doc_id % 10000
+         |), k AS (
+         |  SELECT component, doc_id AS keep_doc, quality AS keep_quality,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM m
+         |), c AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT k.component, k.keep_doc, k.keep_quality, c.n_members
+         |FROM k JOIN c ON k.component = c.component
+         |WHERE k.rn = 1 ORDER BY k.component""".stripMargin,
+    // SCD2: a changed key closes its current row and opens a new one;
+    // history stays queryable as-of any date
+    "scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS segment,
+        |    DATE '1995-01-01' AS valid_from
+        |  FROM customer
+        |), batch AS (
+        |  SELECT c_custkey AS key, 'NEW-' || c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |)
+        |SELECT d.key, d.segment, d.valid_from,
+        |  DATE '1998-01-01' AS valid_to, false AS is_current
+        |FROM dim d WHERE d.key IN (SELECT key FROM batch)
+        |UNION ALL
+        |SELECT d.key, d.segment, d.valid_from,
+        |  CAST(NULL AS DATE), true
+        |FROM dim d WHERE d.key NOT IN (SELECT key FROM batch)
+        |UNION ALL
+        |SELECT key, segment, DATE '1998-01-01', CAST(NULL AS DATE), true
+        |FROM batch
+        |ORDER BY key, valid_from""".stripMargin,
     "incremental_dedup" ->
       s"""SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard FROM (
          |$MinhashOracleSql

@@ -249,6 +249,40 @@ object Dedup {
     components(minhashDedup(spark, sfDir, threshold)
       .select(col("doc_a"), col("doc_b")), maxIters)
 
+  /** The DELETION step of near-dup dedup — the piece that actually
+    * shrinks the corpus: per duplicate component keep the
+    * highest-quality member (ties → lowest doc_id) and report what was
+    * dropped. Composes [[dupGroups]] with
+    * [[TextAnalysis.qualityScore]]'s blend; an injected 10000-shifted
+    * corpus copy scores via its base doc (same text ⇒ same quality ⇒
+    * the base id wins its pair, as a pipeline would want).
+    *
+    * Scale shape: everything after components() is one join of the
+    * (doc, component) table against per-doc quality plus one
+    * per-component window — both keyed shuffles; no pass re-reads text.
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dupGroups(spark, sfDir, threshold)
+    val q = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id").as("qk"), col("quality"))
+    val members = comp.join(q, comp("doc_id") % 10000 === col("qk"))
+      .select(col("doc_id"), col("component"), col("quality"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val keepers = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_doc"),
+        col("quality").as("keep_quality"))
+    val counts = members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    keepers.join(counts, "component")
+      .select(col("component"), col("keep_doc"), col("keep_quality"),
+        col("n_members"))
+      .orderBy("component")
+  }
+
   /** Connected components over an undirected pair list by neighbor-min
     * propagation PLUS pointer jumping (label := label(label)) — each round
     * a node's label both takes the min over its neighbors' labels and then

@@ -88,4 +88,48 @@ object Ingest {
         col("lang"), col("source"))
       .orderBy("query_id", "rn")
   }
+
+  /** Type-2 slowly-changing-dimension merge — the interval-versioned
+    * sibling of [[upsertMapping]]'s last-writer-wins: instead of
+    * overwriting, a changed key CLOSES its current row (valid_to =
+    * effective date, is_current = false) and opens a new one, so history
+    * stays queryable as-of any date. Fixture batch: every 5th customer's
+    * segment changes, every 7th arrives as a brand-new 100000-shifted
+    * key.
+    *
+    * Scale shape: one equi-join of the dimension against the (small)
+    * change batch decides closed vs untouched rows; new versions are a
+    * union — a single shuffle on the dimension key, no windows, no
+    * full-history rewrite beyond the rows the merge touches (at 100 TB
+    * the union writes a new snapshot version, [[graft.sources.IndexStore]]
+    * pattern).
+    */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("1995-01-01")).as("valid_from"))
+    val updates = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("key"),
+        concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
+    val inserts = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 100000).as("key"),
+        col("c_mktsegment").as("segment"))
+    val batch = updates.unionAll(inserts)
+    val eff = to_date(lit("1998-01-01"))
+    val changedKeys = batch.select(col("key"))
+    val closed = dim.join(changedKeys, Seq("key"), "left_semi")
+      .select(col("key"), col("segment"), col("valid_from"),
+        eff.as("valid_to"), lit(false).as("is_current"))
+    val untouched = dim.join(changedKeys, Seq("key"), "left_anti")
+      .select(col("key"), col("segment"), col("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val opened = batch
+      .select(col("key"), col("segment"), eff.as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    closed.unionAll(untouched).unionAll(opened)
+      .orderBy("key", "valid_from")
+  }
 }

@@ -233,6 +233,40 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("click_to_purchase") <= 1.0)
   }
 
+  test("dedupKeepBest keeps one best member per duplicate component") {
+    val rows = Dedup.dedupKeepBest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.map(r => r.getAs[Long]("component") -> r).toMap
+    assert(byComp.size == rows.length) // one keeper per component
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L) // components imply pairs
+      // equal-quality ties (the injected exact copies) resolve to the
+      // LOWEST id — a corpus copy (>= 10000) can never beat its base
+      assert(r.getAs[Long]("keep_doc") < 10000L)
+      assert(r.getAs[Double]("keep_quality") > 0.0)
+    }
+  }
+
+  test("scd2Merge closes changed rows and keeps one current row per key") {
+    import graft.operators.Ingest
+    val rows = Ingest.scd2Merge(spark, sf).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("key"))
+    byKey.foreach { case (key, vs) =>
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1, s"key $key")
+      if (key < 100000 && key % 5 == 0) {
+        // changed: closed original + open NEW- row
+        assert(vs.length == 2)
+        val closed = vs.find(!_.getAs[Boolean]("is_current")).get
+        assert(closed.getAs[java.sql.Date]("valid_to") != null)
+        assert(vs.find(_.getAs[Boolean]("is_current")).get
+          .getAs[String]("segment").startsWith("NEW-"))
+      } else {
+        assert(vs.length == 1)
+        assert(vs.head.getAs[java.sql.Date]("valid_to") == null)
+      }
+    }
+  }
+
   test("textRank is a damped stochastic ranking over the bigram graph") {
     val res = TextAnalysis.textRank(spark, sf).collect()
     assert(res.length == 20)
