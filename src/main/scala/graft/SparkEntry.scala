@@ -137,6 +137,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
     "streaming_session_window" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSessionWindows(s, d)),
+    "streaming_enrich" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingEnrich(s, d)),
     "streaming_dedup" ->
       ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
     "streaming_join" ->
@@ -1452,6 +1454,13 @@ object SparkEntry {
          |SELECT tok, count(*) AS cnt FROM toks
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
     "streaming_sessionize" -> DuckSessionOracle,
+    // stream-static join == the same join run as one batch
+    "streaming_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |  round(e.value, 4) AS value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     // the native session_window variant is shaped to the same contract,
     // so it shares the oracle - semantic drift between the custom-state
     // and declarative sessionizers flips the gate red

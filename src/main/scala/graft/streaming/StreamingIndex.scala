@@ -186,6 +186,38 @@ object StreamingIndex {
       .orderBy("distance", "id")
   }
 
+  /** Retention for the versioned snapshot store: delete committed
+    * versions older than the newest `keep` (default 2 — serving version
+    * plus one rollback target). The operational complement of
+    * version-swap durability: without it a long-running ingest
+    * accumulates every snapshot ever written. Safety rails —
+    *
+    *  - the LATEST committed version is never deletable (keep >= 1);
+    *  - UNCOMMITTED directories are left alone: an uncommitted v_max may
+    *    be a replay in progress, and deleting a crashed attempt's
+    *    leftovers is the replaying writer's job, not the vacuum's.
+    *
+    * Returns the deleted version ids (sorted). Deleting a version a
+    * reader is mid-scan over has object-store-delete semantics — run
+    * retention with a lag (keep >= 2) so the previously-served version
+    * survives one full vacuum cycle.
+    */
+  def pruneVersions(root: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"keep $keep: the latest version must survive")
+    val p = new Path(root)
+    val fs = p.getFileSystem(IndexStore.hadoopConf)
+    if (!fs.exists(p)) return Seq.empty
+    val committed = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .filter(v => IndexStore.committed(s"$root/v$v/mapping") &&
+        IndexStore.committed(s"$root/v$v/vectors"))
+      .sorted
+    val doomed = committed.dropRight(keep)
+    doomed.foreach(v => fs.delete(new Path(s"$root/v$v"), true))
+    doomed
+  }
+
   /** Stage `df` as flat `<prefix>-<i>.parquet` files inside the landing
     * dir (what a producer dropping add-request files would do). Idempotent:
     * if the prefix's first file already landed, the batch is already there

@@ -272,6 +272,28 @@ object StreamingOps extends Serializable {
       .orderBy("user_id", "session_id")
   }
 
+  /** Stream-static enrichment: each micro-batch equi-joins the live
+    * event stream against a STATIC dimension table (the third join shape
+    * next to stream-stream [[streamingJoin]] and batch joins) — no state
+    * store involved: Spark re-plans the static side per micro-batch, so
+    * a dimension refresh lands on the next batch without restarts. At
+    * 100 TB the static side is a broadcast dim or a bucketed table; the
+    * stream side never shuffles for the join in the broadcast case.
+    */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"),
+        round(col("value"), 4).as("value"))
+    runToMemory(joined, "graft_stream_enrich", "append")
+      .orderBy("event_id")
+  }
+
   /** [[Ev]] plus the event-time column the watermark is anchored on. */
   case class EvT(user_id: Long, event_id: Long, us: Long,
                  ts: java.sql.Timestamp)

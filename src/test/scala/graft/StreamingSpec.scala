@@ -238,6 +238,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("pruneVersions keeps the newest committed versions, skips others") {
+    import graft.sources.IndexStore
+    import graft.streaming.StreamingIndex
+    val root = Files.createTempDirectory("graft_prune").toString
+    def mk(v: Long): Unit = Seq("mapping", "vectors").foreach { d =>
+      IndexStore.saveDataset(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StreamingIndex.MappingSchema), s"$root/v$v/$d")
+    }
+    (0L to 4L).foreach(mk)
+    // an UNCOMMITTED v5 (no _SUCCESS): possibly a replay in progress —
+    // the vacuum must not touch it, and it must not count as "newest"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/v5/mapping"))
+    val deleted = StreamingIndex.pruneVersions(root, keep = 2)
+    assert(deleted == Seq(0L, 1L, 2L))
+    assert(StreamingIndex.latestVersion(root).contains(4L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v3")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v5/mapping")))
+    // idempotent: a second vacuum has nothing left to delete
+    assert(StreamingIndex.pruneVersions(root, keep = 2).isEmpty)
+    // keep >= 1 is enforced
+    intercept[IllegalArgumentException] {
+      StreamingIndex.pruneVersions(root, keep = 0)
+    }
+  }
+
   test("index ingest refuses a fresh checkpoint over an older root") {
     import graft.sources.IndexStore
     import graft.streaming.StreamingIndex
