@@ -53,10 +53,23 @@ object AnnSearch {
   private[graft] def autoProbe(nClusters: Int): Int =
     math.max(1, (nClusters * 3 + 7) / 8)
 
+  /** Table-size cache for auto-sizing: one count job per fixture dir per
+    * JVM — every default-parameter query would otherwise re-count the
+    * LARGEST table just to re-derive the name of an already-built index.
+    * Safe because a regenerated fixture invalidates via
+    * [[IndexStore.indexDir]]'s source fingerprint, not via this count.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def embeddingCount(spark: SparkSession,
+                                    sfDir: String): Long =
+    countCache.computeIfAbsent(sfDir,
+      _ => Tables.load(spark, sfDir, "embeddings").count()).longValue()
+
   private def resolveClusters(spark: SparkSession, sfDir: String,
                               nClusters: Int): Int =
     if (nClusters > 0) nClusters
-    else autoClusters(Tables.load(spark, sfDir, "embeddings").count())
+    else autoClusters(embeddingCount(spark, sfDir))
 
   private def resolveProbe(nClusters: Int, nProbe: Int): Int =
     if (nProbe > 0) nProbe else autoProbe(nClusters)
@@ -315,20 +328,17 @@ object AnnSearch {
         resolveProbe(nc, nProbe))
     val assigned = spark.read.parquet(s"$dir/vectors")
       .filter(col("cluster").isin(probedClusters: _*))
-    // asc_nulls_last: degenerate rows carry NULL adist (NULL scale/qv from
-    // quantize) and must rank last, not first (Spark ASC = NULLS FIRST)
-    val wr = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc_nulls_last, col("id"))
-    val cands = broadcast(probes).join(assigned, "cluster")
+    val adist = broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
         squaredL2(col("qu"),
           transform(col("qv"), x => x.cast("double") / col("scale")))
           .as("adist"))
-      .withColumn("rr", row_number().over(wr))
-      .filter(col("rr") <= rerank)
-      .select(col("query_id"), col("qu"), col("id"))
-    VectorSearch.rescoreTopK(cands, VectorSearch.normalized(spark, sfDir), k)
+    // the ONE shared pruning tail (NULL adist ranks last there) — a local
+    // copy of the window would let margin semantics drift from SQ8/PQ
+    VectorSearch.rescoreTopK(
+      VectorSearch.pruneCandidates(adist, rerank),
+      VectorSearch.normalized(spark, sfDir), k)
   }
 
   /** Recall of the approximate searches against the exact k-NN, per query
@@ -395,7 +405,10 @@ object AnnSearch {
                           queryMinima: Map[String, Double] =
                             Map("lsh" -> 0.5, "ivf" -> 0.25,
                               "ivf_sq" -> 0.25, "pq" -> 0.15)): DataFrame = {
-    val r = annRecall(spark, sfDir, nQueries, k)
+    // materialize ONCE: both violation branches derive from r, and the
+    // recall report costs the exact kNN plus all four approximate
+    // searches — without the cut the union would run that suite twice
+    val r = annRecall(spark, sfDir, nQueries, k).localCheckpoint(true)
     val qmin = queryMinima.foldLeft(lit(0.0)) { case (acc, (m, f)) =>
       when(col("method") === m, lit(f)).otherwise(acc)
     }

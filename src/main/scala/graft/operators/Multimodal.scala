@@ -127,14 +127,22 @@ object Multimodal {
     * The sizing scan is one cheap aggregate over the payload lengths; at
     * 100 TB the same number comes from table statistics instead.
     */
+  /** Payload-bytes cache: one sizing scan per fixture dir per JVM —
+    * without it every decode/featurize/frameSample CONSTRUCTION re-scans
+    * the payload column for a number that never changes (at 100 TB the
+    * same figure comes from table statistics).
+    */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def mediaBatches(spark: SparkSession, sfDir: String,
                                   targetBatchBytes: Long) = {
     import spark.implicits._
     val media = mediaTable(spark, sfDir)
       .select(col("doc_id"), col("content"))
-    val totalBytes = media
-      .agg(coalesce(sum(length(col("content"))), lit(0L)))
-      .head.getLong(0)
+    val totalBytes = sizeCache.computeIfAbsent(sfDir, _ =>
+      media.agg(coalesce(sum(length(col("content"))), lit(0L)))
+        .head.getLong(0)).longValue()
     media
       .repartition(batchCount(totalBytes, targetBatchBytes), col("doc_id"))
       .as[MediaRow]

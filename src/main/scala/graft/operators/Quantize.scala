@@ -41,7 +41,7 @@ object Quantize {
                            nCodes: Int): Int =
     if (nCodes > 0) nCodes
     else {
-      val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+      val n = AnnSearch.embeddingCount(spark, sfDir)
       math.max(8, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
     }
 

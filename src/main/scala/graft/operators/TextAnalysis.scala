@@ -35,6 +35,21 @@ object TextAnalysis {
         round(avg(length(col("tok"))), 4).as("avg_len"))
       .orderBy("doc_id")
 
+  /** The (doc_id, w1, w2) word-bigram stream, built with pure array
+    * expressions over the RAW split (empty tokens break adjacency rather
+    * than bridging it) — THE one bigram definition shared by
+    * [[ngramFreq]], [[docPerplexity]] and [[textRank]], so the adjacency
+    * rule cannot drift between their oracles. Zero joins, zero shuffles.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> named_struct('w1', t, 'w2', toks[i + 1])), " +
+          "p -> p.w1 != '' and p.w2 != '')")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
   /** Top-30 word bigrams across the corpus. Bigrams are built with pure
     * array expressions (slice + indexed transform over the RAW split, so
     * empty tokens break adjacency rather than bridging it — same semantics
@@ -43,13 +58,8 @@ object TextAnalysis {
     * alternative shuffles the whole token stream for nothing.
     */
   def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents")
-      .select(split(col("text"), " ").as("toks"))
-      .select(explode(expr(
-        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-          "(t, i) -> named_struct('t1', t, 't2', toks[i + 1])), " +
-          "p -> p.t1 != '' and p.t2 != '')")).as("bg"))
-      .select(concat_ws(" ", col("bg.t1"), col("bg.t2")).as("bigram"))
+    bigramPairs(Tables.load(spark, sfDir, "documents"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(30)
@@ -361,13 +371,7 @@ object TextAnalysis {
     */
   def docPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val bg = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-          "(t, i) -> named_struct('w1', t, 'w2', toks[i + 1])), " +
-          "p -> p.w1 != '' and p.w2 != '')")).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val bg = bigramPairs(docs)
     val toks = tokensPos(docs)
     val c1 = toks.groupBy(col("tok").as("w1"))
       .agg(count(lit(1)).cast("double").as("c1"))
@@ -406,14 +410,8 @@ object TextAnalysis {
     */
   def textRank(spark: SparkSession, sfDir: String, iters: Int = 10,
                damping: Double = 0.85, topK: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val bgc = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(explode(expr(
-        "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-          "(t, i) -> named_struct('w1', t, 'w2', toks[i + 1])), " +
-          "p -> p.w1 != '' and p.w2 != '')")).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = bigramPairs(Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c"))
     val outw = bgc.groupBy(col("w1")).agg(sum(col("c")).as("ow"))
     val edges = bgc.join(outw, "w1")

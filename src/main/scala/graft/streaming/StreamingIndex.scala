@@ -197,13 +197,19 @@ object StreamingIndex {
     *    be a replay in progress, and deleting a crashed attempt's
     *    leftovers is the replaying writer's job, not the vacuum's.
     *
-    * Returns the deleted version ids (sorted). Deleting a version a
-    * reader is mid-scan over has object-store-delete semantics — run
-    * retention with a lag (keep >= 2) so the previously-served version
-    * survives one full vacuum cycle.
+    * Returns the deleted version ids (sorted). keep >= 2 is a REPLAY
+    * safety requirement, not just reader courtesy: a crash after v(n)
+    * commits but before the streaming checkpoint records batch n means
+    * batch n replays on restart and folds from v(n-1) — if retention had
+    * deleted v(n-1), the replay would silently rebuild v(n) from an
+    * EMPTY base. Keeping two committed versions guarantees the newest
+    * version's predecessor survives any single vacuum cycle (and gives
+    * mid-scan readers object-store-delete lag).
     */
   def pruneVersions(root: String, keep: Int = 2): Seq[Long] = {
-    require(keep >= 1, s"keep $keep: the latest version must survive")
+    require(keep >= 2,
+      s"keep $keep: a checkpointed replay of the newest batch folds from" +
+        " its predecessor - retention must keep at least 2 versions")
     val p = new Path(root)
     val fs = p.getFileSystem(IndexStore.hadoopConf)
     if (!fs.exists(p)) return Seq.empty

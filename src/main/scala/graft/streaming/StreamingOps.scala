@@ -251,10 +251,17 @@ object StreamingOps extends Serializable {
       .option("maxFilesPerTrigger", "1").parquet(dir)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
+    // gap + 1 µs: session_window treats windows as end-EXCLUSIVE, so an
+    // event exactly gap after its predecessor would start a NEW session,
+    // while the oracle's strict `us - prev_us > gapUs` (and the custom
+    // sessionizer) keep it in the SAME session. Widening the native gap
+    // by one microsecond makes the boundary case merge in both, so the
+    // shared oracle is exact, not fixture-lucky.
+    val gapUs = gapMinutes * 60L * 1000000L
     val agg = stream
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+        session_window(col("ts"), s"${gapUs + 1} microseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"),

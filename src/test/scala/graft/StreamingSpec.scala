@@ -261,9 +261,10 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/v5/mapping")))
     // idempotent: a second vacuum has nothing left to delete
     assert(StreamingIndex.pruneVersions(root, keep = 2).isEmpty)
-    // keep >= 1 is enforced
+    // keep >= 2 is enforced (replay of the newest batch needs its
+    // predecessor alive)
     intercept[IllegalArgumentException] {
-      StreamingIndex.pruneVersions(root, keep = 0)
+      StreamingIndex.pruneVersions(root, keep = 1)
     }
   }
 
