@@ -851,32 +851,39 @@ object SparkEntry {
          |    FROM corpus) WHERE tok <> ''
          |),
          |h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+         |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
          |  FROM dtoks
          |),
          |bits AS (
-         |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS sj
-         |  FROM h CROSS JOIN range(0, 32) t(j) GROUP BY doc_id, j
+         |  SELECT doc_id, j,
+         |    sum(((CASE WHEN j < 32 THEN hlo ELSE hhi END >> (j % 32)) & 1)
+         |      * 2 - 1) AS sj
+         |  FROM h CROSS JOIN range(0, 64) t(j) GROUP BY doc_id, j
          |),
-         |sig AS (
+         |bands AS (
          |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << j ELSE 0 END)
-         |      AS BIGINT) AS simhash
+         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+         |      ELSE 0 END) FILTER (j // 16 = 0) AS BIGINT) AS b0,
+         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+         |      ELSE 0 END) FILTER (j // 16 = 1) AS BIGINT) AS b1,
+         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+         |      ELSE 0 END) FILTER (j // 16 = 2) AS BIGINT) AS b2,
+         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+         |      ELSE 0 END) FILTER (j // 16 = 3) AS BIGINT) AS b3
          |  FROM bits GROUP BY doc_id
-         |),
-         |wb AS (
-         |  SELECT doc_id, simhash, simhash % 65536 AS lo,
-         |    simhash // 65536 AS hi
-         |  FROM sig
          |),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |  FROM wb a JOIN wb b
-         |    ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+         |      AND a.doc_id < b.doc_id
          |)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM pairs WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM pairs WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin,
     "jaccard_dupes" ->
       (s"""WITH $DuckCorpus,
          |$DuckShingles,

@@ -16,6 +16,15 @@ object TextHash {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** A second, independent 32-bit hash (md5 hex chars 9-16) — paired with
+    * [[hash32]] this yields 64 engine-portable hash bits per string without
+    * a second digest pass. Kept as two int64 halves (never packed into one
+    * signed 64-bit value): bit 63 would land on the sign bit, which DuckDB's
+    * BIGINT shift arithmetic rejects and Spark's ANSI mode makes fragile.
+    */
+  def hash32hi(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   /** Whitespace-normalized lowercase md5 digest — THE exact-dedup identity
     * key, shared by every operator that groups "same document" (16-byte
     * shuffle keys instead of full text).

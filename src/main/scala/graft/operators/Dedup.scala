@@ -19,8 +19,9 @@ import graft.sources.IndexStore
   *  - exact: hash-groupBy on a normalized-text key — one shuffle.
   *  - MinHash: shingle → signature → band buckets; candidates come from
   *    equi-joins on (band, band_key), never an all-pairs product.
-  *  - SimHash: 32-bit signature, candidates share a 16-bit half (the
-  *    pigeonhole trick: hamming ≤ k ⇒ some half matches for k small).
+  *  - SimHash: 64-bit signature in 4×16-bit bands; candidates share a
+  *    band (default) or a band PAIR (the ≥10⁸-doc mode — see
+  *    [[simhashDedup]] for the candidate-volume math).
   *  - Jaccard: blocking equi-join on shared shingles, then exact set math
   *    on candidates only.
   *  - embedding: exact all-pairs here; the LSH/IVF pruned path is in
@@ -263,11 +264,26 @@ object Dedup {
     */
   def dedupKeepBest(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val comp = dupGroups(spark, sfDir, threshold)
+    // FIXTURE WIRING, not operator logic: the injected corpus copy
+    // (id + 10000) carries its base doc's text minus one token, so its
+    // quality is its base doc's score — the id arithmetic lives here,
+    // where the corpus is defined, and [[keepBest]] sees only an
+    // arbitrary (doc_id, quality) frame.
     val q = TextAnalysis.qualityScore(spark, sfDir)
-      .select(col("doc_id").as("qk"), col("quality"))
-    val members = comp.join(q, comp("doc_id") % 10000 === col("qk"))
+      .select(col("doc_id"), col("quality"))
+    val corpusQuality = q.unionAll(q.select(
+      (col("doc_id") + 10000).as("doc_id"), col("quality")))
+    keepBest(dupGroups(spark, sfDir, threshold), corpusQuality)
+  }
+
+  /** Core of the deletion step, corpus-agnostic: (doc_id, component)
+    * labels joined to any per-doc (doc_id, quality) frame; per component
+    * keep the highest-quality member (ties → lowest doc_id).
+    */
+  def keepBest(comp: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = comp.join(
+        quality.select(col("doc_id"), col("quality")), Seq("doc_id"))
       .select(col("doc_id"), col("component"), col("quality"))
     val w = Window.partitionBy("component")
       .orderBy(col("quality").desc, col("doc_id"))
@@ -397,56 +413,90 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup: 32-bit signature over distinct-token hashes;
-    * candidates share one 16-bit half; verified by hamming distance ≤ 6.
+  /** SimHash near-dup: 64-bit signature over distinct-token hashes, held
+    * as 4×16-bit band columns (never one packed int64 — bit 63 is the
+    * sign bit in both engines); verified by full-signature hamming
+    * distance ≤ `maxHamming` (12 — the 32-bit-era threshold 6 scaled to
+    * the doubled signature width).
     *
-    * Blocking recall note: two 16-bit bands GUARANTEE candidates only for
-    * hamming ≤ 1 (pigeonhole); for hamming ≤ 6 a pair whose differing bits
-    * straddle both halves is missed, so the half-match blocking is a
-    * probabilistic recall/cost knob exactly like LSH banding (full
-    * guarantee for hamming ≤ k needs k+1 bands — at 32 bits that floods
-    * candidates). The oracle encodes the identical blocking, so the gate
-    * checks the operator as specified.
+    * Two blocking modes, both pure equi-joins (an OR join condition would
+    * plan as a nested loop), both built as DISJOINT-by-construction unions
+    * so no candidate `distinct` shuffle exists:
+    *
+    *  - default (`pairedBands = false`): candidates share ANY one 16-bit
+    *    band. Pigeonhole GUARANTEES a candidate for hamming ≤ 3 (4 bands,
+    *    ≤ 3 dirty); beyond that it is a probabilistic recall knob like LSH
+    *    banding (fixture: 452/500 injected pairs vs 428 for the old
+    *    32-bit/2-half scheme). Candidate volume: unrelated docs collide on
+    *    a 16-bit band with p = 2⁻¹⁶, so expected join-probe pairs are
+    *    4·C(n,2)/2¹⁶ — at n = 10⁶ that is ~3×10⁷ (fine); at n = 10⁹ it is
+    *    ~3×10¹³ streamed xor+popcount probes: compute-heavy and growing
+    *    n², so this mode is for corpora ≤ ~10⁸ docs.
+    *  - `pairedBands = true`: candidates share ANY 2 of the 4 bands — 6
+    *    combined 32-bit keys (the block-permutation table scheme of Manku
+    *    et al., WWW'07, at 4 blocks choose 2). Guarantee drops to
+    *    hamming ≤ 2 (≤ 2 dirty bands leave 2 clean), recall beyond is the
+    *    same probabilistic knob (fixture: 401/500), but per-table collision
+    *    falls to 2⁻³²: expected probe pairs 6·C(n,2)/2³² ≈ 7×10⁸ at
+    *    n = 10⁹ — the mode that survives a 100 TB corpus.
+    *
+    * The oracle encodes the identical default blocking, so the gate checks
+    * the operator as specified; paired-mode subset/recall is spec-asserted.
     */
-  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashDedup(spark: SparkSession, sfDir: String,
+                   pairedBands: Boolean = false,
+                   maxHamming: Int = 12): DataFrame = {
     val toks = nearDupCorpus(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
-      .select(col("doc_id"), hash32(col("tok")).as("h"))
-    // All 32 bit-sums in ONE aggregation pass (literal shifts per column;
-    // no 32× row blowup, no (doc, j) shuffle), then assemble the signature
-    // column-wise. Same ±1 sums as the per-bit oracle formulation.
+      .select(col("doc_id"), hash32(col("tok")).as("hlo"),
+        hash32hi(col("tok")).as("hhi"))
+    // All 64 bit-sums in ONE aggregation pass (literal shifts per column;
+    // no 64× row blowup, no (doc, j) shuffle), then the 4 band columns
+    // assembled column-wise. Same ±1 sums as the per-bit oracle form.
     val bitSums = toks.groupBy(col("doc_id")).agg(
-      sum(shiftright(col("h"), 0) % 2 * 2 - 1).as("sj0"),
-      (1 until 32).map(j =>
-        sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"sj$j")): _*)
-    val sig = bitSums.select(col("doc_id"),
-      (0 until 32).map(j =>
-        when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
-    val withBands = sig.select(col("doc_id"), col("simhash"),
-      (col("simhash") % 65536).as("lo"),
-      floor(col("simhash") / 65536).as("hi"))
-    val a = withBands.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sig_a"), col("lo"), col("hi"))
-    val b = withBands.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sig_b"), col("lo").as("lo2"), col("hi").as("hi2"))
-    // An OR join condition can't hash-join (it plans as a nested loop);
-    // the same pair set comes from two equi-joins whose results are made
-    // DISJOINT by construction — the hi half additionally requires the lo
-    // halves to differ — so their unionAll needs no distinct: the 6M-pair
-    // dedup shuffle disappears entirely. Hamming filter inside each half
-    // keeps the union to surviving pairs only.
-    def half(key: String, key2: String,
-             extra: org.apache.spark.sql.Column) =
-      a.join(b, col(key) === col(key2) && extra &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
-        .filter(col("hamming") <= 6)
-    half("lo", "lo2", lit(true))
-      .unionAll(half("hi", "hi2", col("lo") =!= col("lo2")))
-      .orderBy("doc_a", "doc_b")
+      sum(shiftright(col("hlo"), 0) % 2 * 2 - 1).as("sj0"),
+      (1 until 64).map { j =>
+        val h = if (j < 32) shiftright(col("hlo"), j)
+                else shiftright(col("hhi"), j - 32)
+        sum(h % 2 * 2 - 1).as(s"sj$j")
+      }: _*)
+    val sig = bitSums.select(col("doc_id") +:
+      (0 until 4).map { bnd =>
+        (0 until 16).map(t =>
+          when(col(s"sj${16 * bnd + t}") > 0, lit(1L << t)).otherwise(0L))
+          .reduce(_ + _).as(s"b$bnd")
+      }: _*)
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 4).map(i => col(s"b$i")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 4).map(i => col(s"b$i").as(s"c$i")): _*)
+    def eqb(i: Int) = col(s"b$i") === col(s"c$i")
+    def neb(i: Int) = col(s"b$i") =!= col(s"c$i")
+    val hamming = (0 until 4)
+      .map(i => expr(s"bit_count(b$i ^ c$i)"))
+      .reduce(_ + _).cast("long")
+    def block(cond: org.apache.spark.sql.Column) =
+      a.join(b, cond && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    // Disjointness: each block is the lexicographically-FIRST matching
+    // band (or band pair), enforced by requiring every earlier block's
+    // bands to mismatch — the unionAll is exact with no distinct.
+    val blocks =
+      if (!pairedBands)
+        Seq(block(eqb(0)),
+          block(eqb(1) && neb(0)),
+          block(eqb(2) && neb(0) && neb(1)),
+          block(eqb(3) && neb(0) && neb(1) && neb(2)))
+      else
+        Seq(block(eqb(0) && eqb(1)),
+          block(eqb(0) && eqb(2) && neb(1)),
+          block(eqb(0) && eqb(3) && neb(1) && neb(2)),
+          block(eqb(1) && eqb(2) && neb(0)),
+          block(eqb(1) && eqb(3) && neb(0) && neb(2)),
+          block(eqb(2) && eqb(3) && neb(0) && neb(1)))
+    blocks.reduce(_ unionAll _).orderBy("doc_a", "doc_b")
   }
 
   /** Eval-set decontamination: find training documents sharing ≥ minShared

@@ -124,44 +124,47 @@ object Quantize {
   }
 
   /** PQ top-k with exact re-ranking (asymmetric distance computation):
-    * per query the driver precomputes the m×nCodes lookup table of
-    * subspace distances (tiny: Q·m·nCodes doubles — this is the broadcast
-    * side, the ADC analog of the IVF probe collect), the code table scan
-    * sums m table lookups per row, and the bounded candidate margin is
-    * rescored on full-precision vectors. Recall is gauged by `ann_recall`
-    * (method "pq") — PQ trades more recall for 30× storage than SQ8, so
-    * its floor is the loosest of the family.
+    * the per-query m×nCodes lookup table of subspace distances is computed
+    * DISTRIBUTED as a queries × codebooks join (Q·m·nCodes rows — tiny
+    * relative to any scan) folded into one dense array per query, so no
+    * query row or codebook ever lands on the driver and Q is unbounded.
+    * The assembled LUTs (Q·m·nCodes doubles) are the broadcast side — the
+    * ADC analog of the IVF probe — the code table scan sums m table
+    * lookups per row, and the bounded candidate margin is rescored on
+    * full-precision vectors. Recall is gauged by `ann_recall` (method
+    * "pq") — PQ trades more recall for 30× storage than SQ8, so its floor
+    * is the loosest of the family.
     */
   def pqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
             k: Int = 10, m: Int = 8, nCodes: Int = 0,
             rerank: Int = 40): DataFrame = {
-    import spark.implicits._
     val nk = resolveCodes(spark, sfDir, nCodes)
     val dir = buildPqIndex(spark, sfDir, m, nk)
-    val books = spark.read.parquet(s"$dir/codebooks").collect()
-      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code")) ->
-        r.getSeq[Double](r.fieldIndex("center"))).toMap
+    val books = spark.read.parquet(s"$dir/codebooks")
     val normed = VectorSearch.normalized(spark, sfDir)
-    val queryRows = normed.filter(col("vec_id") < nQueries).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1))
-    val sub = queryRows.headOption.map(_._2.length / m).getOrElse(0)
-    val luts = queryRows.map { case (qid, qv) =>
-      // fill from the codebook rows that actually exist: k-means may
-      // return < nCodes centers on a degenerate subspace, and no stored
-      // code can reference an absent slot — +inf keeps the layout dense
-      val lut = Array.fill(m * nk)(Double.PositiveInfinity)
-      books.foreach { case ((j, c), center) =>
-        var s = 0.0
-        var i = 0
-        while (i < sub) {
-          val d = qv(j * sub + i) - center(i)
-          s += d * d
-          i += 1
-        }
-        lut(j * nk + c) = s
-      }
-      (qid, qv, lut.toSeq)
-    }.toSeq.toDF("query_id", "qu", "lut")
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
+    // one row per (query, subspace, code): squared L2 between the query's
+    // subspace slice and that code's center — the same left-fold order as
+    // a sequential loop, so distances are bit-identical to a driver build
+    val entries = queries.crossJoin(books)
+      .select(col("query_id"), col("qu"),
+        (col("subspace") * nk + col("code")).cast("int").as("slot"),
+        expr("""aggregate(
+            zip_with(slice(qu, subspace * size(center) + 1, size(center)),
+              center, (x, y) -> (x - y) * (x - y)),
+            0D, (acc, d) -> acc + d)""").as("d2"))
+    // dense m·nCodes layout per query; slots with no codebook row (k-means
+    // may return < nCodes centers on a degenerate subspace) fill with +inf
+    // — no stored code can reference an absent slot
+    val luts = entries.groupBy(col("query_id"))
+      .agg(first(col("qu")).as("qu"),
+        map_from_entries(collect_list(struct(col("slot"), col("d2"))))
+          .as("lm"))
+      .select(col("query_id"), col("qu"),
+        transform(sequence(lit(0), lit(m * nk - 1)),
+          i => coalesce(element_at(col("lm"), i),
+            lit(Double.PositiveInfinity))).as("lut"))
     val adist = spark.read.parquet(s"$dir/codes")
       .join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),

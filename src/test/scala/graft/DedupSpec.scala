@@ -26,8 +26,24 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.simhashDedup(spark, sf).collect()
     val injected = rows.filter(r =>
       r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 10000)
-    assert(injected.length >= 400)
-    assert(injected.forall(_.getAs[Long]("hamming") <= 6))
+    // measured on the fixture: 452/500 injected pairs recovered by the
+    // 64-bit/4-band single-band blocking (vs 428 for the old 32-bit form)
+    assert(injected.length >= 440)
+    assert(injected.forall(_.getAs[Long]("hamming") <= 12))
+  }
+
+  test("simhash paired-band mode is a subset with near-equal recall") {
+    val loose = Dedup.simhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strict = Dedup.simhashDedup(spark, sf, pairedBands = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2-of-4-band agreement implies 1-of-4-band agreement: strict ⊆ loose,
+    // with no duplicate pairs from the disjoint-block union
+    assert(strict.length == strict.toSet.size)
+    assert(strict.toSet.subsetOf(loose))
+    // measured fixture recall of the 2^-32-collision mode: 401/500
+    val injected = strict.count { case (a, b, _) => b == a + 10000 }
+    assert(injected >= 390)
   }
 
   test("embedNearDup finds exactly the offset copies above 0.9 cosine") {
