@@ -43,7 +43,8 @@ object Bench {
     // index is already committed.
     Seq("ann_ivf_persisted", "ann_ivf_sq", "ann_pq", "incremental_dedup",
         "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
-        "streaming_index_ingest").foreach { n =>
+        "streaming_index_ingest", "merged_index_dedup",
+        "ivf_append_violations", "streaming_index_search").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the
@@ -80,7 +81,20 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist the full line: the driver scrapes a bounded stdout tail,
+    // which truncates the per-query map past ~66 entries — the file is the
+    // durable record a later reader can diff round-over-round in full.
+    // Path knob: SPARK_GRAFT_BENCH_OUT (default BENCH_LATEST.json in cwd).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: measures the dedup + ANN tier at 1× and N× the
+  * base fixture and reports per-query scaling exponents (results →
+  * SCALING.md), so the 100 TB design claims in the operator scaladocs are
+  * evidence, not argument. exponent = log(tN/t1)/log(N): ~1 is linear in
+  * data, ~2 is quadratic (all-pairs leakage), < 1 means fixed overheads
+  * still dominate at this size.
+  *
+  * The N× corpus is a union of N shifted copies of the base tables,
+  * constructed so per-copy structure matches the base corpus exactly and
+  * NO new cross-copy duplicates appear (a naive N× self-union would make
+  * every doc an (N-1)-way duplicate and measure a different problem):
+  *
+  *  - ids stride by 100k per copy, so the dedup operators' injected
+  *    +10000 arithmetic stays inside a copy;
+  *  - copy c > 0 suffixes every token with `_c` — shingle/token sets are
+  *    disjoint across copies, so candidate structure per copy is the base
+  *    corpus's;
+  *  - copy c > 0 rotates the embedding array by c positions —
+  *    norm-preserving decorrelation (rotated vectors are near-orthogonal
+  *    to the originals in expectation), and copy 0 is verbatim so the
+  *    `vec_id < nQueries` query set is unchanged.
+  *
+  * Usage: runMain graft.Scaling [baseDir] [workDir] [factor]
+  * Emits one JSON array line (query, t1, tN, exponent) and writes it to
+  * SCALING_RESULTS.json (knob: SPARK_GRAFT_SCALING_OUT).
+  */
+object Scaling {
+
+  /** The tier under test — the operators whose scaladocs make the
+    * strongest 100× claims (VERDICT r4 asked for exactly these).
+    */
+  val Tier: Seq[String] = Seq("simhash_dedup", "minhash_dedup",
+    "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups")
+
+  /** Build-once operators run untimed first, as in [[Bench]], so the
+    * timed pass measures steady-state query cost, not index builds.
+    */
+  private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted")
+
+  def buildBlowup(spark: SparkSession, base: String, big: String,
+                  factor: Int): Unit = {
+    val marker = new java.io.File(s"$big/embeddings.parquet/_SUCCESS")
+    if (marker.exists()) return
+    val docs = Tables.load(spark, base, "documents")
+    val docCopies = (0 until factor).map { c =>
+      docs.select(docs.columns.map {
+        case "doc_id" => (col("doc_id") + c * 100000L).as("doc_id")
+        case "text" if c > 0 =>
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$c")))).as("text")
+        case other => col(other)
+      }.toIndexedSeq: _*)
+    }
+    docCopies.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/documents.parquet")
+    val emb = Tables.load(spark, base, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val embCopies = (0 until factor).map { c =>
+      emb.select(emb.columns.map {
+        case "vec_id" => (col("vec_id") + c * 100000L).as("vec_id")
+        case "embedding" if c > 0 =>
+          concat(slice(col("embedding"), c + 1, dim - c),
+            slice(col("embedding"), 1, c)).as("embedding")
+        case other => col(other)
+      }.toIndexedSeq: _*)
+    }
+    embCopies.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = s"$work/x$factor"
+    buildBlowup(spark, base, big, factor)
+    def sweep(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def run(dir: String): Seq[(String, Double)] = {
+      WarmUp.foreach { n =>
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scaling] warm-up $n @ $dir failed: " +
+            e.getMessage)
+        }
+      }
+      Tier.map { n =>
+        sweep()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val t1 = run(base)
+    val tN = run(big)
+    val rows = t1.zip(tN).map { case ((n, a), (_, b)) =>
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,"exponent":$exp%.2f}"""
+    }
+    val json = rows.mkString("[", ",", "]")
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
+      "SCALING_RESULTS.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[scaling] could not write $outPath: " +
+        e.getMessage)
+    }
+    spark.stop()
+  }
+}

@@ -93,6 +93,7 @@ object SparkEntry {
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
     "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "merged_index_dedup" -> ((s, d) => Dedup.mergedIndexDedup(s, d)),
     "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
@@ -116,6 +117,9 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),
+    "ann_recall_curve" -> ((s, d) => AnnSearch.annRecallCurve(s, d)),
+    "ivf_append_violations" ->
+      ((s, d) => AnnSearch.ivfAppendViolations(s, d)),
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
@@ -145,6 +149,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingOps.streamingJoin(s, d)),
     "streaming_index_ingest" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingIndexIngest(s, d)),
+    "streaming_index_search" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingSearch(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
   )
@@ -254,6 +260,13 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS query_id,
         |  CAST(NULL AS DOUBLE) AS recall,
         |  CAST(NULL AS DOUBLE) AS floor
+        |WHERE 1 = 0""".stripMargin,
+    // same zero-row contract for the IVF append path: any completeness or
+    // recall violation of the appended index version becomes a row
+    "ivf_append_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     "knn_search" -> DuckKnnOracle,
     // same result contract as knn_search - the SQL-surface variant shares
@@ -843,6 +856,10 @@ object SparkEntry {
          |$MinhashOracleSql
          |) WHERE doc_a < 10000 AND doc_b >= 10000
          |ORDER BY new_doc, dup_of""".stripMargin,
+    // the post-merge read path answers the FULL MinHash query from merged
+    // artifacts alone, so it shares minhash_dedup's oracle verbatim — the
+    // gate proves merged bands + shingles are complete and correct
+    "merged_index_dedup" -> MinhashOracleSql,
     "simhash_dedup" ->
       s"""WITH $DuckCorpus,
          |dtoks AS (
@@ -1184,6 +1201,40 @@ object SparkEntry {
         |  SELECT str_id, faiss_id, text FROM mnew
         |)
         |SELECT str_id, faiss_id, text FROM fin ORDER BY str_id""".stripMargin,
+    // the add-then-search lifecycle: the snapshot's vector set is
+    // deterministic (re-adds KEEP the original vector; batch-1 new ids
+    // carry +0.01-shifted vectors), so the oracle rebuilds it from the
+    // source tables, normalizes both sides and re-ranks — streamed ingest
+    // + snapshot search must equal batch k-NN over the same corpus
+    "streaming_index_search" ->
+      """WITH base AS (
+        |  SELECT d.doc_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |), corpus AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS id, v
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'doc-' || lpad(CAST(doc_id + 10000 AS VARCHAR), 7, '0'),
+        |    list_transform(v, x -> x + 0.01)
+        |  FROM base
+        |), n AS (
+        |  SELECT id, list_transform(v, x -> x /
+        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        |  FROM corpus
+        |), q AS (
+        |  SELECT list_transform(v, x -> x /
+        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS qu
+        |  FROM base WHERE doc_id = 0
+        |), dist AS (
+        |  SELECT id, list_sum(list_transform(list_zip(u, qu),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+        |  FROM n CROSS JOIN q
+        |), topk AS (
+        |  SELECT id, dd FROM dist ORDER BY dd, id LIMIT 10
+        |)
+        |SELECT id, round(dd, 6) AS distance FROM topk
+        |ORDER BY round(dd, 6), id""".stripMargin,
     "token_shards" ->
       s"""WITH $DuckToks,
          |pd AS (

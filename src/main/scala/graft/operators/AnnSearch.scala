@@ -185,10 +185,19 @@ object AnnSearch {
              k: Int = 10, nClusters: Int = 0, nProbe: Int = 0): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = loadOrBuildIvf(spark, sfDir, nc)
+    ivfSearchAt(spark, dir, queryVectors(spark, sfDir, nQueries), k,
+      resolveProbe(nc, nProbe))
+  }
+
+  /** The IVF probe-and-scan against an EXPLICIT index dir — shared by the
+    * fixture-corpus [[ivfKnn]] and the appended-version gate, so the two
+    * can never drift in probe tie-breaking or candidate shaping.
+    */
+  private def ivfSearchAt(spark: SparkSession, dir: String,
+                          queries: DataFrame, k: Int,
+                          nProbe: Int): DataFrame = {
     val centersDf = spark.read.parquet(s"$dir/centroids")
-    val (probedClusters, probes) =
-      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf,
-        resolveProbe(nc, nProbe))
+    val (probedClusters, probes) = probe(spark, queries, centersDf, nProbe)
     val assigned = spark.read.parquet(s"$dir/vectors")
       .filter(col("cluster").isin(probedClusters: _*))
     VectorSearch.topK(
@@ -423,5 +432,98 @@ object AnnSearch {
       .select(col("method"), col("query_id"),
         round(col("recall"), 4).as("recall"), col("qmin").as("floor"))
     methodViol.unionAll(queryViol).orderBy("method", "query_id")
+  }
+
+  /** Recall-vs-cost curve: the MEASURED form of the reference's accuracy
+    * knob (`main.py:31` efSearch) — 3 operating points per tunable method
+    * (IVF and IVF+SQ8 sweep nprobe low/default/full; PQ sweeps the rerank
+    * margin), each reported as average recall@k against the exact k-NN.
+    *
+    * Recall is monotone non-decreasing in the cost parameter BY
+    * CONSTRUCTION, not just in expectation: a larger nprobe (or rerank
+    * margin) produces a SUPERSET of candidates, and top-k over a superset
+    * can only move closer to the exact result — so the spec asserts
+    * monotonicity deterministically, and full probe (nprobe = nClusters)
+    * must hit recall 1.0 exactly. The driver-side loop is control-plane
+    * only (≤ 9 operating points, one distributed search job each, exactly
+    * like text_rank's iteration loop); per-point recall is a count
+    * aggregate, never a row collect.
+    */
+  def annRecallCurve(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("id")).localCheckpoint(true)
+    val denom = exact.count().toDouble
+    def recallOf(approx: DataFrame): Double = {
+      val hits = exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").count()
+      math.round(hits / denom * 10000.0) / 10000.0
+    }
+    val probePoints = Seq(math.max(1, nc / 8), autoProbe(nc), nc).distinct
+    val rerankPoints = Seq(k, 40, 120).distinct
+    val rows =
+      probePoints.map(p => ("ivf", p.toLong,
+        recallOf(ivfKnn(spark, sfDir, nQueries, k, nc, p)))) ++
+      probePoints.map(p => ("ivf_sq", p.toLong,
+        recallOf(ivfSqKnn(spark, sfDir, nQueries, k, nc, p)))) ++
+      rerankPoints.map(r => ("pq", r.toLong,
+        recallOf(Quantize.pqKnn(spark, sfDir, nQueries, k, rerank = r))))
+    rows.toDF("method", "cost", "recall").orderBy("method", "cost")
+  }
+
+  /** HARD gate for the O(batch) IVF append (same zero-row contract as
+    * [[annRecallViolations]]): fold a deterministic batch — every fixture
+    * embedding shifted to id + 20000 with +0.01 on each element — into a
+    * NEW index version via [[appendToIvfIndex]], then emit a violation row
+    * if either invariant breaks:
+    *
+    *  - completeness: the appended version must hold base + batch rows
+    *    (a lost cluster partition in the file-copy, or a dropped batch
+    *    row, trips this);
+    *  - quality: probing the appended version must reach `recallFloor`
+    *    average recall@k against the exact k-NN over the appended corpus
+    *    (assigning batch rows to wrong/degenerate centroids trips this
+    *    even when counts look right).
+    *
+    * An empty result is the passing state, checked against a typed
+    * zero-row oracle, so an append regression flips the driver's
+    * rows_match red.
+    */
+  def ivfAppendViolations(spark: SparkSession, sfDir: String,
+                          nQueries: Int = 10, k: Int = 10,
+                          recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    val out = IndexStore.indexDir(sfDir, s"ivf$nc-app-v1", "embeddings")
+    val batch = Tables.load(spark, sfDir, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.01)).as("v"))
+    appendToIvfIndex(spark, sfDir, batch, out, nc)
+    val nBase = embeddingCount(spark, sfDir)
+    val nOut = spark.read.parquet(s"$out/vectors").count()
+    // exact top-k over the appended corpus (base ∪ batch, both normalized
+    // exactly as the index stores them)
+    val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val exact = VectorSearch.topK(
+      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
+      .select(col("query_id"), col("id"))
+    val approx = ivfSearchAt(spark, out, queries, k, resolveProbe(nc, 0))
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / (nQueries.toLong * k)
+    val viols = Seq(
+      Option.when(nOut != 2 * nBase)(
+        ("vector_count", 2.0 * nBase, nOut.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

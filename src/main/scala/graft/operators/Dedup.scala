@@ -191,27 +191,9 @@ object Dedup {
     */
   def incrementalDedup(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.5): DataFrame = {
-    val dir = IndexStore.indexDir(sfDir, "dedup-v2", "documents")
-    if (!IndexStore.committed(s"$dir/bands") ||
-        !IndexStore.committed(s"$dir/shingles"))
-      buildDedupIndex(spark, sfDir, dir)
+    val dir = ensureIncrementalArtifacts(spark, sfDir)
     val corpusBands = spark.read.parquet(s"$dir/bands")
     val corpusSh = spark.read.parquet(s"$dir/shingles")
-    val batch = Tables.load(spark, sfDir, "documents")
-      .select((col("doc_id") + 10000).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    // Materialize the batch's shingle table once per data version, gated
-    // on committed() exactly like the corpus artifacts (production: these
-    // are the signatures later merged into the corpus index); bands,
-    // intersection and size counts all read the stored copy, so the batch
-    // text is shingled exactly ONCE — not once per consumer. Committed-
-    // gating (vs overwrite-per-run) also means a DataFrame returned by an
-    // earlier call never holds a stale file listing, and concurrent calls
-    // can't race on the shared fingerprinted dir: the first writer wins
-    // and everyone reads the same committed snapshot.
-    if (!IndexStore.committed(s"$dir/batch_shingles"))
-      IndexStore.saveDataset(shingleTable(shingles(batch)),
-        s"$dir/batch_shingles")
     val bt = spark.read.parquet(s"$dir/batch_shingles")
     val cand = corpusBands
       .select(col("doc_id").as("dup_of"), col("band"), col("band_key"))
@@ -237,6 +219,70 @@ object Dedup {
       .select(col("new_doc"), col("dup_of"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("new_doc", "dup_of")
+  }
+
+  /** Ensure the corpus index AND the current batch's signatures exist,
+    * committed, under the fingerprinted incremental-dedup dir — shared by
+    * the incremental query and the index-merge step. The batch's shingle
+    * table is materialized once per data version, gated on committed()
+    * exactly like the corpus artifacts (production: these are the
+    * signatures later merged into the corpus index); bands, intersection
+    * and size counts all read the stored copy, so the batch text is
+    * shingled exactly ONCE — not once per consumer. Committed-gating (vs
+    * overwrite-per-run) also means a DataFrame returned by an earlier call
+    * never holds a stale file listing, and concurrent calls can't race on
+    * the shared fingerprinted dir: the first writer wins and everyone
+    * reads the same committed snapshot.
+    */
+  private def ensureIncrementalArtifacts(spark: SparkSession,
+                                         sfDir: String): String = {
+    val dir = IndexStore.indexDir(sfDir, "dedup-v2", "documents")
+    if (!IndexStore.committed(s"$dir/bands") ||
+        !IndexStore.committed(s"$dir/shingles"))
+      buildDedupIndex(spark, sfDir, dir)
+    if (!IndexStore.committed(s"$dir/batch_shingles")) {
+      val batch = Tables.load(spark, sfDir, "documents")
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      IndexStore.saveDataset(shingleTable(shingles(batch)),
+        s"$dir/batch_shingles")
+    }
+    dir
+  }
+
+  /** The post-merge READ path that closes the incremental loop: fold the
+    * batch signatures into a NEW index version ([[mergeBatchIntoIndex]]),
+    * then answer the full MinHash near-dup query from the MERGED artifacts
+    * alone — band keys from `out/bands`, verification shingles from
+    * `out/shingles`, no document text touched. On the fixture the merged
+    * version holds exactly the injected corpus's signatures, so the result
+    * is pair-for-pair [[minhashDedup]] and shares its oracle — the gate
+    * proves BOTH merged artifacts are complete and correct, not just
+    * row-counted.
+    */
+  def mergedIndexDedup(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val dir = ensureIncrementalArtifacts(spark, sfDir)
+    val out = IndexStore.indexDir(sfDir, "dedup-merged-v1", "documents")
+    if (!IndexStore.committed(s"$out/shingles") ||
+        !IndexStore.committed(s"$out/bands"))
+      mergeBatchIntoIndex(spark, dir, out)
+    val bands = spark.read.parquet(s"$out/bands")
+    val cand = bands
+      .select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+          col("band").as("b2"), col("band_key").as("k2")),
+        col("band") === col("b2") && col("band_key") === col("k2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val hsh = spark.read.parquet(s"$out/shingles")
+      .select(col("doc_id"), col("h"))
+    val inter = cand
+      .join(hsh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b2"), col("h").as("h2")),
+        col("doc_b") === col("doc_b2") && col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    jaccardFromCounts(inter, hsh, threshold)
   }
 
   /** Duplicate GROUPS from the near-dup pair graph: connected components —

@@ -293,4 +293,32 @@ object StreamingIndex {
     spark.read.schema(MappingSchema).parquet(s"$root/v$v/mapping")
       .orderBy("str_id")
   }
+
+  /** The reference's full add-then-search lifecycle (`POST /add_drawing`
+    * then `POST /search_drawing`, `main.py:104` → `main.py:138`) under
+    * streaming: run [[streamingIndexIngest]] (idempotent — both fixture
+    * batches fold through the checkpointed stream if not already
+    * committed), then [[searchLatest]] against the LATEST committed
+    * snapshot with the first document's embedding as the query.
+    *
+    * Deterministic end-to-end, so the DuckDB oracle reconstructs the
+    * snapshot's vector set directly from the source tables (base vectors
+    * for every base id — a re-add keeps the ORIGINAL vector — plus the
+    * +0.01-shifted batch-1 vectors under their 10000-shifted ids) and
+    * re-ranks: the gate checks that streamed ingest + snapshot search
+    * equals batch k-NN over the same corpus, closing the loop the
+    * mapping-only `streaming_index_ingest` entry leaves open. The one-row
+    * collect for the query vector is the search API's contract (a caller
+    * holds the query embedding), not a data-shaped collect.
+    */
+  def streamingSearch(spark: SparkSession, sfDir: String,
+                      k: Int = 10): DataFrame = {
+    streamingIndexIngest(spark, sfDir)
+    val root = IndexStore.indexDir(sfDir, "stream-index-v3", "documents")
+    val query = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .head().getSeq[Double](0)
+    searchLatest(spark, root, query, k)
+  }
 }

@@ -157,4 +157,26 @@ class AnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("recall curve is monotone in cost and exact at full probe") {
+    val rows = AnnSearch.annRecallCurve(spark, sf).collect()
+    val byMethod = rows.groupBy(_.getString(0))
+    assert(byMethod.keySet == Set("ivf", "ivf_sq", "pq"))
+    // monotone BY CONSTRUCTION (superset candidates), so exact >= holds
+    // deterministically, not just in expectation
+    byMethod.foreach { case (m, rs) =>
+      val recalls = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(recalls.length == 3, m)
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"$m recall not monotone: ${recalls.mkString(",")}")
+    }
+    // probing every cluster IS the exact search: recall must be 1.0 exactly
+    Seq("ivf", "ivf_sq").foreach { m =>
+      assert(byMethod(m).maxBy(_.getLong(1)).getDouble(2) == 1.0, m)
+    }
+  }
+
+  test("IVF append yields a complete, searchable next version") {
+    assert(AnnSearch.ivfAppendViolations(spark, sf).collect().isEmpty)
+  }
 }

@@ -102,6 +102,12 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/bands").count() == 4 * nDocs)
   }
 
+  test("mergedIndexDedup answers the full query from merged artifacts") {
+    val got = Dedup.mergedIndexDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val want = Dedup.minhashDedup(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("embedNearDupPruned recovers the exact all-pairs result") {
     val exact = Dedup.embedNearDup(spark, sf).collect().map(_.toSeq).toSeq
     val pruned = Dedup.embedNearDupPruned(spark, sf).collect()

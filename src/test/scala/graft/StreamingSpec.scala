@@ -138,6 +138,18 @@ class StreamingSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq == mapping.map(_.toSeq).toSeq)
   }
 
+  test("snapshot search finds the query doc at distance zero") {
+    import graft.streaming.StreamingIndex
+    val rows = StreamingIndex.streamingSearch(spark, sf).collect()
+    assert(rows.length == 10)
+    // doc 0's own stored vector is the same normalization of the same
+    // embedding as the query → exact distance 0, ranked first
+    assert(rows.head.getString(0) == "doc-0000000")
+    assert(rows.head.getDouble(1) == 0.0)
+    // its batch-1 near-copy (+0.01 shift under id+10000) is in the top-k
+    assert(rows.exists(_.getString(0) == "doc-0010000"))
+  }
+
   test("idle open-session state is evicted on event-time timeout") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
