@@ -507,12 +507,16 @@ object Dedup {
                 else shiftright(col("hhi"), j - 32)
         sum(h % 2 * 2 - 1).as(s"sj$j")
       }: _*)
+    // materialize the signature table ONCE: every block join consumes it
+    // on BOTH sides, and without the lineage cut each of the 4 (or 6)
+    // blocks would re-run the 64-column aggregation twice — measured 3×
+    // the query cost at sf0.1 (same pattern as components()' edge list)
     val sig = bitSums.select(col("doc_id") +:
       (0 until 4).map { bnd =>
         (0 until 16).map(t =>
           when(col(s"sj${16 * bnd + t}") > 0, lit(1L << t)).otherwise(0L))
           .reduce(_ + _).as(s"b$bnd")
-      }: _*)
+      }: _*).localCheckpoint(true)
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until 4).map(i => col(s"b$i")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +:

@@ -6,12 +6,13 @@ class ContractSpec extends SparkSpec {
   test("every oracle key has a query; no silent Map-key collisions") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size >= 69)
-    // all but the sketch/model-based six carry oracles
+    assert(SparkEntry.queries.size >= 95)
+    // all but the sketch/model-based seven carry oracles (the two
+    // *_violations gates DO carry typed zero-row oracles)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
       Set("approx_distinct", "ann_lsh", "ann_ivf_persisted", "ann_ivf_sq",
-        "ann_pq", "ann_recall"), noOracle)
+        "ann_pq", "ann_recall", "ann_recall_curve"), noOracle)
   }
 
   test("entry() smoke: flagship returns rows on sf0.001") {
