@@ -44,7 +44,8 @@ object Bench {
     Seq("ann_ivf_persisted", "ann_ivf_sq", "ann_pq", "incremental_dedup",
         "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
         "streaming_index_ingest", "merged_index_dedup",
-        "ivf_append_violations", "streaming_index_search").foreach { n =>
+        "ivf_append_violations", "streaming_index_search",
+        "streaming_corpus_dedup").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the

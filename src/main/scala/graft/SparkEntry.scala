@@ -151,6 +151,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingIndex.streamingIndexIngest(s, d)),
     "streaming_index_search" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingSearch(s, d)),
+    "streaming_corpus_dedup" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingCorpusDedup(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
   )
@@ -215,6 +217,15 @@ object SparkEntry {
        |   AND a.doc_id < b.doc_id
        |),
        |""" + DuckJaccardTail.replace("THRESH", "0.5")).stripMargin
+
+  /** Batch-vs-corpus oracle: the cross-partition subset of the MinHash
+    * result — shared by `incremental_dedup` and its streamed twin.
+    */
+  private lazy val IncrementalOracleSql: String =
+    s"""SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard FROM (
+       |$MinhashOracleSql
+       |) WHERE doc_a < 10000 AND doc_b >= 10000
+       |ORDER BY new_doc, dup_of""".stripMargin
 
   /** Exact-kNN oracle, shared verbatim by `knn_search` and its pure-SQL
     * twin `sql_vector_knn` — one formulation, two gate entries.
@@ -851,11 +862,11 @@ object SparkEntry {
         |SELECT key, segment, DATE '1998-01-01', CAST(NULL AS DATE), true
         |FROM batch
         |ORDER BY key, valid_from""".stripMargin,
-    "incremental_dedup" ->
-      s"""SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard FROM (
-         |$MinhashOracleSql
-         |) WHERE doc_a < 10000 AND doc_b >= 10000
-         |ORDER BY new_doc, dup_of""".stripMargin,
+    "incremental_dedup" -> IncrementalOracleSql,
+    // the streamed fold of the same batch (two micro-batches through one
+    // checkpoint) — per-doc verdicts are split-independent, so it shares
+    // the batch operator's oracle verbatim
+    "streaming_corpus_dedup" -> IncrementalOracleSql,
     // the post-merge read path answers the FULL MinHash query from merged
     // artifacts alone, so it shares minhash_dedup's oracle verbatim — the
     // gate proves merged bands + shingles are complete and correct

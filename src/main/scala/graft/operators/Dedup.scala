@@ -63,7 +63,7 @@ object Dedup {
     * the dataset the index store persists — ONE tokenize pass yields
     * everything signatures and verification need.
     */
-  private def shingleTable(sh: DataFrame): DataFrame =
+  private[graft] def shingleTable(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"),
       hash32(col("sh")).as("x"))
@@ -192,9 +192,24 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.5): DataFrame = {
     val dir = ensureIncrementalArtifacts(spark, sfDir)
-    val corpusBands = spark.read.parquet(s"$dir/bands")
-    val corpusSh = spark.read.parquet(s"$dir/shingles")
-    val bt = spark.read.parquet(s"$dir/batch_shingles")
+    dedupBatchAgainstIndex(
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/batch_shingles"), threshold)
+  }
+
+  /** The batch-vs-corpus core over persisted signature artifacts: band
+    * equi-join candidates, exact-Jaccard verification, (new_doc, dup_of,
+    * jaccard) out. Shared by the batch entry ([[incrementalDedup]]) and
+    * the streaming micro-batch fold
+    * ([[graft.streaming.StreamingIndex.streamingCorpusDedup]]) so the two
+    * paths can never drift. `bt` is a [[shingleTable]]-shaped frame for
+    * the NEW batch; the corpus side is only ever read, never re-shingled.
+    */
+  private[graft] def dedupBatchAgainstIndex(corpusBands: DataFrame,
+                                            corpusSh: DataFrame,
+                                            bt: DataFrame,
+                                            threshold: Double): DataFrame = {
     val cand = corpusBands
       .select(col("doc_id").as("dup_of"), col("band"), col("band_key"))
       .join(bandKeysFromHashes(bt.select(col("doc_id"), col("x")))
@@ -236,10 +251,7 @@ object Dedup {
     */
   private def ensureIncrementalArtifacts(spark: SparkSession,
                                          sfDir: String): String = {
-    val dir = IndexStore.indexDir(sfDir, "dedup-v2", "documents")
-    if (!IndexStore.committed(s"$dir/bands") ||
-        !IndexStore.committed(s"$dir/shingles"))
-      buildDedupIndex(spark, sfDir, dir)
+    val dir = ensureCorpusIndex(spark, sfDir)
     if (!IndexStore.committed(s"$dir/batch_shingles")) {
       val batch = Tables.load(spark, sfDir, "documents")
         .select((col("doc_id") + 10000).as("doc_id"),
@@ -247,6 +259,19 @@ object Dedup {
       IndexStore.saveDataset(shingleTable(shingles(batch)),
         s"$dir/batch_shingles")
     }
+    dir
+  }
+
+  /** Load-or-build gate for the CORPUS-side signature index alone (no
+    * batch staging) — what a streaming consumer folds its micro-batches
+    * against.
+    */
+  private[graft] def ensureCorpusIndex(spark: SparkSession,
+                                       sfDir: String): String = {
+    val dir = IndexStore.indexDir(sfDir, "dedup-v2", "documents")
+    if (!IndexStore.committed(s"$dir/bands") ||
+        !IndexStore.committed(s"$dir/shingles"))
+      buildDedupIndex(spark, sfDir, dir)
     dir
   }
 

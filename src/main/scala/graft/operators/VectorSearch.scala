@@ -52,8 +52,8 @@ object VectorSearch {
     * rerank slots — asc_nulls_last matches DuckDB's ASC default and the
     * "NULL ranks last in any distance ordering" contract.
     */
-  private[operators] def pruneCandidates(adist: DataFrame,
-                                         rerank: Int): DataFrame = {
+  private[graft] def pruneCandidates(adist: DataFrame,
+                                     rerank: Int): DataFrame = {
     val wr = Window.partitionBy("query_id")
       .orderBy(col("adist").asc_nulls_last, col("id"))
     adist.withColumn("rr", row_number().over(wr))

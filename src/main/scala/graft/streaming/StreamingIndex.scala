@@ -321,4 +321,64 @@ object StreamingIndex {
       .head().getSeq[Double](0)
     searchLatest(spark, root, query, k)
   }
+
+  /** Streaming near-dup dedup against the PERSISTED corpus signature
+    * index — the continuous-ingestion shape of
+    * [[graft.operators.Dedup.incrementalDedup]]: new documents land as
+    * files, a checkpointed micro-batch query shingles ONLY the batch and
+    * folds it against the corpus's stored bands/shingles
+    * ([[graft.operators.Dedup.dedupBatchAgainstIndex]] — the same core
+    * as the batch entry, so the paths cannot drift), writing each batch's
+    * verdicts to a per-batch-id output dir (overwrite ⇒ a crash-replay of
+    * a batch rewrites the same dir — idempotent end-to-end).
+    *
+    * The fixture streams the injected near-dup batch as TWO files with
+    * maxFilesPerTrigger=1 (two micro-batches through one checkpoint —
+    * the restart path, not one big batch); per-doc verdicts are
+    * independent of the batch split, so the union over batch dirs equals
+    * the batch operator's result exactly and shares its oracle.
+    *
+    * Scale shape: per micro-batch cost is O(batch) — batch shingling, a
+    * band equi-join against the (read-only) corpus bands, Jaccard
+    * verification on candidates. The corpus is never re-shingled; at
+    * 100 TB the corpus side is the build-once nightly index and this is
+    * the arrival-time path.
+    */
+  def streamingCorpusDedup(spark: SparkSession, sfDir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val corpusDir = Dedup.ensureCorpusIndex(spark, sfDir)
+    val root = IndexStore.indexDir(sfDir, "stream-dedup-v1", "documents")
+    val landing = s"$root/landing"
+    val results = s"$root/results"
+    if (!IndexStore.committed(s"$results/b0") ||
+        !IndexStore.committed(s"$results/b1")) {
+      val batch = Tables.load(spark, sfDir, "documents")
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      stageInto(batch.filter(col("doc_id") % 2 === 0), landing, "batch0")
+      stageInto(batch.filter(col("doc_id") % 2 =!= 0), landing, "batch1")
+      val corpusBands = spark.read.parquet(s"$corpusDir/bands")
+      val corpusSh = spark.read.parquet(s"$corpusDir/shingles")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          Dedup.dedupBatchAgainstIndex(corpusBands, corpusSh,
+              Dedup.shingleTable(Dedup.shingles(b.toDF())), threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$results/b$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$results/b*").orderBy("new_doc", "dup_of")
+  }
 }

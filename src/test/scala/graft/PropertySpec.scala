@@ -132,6 +132,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("degenerate NULL-adist rows never displace real candidates") {
+    import graft.operators.VectorSearch
+    // the SEARCH path over degenerates (the r3-advice gap): quantize()
+    // yields NULL scale/qv for zero-norm rows, which makes the asymmetric
+    // distance NULL — pruning must rank those LAST (asc_nulls_last), so a
+    // degenerate row consumes a rerank slot only when no real candidate
+    // remains
+    val qu = Seq(1.0, 0.0)
+    val adist = Seq(
+      (0L, qu, 1L, Option(0.5)),
+      (0L, qu, 2L, Option.empty[Double]), // degenerate: NULL adist
+      (0L, qu, 3L, Option(0.1)),
+      (1L, qu, 4L, Option.empty[Double]), // a query with ONLY degenerates
+      (1L, qu, 5L, Option.empty[Double]))
+      .toDF("query_id", "qu", "id", "adist")
+    val kept = VectorSearch.pruneCandidates(adist, 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("id")).toSet }
+    // real candidates fill the margin first; NULLs overflow out
+    assert(kept(0L) == Set(1L, 3L))
+    // with no real candidates the NULL rows still flow through (ties on
+    // id) rather than vanishing — rescore then drops them naturally
+    assert(kept(1L) == Set(4L, 5L))
+  }
+
   test("chunkTokens reconstructs arbitrary docs exactly at any geometry") {
     import graft.operators.TextAnalysis
     val wordGen = Gen.choose(1, 6).flatMap(n =>

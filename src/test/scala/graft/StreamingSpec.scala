@@ -138,6 +138,16 @@ class StreamingSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq == mapping.map(_.toSeq).toSeq)
   }
 
+  test("streaming corpus dedup equals the batch incremental result") {
+    import graft.streaming.StreamingIndex
+    import graft.operators.Dedup
+    val got = StreamingIndex.streamingCorpusDedup(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val want = Dedup.incrementalDedup(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("snapshot search finds the query doc at distance zero") {
     import graft.streaming.StreamingIndex
     val rows = StreamingIndex.streamingSearch(spark, sf).collect()
