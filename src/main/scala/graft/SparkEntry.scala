@@ -89,6 +89,8 @@ object SparkEntry {
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
     "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "simhash_dedup_paired" ->
+      ((s, d) => Dedup.simhashDedup(s, d, pairedBands = true)),
     "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
     "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),
@@ -217,6 +219,53 @@ object SparkEntry {
        |   AND a.doc_id < b.doc_id
        |),
        |""" + DuckJaccardTail.replace("THRESH", "0.5")).stripMargin
+
+  /** 64-bit/4-band SimHash oracle, parameterized on the blocking
+    * predicate so the default (any-band) and paired-band (any-2-bands)
+    * gate entries share every other line — signature math can never
+    * drift between the two.
+    */
+  private def simhashOracle(blockCond: String): String =
+    s"""WITH $DuckCorpus,
+       |dtoks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM corpus) WHERE tok <> ''
+       |),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+       |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
+       |  FROM dtoks
+       |),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(((CASE WHEN j < 32 THEN hlo ELSE hhi END >> (j % 32)) & 1)
+       |      * 2 - 1) AS sj
+       |  FROM h CROSS JOIN range(0, 64) t(j) GROUP BY doc_id, j
+       |),
+       |bands AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+       |      ELSE 0 END) FILTER (j // 16 = 0) AS BIGINT) AS b0,
+       |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+       |      ELSE 0 END) FILTER (j // 16 = 1) AS BIGINT) AS b1,
+       |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+       |      ELSE 0 END) FILTER (j // 16 = 2) AS BIGINT) AS b2,
+       |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
+       |      ELSE 0 END) FILTER (j // 16 = 3) AS BIGINT) AS b3
+       |  FROM bits GROUP BY doc_id
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |      AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON ($blockCond)
+       |      AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Batch-vs-corpus oracle: the cross-partition subset of the MinHash
     * result — shared by `incremental_dedup` and its streamed twin.
@@ -871,47 +920,13 @@ object SparkEntry {
     // artifacts alone, so it shares minhash_dedup's oracle verbatim — the
     // gate proves merged bands + shingles are complete and correct
     "merged_index_dedup" -> MinhashOracleSql,
-    "simhash_dedup" ->
-      s"""WITH $DuckCorpus,
-         |dtoks AS (
-         |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |    FROM corpus) WHERE tok <> ''
-         |),
-         |h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
-         |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
-         |  FROM dtoks
-         |),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |    sum(((CASE WHEN j < 32 THEN hlo ELSE hhi END >> (j % 32)) & 1)
-         |      * 2 - 1) AS sj
-         |  FROM h CROSS JOIN range(0, 64) t(j) GROUP BY doc_id, j
-         |),
-         |bands AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
-         |      ELSE 0 END) FILTER (j // 16 = 0) AS BIGINT) AS b0,
-         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
-         |      ELSE 0 END) FILTER (j // 16 = 1) AS BIGINT) AS b1,
-         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
-         |      ELSE 0 END) FILTER (j // 16 = 2) AS BIGINT) AS b2,
-         |    CAST(sum(CASE WHEN sj > 0 THEN 1::BIGINT << (j % 16)
-         |      ELSE 0 END) FILTER (j // 16 = 3) AS BIGINT) AS b3
-         |  FROM bits GROUP BY doc_id
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
-         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-         |      AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-         |      AND a.doc_id < b.doc_id
-         |)
-         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM pairs WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash_dedup" -> simhashOracle(
+      "a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3"),
+    // the scale mode: candidates must agree on TWO of the four bands
+    // (6 combined 32-bit keys — 2^-32 per-table collisions at 10^9 docs)
+    "simhash_dedup_paired" -> simhashOracle(
+      "(a.b0 = b.b0)::INT + (a.b1 = b.b1)::INT + " +
+        "(a.b2 = b.b2)::INT + (a.b3 = b.b3)::INT >= 2"),
     "jaccard_dupes" ->
       (s"""WITH $DuckCorpus,
          |$DuckShingles,
