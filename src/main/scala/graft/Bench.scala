@@ -45,7 +45,7 @@ object Bench {
         "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
         "streaming_index_ingest", "merged_index_dedup",
         "ivf_append_violations", "streaming_index_search",
-        "streaming_corpus_dedup").foreach { n =>
+        "streaming_corpus_dedup", "streaming_ivf_append").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the

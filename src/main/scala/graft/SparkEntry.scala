@@ -155,6 +155,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingIndex.streamingSearch(s, d)),
     "streaming_corpus_dedup" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingCorpusDedup(s, d)),
+    "streaming_ivf_append" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingIvfAppend(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
   )
@@ -324,6 +326,13 @@ object SparkEntry {
     // same zero-row contract for the IVF append path: any completeness or
     // recall violation of the appended index version becomes a row
     "ivf_append_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // and for the STREAMED chain of appends (version chain, final count,
+    // final-version probe recall)
+    "streaming_ivf_append" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

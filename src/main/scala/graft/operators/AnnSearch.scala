@@ -238,13 +238,27 @@ object AnnSearch {
 
   def appendToIvfIndex(spark: SparkSession, sfDir: String,
                        batch: DataFrame, out: String,
-                       nClusters: Int = 0): Unit = {
+                       nClusters: Int = 0): Unit =
+    appendToIvfIndexAt(spark, loadOrBuildIvf(spark, sfDir, nClusters),
+      batch, out)
+
+  /** [[appendToIvfIndex]] against an EXPLICIT base version dir — what a
+    * streaming ingest chains: version n is the O(batch) append of batch n
+    * onto version n-1's committed artifacts. The base must be a
+    * fully-committed index layout (centroids + cluster-partitioned
+    * vectors).
+    */
+  private[graft] def appendToIvfIndexAt(spark: SparkSession, dir: String,
+                                        batch: DataFrame,
+                                        out: String): Unit = {
     // a committed `out` means this version already folded its batch — a
     // re-invocation (crash-replay, retried job) must not append it twice.
     // centroids is the LAST artifact the happy path writes, so its
     // _SUCCESS is the one whole-version commit marker
     if (IndexStore.committed(s"$out/centroids")) return
-    val dir = loadOrBuildIvf(spark, sfDir, nClusters)
+    require(IndexStore.committed(s"$dir/centroids") &&
+      IndexStore.committed(s"$dir/vectors"),
+      s"append base $dir is not a committed index version")
     val centersDf = spark.read.parquet(s"$dir/centroids")
     // the batch's dimension must match the index — a mismatch would make
     // every squaredL2 NULL and silently dump the whole batch in cluster 0
@@ -508,16 +522,8 @@ object AnnSearch {
     // exactly as the index stores them)
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
-    val queries = queryVectors(spark, sfDir, nQueries)
-    val exact = VectorSearch.topK(
-      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("id"),
-          squaredL2(col("qu"), col("v")).as("dist")), k)
-      .select(col("query_id"), col("id"))
-    val approx = ivfSearchAt(spark, out, queries, k, resolveProbe(nc, 0))
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / (nQueries.toLong * k)
+    val recall = probeRecall(spark, out, union,
+      queryVectors(spark, sfDir, nQueries), k, resolveProbe(nc, 0))
     val viols = Seq(
       Option.when(nOut != 2 * nBase)(
         ("vector_count", 2.0 * nBase, nOut.toDouble)),
@@ -526,4 +532,40 @@ object AnnSearch {
           math.round(recall * 10000.0) / 10000.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
+
+  /** Average recall@k of probing the index at `dir` against the exact
+    * k-NN over an explicit normalized corpus — the shared measurement of
+    * both append gates (batch and streamed).
+    */
+  private[graft] def probeRecall(spark: SparkSession, dir: String,
+                                 union: DataFrame, queries: DataFrame,
+                                 k: Int, nProbe: Int): Double = {
+    val exact = VectorSearch.topK(
+      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
+      .select(col("query_id"), col("id")).localCheckpoint(true)
+    val approx = ivfSearchAt(spark, dir, queries, k, nProbe)
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
+  private[graft] def defaultProbe(spark: SparkSession,
+                                  sfDir: String): Int = {
+    val nc = resolveClusters(spark, sfDir, 0)
+    resolveProbe(nc, 0)
+  }
+
+  private[graft] def normalizedCorpus(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+
+  private[graft] def fixtureQueries(spark: SparkSession, sfDir: String,
+                                    nQueries: Int): DataFrame =
+    queryVectors(spark, sfDir, nQueries)
+
+  private[graft] def ensureIvfIndex(spark: SparkSession,
+                                    sfDir: String): String =
+    loadOrBuildIvf(spark, sfDir, 0)
 }

@@ -54,7 +54,18 @@ object StreamingIndex {
     * n's own (possibly half-committed) output from the crashed attempt.
     */
   def latestVersion(root: String,
-                    limit: Long = Long.MaxValue): Option[Long] = {
+                    limit: Long = Long.MaxValue): Option[Long] =
+    latestVersionWith(root, Seq("mapping", "vectors"), limit)
+
+  /** [[latestVersion]] generalized over the version's artifact set — the
+    * flat text+vector store commits (mapping, vectors); an IVF version
+    * commits (centroids, vectors). A version counts only when EVERY
+    * artifact is committed.
+    */
+  private[streaming] def latestVersionWith(root: String,
+                                           artifacts: Seq[String],
+                                           limit: Long = Long.MaxValue)
+      : Option[Long] = {
     val p = new Path(root)
     val fs = p.getFileSystem(IndexStore.hadoopConf)
     if (!fs.exists(p)) return None
@@ -62,8 +73,7 @@ object StreamingIndex {
       .map(_.getPath.getName)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
       .filter(v => v < limit &&
-        IndexStore.committed(s"$root/v$v/mapping") &&
-        IndexStore.committed(s"$root/v$v/vectors"))
+        artifacts.forall(a => IndexStore.committed(s"$root/v$v/$a")))
       .sorted.lastOption
   }
 
@@ -380,5 +390,92 @@ object StreamingIndex {
       q.awaitTermination()
     }
     spark.read.parquet(s"$results/b*").orderBy("new_doc", "dup_of")
+  }
+
+  /** Streaming O(batch) ANN index growth: micro-batches of NEW vectors
+    * are chained into versioned IVF snapshots —
+    * v(n) = [[graft.operators.AnnSearch.appendToIvfIndexAt]](v(n-1),
+    * batch n) — under one checkpoint, with the same replay discipline as
+    * [[ingestAvailable]] (predecessor resolved below the batch id; a
+    * committed version above the batch id means a lost checkpoint and
+    * fails loudly; a replayed batch rewrites its own version from the
+    * same predecessor). Each version costs O(batch): untouched cluster
+    * partitions are file-copied, only the batch is assigned and written.
+    *
+    * Returns the zero-row violations contract (same shape as
+    * `ivf_append_violations`): rows appear if the version chain is
+    * incomplete, the final version's vector count is not base + both
+    * batches, or probing the final version misses the recall floor
+    * against the exact k-NN over the full appended corpus.
+    */
+  def streamingIvfAppend(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 10,
+                         recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.l2Normalize
+    import graft.operators.AnnSearch
+    val root = IndexStore.indexDir(sfDir, "stream-ivf-v1", "embeddings")
+    val landing = s"$root/landing"
+    val ivfArtifacts = Seq("centroids", "vectors")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // brand-new ids well clear of the fixture's other injections
+    // (+10000 dedup corpus, +20000 batch-append gate)
+    def shifted(off: Long, delta: Double) =
+      emb.select((col("vec_id") + off).as("vec_id"),
+        transform(col("v"), x => x + lit(delta)).as("v"))
+    if (!latestVersionWith(root, ivfArtifacts).exists(_ >= 1L)) {
+      val base = AnnSearch.ensureIvfIndex(spark, sfDir)
+      stageInto(shifted(30000L, 0.01), landing, "batch0")
+      stageInto(shifted(40000L, 0.02), landing, "batch1")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          latestVersionWith(root, ivfArtifacts).filter(_ > batchId)
+            .foreach { v =>
+              throw new IllegalStateException(
+                s"IVF root $root has committed version v$v > batch " +
+                  s"$batchId: checkpoint/root mismatch — refusing to " +
+                  "rewrite history")
+            }
+          val baseDir = latestVersionWith(root, ivfArtifacts,
+              limit = batchId)
+            .map(v => s"$root/v$v").getOrElse(base)
+          AnnSearch.appendToIvfIndexAt(spark, baseDir, b.toDF(),
+            s"$root/v$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val vLast = latestVersionWith(root, ivfArtifacts).getOrElse(-1L)
+    val finalDir = s"$root/v$vLast"
+    val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val nOut = spark.read.parquet(s"$finalDir/vectors").count()
+    val union = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(shifted(30000L, 0.01)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .unionAll(shifted(40000L, 0.02)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+    val recall = AnnSearch.probeRecall(spark, finalDir, union,
+      AnnSearch.fixtureQueries(spark, sfDir, nQueries), k,
+      AnnSearch.defaultProbe(spark, sfDir))
+    val viols = Seq(
+      Option.when(vLast != 1L)(
+        ("version_chain", 1.0, vLast.toDouble)),
+      Option.when(nOut != 3 * nBase)(
+        ("vector_count", 3.0 * nBase, nOut.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

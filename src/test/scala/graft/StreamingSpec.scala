@@ -148,6 +148,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streamed IVF appends chain versions with zero violations") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    assert(StreamingIndex.streamingIvfAppend(spark, sf).collect().isEmpty)
+    // the chain is two committed versions, each a complete index layout
+    val root = IndexStore.indexDir(sf, "stream-ivf-v1", "embeddings")
+    Seq(0L, 1L).foreach { v =>
+      assert(IndexStore.committed(s"$root/v$v/centroids"), s"v$v")
+      assert(IndexStore.committed(s"$root/v$v/vectors"), s"v$v")
+    }
+    val nBase = Tables.load(spark, sf, "embeddings").count()
+    assert(spark.read.parquet(s"$root/v0/vectors").count() == 2 * nBase)
+    assert(spark.read.parquet(s"$root/v1/vectors").count() == 3 * nBase)
+  }
+
   test("snapshot search finds the query doc at distance zero") {
     import graft.streaming.StreamingIndex
     val rows = StreamingIndex.streamingSearch(spark, sf).collect()
