@@ -216,7 +216,17 @@ object StreamingIndex {
     * version's predecessor survives any single vacuum cycle (and gives
     * mid-scan readers object-store-delete lag).
     */
-  def pruneVersions(root: String, keep: Int = 2): Seq[Long] = {
+  def pruneVersions(root: String, keep: Int = 2): Seq[Long] =
+    pruneVersionsWith(root, Seq("mapping", "vectors"), keep)
+
+  /** [[pruneVersions]] generalized over the version's artifact set (the
+    * same parameterization as [[latestVersionWith]]) — the streamed IVF
+    * chain vacuums with `Seq("centroids", "vectors")`. A version whose
+    * artifact set doesn't match is treated as UNCOMMITTED and left alone,
+    * so pointing the wrong vacuum at a root can never delete live data.
+    */
+  def pruneVersionsWith(root: String, artifacts: Seq[String],
+                        keep: Int = 2): Seq[Long] = {
     require(keep >= 2,
       s"keep $keep: a checkpointed replay of the newest batch folds from" +
         " its predecessor - retention must keep at least 2 versions")
@@ -226,8 +236,8 @@ object StreamingIndex {
     val committed = fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .filter(v => IndexStore.committed(s"$root/v$v/mapping") &&
-        IndexStore.committed(s"$root/v$v/vectors"))
+      .filter(v => artifacts.forall(a =>
+        IndexStore.committed(s"$root/v$v/$a")))
       .sorted
     val doomed = committed.dropRight(keep)
     doomed.foreach(v => fs.delete(new Path(s"$root/v$v"), true))

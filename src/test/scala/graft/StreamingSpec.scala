@@ -303,6 +303,13 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingIndex.pruneVersions(root, keep = 1)
     }
+    // an artifact-set mismatch reads as "uncommitted": the IVF-flavored
+    // vacuum sees no (centroids, vectors) versions here and deletes
+    // NOTHING — the wrong vacuum pointed at a root can't eat live data
+    assert(StreamingIndex.pruneVersionsWith(root,
+      Seq("centroids", "vectors"), keep = 2).isEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v3")))
   }
 
   test("index ingest refuses a fresh checkpoint over an older root") {
