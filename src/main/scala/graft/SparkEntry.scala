@@ -94,6 +94,7 @@ object SparkEntry {
     "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
     "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),
+    "semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "merged_index_dedup" -> ((s, d) => Dedup.mergedIndexDedup(s, d)),
     "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
     "token_shards" -> ((s, d) => TextAnalysis.tokenShards(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "event_windows" -> ((s, d) => Events.eventWindows(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -969,6 +971,56 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(cos, 6) AS cosine
         |FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup gate: the oracle recomputes the deterministic seed-centroid
+    // assignment (argmax cosine over the first ⌊√n⌋ corpus vectors, ties
+    // to the lowest seed id) and the within-cluster keep-lowest-id prune —
+    // the full operator, bit-for-bit. Near-argmax ties between two seeds
+    // would need two cosines within double rounding of each other
+    // (~1e-15); continuous random embeddings make that probability
+    // negligible, and both engines evaluate the same left-fold dot.
+    "semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(v, x -> x + 0.01) FROM base
+        |),
+        |n AS (
+        |  SELECT vec_id, list_transform(v, x -> x /
+        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        |  FROM corpus
+        |),
+        |kk AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS k FROM n),
+        |seeds AS (
+        |  SELECT vec_id AS cluster, u AS c FROM n
+        |  WHERE vec_id < (SELECT k FROM kk)
+        |),
+        |assign AS (
+        |  SELECT vec_id, cluster, u FROM (
+        |    SELECT v.vec_id, s.cluster, v.u,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(v.u, s.c),
+        |          p -> p[1] * p[2])) DESC,
+        |        s.cluster) AS rn
+        |    FROM n v CROSS JOIN seeds s
+        |  ) WHERE rn = 1
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cluster,
+        |    list_sum(list_transform(list_zip(a.u, b.u),
+        |      p -> p[1] * p[2])) AS cos
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_id, cluster, dup_of, round(cos, 6) AS cosine FROM (
+        |  SELECT id_b AS vec_id, cluster, id_a AS dup_of, cos,
+        |    row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+        |  FROM pairs WHERE cos >= 0.9
+        |) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // FIXTURE-COUPLED oracle: exact set equality with the all-pairs join
     // holds because this fixture's qualifying pairs sit at cos≈0.9968,
     // where the 8-band × 8-bit SRP miss probability is ~1e-10 per pair
@@ -1079,6 +1131,24 @@ object SparkEntry {
     "hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // integer-only quota arithmetic (// is DuckDB's integer division,
+    // matching Spark's div) so no float rounding can drift the cutoffs
+    "domain_mix" ->
+      """WITH w(lang, pct) AS (
+        |  VALUES ('en', 40), ('zh', 20), ('de', 20), ('fr', 10), ('es', 10)
+        |),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT min(n.n * 100 // w.pct) AS t FROM n JOIN w USING (lang)),
+        |q AS (SELECT lang, pct * (SELECT t FROM t) // 100 AS quota FROM w),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(text), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, r.source
+        |FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
         |ORDER BY doc_id""".stripMargin,
     "percentiles" ->
       """SELECT c_mktsegment,

@@ -638,9 +638,10 @@ object Dedup {
   }
 
   /** Normalized injected embedding corpus shared by the exact and pruned
-    * near-dup operators.
+    * near-dup operators (`private[graft]` so specs can wire alternative
+    * centroid sets through [[semanticDedupOver]]).
     */
-  private def embedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def embedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("v"))
@@ -715,5 +716,71 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** SemDeDup — semantic (embedding-space) deduplication by
+    * cluster-then-prune (Abbas et al. 2023, arXiv:2303.09540): assign every
+    * vector to one cluster, compute pairwise cosine WITHIN clusters only,
+    * and drop every member with a higher-priority (lower-id) cluster-mate
+    * at or above the similarity threshold. The cluster step is the scale
+    * mechanism: K clusters cut candidate pairs from C(n,2) to
+    * Σ_k C(n_k,2) ≈ n²/(2K) — K = √n bounds total pair work at n^1.5,
+    * spread across K independent per-cluster self-joins, and the join is
+    * an equi-join on the cluster id, so no all-pairs product ever
+    * materializes (vs [[embedNearDup]]'s declared all-pairs and
+    * [[embedNearDupPruned]]'s SRP blocking — SemDeDup trades their
+    * near-exact recall for a candidate set that also captures "same
+    * meaning, different tokens" pairs sharing a centroid).
+    *
+    * The gate entry uses the first ⌊√n⌋ corpus vectors as deterministic
+    * seed centroids so the DuckDB oracle reproduces the assignment
+    * bit-for-bit (k-means is not SQL-recomputable; argmax-cosine over a
+    * fixed seed set is). Production wires real centroids through
+    * [[semanticDedupOver]] — DedupSpec runs it over per-label mean
+    * centroids and recovers the injected pairs either way.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.9): DataFrame = {
+    val corpus = embedCorpus(spark, sfDir)
+    // control-plane count (like AnnSearch's √n auto-sizing): K = ⌊√(2n)⌋
+    val k = math.floor(math.sqrt(
+      Tables.load(spark, sfDir, "embeddings").count() * 2.0)).toLong
+    val seeds = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("u").as("c"))
+    semanticDedupOver(corpus, seeds, threshold)
+  }
+
+  /** Corpus/centroid-agnostic SemDeDup core: `corpus` = (vec_id, u) unit
+    * vectors, `centroids` = (cluster, c) — any deterministic centroid set
+    * (seed rows for the oracle gate, k-means/label means in production).
+    * Assignment = argmax cosine, ties to the lowest cluster id; the
+    * centroid side is broadcast (K ≪ n by construction).
+    */
+  def semanticDedupOver(corpus: DataFrame, centroids: DataFrame,
+                        threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc_nulls_last, col("cluster"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("u"), col("c")))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("u"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("u").as("ua"))
+    val b = assigned.select(col("cluster").as("cl2"),
+      col("vec_id").as("id_b"), col("u").as("ub"))
+    // keep-lowest-id verdict: each dropped doc reports its smallest
+    // qualifying cluster-mate, so the survivor set is exactly the docs
+    // with no lower-id semantic twin
+    val wb = Window.partitionBy("id_b").orderBy("id_a")
+    a.join(b, col("cluster") === col("cl2") && col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .filter(col("cos") >= threshold)
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("id_b").as("vec_id"), col("cluster"),
+        col("id_a").as("dup_of"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_id")
   }
 }

@@ -312,6 +312,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Target-mixture resampling — the "data mixing" step of training-corpus
+    * assembly (Pile-style static domain weights): given integer percentage
+    * targets per language, take the LARGEST total T no language can
+    * oversample (T = min over langs of n_l·100 div pct_l), then keep
+    * quota_l = pct_l·T div 100 docs per language in content-hash order.
+    * All quota arithmetic is integer division, so the result is
+    * engine-exact (no float rounding to drift an off-by-one between Spark
+    * and the oracle). One aggregation for the counts, a broadcast quota
+    * row per language, and one per-language ranking window — for a
+    * mono-language 100 TB corpus sub-salt the window by a hash prefix as
+    * in [[tokenShards]]; the min-T fold itself is K rows, K = #domains.
+    */
+  def domainMix(spark: SparkSession, sfDir: String,
+                pcts: Seq[(String, Long)] = Seq(
+                  "en" -> 40L, "zh" -> 20L, "de" -> 20L,
+                  "fr" -> 10L, "es" -> 10L)): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = pcts.toDF("lang", "pct")
+    val t = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), "lang")
+      .agg(min(expr("n * 100 div pct")).as("t"))
+    val quota = w.crossJoin(broadcast(t))
+      .select(col("lang"), expr("pct * t div 100").as("quota"))
+    val wr = Window.partitionBy("lang")
+      .orderBy(hash32(col("text")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(wr).cast("long"))
+      .join(broadcast(quota), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus statistics (the "language filter" face of the
     * lang column): counts, text-length stats, distinct sources.
     */

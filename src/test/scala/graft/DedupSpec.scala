@@ -321,6 +321,64 @@ class DedupSpec extends SparkSpec {
     (100L to 109L).foreach(i => assert(l2(i) == 100L))
   }
 
+  test("semanticDedup drops exactly the lower-id-twinned docs (seed gate)") {
+    val rows = Dedup.semanticDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every verdict points at a strictly lower-id survivor above threshold
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("cosine") >= 0.9)
+    }
+    // the injected +10000 offset copies are the only pairs above 0.9 in
+    // this fixture; the ones sharing their base's cluster must be caught
+    val injected = rows.count(r =>
+      r.getAs[Long]("vec_id") == r.getAs[Long]("dup_of") + 10000)
+    val nBase = Tables.load(spark, sf, "embeddings").count()
+    assert(injected >= (nBase * 8) / 10, s"$injected of $nBase")
+  }
+
+  test("semanticDedupOver recovers injected pairs with label-mean centroids") {
+    // production path: real (non-seed) centroids wired through the core —
+    // per-label mean vectors stand in for k-means output
+    val corpus = Dedup.embedCorpus(spark, sf)
+    val cents = Tables.load(spark, sf, "embeddings")
+      .select(col("label").cast("long").as("cluster"),
+        posexplode(col("embedding")))
+      .toDF("cluster", "pos", "x")
+      .groupBy("cluster", "pos").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("s"))
+      .select(col("cluster"),
+        expr("transform(s, e -> e.m)").as("c"))
+    val rows = Dedup.semanticDedupOver(corpus, cents, 0.9).collect()
+    // an injected copy's unit vector is ~identical to its base's, so both
+    // land in the same label cluster and the pair is pruned
+    val injected = rows.count(r =>
+      r.getAs[Long]("vec_id") == r.getAs[Long]("dup_of") + 10000)
+    val nBase = Tables.load(spark, sf, "embeddings").count()
+    assert(injected >= (nBase * 9) / 10, s"$injected of $nBase")
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.9))
+  }
+
+  test("domainMix quotas: no oversampled language, exact per-lang counts") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pcts = Map("en" -> 40L, "zh" -> 20L, "de" -> 20L,
+      "fr" -> 10L, "es" -> 10L)
+    val t = pcts.map { case (l, p) => n(l) * 100 / p }.min
+    val kept = TextAnalysis.domainMix(spark, sf).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    pcts.foreach { case (l, p) =>
+      val quota = p * t / 100
+      assert(byLang.getOrElse(l, 0) == quota, s"$l: $quota")
+      assert(quota <= n(l))
+    }
+    // deterministic: a second run keeps the identical doc set
+    val again = TextAnalysis.domainMix(spark, sf).collect()
+    assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("decontaminate leaves the join strategy to AQE (broadcast here)") {
     val df = Dedup.decontaminate(spark, sf)
     df.collect()
