@@ -189,6 +189,33 @@ object AnnSearch {
       resolveProbe(nc, nProbe))
   }
 
+  /** Resolve an index dir to (centroids path, seq-ordered vector segment
+    * dirs). Two layouts share every read path:
+    *
+    *  - PLAIN (the build-once fixture index): `dir/centroids` +
+    *    `dir/vectors` — one segment;
+    *  - MANIFESTED (appended versions): `dir/manifest` lists the segments
+    *    by absolute path — the predecessor's segments re-referenced plus
+    *    the version's own batch segment ([[IndexStore.writeManifest]]).
+    */
+  private[graft] def ivfLayout(spark: SparkSession,
+                               dir: String): (String, Seq[String]) =
+    if (IndexStore.committed(s"$dir/manifest")) {
+      val entries = IndexStore.readManifest(spark, dir)
+      (IndexStore.manifestSegments(entries, "centroids").head,
+        IndexStore.manifestSegments(entries, "vectors"))
+    } else (s"$dir/centroids", Seq(s"$dir/vectors"))
+
+  /** The version's full vector table: union of its immutable segments.
+    * Each segment is hive-partitioned by cluster, and a `cluster IN`
+    * filter above the union is pushed into EVERY branch's scan
+    * (PushDownPredicates through Union), so probe-time partition pruning
+    * survives the segmented layout unchanged.
+    */
+  private[graft] def ivfVectors(spark: SparkSession, dir: String): DataFrame =
+    ivfLayout(spark, dir)._2
+      .map(s => spark.read.parquet(s)).reduce(_ unionByName _)
+
   /** The IVF probe-and-scan against an EXPLICIT index dir — shared by the
     * fixture-corpus [[ivfKnn]] and the appended-version gate, so the two
     * can never drift in probe tie-breaking or candidate shaping.
@@ -196,9 +223,10 @@ object AnnSearch {
   private def ivfSearchAt(spark: SparkSession, dir: String,
                           queries: DataFrame, k: Int,
                           nProbe: Int): DataFrame = {
-    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val (centroidsPath, _) = ivfLayout(spark, dir)
+    val centersDf = spark.read.parquet(centroidsPath)
     val (probedClusters, probes) = probe(spark, queries, centersDf, nProbe)
-    val assigned = spark.read.parquet(s"$dir/vectors")
+    val assigned = ivfVectors(spark, dir)
       .filter(col("cluster").isin(probedClusters: _*))
     VectorSearch.topK(
       broadcast(probes).join(assigned, "cluster")
@@ -207,21 +235,6 @@ object AnnSearch {
           squaredL2(col("qu"), col("v")).as("dist")), k)
   }
 
-  /** Incremental add to the persisted IVF index — the reference's
-    * `index.add_with_ids` (`main.py:134`) applied to the scale layout:
-    * new vectors are assigned to their NEAREST EXISTING centroid (no
-    * refit — exactly how FAISS IVF adds work) and a NEW index version is
-    * produced at `out` by file-level copy of the untouched cluster
-    * partitions plus one Spark write of the batch. Compute is O(batch):
-    * the existing vectors are never decoded, re-encoded or shuffled —
-    * only their files are copied (on an object store, a server-side
-    * copy/rename). Readers keep using the old `dir` until the caller
-    * switches — version-swap, never in-place. Commit protocol: artifacts
-    * are written vectors-then-centroids, so `committed(out/centroids)` —
-    * the LAST artifact — structurally gates the whole version (a reader
-    * gating on either artifact alone can never observe centroids without
-    * complete vectors, and the replay guard keys on the same marker).
-    */
   /** Load-or-build gate for the persisted IVF index — the ONE place the
     * committed-artifact check lives (three call sites would otherwise
     * each have to learn about any new artifact added to the layout).
@@ -242,24 +255,35 @@ object AnnSearch {
     appendToIvfIndexAt(spark, loadOrBuildIvf(spark, sfDir, nClusters),
       batch, out)
 
-  /** [[appendToIvfIndex]] against an EXPLICIT base version dir — what a
-    * streaming ingest chains: version n is the O(batch) append of batch n
-    * onto version n-1's committed artifacts. The base must be a
-    * fully-committed index layout (centroids + cluster-partitioned
-    * vectors).
+  /** Incremental add to the persisted IVF index — the reference's
+    * `index.add_with_ids` (`main.py:134`) applied to the scale layout:
+    * new vectors are assigned to their NEAREST EXISTING centroid (no
+    * refit — exactly how FAISS IVF adds work) and a NEW index version is
+    * produced at `out` as a MANIFEST: the predecessor's immutable vector
+    * segments are re-referenced by path, the batch is written as ONE new
+    * cluster-partitioned segment, and centroids are shared unchanged. Both
+    * compute AND I/O are O(batch) — at 100 TB a micro-batch append writes
+    * the batch's files plus one manifest, never a copy/rewrite of the
+    * corpus. Readers keep using the old `dir` until the caller switches —
+    * version-swap, never in-place. Commit protocol: the manifest is
+    * written LAST, so `committed(out/manifest)` structurally gates the
+    * whole version (a crash after the segment but before the manifest
+    * reads as "never built", and the replay guard keys on the same
+    * marker). Retention is manifest refcounting
+    * ([[graft.streaming.StreamingIndex.pruneVersions]]): a segment lives
+    * while any surviving manifest references it.
     */
   private[graft] def appendToIvfIndexAt(spark: SparkSession, dir: String,
                                         batch: DataFrame,
                                         out: String): Unit = {
     // a committed `out` means this version already folded its batch — a
-    // re-invocation (crash-replay, retried job) must not append it twice.
-    // centroids is the LAST artifact the happy path writes, so its
-    // _SUCCESS is the one whole-version commit marker
-    if (IndexStore.committed(s"$out/centroids")) return
-    require(IndexStore.committed(s"$dir/centroids") &&
-      IndexStore.committed(s"$dir/vectors"),
+    // re-invocation (crash-replay, retried job) must not append it twice
+    if (IndexStore.committed(s"$out/manifest")) return
+    val (centroidsPath, segments) = ivfLayout(spark, dir)
+    require(IndexStore.committed(centroidsPath) &&
+      segments.forall(IndexStore.committed),
       s"append base $dir is not a committed index version")
-    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val centersDf = spark.read.parquet(centroidsPath)
     // the batch's dimension must match the index — a mismatch would make
     // every squaredL2 NULL and silently dump the whole batch in cluster 0
     val centerDim = centersDf.select(size(col("center"))).head.getInt(0)
@@ -267,32 +291,13 @@ object AnnSearch {
       r => require(r.getInt(0) == centerDim,
         s"batch dim ${r.getInt(0)} != index dim $centerDim")
     }
-    val conf = IndexStore.hadoopConf
-    val srcRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    val dstRoot = new org.apache.hadoop.fs.Path(s"$out/vectors")
-    val fs = srcRoot.getFileSystem(conf)
-    // an EXISTING but uncommitted out/vectors is a crashed attempt —
-    // SaveMode.Append over its leftovers (committed task dirs, moved part
-    // files) would double-append the batch, so start from nothing
-    if (fs.exists(dstRoot)) fs.delete(dstRoot, true)
-    // copy the existing cluster partitions file-by-file BEFORE the batch
-    // write: no _SUCCESS exists at out/vectors until the Spark job
-    // commits, so a crash mid-copy reads as "never built"
-    fs.listStatus(srcRoot).filter(_.isDirectory).foreach { cl =>
-      val dstDir = new org.apache.hadoop.fs.Path(dstRoot, cl.getPath.getName)
-      fs.mkdirs(dstDir)
-      fs.listStatus(cl.getPath).filterNot(_.getPath.getName.startsWith("_"))
-        .foreach { f =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-            new org.apache.hadoop.fs.Path(dstDir, f.getPath.getName),
-            false, conf)
-        }
-    }
     // assign each batch ROW to its nearest existing centroid (tiny
     // broadcast of k centers, one map pass over the batch). The window
     // partitions by a per-row uid, not vec_id: duplicate ids in one batch
     // are appended as distinct rows (FAISS add_with_ids semantics), never
-    // silently collapsed
+    // silently collapsed. Overwrite clears any crashed attempt's
+    // leftovers at the segment path before this version's write.
+    val segment = s"$out/segment"
     val wb = Window.partitionBy("uid").orderBy(col("cdist"), col("cluster"))
     batch.select(col("vec_id"), l2Normalize(col("v")).as("v"))
       .withColumn("uid", monotonically_increasing_id())
@@ -301,11 +306,15 @@ object AnnSearch {
       .withColumn("cr", row_number().over(wb))
       .filter(col("cr") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cluster").parquet(s"$out/vectors")
-    // LAST: the centroids write commits the version (see commit protocol
-    // above) — a crash anywhere before this line reads as "never built"
-    IndexStore.saveDataset(centersDf, s"$out/centroids")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(segment)
+    // LAST: the manifest commits the version (see commit protocol above)
+    // — a crash anywhere before this line reads as "never built"
+    IndexStore.writeManifest(spark, out,
+      ("centroids", centroidsPath, 0L) +:
+        (segments :+ segment).zipWithIndex.map { case (s, i) =>
+          ("vectors", s, i.toLong)
+        })
   }
 
   /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
@@ -510,14 +519,14 @@ object AnnSearch {
                           recallFloor: Double = 0.5): DataFrame = {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
-    val out = IndexStore.indexDir(sfDir, s"ivf$nc-app-v1", "embeddings")
+    val out = IndexStore.indexDir(sfDir, s"ivf$nc-app-v2", "embeddings")
     val batch = Tables.load(spark, sfDir, "embeddings")
       .select((col("vec_id") + 20000).as("vec_id"),
         transform(col("embedding"),
           x => x.cast("double") + lit(0.01)).as("v"))
     appendToIvfIndex(spark, sfDir, batch, out, nc)
     val nBase = embeddingCount(spark, sfDir)
-    val nOut = spark.read.parquet(s"$out/vectors").count()
+    val nOut = ivfVectors(spark, out).count()
     // exact top-k over the appended corpus (base ∪ batch, both normalized
     // exactly as the index stores them)
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))

@@ -104,6 +104,43 @@ object IndexStore {
       }
   }
 
+  /** Manifest-based version layout — the snapshot pattern of log-structured
+    * table formats (Iceberg/Delta, public knowledge): a version is a TINY
+    * committed parquet dataset at `versionDir/manifest` whose rows name the
+    * version's IMMUTABLE data segments, `(artifact, path, seq)`. An append
+    * writes ONLY the batch's new segments plus one new manifest that
+    * re-references the predecessor's rows — no corpus data is ever copied
+    * or rewritten per version, so version I/O is O(batch) like the
+    * reference's `index.add_with_ids` (`main.py:134`), not O(corpus).
+    * The manifest is written LAST: its `_SUCCESS` is the whole-version
+    * commit marker (a crash after the segments but before the manifest
+    * reads as "version never existed", and a checkpointed replay rewrites
+    * the same segments deterministically).
+    */
+  def writeManifest(spark: SparkSession, versionDir: String,
+                    entries: Seq[(String, String, Long)]): Unit = {
+    import spark.implicits._
+    saveDataset(entries.toDF("artifact", "path", "seq")
+      .coalesce(1), s"$versionDir/manifest")
+  }
+
+  /** The version's `(artifact, path, seq)` rows, ordered by (artifact,
+    * seq). The row count is the number of segments ever appended — at most
+    * versions-retained × artifacts — so the collect is control-plane
+    * metadata, never data.
+    */
+  def readManifest(spark: SparkSession,
+                   versionDir: String): Seq[(String, String, Long)] =
+    spark.read.parquet(s"$versionDir/manifest")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._3)).toSeq
+
+  /** seq-ordered segment paths of one artifact. */
+  def manifestSegments(entries: Seq[(String, String, Long)],
+                       artifact: String): Seq[String] =
+    entries.filter(_._1 == artifact).sortBy(_._3).map(_._2)
+
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
     mapping.write.mode(SaveMode.Overwrite).parquet(s"$dir/mapping")
     vectors.write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")

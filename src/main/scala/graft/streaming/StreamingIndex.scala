@@ -21,15 +21,26 @@ import graft.sources.IndexStore
   *    max (`main.py:129-130`);
   *  - new vectors are appended (`main.py:134`).
   *
-  * Durability beats the reference's: each micro-batch writes a complete
-  * NEW index version at `root/v<batchId>` (version-swap, never in-place),
-  * and the version name is derived from the checkpointed batch id — a
+  * Durability beats the reference's: each micro-batch writes a NEW index
+  * version at `root/v<batchId>` (version-swap, never in-place), and the
+  * version name is derived from the checkpointed batch id — a
   * crash-and-replay of a batch rewrites the same version from the same
   * predecessor, so the ingest is idempotent end-to-end. Readers take the
-  * highest fully-committed version. At 100 TB the per-version cost is
-  * bounded by rewriting the (small) mapping plus appending the batch's
-  * vectors; the vector table append can become true file-append
-  * (partitioned by batch) without changing the reader contract.
+  * highest fully-committed version.
+  *
+  * A version is a MANIFEST ([[IndexStore.writeManifest]]): a tiny
+  * committed dataset naming the version's immutable segments — the
+  * predecessor's mapping/vector segments re-referenced by path, plus the
+  * batch's OWN delta segments (`v<id>/mapping` = the batch's upserted
+  * rows only, `v<id>/vectors` = the batch's new vectors only). Per-batch
+  * I/O is therefore O(batch) — at 100 TB a micro-batch ingest writes the
+  * batch's files plus one manifest, never a rewrite of the corpus. The
+  * mapping is resolved MERGE-ON-READ: last-writer-wins per str_id by
+  * segment seq ([[loadMappingAt]] — the log-structured upsert pattern of
+  * Hudi/Delta MoR tables, public knowledge); vectors are insert-only so
+  * their union needs no resolution. Retention is manifest refcounting
+  * ([[pruneVersions]]): a segment lives while any surviving manifest
+  * references it.
   */
 object StreamingIndex {
 
@@ -49,36 +60,34 @@ object StreamingIndex {
     StructField("v", ArrayType(DoubleType))))
 
   /** Highest fully-committed index version under `root` below `limit`
-    * (exclusive). The limit is what makes a checkpoint REPLAY safe: a
+    * (exclusive). A version is committed iff its MANIFEST is — the
+    * manifest is always the last artifact written, for every store
+    * flavor (flat mapping+vectors and IVF alike), so one marker gates
+    * them all. The limit is what makes a checkpoint REPLAY safe: a
     * re-run of batch n must fold into n's true predecessor, not into
     * n's own (possibly half-committed) output from the crashed attempt.
     */
   def latestVersion(root: String,
                     limit: Long = Long.MaxValue): Option[Long] =
-    latestVersionWith(root, Seq("mapping", "vectors"), limit)
+    committedVersions(root).filter(_ < limit).lastOption
 
-  /** [[latestVersion]] generalized over the version's artifact set — the
-    * flat text+vector store commits (mapping, vectors); an IVF version
-    * commits (centroids, vectors). A version counts only when EVERY
-    * artifact is committed.
-    */
-  private[streaming] def latestVersionWith(root: String,
-                                           artifacts: Seq[String],
-                                           limit: Long = Long.MaxValue)
-      : Option[Long] = {
+  /** All committed (manifested) version ids under `root`, ascending. */
+  private def committedVersions(root: String): Seq[Long] = {
     val p = new Path(root)
     val fs = p.getFileSystem(IndexStore.hadoopConf)
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .filter(v => v < limit &&
-        artifacts.forall(a => IndexStore.committed(s"$root/v$v/$a")))
-      .sorted.lastOption
+      .filter(v => IndexStore.committed(s"$root/v$v/manifest"))
+      .sorted
   }
 
-  /** Fold one add-batch into (mapping, vectors) — the reference's
-    * per-request upsert (`main.py:119-135`) batched. `batch` must carry
+  /** Fold one add-batch against the current resolved mapping into the
+    * batch's DELTA segments — (upserted mapping rows, new vectors) — the
+    * reference's per-request upsert (`main.py:119-135`) batched. Only the
+    * batch's own rows come back; the store's history stays in its
+    * immutable segments. `batch` must carry
     * unique str_ids (a landing batch is one file of distinct requests;
     * pre-aggregate with LWW if a producer can repeat ids in one batch).
     * Incoming vectors are L2-normalized before storage — the index
@@ -86,16 +95,18 @@ object StreamingIndex {
     * so L2 ranking ≡ cosine ranking); degenerate zero-norm vectors are
     * the producer's bug, as in the reference.
     */
-  def mergeBatch(mapping: DataFrame, vectors: DataFrame,
-                 rawBatch: DataFrame): (DataFrame, DataFrame) = {
+  def mergeBatch(mapping: DataFrame, rawBatch: DataFrame)
+      : (DataFrame, DataFrame) = {
     val batch = rawBatch.withColumn("v", l2Normalize(col("v")))
     val spark = batch.sparkSession
-    // existing ids: text from the batch wins, faiss_id + vector kept
+    // existing ids: text from the batch wins, faiss_id + vector kept —
+    // emitted as DELTA rows (only the upserted ids, never the whole
+    // mapping); merge-on-read picks the highest-seq row per str_id
     val updated = mapping
       .join(batch.select(col("str_id"), col("text").as("new_text")),
-        Seq("str_id"), "left")
+        Seq("str_id"), "inner")
       .select(col("str_id"), col("faiss_id"),
-        coalesce(col("new_text"), col("text")).as("text"))
+        col("new_text").as("text"))
     val news = batch.join(mapping.select("str_id"), Seq("str_id"),
       "left_anti")
     val maxId = mapping.agg(coalesce(max(col("faiss_id")), lit(0L))
@@ -115,8 +126,45 @@ object StreamingIndex {
       .select(col("str_id"), (col("max_id") + col("rn")).as("faiss_id"),
         col("text"), col("v"))
     (updated.unionByName(newMapped.select("str_id", "faiss_id", "text")),
-      vectors.unionByName(newMapped.select(col("faiss_id"), col("v"))))
+      newMapped.select(col("faiss_id"), col("v")))
   }
+
+  /** The version's resolved mapping — merge-on-read over the manifest's
+    * mapping segments: union each delta segment tagged with its seq, keep
+    * the LAST writer per str_id (an upsert's delta row carries the
+    * ORIGINAL faiss_id and the new text, so LWW resolution reproduces the
+    * reference's `main.py:119-126` semantics exactly). The per-key window
+    * shuffles only the mapping — small next to the vectors — and at scale
+    * periodic compaction (rewrite the resolved mapping as one segment)
+    * bounds the segment count without changing this reader.
+    */
+  private[graft] def loadMappingAt(spark: SparkSession,
+                                   versionDir: String): DataFrame = {
+    val segs = IndexStore.manifestSegments(
+      IndexStore.readManifest(spark, versionDir), "mapping")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("str_id").orderBy(col("_seq").desc)
+    segs.zipWithIndex
+      .map { case (p, i) =>
+        spark.read.schema(MappingSchema).parquet(p)
+          .withColumn("_seq", lit(i.toLong))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("str_id"), col("faiss_id"), col("text"))
+  }
+
+  /** The version's full vector table: union of its immutable segments —
+    * vectors are INSERT-ONLY (a re-add keeps the original vector,
+    * `main.py:119-126`), so no resolution step exists.
+    */
+  private[graft] def loadVectorsAt(spark: SparkSession,
+                                   versionDir: String): DataFrame =
+    IndexStore.manifestSegments(
+        IndexStore.readManifest(spark, versionDir), "vectors")
+      .map(p => spark.read.schema(VectorSchema).parquet(p))
+      .reduce(_ unionByName _)
 
   /** Process every add-file currently in `srcDir` (Trigger.AvailableNow)
     * into versioned index snapshots under `root`, checkpointing source
@@ -145,15 +193,24 @@ object StreamingIndex {
               ": checkpoint/root mismatch (lost checkpoint or wrong dir)" +
               " — refusing to rewrite history")
         }
-        val base = latestVersion(root, limit = batchId)
-          .map(v => s"$root/v$v").getOrElse(s"$root/missing")
-        val prevMapping = IndexStore.loadMapping(spark, base,
-          MappingSchema)
-        val prevVectors = IndexStore.loadVectors(spark, base,
-          VectorSchema)
-        val (m, vecs) = mergeBatch(prevMapping, prevVectors, batch)
-        IndexStore.saveDataset(m, s"$root/v$batchId/mapping")
-        IndexStore.saveDataset(vecs, s"$root/v$batchId/vectors")
+        val prevVer = latestVersion(root, limit = batchId)
+        val prev = prevVer
+          .map(v => IndexStore.readManifest(spark, s"$root/v$v"))
+          .getOrElse(Seq.empty)
+        val prevMapping = prevVer
+          .map(v => loadMappingAt(spark, s"$root/v$v"))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], MappingSchema))
+        val (delta, newVecs) = mergeBatch(prevMapping, batch)
+        // the batch's OWN segments only — O(batch) files per version
+        val mSeg = s"$root/v$batchId/mapping"
+        val vSeg = s"$root/v$batchId/vectors"
+        IndexStore.saveDataset(delta, mSeg)
+        IndexStore.saveDataset(newVecs, vSeg)
+        // LAST: the manifest (predecessor's segments re-referenced + the
+        // two new ones) commits the version
+        IndexStore.writeManifest(spark, s"$root/v$batchId",
+          prev ++ Seq(("mapping", mSeg, batchId), ("vectors", vSeg, batchId)))
         ()
       }
       .start()
@@ -172,11 +229,14 @@ object StreamingIndex {
                    k: Int = 10): DataFrame = {
     import graft.functions.VectorOps.squaredL2
     // the store holds COMMITTED snapshots only; an absent/uncommitted
-    // version degrades to the empty schema'd frame via loadOrInit
+    // version degrades to the empty schema'd frames
+    def empty(schema: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
     val base = latestVersion(root).map(v => s"$root/v$v")
-      .getOrElse(s"$root/missing")
-    val mapping = IndexStore.loadMapping(spark, base, MappingSchema)
-    val vectors = IndexStore.loadVectors(spark, base, VectorSchema)
+    val mapping = base.map(loadMappingAt(spark, _))
+      .getOrElse(empty(MappingSchema))
+    val vectors = base.map(loadVectorsAt(spark, _))
+      .getOrElse(empty(VectorSchema))
     // normalize the query exactly as the stored side was (main.py:87
     // normalizes BOTH sides; same left-fold sum + divide → bit-identical
     // to the codegen normalizer, so a self-query lands at distance 0)
@@ -216,31 +276,37 @@ object StreamingIndex {
     * version's predecessor survives any single vacuum cycle (and gives
     * mid-scan readers object-store-delete lag).
     */
-  def pruneVersions(root: String, keep: Int = 2): Seq[Long] =
-    pruneVersionsWith(root, Seq("mapping", "vectors"), keep)
-
-  /** [[pruneVersions]] generalized over the version's artifact set (the
-    * same parameterization as [[latestVersionWith]]) — the streamed IVF
-    * chain vacuums with `Seq("centroids", "vectors")`. A version whose
-    * artifact set doesn't match is treated as UNCOMMITTED and left alone,
-    * so pointing the wrong vacuum at a root can never delete live data.
-    */
-  def pruneVersionsWith(root: String, artifacts: Seq[String],
-                        keep: Int = 2): Seq[Long] = {
+  def pruneVersions(spark: SparkSession, root: String,
+                    keep: Int = 2): Seq[Long] = {
     require(keep >= 2,
       s"keep $keep: a checkpointed replay of the newest batch folds from" +
         " its predecessor - retention must keep at least 2 versions")
     val p = new Path(root)
     val fs = p.getFileSystem(IndexStore.hadoopConf)
     if (!fs.exists(p)) return Seq.empty
-    val committed = fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .filter(v => artifacts.forall(a =>
-        IndexStore.committed(s"$root/v$v/$a")))
-      .sorted
+    val committed = committedVersions(root)
     val doomed = committed.dropRight(keep)
-    doomed.foreach(v => fs.delete(new Path(s"$root/v$v"), true))
+    if (doomed.isEmpty) return doomed
+    // manifest REFCOUNTING: everything any SURVIVING manifest references
+    // is live — including segments that physically sit inside a doomed
+    // version's dir (the append chain re-references its whole history).
+    // Paths are FileSystem-qualified on both sides so a manifest's raw
+    // string and listStatus's URI form can never miscompare.
+    def qualify(s: String): String =
+      fs.makeQualified(new Path(s)).toString
+    val live = committed.takeRight(keep)
+      .flatMap(v => IndexStore.readManifest(spark, s"$root/v$v"))
+      .map(e => qualify(e._2)).toSet
+    doomed.foreach { v =>
+      val vDir = new Path(s"$root/v$v")
+      // the doomed version's manifest dies (it is what makes the version
+      // resolvable); its segments die only if no survivor references them
+      fs.listStatus(vDir).foreach { st =>
+        if (!live.contains(qualify(st.getPath.toString)))
+          fs.delete(st.getPath, true)
+      }
+      if (fs.listStatus(vDir).isEmpty) fs.delete(vDir, false)
+    }
     doomed
   }
 
@@ -287,7 +353,7 @@ object StreamingIndex {
     * upsert end-to-end; vector-kept semantics are spec-asserted.
     */
   def streamingIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = IndexStore.indexDir(sfDir, "stream-index-v3", "documents")
+    val root = IndexStore.indexDir(sfDir, "stream-index-v4", "documents")
     val landing = s"$root/landing"
     val ckpt = s"$root/ckpt"
     if (!latestVersion(root).exists(_ >= 1L)) {
@@ -310,8 +376,7 @@ object StreamingIndex {
       ingestAvailable(spark, landing, root, ckpt)
     }
     val v = latestVersion(root).get
-    spark.read.schema(MappingSchema).parquet(s"$root/v$v/mapping")
-      .orderBy("str_id")
+    loadMappingAt(spark, s"$root/v$v").orderBy("str_id")
   }
 
   /** The reference's full add-then-search lifecycle (`POST /add_drawing`
@@ -334,7 +399,7 @@ object StreamingIndex {
   def streamingSearch(spark: SparkSession, sfDir: String,
                       k: Int = 10): DataFrame = {
     streamingIndexIngest(spark, sfDir)
-    val root = IndexStore.indexDir(sfDir, "stream-index-v3", "documents")
+    val root = IndexStore.indexDir(sfDir, "stream-index-v4", "documents")
     val query = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -409,8 +474,9 @@ object StreamingIndex {
     * [[ingestAvailable]] (predecessor resolved below the batch id; a
     * committed version above the batch id means a lost checkpoint and
     * fails loudly; a replayed batch rewrites its own version from the
-    * same predecessor). Each version costs O(batch): untouched cluster
-    * partitions are file-copied, only the batch is assigned and written.
+    * same predecessor). Each version costs O(batch) in BOTH compute and
+    * I/O: untouched cluster segments are re-referenced by the version's
+    * manifest, only the batch is assigned and written.
     *
     * Returns the zero-row violations contract (same shape as
     * `ivf_append_violations`): rows appear if the version chain is
@@ -424,9 +490,8 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.AnnSearch
-    val root = IndexStore.indexDir(sfDir, "stream-ivf-v1", "embeddings")
+    val root = IndexStore.indexDir(sfDir, "stream-ivf-v2", "embeddings")
     val landing = s"$root/landing"
-    val ivfArtifacts = Seq("centroids", "vectors")
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -435,7 +500,7 @@ object StreamingIndex {
     def shifted(off: Long, delta: Double) =
       emb.select((col("vec_id") + off).as("vec_id"),
         transform(col("v"), x => x + lit(delta)).as("v"))
-    if (!latestVersionWith(root, ivfArtifacts).exists(_ >= 1L)) {
+    if (!latestVersion(root).exists(_ >= 1L)) {
       val base = AnnSearch.ensureIvfIndex(spark, sfDir)
       stageInto(shifted(30000L, 0.01), landing, "batch0")
       stageInto(shifted(40000L, 0.02), landing, "batch1")
@@ -449,15 +514,14 @@ object StreamingIndex {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
                          batchId: Long) =>
-          latestVersionWith(root, ivfArtifacts).filter(_ > batchId)
+          latestVersion(root).filter(_ > batchId)
             .foreach { v =>
               throw new IllegalStateException(
                 s"IVF root $root has committed version v$v > batch " +
                   s"$batchId: checkpoint/root mismatch — refusing to " +
                   "rewrite history")
             }
-          val baseDir = latestVersionWith(root, ivfArtifacts,
-              limit = batchId)
+          val baseDir = latestVersion(root, limit = batchId)
             .map(v => s"$root/v$v").getOrElse(base)
           AnnSearch.appendToIvfIndexAt(spark, baseDir, b.toDF(),
             s"$root/v$batchId")
@@ -466,10 +530,10 @@ object StreamingIndex {
         .start()
       q.awaitTermination()
     }
-    val vLast = latestVersionWith(root, ivfArtifacts).getOrElse(-1L)
+    val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
-    val nOut = spark.read.parquet(s"$finalDir/vectors").count()
+    val nOut = AnnSearch.ivfVectors(spark, finalDir).count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(shifted(30000L, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))

@@ -68,19 +68,24 @@ class AnnSpec extends SparkSpec {
       .select((col("vec_id") + 20000).as("vec_id"),
         expr("transform(embedding, x -> cast(x as double) + 0.01)").as("v"))
     AnnSearch.appendToIvfIndex(spark, sf, batch, out)
-    // commit protocol: centroids is written LAST and gates the version
-    assert(IndexStore.committed(s"$out/vectors"))
-    assert(IndexStore.committed(s"$out/centroids"))
+    // commit protocol: the manifest is written LAST and gates the version
+    assert(IndexStore.committed(s"$out/segment"))
+    assert(IndexStore.committed(s"$out/manifest"))
     val nc = AnnSearch.autoClusters(
       Tables.load(spark, sf, "embeddings").count())
     val dir = IndexStore.indexDir(sf, s"ivf$nc-v1", "embeddings")
     val oldN = spark.read.parquet(s"$dir/vectors").count()
-    val merged = spark.read.parquet(s"$out/vectors")
+    val merged = AnnSearch.ivfVectors(spark, out)
     assert(merged.count() == oldN + batch.count())
+    // O(batch) I/O: the version's OWN segment holds only the batch; the
+    // base corpus enters by manifest reference, never by copy
+    assert(spark.read.parquet(s"$out/segment").count() == batch.count())
+    assert(IndexStore.readManifest(spark, out)
+      .exists(e => e._1 == "vectors" && e._2 == s"$dir/vectors"))
     // replayed invocation on a committed version is a no-op, never a
     // double-append
     AnnSearch.appendToIvfIndex(spark, sf, batch, out)
-    assert(spark.read.parquet(s"$out/vectors").count() ==
+    assert(AnnSearch.ivfVectors(spark, out).count() ==
       oldN + batch.count())
     // every appended vector landed in its nearest EXISTING centroid's
     // partition (no refit — the add semantics of main.py:134 on IVF)

@@ -113,7 +113,7 @@ class SourcesSpec extends SparkSpec {
     // build (or reuse) the two-batch streamed index, then search it with
     // doc 7's embedding: its own entry must come back at distance 0 first
     StreamingIndex.streamingIndexIngest(spark, sf).count()
-    val root = IndexStore.indexDir(sf, "stream-index-v3", "documents")
+    val root = IndexStore.indexDir(sf, "stream-index-v4", "documents")
     val q = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") === 7)
       .select(expr("transform(embedding, x -> cast(x as double))"))

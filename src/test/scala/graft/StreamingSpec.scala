@@ -113,24 +113,34 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
     val mapping = StreamingIndex.streamingIndexIngest(spark, sf).collect()
-    val root = IndexStore.indexDir(sf, "stream-index-v3", "documents")
+    val root = IndexStore.indexDir(sf, "stream-index-v4", "documents")
     val v = StreamingIndex.latestVersion(root).get
     assert(v == 1L)
-    val nBase = Tables.load(spark, sf, "documents")
+    val joined = Tables.load(spark, sf, "documents")
       .join(Tables.load(spark, sf, "embeddings"),
-        col("doc_id") === col("vec_id")).count()
+        col("doc_id") === col("vec_id"))
+    val nBase = joined.count()
     // batch0 docs + batch1 new docs, ids dense over the union
     assert(mapping.length == 2 * nBase)
     assert(mapping.map(_.getAs[Long]("faiss_id")).sorted.toSeq ==
       (1L to 2 * nBase).toSeq)
     // re-added ids keep their ORIGINAL vector: every v1 vector for a
     // batch0 faiss_id must equal the v0 vector (batch1 sent x+0.5)
-    val v0 = spark.read.parquet(s"$root/v0/vectors")
+    val v0 = StreamingIndex.loadVectorsAt(spark, s"$root/v0")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val v1 = spark.read.parquet(s"$root/v1/vectors")
+    val v1 = StreamingIndex.loadVectorsAt(spark, s"$root/v1")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(v1.size == 2 * nBase)
     v0.foreach { case (id, vec) => assert(v1(id) == vec) }
+    // O(batch) I/O: v1's OWN segments hold only batch 1's delta — the
+    // new docs' vectors and the upserted mapping rows — while the corpus
+    // history is re-referenced by manifest, never rewritten
+    assert(spark.read.parquet(s"$root/v1/vectors").count() == nBase)
+    val nUpd = joined.filter(col("doc_id") % 3 === 0).count()
+    assert(spark.read.parquet(s"$root/v1/mapping").count() ==
+      nBase + nUpd)
+    assert(IndexStore.readManifest(spark, s"$root/v1")
+      .exists(e => e._1 == "vectors" && e._2 == s"$root/v0/vectors"))
     // idempotent: a re-invocation with nothing new to process neither
     // bumps the version nor changes the mapping
     val again = StreamingIndex.streamingIndexIngest(spark, sf).collect()
@@ -152,15 +162,26 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
     assert(StreamingIndex.streamingIvfAppend(spark, sf).collect().isEmpty)
-    // the chain is two committed versions, each a complete index layout
-    val root = IndexStore.indexDir(sf, "stream-ivf-v1", "embeddings")
+    // the chain is two committed versions, each resolvable via manifest
+    import graft.operators.AnnSearch
+    val root = IndexStore.indexDir(sf, "stream-ivf-v2", "embeddings")
     Seq(0L, 1L).foreach { v =>
-      assert(IndexStore.committed(s"$root/v$v/centroids"), s"v$v")
-      assert(IndexStore.committed(s"$root/v$v/vectors"), s"v$v")
+      assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
     val nBase = Tables.load(spark, sf, "embeddings").count()
-    assert(spark.read.parquet(s"$root/v0/vectors").count() == 2 * nBase)
-    assert(spark.read.parquet(s"$root/v1/vectors").count() == 3 * nBase)
+    assert(AnnSearch.ivfVectors(spark, s"$root/v0").count() == 2 * nBase)
+    assert(AnnSearch.ivfVectors(spark, s"$root/v1").count() == 3 * nBase)
+    // O(batch) I/O: each version's OWN segment is exactly one batch —
+    // the prior corpus (base index + earlier appends) enters v1 by
+    // manifest reference, never by copy, so bytes written per trigger
+    // stay flat as the index grows
+    assert(spark.read.parquet(s"$root/v0/segment").count() == nBase)
+    assert(spark.read.parquet(s"$root/v1/segment").count() == nBase)
+    val v1Refs = IndexStore.readManifest(spark, s"$root/v1")
+      .filter(_._1 == "vectors").map(_._2)
+    assert(v1Refs.contains(s"$root/v0/segment"))
+    assert(v1Refs.exists(!_.startsWith(root)),
+      "v1 must re-reference the base index outside the chain root")
   }
 
   test("snapshot search finds the query doc at distance zero") {
@@ -275,41 +296,61 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  test("pruneVersions keeps the newest committed versions, skips others") {
+  test("pruneVersions refcounts segments: survivors' references live on") {
     import graft.sources.IndexStore
     import graft.streaming.StreamingIndex
     val root = Files.createTempDirectory("graft_prune").toString
-    def mk(v: Long): Unit = Seq("mapping", "vectors").foreach { d =>
+    def seg(path: String): Unit =
       IndexStore.saveDataset(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StreamingIndex.MappingSchema), s"$root/v$v/$d")
+        StreamingIndex.MappingSchema), path)
+    // an append chain: version v's manifest references every prior
+    // version's segment plus its own (exactly what ingestAvailable writes)
+    (0L to 4L).foreach { v =>
+      seg(s"$root/v$v/mapping")
+      IndexStore.writeManifest(spark, s"$root/v$v",
+        (0L to v).map(i => ("mapping", s"$root/v$i/mapping", i)))
     }
-    (0L to 4L).foreach(mk)
-    // an UNCOMMITTED v5 (no _SUCCESS): possibly a replay in progress —
+    // an unreferenced leftover inside a doomed version (crashed attempt's
+    // scratch) must die with the version
+    seg(s"$root/v0/scratch")
+    // an UNCOMMITTED v5 (no manifest): possibly a replay in progress —
     // the vacuum must not touch it, and it must not count as "newest"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/v5/mapping"))
-    val deleted = StreamingIndex.pruneVersions(root, keep = 2)
+    val deleted = StreamingIndex.pruneVersions(spark, root, keep = 2)
     assert(deleted == Seq(0L, 1L, 2L))
     assert(StreamingIndex.latestVersion(root).contains(4L))
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/v3")))
+    // doomed manifests died (the versions are no longer resolvable)...
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(!IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
+    }
+    // ...but their SEGMENTS survive: the keepers' manifests refcount them
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(IndexStore.committed(s"$root/v$v/mapping"), s"v$v")
+    }
+    // the unreferenced scratch is gone; the untouched v5 is intact
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v0/scratch")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/v5/mapping")))
+    // the newest version still resolves completely after the vacuum
+    assert(StreamingIndex.loadMappingAt(spark, s"$root/v4").count() == 0)
     // idempotent: a second vacuum has nothing left to delete
-    assert(StreamingIndex.pruneVersions(root, keep = 2).isEmpty)
+    assert(StreamingIndex.pruneVersions(spark, root, keep = 2).isEmpty)
     // keep >= 2 is enforced (replay of the newest batch needs its
     // predecessor alive)
     intercept[IllegalArgumentException] {
-      StreamingIndex.pruneVersions(root, keep = 1)
+      StreamingIndex.pruneVersions(spark, root, keep = 1)
     }
-    // an artifact-set mismatch reads as "uncommitted": the IVF-flavored
-    // vacuum sees no (centroids, vectors) versions here and deletes
-    // NOTHING — the wrong vacuum pointed at a root can't eat live data
-    assert(StreamingIndex.pruneVersionsWith(root,
-      Seq("centroids", "vectors"), keep = 2).isEmpty)
+    // a root with NO manifested versions (foreign/old layout) reads as
+    // all-uncommitted: the vacuum deletes NOTHING — a wrong vacuum
+    // pointed at a root can't eat live data
+    val root2 = Files.createTempDirectory("graft_prune2").toString
+    (0L to 2L).foreach(v => seg(s"$root2/v$v/mapping"))
+    assert(StreamingIndex.pruneVersions(spark, root2, keep = 2).isEmpty)
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/v3")))
+      java.nio.file.Paths.get(s"$root2/v0/mapping")))
   }
 
   test("index ingest refuses a fresh checkpoint over an older root") {
@@ -325,6 +366,9 @@ class StreamingSpec extends SparkSpec {
     IndexStore.saveDataset(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StreamingIndex.VectorSchema), s"$root/v5/vectors")
+    IndexStore.writeManifest(spark, s"$root/v5",
+      Seq(("mapping", s"$root/v5/mapping", 5L),
+        ("vectors", s"$root/v5/vectors", 5L)))
     assert(StreamingIndex.latestVersion(root).contains(5L))
     val landing = s"$root/landing"
     Seq(("doc-a", "text a", Seq(1.0, 0.0)))
