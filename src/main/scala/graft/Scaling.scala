@@ -44,8 +44,11 @@ object Scaling {
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {
-    val marker = new java.io.File(s"$big/embeddings.parquet/_SUCCESS")
-    if (marker.exists()) return
+    // Hadoop-FS committed() check, same as every other build-once gate —
+    // a java.io.File check would silently never fire on a non-local
+    // filesystem and rebuild the blowup corpus each run
+    if (graft.sources.IndexStore.committed(s"$big/embeddings.parquet"))
+      return
     val docs = Tables.load(spark, base, "documents")
     val docCopies = (0 until factor).map { c =>
       docs.select(docs.columns.map {
@@ -61,11 +64,16 @@ object Scaling {
     val emb = Tables.load(spark, base, "embeddings")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val embCopies = (0 until factor).map { c =>
+      // rotate by c mod dim so ANY factor is safe (c >= dim would slice a
+      // negative length); a zero rotation keeps the copy verbatim, which
+      // only re-duplicates vectors for factor > dim — acceptable for the
+      // ANN tier this corpus stresses
+      val rot = c % dim
       emb.select(emb.columns.map {
         case "vec_id" => (col("vec_id") + c * 100000L).as("vec_id")
-        case "embedding" if c > 0 =>
-          concat(slice(col("embedding"), c + 1, dim - c),
-            slice(col("embedding"), 1, c)).as("embedding")
+        case "embedding" if rot > 0 =>
+          concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)).as("embedding")
         case other => col(other)
       }.toIndexedSeq: _*)
     }
