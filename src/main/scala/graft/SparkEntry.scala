@@ -88,9 +88,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
-    "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    // both modes PINNED so each oracle stays mode-stable at any fixture
+    // size; the count-derived auto default is spec-asserted (DedupSpec)
+    "simhash_dedup" ->
+      ((s, d) => Dedup.simhashDedup(s, d, pairedBands = Some(false))),
     "simhash_dedup_paired" ->
-      ((s, d) => Dedup.simhashDedup(s, d, pairedBands = true)),
+      ((s, d) => Dedup.simhashDedup(s, d, pairedBands = Some(true))),
     "jaccard_dupes" -> ((s, d) => Dedup.jaccardDupes(s, d)),
     "embed_near_dup" -> ((s, d) => Dedup.embedNearDup(s, d)),
     "embed_near_dup_pruned" -> ((s, d) => Dedup.embedNearDupPruned(s, d)),

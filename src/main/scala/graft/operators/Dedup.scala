@@ -29,6 +29,26 @@ import graft.sources.IndexStore
   */
 object Dedup {
 
+  /** SimHash blocking-mode switch point: above this corpus count the
+    * single-band candidate volume (4·C(n,2)/2¹⁶ probe pairs) crosses
+    * ~10¹¹ — compute-bound and growing n² — while the paired-band mode's
+    * 6·C(n,2)/2³² stays ≪ 10⁸. 10⁷ leaves an order of magnitude of
+    * headroom below the documented 10⁸ single-band ceiling.
+    */
+  private[graft] val PairedBandsAutoThreshold = 10L * 1000 * 1000
+
+  private[graft] def autoPairedBands(n: Long): Boolean =
+    n > PairedBandsAutoThreshold
+
+  /** Near-dup corpus count for mode auto-selection, one count job per
+    * fixture dir per JVM (the [[AnnSearch.embeddingCount]] pattern).
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def corpusCount(spark: SparkSession, sfDir: String): Long =
+    countCache.computeIfAbsent(sfDir,
+      _ => nearDupCorpus(spark, sfDir).count()).longValue()
+
   /** documents plus one near-duplicate per doc (first token dropped). */
   def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
@@ -511,12 +531,23 @@ object Dedup {
     *    falls to 2⁻³²: expected probe pairs 6·C(n,2)/2³² ≈ 7×10⁸ at
     *    n = 10⁹ — the mode that survives a 100 TB corpus.
     *
+    * The DEFAULT (`pairedBands = None`) auto-selects the blocking mode
+    * from the corpus count — the same control-plane-count pattern as
+    * [[AnnSearch.autoClusters]]: beyond [[PairedBandsAutoThreshold]] docs
+    * the quadratic single-band candidate volume is the dominant cost, so
+    * the safe-at-10⁹ paired mode is what you get WITHOUT reading this
+    * scaladoc; below it the higher-recall single-band mode wins. Explicit
+    * `Some(...)` pins a mode (the gate entries pin both so the oracles
+    * are mode-stable regardless of fixture size).
+    *
     * The oracle encodes the identical default blocking, so the gate checks
     * the operator as specified; paired-mode subset/recall is spec-asserted.
     */
   def simhashDedup(spark: SparkSession, sfDir: String,
-                   pairedBands: Boolean = false,
+                   pairedBands: Option[Boolean] = None,
                    maxHamming: Int = 12): DataFrame = {
+    val paired = pairedBands.getOrElse(
+      autoPairedBands(corpusCount(spark, sfDir)))
     val toks = nearDupCorpus(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
@@ -559,7 +590,7 @@ object Dedup {
     // band (or band pair), enforced by requiring every earlier block's
     // bands to mismatch — the unionAll is exact with no distinct.
     val blocks =
-      if (!pairedBands)
+      if (!paired)
         Seq(block(eqb(0)),
           block(eqb(1) && neb(0)),
           block(eqb(2) && neb(0) && neb(1)),

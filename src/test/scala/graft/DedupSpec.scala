@@ -32,10 +32,26 @@ class DedupSpec extends SparkSpec {
     assert(injected.forall(_.getAs[Long]("hamming") <= 12))
   }
 
+  test("simhash default auto-selects blocking mode on corpus count") {
+    // the switch point: ≤ 10⁷ docs keeps the higher-recall single-band
+    // blocking; beyond it the 2⁻³² paired mode is the default — the safe
+    // mode at 10⁹ docs must be the one you get without reading scaladoc
+    assert(!Dedup.autoPairedBands(Dedup.PairedBandsAutoThreshold))
+    assert(Dedup.autoPairedBands(Dedup.PairedBandsAutoThreshold + 1))
+    assert(Dedup.autoPairedBands(1000L * 1000 * 1000))
+    // the fixture sits far below the threshold, so the auto default IS
+    // the single-band mode, row for row
+    val auto = Dedup.simhashDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val pinned = Dedup.simhashDedup(spark, sf, pairedBands = Some(false))
+      .collect().map(_.toSeq).toSeq
+    assert(auto == pinned)
+  }
+
   test("simhash paired-band mode is a subset with near-equal recall") {
     val loose = Dedup.simhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val strict = Dedup.simhashDedup(spark, sf, pairedBands = true).collect()
+    val strict = Dedup.simhashDedup(spark, sf, pairedBands = Some(true))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // 2-of-4-band agreement implies 1-of-4-band agreement: strict ⊆ loose,
     // with no duplicate pairs from the disjoint-block union
