@@ -157,17 +157,29 @@ object AnnSearch {
                     centersDf: DataFrame,
                     nProbe: Int): (Seq[Int], DataFrame) = {
     import spark.implicits._
+    val rows = probeAssignments(spark, queries, centersDf, nProbe)
+    (rows.map(_._3).distinct.sorted.toIndexedSeq,
+      rows.toDF("query_id", "qu", "cluster"))
+  }
+
+  /** The raw (query_id, query vector, probed cluster) assignment rows —
+    * [[probe]]'s collect, exposed so [[annRecallCurve]] can price an
+    * operating point (sum of probed cluster sizes) without a second
+    * distributed job.
+    */
+  private def probeAssignments(spark: SparkSession, queries: DataFrame,
+                               centersDf: DataFrame, nProbe: Int)
+      : Seq[(Long, Seq[Double], Int)] = {
     val wc = Window.partitionBy("query_id")
       .orderBy(col("cdist"), col("cluster"))
-    val rows = queries.crossJoin(broadcast(centersDf))
+    queries.crossJoin(broadcast(centersDf))
       .withColumn("cdist", squaredL2(col("qu"), col("center")))
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nProbe)
       .select(col("query_id"), col("qu"), col("cluster"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
-    (rows.map(_._3).distinct.sorted.toIndexedSeq,
-      rows.toSeq.toDF("query_id", "qu", "cluster"))
+      .toSeq
   }
 
   private def queryVectors(spark: SparkSession, sfDir: String,
@@ -460,14 +472,26 @@ object AnnSearch {
   /** Recall-vs-cost curve: the MEASURED form of the reference's accuracy
     * knob (`main.py:31` efSearch) — 3 operating points per tunable method
     * (IVF and IVF+SQ8 sweep nprobe low/default/full; PQ sweeps the rerank
-    * margin), each reported as average recall@k against the exact k-NN.
+    * margin), each reported as average recall@k against the exact k-NN
+    * PLUS the point's MEASURED price, `cost_rows`:
+    *
+    *  - ivf / ivf_sq: the candidate rows actually scanned = Σ over
+    *    (query, probed cluster) of that cluster's stored size — priced
+    *    from the probe assignments and a once-collected cluster-size
+    *    table (≤ nClusters = O(√n) rows, control-plane metadata). This is
+    *    what `cost = nprobe` hides: per-cluster probe cost shrinks as √n
+    *    grows, so rows — not the parameter — are the comparable unit
+    *    (ivf_sq scans the same rows at ~3.5× fewer bytes per row).
+    *  - pq: ADC scans every code regardless; the rerank margin prices the
+    *    full-precision rescore, min(rerank, n-1) rows per query.
     *
     * Recall is monotone non-decreasing in the cost parameter BY
     * CONSTRUCTION, not just in expectation: a larger nprobe (or rerank
     * margin) produces a SUPERSET of candidates, and top-k over a superset
     * can only move closer to the exact result — so the spec asserts
-    * monotonicity deterministically, and full probe (nprobe = nClusters)
-    * must hit recall 1.0 exactly. The driver-side loop is control-plane
+    * monotonicity deterministically (for cost_rows too), and full probe
+    * (nprobe = nClusters) must hit recall 1.0 exactly at
+    * cost_rows = nQueries · n. The driver-side loop is control-plane
     * only (≤ 9 operating points, one distributed search job each, exactly
     * like text_rank's iteration loop); per-point recall is a count
     * aggregate, never a row collect.
@@ -484,16 +508,40 @@ object AnnSearch {
         Seq("query_id", "id"), "left_semi").count()
       math.round(hits / denom * 10000.0) / 10000.0
     }
+    // probe pricing: cluster sizes collected once (O(√n) rows), each
+    // point's row cost summed from its probe assignments
+    val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
+    val clusterSizes = spark.read.parquet(s"$ivfDir/vectors")
+      .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centersDf = spark.read.parquet(s"$ivfDir/centroids")
+    val queries = queryVectors(spark, sfDir, nQueries)
+    def probedRows(p: Int): Long =
+      probeAssignments(spark, queries, centersDf, p)
+        .map(a => clusterSizes.getOrElse(a._3, 0L)).sum
+    val n = embeddingCount(spark, sfDir)
     val probePoints = Seq(math.max(1, nc / 8), autoProbe(nc), nc).distinct
     val rerankPoints = Seq(k, 40, 120).distinct
     val rows =
-      probePoints.map(p => ("ivf", p.toLong,
-        recallOf(ivfKnn(spark, sfDir, nQueries, k, nc, p)))) ++
-      probePoints.map(p => ("ivf_sq", p.toLong,
-        recallOf(ivfSqKnn(spark, sfDir, nQueries, k, nc, p)))) ++
-      rerankPoints.map(r => ("pq", r.toLong,
-        recallOf(Quantize.pqKnn(spark, sfDir, nQueries, k, rerank = r))))
-    rows.toDF("method", "cost", "recall").orderBy("method", "cost")
+      probePoints.map { p =>
+        ("ivf", p.toLong,
+          recallOf(ivfKnn(spark, sfDir, nQueries, k, nc, p)),
+          probedRows(p))
+      } ++
+      probePoints.map { p =>
+        // the SQ8 layout holds the SAME rows per cluster (quantize is a
+        // map over the assigned table), at ~3.5x fewer bytes each
+        ("ivf_sq", p.toLong,
+          recallOf(ivfSqKnn(spark, sfDir, nQueries, k, nc, p)),
+          probedRows(p))
+      } ++
+      rerankPoints.map { r =>
+        ("pq", r.toLong,
+          recallOf(Quantize.pqKnn(spark, sfDir, nQueries, k, rerank = r)),
+          math.min(r.toLong, n - 1) * nQueries)
+      }
+    rows.toDF("method", "cost", "recall", "cost_rows")
+      .orderBy("method", "cost")
   }
 
   /** HARD gate for the O(batch) IVF append (same zero-row contract as

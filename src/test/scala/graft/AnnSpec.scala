@@ -167,17 +167,34 @@ class AnnSpec extends SparkSpec {
     val rows = AnnSearch.annRecallCurve(spark, sf).collect()
     val byMethod = rows.groupBy(_.getString(0))
     assert(byMethod.keySet == Set("ivf", "ivf_sq", "pq"))
+    // expected point counts DERIVED from the same formulas the operator
+    // uses — on a tiny corpus the probe points can legitimately collapse
+    // (autoProbe(nc) can equal nc/8), and the spec must degrade with them
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nc = AnnSearch.autoClusters(n)
+    val expIvf =
+      Seq(math.max(1, nc / 8), AnnSearch.autoProbe(nc), nc).distinct.size
+    val expPq = Seq(10, 40, 120).distinct.size
     // monotone BY CONSTRUCTION (superset candidates), so exact >= holds
-    // deterministically, not just in expectation
+    // deterministically, not just in expectation — in recall AND in the
+    // measured row cost
     byMethod.foreach { case (m, rs) =>
-      val recalls = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
-      assert(recalls.length == 3, m)
+      val sorted = rs.sortBy(_.getLong(1))
+      val recalls = sorted.map(_.getDouble(2))
+      assert(recalls.length == (if (m == "pq") expPq else expIvf), m)
       assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
         s"$m recall not monotone: ${recalls.mkString(",")}")
+      val costs = sorted.map(_.getLong(3))
+      assert(costs.forall(_ > 0), s"$m has a zero-cost point")
+      assert(costs.zip(costs.tail).forall { case (a, b) => a <= b },
+        s"$m cost_rows not monotone: ${costs.mkString(",")}")
     }
-    // probing every cluster IS the exact search: recall must be 1.0 exactly
+    // probing every cluster IS the exact search: recall must be 1.0 at a
+    // measured price of every stored row per query
     Seq("ivf", "ivf_sq").foreach { m =>
-      assert(byMethod(m).maxBy(_.getLong(1)).getDouble(2) == 1.0, m)
+      val full = byMethod(m).maxBy(_.getLong(1))
+      assert(full.getDouble(2) == 1.0, m)
+      assert(full.getLong(3) == 10L * n, m)
     }
   }
 
