@@ -121,6 +121,10 @@ object SparkEntry {
     "vector_stats" -> ((s, d) => VectorAnalytics.vectorStats(s, d)),
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
     "ann_ivf_persisted" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
+    // the scale path for SQL-only consumers; rows-only here because it is
+    // spec-asserted BIT-IDENTICAL to ann_ivf_persisted (AnnSpec), so it
+    // inherits the ivf recall gates transitively
+    "sql_ann_ivf" -> ((s, d) => AnnSearch.sqlAnnIvf(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),

@@ -385,6 +385,63 @@ object AnnSearch {
       VectorSearch.normalized(spark, sfDir), k)
   }
 
+  /** The persisted-IVF scale path through the PURE-SQL surface — what a
+    * SQL-only consumer of the library runs (the exact-k-NN twin is
+    * `sql_vector_knn`). The index artifacts are exposed as views over the
+    * committed layout and the whole probe-then-scan is ONE ANSI statement
+    * using the injected `graft_*` expressions: nearest-nprobe centroids
+    * per query via a windowed cross join with the O(√n) centroid table,
+    * then candidates from the cluster-partitioned vector table joined on
+    * `cluster`. The BROADCAST hint on the tiny probe side makes the join
+    * a broadcast hash join on the PARTITION column, so Spark's dynamic
+    * partition pruning closes the same file-level pruning the programmatic
+    * [[ivfKnn]] gets from its `isin` literals (spec-verified in the plan).
+    * Same distance expression, same tie-breaking → bit-identical rows to
+    * [[ivfKnn]], which is what the spec asserts — the SQL surface
+    * inherits the programmatic path's recall gates transitively.
+    */
+  def sqlAnnIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                k: Int = 10, nClusters: Int = 0,
+                nProbe: Int = 0): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = loadOrBuildIvf(spark, sfDir, nc)
+    spark.read.parquet(s"$dir/centroids")
+      .createOrReplaceTempView("ivf_centroids_sql")
+    spark.read.parquet(s"$dir/vectors")
+      .createOrReplaceTempView("ivf_vectors_sql")
+    Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("ivf_emb_sql")
+    spark.sql(
+      s"""WITH queries AS (
+         |  SELECT vec_id AS query_id, graft_l2_normalize(
+         |    transform(embedding, x -> CAST(x AS DOUBLE))) AS qu
+         |  FROM ivf_emb_sql WHERE vec_id < $nQueries
+         |), probes AS (
+         |  SELECT query_id, qu, cluster FROM (
+         |    SELECT q.query_id, q.qu, c.cluster,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY graft_squared_l2(q.qu, c.center), c.cluster)
+         |        AS cr
+         |    FROM queries q CROSS JOIN ivf_centroids_sql c
+         |  ) WHERE cr <= ${resolveProbe(nc, nProbe)}
+         |), cand AS (
+         |  SELECT /*+ BROADCAST(p) */
+         |    p.query_id, v.vec_id AS id,
+         |    graft_squared_l2(p.qu, v.v) AS dist
+         |  FROM probes p JOIN ivf_vectors_sql v
+         |    ON v.cluster = p.cluster AND v.vec_id <> p.query_id
+         |), ranked AS (
+         |  SELECT query_id, id, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist, id) AS rn
+         |  FROM cand
+         |)
+         |SELECT query_id, id, round(dist, 6) AS distance,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $k ORDER BY query_id, rn""".stripMargin)
+  }
+
   /** Recall of the approximate searches against the exact k-NN, per query
     * and method — the accuracy report the reference's `efSearch` knob
     * (`main.py:31`) trades against. `meets_floor` flags queries below the

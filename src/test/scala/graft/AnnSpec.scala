@@ -201,4 +201,20 @@ class AnnSpec extends SparkSpec {
   test("IVF append yields a complete, searchable next version") {
     assert(AnnSearch.ivfAppendViolations(spark, sf).collect().isEmpty)
   }
+
+  test("SQL-only IVF probe equals the programmatic scale path") {
+    val sql = AnnSearch.sqlAnnIvf(spark, sf)
+    val got = sql.collect().map(_.toSeq).toSeq
+    val want = AnnSearch.ivfKnn(spark, sf).collect().map(_.toSeq).toSeq
+    // same distance expression, same tie-breaking → bit-identical rows,
+    // so the SQL surface inherits the ivf recall gates transitively
+    assert(got.nonEmpty && got == want)
+    // and the partition-column join keeps FILE-level pruning: the
+    // broadcast probe side drives dynamic partition pruning into the
+    // cluster-partitioned scan
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n"))
+  }
 }
