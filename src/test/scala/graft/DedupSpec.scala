@@ -376,6 +376,34 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.9))
   }
 
+  test("semanticDedupOver recovers injected pairs with KMeans centroids") {
+    // the PRODUCTION path end to end: fit the real k-means coarse
+    // clusterer (same ml API the IVF build uses) and wire its centers
+    // through the corpus-agnostic core — no seed/label stand-ins
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val corpus = Dedup.embedCorpus(spark, sf)
+    val k = math.max(2,
+      math.floor(math.sqrt(corpus.count() * 1.0)).toInt)
+    val feats = corpus.select(col("vec_id"),
+      array_to_vector(col("u")).as("features"))
+    val model = new KMeans().setK(k).setSeed(7L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(feats)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+      .toDF("cluster", "c")
+    val rows = Dedup.semanticDedupOver(corpus, cents, 0.9).collect()
+    // an injected +0.01 copy normalizes to ~its base's unit vector, so
+    // k-means cannot split the pair across centroids
+    val injected = rows.count(r =>
+      r.getAs[Long]("vec_id") == r.getAs[Long]("dup_of") + 10000)
+    val nBase = Tables.load(spark, sf, "embeddings").count()
+    assert(injected >= (nBase * 9) / 10, s"$injected of $nBase")
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.9))
+  }
+
   test("domainMix quotas: no oversampled language, exact per-lang counts") {
     val docs = Tables.load(spark, sf, "documents")
     val n = docs.groupBy("lang").count().collect()
