@@ -81,6 +81,101 @@ object Scaling {
       .parquet(s"$big/embeddings.parquet")
   }
 
+  /** Streaming tier: per-trigger cost with a FIXED batch as the base
+    * corpus grows — the O(batch) claims measured rather than argued.
+    * Reported per op: trigger seconds and bytes WRITTEN by the trigger.
+    * The manifest-based versions make writes O(batch) (flat across
+    * corpus scales); read-side cost differs by op — the IVF append reads
+    * O(√n) centroids, while the dedup probe's band equi-join and the
+    * flat upsert's id continuation scan corpus-side tables, so their
+    * trigger times may grow sublinearly with the corpus even as written
+    * bytes stay flat.
+    */
+  def streamingTier(spark: SparkSession, dataDir: String, work: String,
+                    batchN: Int): Seq[(String, Double, Long)] = {
+    import graft.operators.{AnnSearch, Dedup}
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(IndexStore.hadoopConf)
+    def rmr(p: String): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(path)) return 0L
+      val it = fs.listFiles(path, true)
+      var b = 0L
+      while (it.hasNext) b += it.next().getLen
+      b
+    }
+    def timed(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    // ids far above every blowup copy stride and fixture injection
+    val off = 900000000L
+
+    // 1. IVF append: one fixed batch onto the corpus-scale persisted
+    // index (build untimed); reads O(√n) centroids + the batch only
+    val baseIvf = AnnSearch.ensureIvfIndex(spark, dataDir)
+    // id-range selection, not limit(): copy 0 of the blowup is verbatim,
+    // so vec_id < batchN picks the SAME logical rows at every scale —
+    // the batch is genuinely fixed while the corpus grows
+    val batchVec = Tables.load(spark, dataDir, "embeddings")
+      .filter(col("vec_id") < batchN)
+      .select((col("vec_id") + off).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + 0.005)")
+          .as("v"))
+      .localCheckpoint(true)
+    val ivfOut = s"$work/ivf_trigger"
+    rmr(ivfOut)
+    val tIvf = timed {
+      AnnSearch.appendToIvfIndexAt(spark, baseIvf, batchVec, ivfOut)
+    }
+
+    // 2. corpus-dedup probe: fixed batch against the persisted corpus
+    // signature index (build untimed)
+    val corpusDir = Dedup.ensureCorpusIndex(spark, dataDir)
+    val bands = spark.read.parquet(s"$corpusDir/bands")
+    val shs = spark.read.parquet(s"$corpusDir/shingles")
+    val batchDocs = Tables.load(spark, dataDir, "documents")
+      .filter(col("doc_id") < batchN)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val tDedup = timed {
+      Dedup.dedupBatchAgainstIndex(bands, shs,
+        Dedup.shingleTable(Dedup.shingles(batchDocs)), 0.5).count()
+    }
+
+    // 3. flat-store upsert: seed the store with the whole corpus
+    // (untimed v0), then one fixed trigger batch (timed v1)
+    val root = s"$work/flat_trigger"
+    rmr(root)
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    val seed = Tables.load(spark, dataDir, "embeddings")
+      .select(concat(lit("s-"), col("vec_id")).as("str_id"),
+        lit("scaling fixture text").as("text"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    StreamingIndex.stageInto(seed, landing, "seed")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    val trig = Tables.load(spark, dataDir, "embeddings")
+      .filter(col("vec_id") < batchN)
+      .select(concat(lit("t-"), col("vec_id")).as("str_id"),
+        lit("trigger text").as("text"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    StreamingIndex.stageInto(trig, landing, "trig")
+    val tFlat = timed {
+      StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    }
+
+    Seq(("ivf_append_trigger", tIvf, dirBytes(ivfOut)),
+      ("corpus_dedup_trigger", tDedup, 0L),
+      ("flat_ingest_trigger", tFlat, dirBytes(s"$root/v1")))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -118,7 +213,20 @@ object Scaling {
       val exp = math.log(b / a) / math.log(factor.toDouble)
       f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,"exponent":$exp%.2f}"""
     }
-    val json = rows.mkString("[", ",", "]")
+    // streaming tier: FIXED batch per trigger at both corpus scales —
+    // exponent ~0 = per-trigger cost independent of the base corpus, and
+    // written bytes must stay flat (the manifest-version guarantee)
+    val bn = math.min(1000L,
+      Tables.load(spark, base, "embeddings").count()).toInt
+    val s1 = streamingTier(spark, base, s"$work/stream_x1", bn)
+    val sN = streamingTier(spark, big, s"$work/stream_x$factor", bn)
+    val streamRows = s1.zip(sN).map {
+      case ((n, a, b1), (_, c, bN)) =>
+        val exp = math.log(c / a) / math.log(factor.toDouble)
+        f"""{"query":"$n","t1":$a%.2f,"tN":$c%.2f,"factor":$factor,""" +
+          f""""exponent":$exp%.2f,"bytes1":$b1,"bytesN":$bN}"""
+    }
+    val json = (rows ++ streamRows).mkString("[", ",", "]")
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
       "SCALING_RESULTS.json")

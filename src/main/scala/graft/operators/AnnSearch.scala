@@ -318,6 +318,11 @@ object AnnSearch {
       .withColumn("cr", row_number().over(wb))
       .filter(col("cr") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
+      // one O(batch) shuffle so each touched cluster gets ONE file, not
+      // one per (task × cluster): a micro-batch spread over every writer
+      // task would otherwise add tasks·nprobe-ish small files per trigger
+      // — the file-listing death of a frequently-appended index
+      .repartition(col("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(segment)
     // LAST: the manifest commits the version (see commit protocol above)

@@ -315,8 +315,8 @@ object StreamingIndex {
     * if the prefix's first file already landed, the batch is already there
     * — and the checkpoint tracks processed paths anyway.
     */
-  private def stageInto(df: DataFrame, landing: String,
-                        prefix: String): Unit = {
+  private[graft] def stageInto(df: DataFrame, landing: String,
+                               prefix: String): Unit = {
     val landingPath = new Path(landing)
     val fs = landingPath.getFileSystem(IndexStore.hadoopConf)
     if (fs.exists(new Path(landing, s"$prefix-0.parquet"))) return
