@@ -60,7 +60,13 @@ object Bench {
       // reclaimed outside the next query's timer.
       System.gc()
     }
-    // MEASURED PHASE: each query from a swept JVM.
+    // MEASURED PHASE: each query REPS times from a swept JVM. The
+    // reported per-query number is the MEDIAN of the reps — one lucky
+    // run must not tighten every future round's regression alarm (the
+    // box swings ~1.4x between runs); the min rides along as the clean
+    // floor. Reps knob: SPARK_GRAFT_REPS (default 3; 1 = the old
+    // single-shot mode for quick triage).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // a swallowed exception would masquerade as a fast success — track
@@ -68,22 +74,27 @@ object Bench {
     // healthy state)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
-      sweep()
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        sweep()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!errors.contains(name)) errors += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> (times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full line: the driver scrapes a bounded stdout tail,
     // which truncates the per-query map past ~66 entries — the file is the
