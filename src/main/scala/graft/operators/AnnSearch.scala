@@ -334,6 +334,25 @@ object AnnSearch {
         })
   }
 
+  /** Compact an appended IVF version into a standalone one-segment index
+    * at `out` — the read-amplification bound of the manifest chain: after
+    * many O(batch) appends the vector table is a long segment list; one
+    * compaction job rewrites it as a single cluster-partitioned segment
+    * (multiple files per cluster again — the parallel-read layout of the
+    * base build) plus copied centroids, producing a PLAIN-layout index
+    * any reader or append chain can use as its new base. `out` is a
+    * fresh dir; a crashed compaction reads as "never built" (centroids
+    * last = the commit marker of the plain layout).
+    */
+  def compactIvfTo(spark: SparkSession, dir: String, out: String): Unit = {
+    val (centroidsPath, _) = ivfLayout(spark, dir)
+    ivfVectors(spark, dir)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$out/vectors")
+    IndexStore.saveDataset(
+      spark.read.parquet(centroidsPath), s"$out/centroids")
+  }
+
   /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
     * cluster id is the PHYSICAL partition key (a probe's `cluster IN`
     * literals prune at file listing, touching nprobe/k of the data) AND

@@ -308,11 +308,10 @@ object Dedup {
   def mergedIndexDedup(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.5): DataFrame = {
     val dir = ensureIncrementalArtifacts(spark, sfDir)
-    val out = IndexStore.indexDir(sfDir, "dedup-merged-v1", "documents")
-    if (!IndexStore.committed(s"$out/shingles") ||
-        !IndexStore.committed(s"$out/bands"))
+    val out = IndexStore.indexDir(sfDir, "dedup-merged-v2", "documents")
+    if (!IndexStore.committed(s"$out/manifest"))
       mergeBatchIntoIndex(spark, dir, out)
-    val bands = spark.read.parquet(s"$out/bands")
+    val bands = IndexStore.loadSegments(spark, out, "bands")
     val cand = bands
       .select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"),
@@ -320,7 +319,7 @@ object Dedup {
         col("band") === col("b2") && col("band_key") === col("k2") &&
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val hsh = spark.read.parquet(s"$out/shingles")
+    val hsh = IndexStore.loadSegments(spark, out, "shingles")
       .select(col("doc_id"), col("h"))
     val inter = cand
       .join(hsh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
@@ -458,15 +457,21 @@ object Dedup {
   }
 
   /** The final step of the incremental loop: fold the current batch's
-    * materialized signatures into a NEW index version at `out`. Readers
-    * keep using the old `dir` until the caller switches — version-swap
-    * atomicity by construction, no in-place mutation of a live index.
-    * Band keys are re-derived from the merged STORED hashes (no text is
-    * touched). Typically the caller merges only non-duplicate batch docs
-    * (`keepIds`); passing None merges the whole batch.
+    * materialized signatures into a NEW index version at `out` — a
+    * MANIFEST referencing the corpus's immutable artifacts plus the
+    * batch's own delta segments ([[IndexStore.writeManifest]]), so both
+    * compute AND I/O are O(batch): the corpus signatures are never read,
+    * copied or rewritten. Readers keep using the old `dir` until the
+    * caller switches — version-swap atomicity by construction. Band keys
+    * are re-derived from the batch's STORED hashes (no text is touched).
+    * Typically the caller merges only non-duplicate batch docs
+    * (`keepIds`); passing None merges the whole batch. The manifest is
+    * written LAST and is the version's one commit marker; a re-invocation
+    * on a committed `out` is a no-op (crash-replay safe).
     */
   def mergeBatchIntoIndex(spark: SparkSession, dir: String, out: String,
                           keepIds: Option[DataFrame] = None): Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
     // gate on committed inputs — a crashed batch write must read as
     // "never written", per the store's contract, or the merged version
     // would commit an incomplete batch as truth
@@ -478,16 +483,14 @@ object Dedup {
     val kept = keepIds.fold(batch)(ids =>
       batch.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
         "left_semi"))
+    val shSeg = s"$out/shingles-delta"
+    val bandSeg = s"$out/bands-delta"
+    IndexStore.saveDataset(kept, shSeg)
     IndexStore.saveDataset(
-      spark.read.parquet(s"$dir/shingles").unionAll(kept),
-      s"$out/shingles")
-    // band keys are per-doc, so existing docs' bands are reused verbatim;
-    // only the kept batch rows are signed — O(batch) per merge, not
-    // O(corpus)
-    IndexStore.saveDataset(
-      spark.read.parquet(s"$dir/bands").unionAll(
-        bandKeysFromHashes(kept.select(col("doc_id"), col("x")))),
-      s"$out/bands")
+      bandKeysFromHashes(kept.select(col("doc_id"), col("x"))), bandSeg)
+    IndexStore.writeManifest(spark, out, Seq(
+      ("shingles", s"$dir/shingles", 0L), ("shingles", shSeg, 1L),
+      ("bands", s"$dir/bands", 0L), ("bands", bandSeg, 1L)))
   }
 
   /** (doc_a, doc_b, ni) + per-doc set sizes → thresholded Jaccard. */

@@ -141,6 +141,18 @@ object IndexStore {
                        artifact: String): Seq[String] =
     entries.filter(_._1 == artifact).sortBy(_._3).map(_._2)
 
+  /** One artifact of a manifested version as the union of its immutable
+    * segments — the reader for INSERT-ONLY artifacts (signature tables,
+    * vector tables). Artifacts needing row resolution (LWW mappings)
+    * layer their merge on top (e.g.
+    * [[graft.streaming.StreamingIndex.loadMappingAt]]).
+    */
+  def loadSegments(spark: SparkSession, versionDir: String,
+                   artifact: String): DataFrame =
+    manifestSegments(readManifest(spark, versionDir), artifact)
+      .map(p => spark.read.parquet(p))
+      .reduce(_ unionByName _)
+
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
     mapping.write.mode(SaveMode.Overwrite).parquet(s"$dir/mapping")
     vectors.write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")

@@ -310,6 +310,31 @@ object StreamingIndex {
     doomed
   }
 
+  /** Compact the newest committed version into a standalone one-segment
+    * store at `out` — the read-amplification bound of every
+    * log-structured table format: merge-on-read until the segment list
+    * grows long, then one compaction job rewrites the RESOLVED state as
+    * a single segment per artifact and a fresh manifest referencing only
+    * those. `out` is a separate root (version v0 of a new chain), so the
+    * live chain is never touched — crash-safe by construction (a crashed
+    * compaction leaves an uncommitted `out` and the old root serving),
+    * and the caller swaps roots when `latestVersion(out)` is defined.
+    * Cost: one full read + write of the store — amortized across the
+    * many O(batch) appends it re-arms.
+    */
+  def compactTo(spark: SparkSession, root: String, out: String): Unit = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val src = s"$root/v$v"
+    val mSeg = s"$out/v0/mapping"
+    val vSeg = s"$out/v0/vectors"
+    IndexStore.saveDataset(loadMappingAt(spark, src), mSeg)
+    IndexStore.saveDataset(loadVectorsAt(spark, src), vSeg)
+    // LAST: the manifest commits the compacted version
+    IndexStore.writeManifest(spark, s"$out/v0",
+      Seq(("mapping", mSeg, 0L), ("vectors", vSeg, 0L)))
+  }
+
   /** Stage `df` as flat `<prefix>-<i>.parquet` files inside the landing
     * dir (what a producer dropping add-request files would do). Idempotent:
     * if the prefix's first file already landed, the batch is already there

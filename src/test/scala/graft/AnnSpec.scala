@@ -202,6 +202,32 @@ class AnnSpec extends SparkSpec {
     assert(AnnSearch.ivfAppendViolations(spark, sf).collect().isEmpty)
   }
 
+  test("IVF compaction produces an equivalent plain-layout base") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_precompact").toString
+    val batch = Tables.load(spark, sf, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + 0.01)").as("v"))
+    AnnSearch.appendToIvfIndex(spark, sf, batch, out)
+    val comp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact").toString
+    AnnSearch.compactIvfTo(spark, out, comp)
+    // plain layout, committed (centroids last = the commit marker)
+    assert(IndexStore.committed(s"$comp/vectors"))
+    assert(IndexStore.committed(s"$comp/centroids"))
+    // same rows, same per-cluster layout as the manifest chain resolves
+    def byCluster(dir: String) =
+      AnnSearch.ivfVectors(spark, dir).groupBy("cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCluster(comp) == byCluster(out))
+    // and it is itself a valid append base: chain another batch onto it
+    val next = java.nio.file.Files
+      .createTempDirectory("graft_ivf_postcompact").toString
+    AnnSearch.appendToIvfIndexAt(spark, comp, batch, next)
+    assert(AnnSearch.ivfVectors(spark, next).count() ==
+      AnnSearch.ivfVectors(spark, comp).count() + batch.count())
+  }
+
   test("SQL-only IVF probe equals the programmatic scale path") {
     val sql = AnnSearch.sqlAnnIvf(spark, sf)
     val got = sql.collect().map(_.toSeq).toSeq

@@ -107,15 +107,21 @@ class DedupSpec extends SparkSpec {
     val out = java.nio.file.Files
       .createTempDirectory("graft_merge").toString
     Dedup.mergeBatchIntoIndex(spark, dir, out)
-    assert(IndexStore.committed(s"$out/shingles") &&
-      IndexStore.committed(s"$out/bands"))
+    // the manifest is the version's one commit marker
+    assert(IndexStore.committed(s"$out/manifest"))
     val oldN = spark.read.parquet(s"$dir/shingles").count()
     val batchN = spark.read.parquet(s"$dir/batch_shingles").count()
-    val merged = spark.read.parquet(s"$out/shingles")
+    val merged = IndexStore.loadSegments(spark, out, "shingles")
     assert(merged.count() == oldN + batchN)
     // 4 band rows per doc in the merged band table
     val nDocs = merged.select("doc_id").distinct().count()
-    assert(spark.read.parquet(s"$out/bands").count() == 4 * nDocs)
+    assert(IndexStore.loadSegments(spark, out, "bands").count() ==
+      4 * nDocs)
+    // O(batch) I/O: the version's OWN segments hold only the batch —
+    // the corpus signatures enter by manifest reference, never by copy
+    assert(spark.read.parquet(s"$out/shingles-delta").count() == batchN)
+    assert(IndexStore.readManifest(spark, out)
+      .exists(e => e._1 == "shingles" && e._2 == s"$dir/shingles"))
   }
 
   test("mergedIndexDedup answers the full query from merged artifacts") {

@@ -296,6 +296,34 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("compaction collapses the chain to one segment per artifact") {
+    import graft.sources.IndexStore
+    import graft.streaming.StreamingIndex
+    // the ingest fixture's two-version chain is the compaction input
+    StreamingIndex.streamingIndexIngest(spark, sf).count()
+    val root = IndexStore.indexDir(sf, "stream-index-v4", "documents")
+    val srcV = s"$root/v${StreamingIndex.latestVersion(root).get}"
+    // the chain really is multi-segment before compaction (what the
+    // compaction bounds)
+    assert(IndexStore.readManifest(spark, srcV)
+      .count(_._1 == "mapping") == 2)
+    val out = Files.createTempDirectory("graft_compact").toString
+    StreamingIndex.compactTo(spark, root, out)
+    assert(StreamingIndex.latestVersion(out).contains(0L))
+    val m = IndexStore.readManifest(spark, s"$out/v0")
+    assert(m.count(_._1 == "mapping") == 1)
+    assert(m.count(_._1 == "vectors") == 1)
+    // the RESOLVED state is preserved exactly — mapping rows and vector
+    // counts — so readers can swap roots blindly
+    val want = StreamingIndex.loadMappingAt(spark, srcV)
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    val got = StreamingIndex.loadMappingAt(spark, s"$out/v0")
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(StreamingIndex.loadVectorsAt(spark, s"$out/v0").count() ==
+      StreamingIndex.loadVectorsAt(spark, srcV).count())
+  }
+
   test("pruneVersions refcounts segments: survivors' references live on") {
     import graft.sources.IndexStore
     import graft.streaming.StreamingIndex
