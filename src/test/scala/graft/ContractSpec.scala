@@ -7,12 +7,14 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
     assert(SparkEntry.queries.size >= 95)
-    // all but the sketch/model-based seven carry oracles (the two
-    // *_violations gates DO carry typed zero-row oracles)
+    // all but the sketch/model-based eight carry oracles (the two
+    // *_violations gates DO carry typed zero-row oracles; sql_ann_ivf is
+    // the SQL surface over the same approx index, floor-gated like
+    // ann_recall)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
       Set("approx_distinct", "ann_lsh", "ann_ivf_persisted", "ann_ivf_sq",
-        "ann_pq", "ann_recall", "ann_recall_curve"), noOracle)
+        "ann_pq", "ann_recall", "ann_recall_curve", "sql_ann_ivf"), noOracle)
   }
 
   test("entry() smoke: flagship returns rows on sf0.001") {
