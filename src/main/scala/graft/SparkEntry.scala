@@ -102,7 +102,12 @@ object SparkEntry {
     "merged_index_dedup" -> ((s, d) => Dedup.mergedIndexDedup(s, d)),
     "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
+    "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
+    "hybrid_search_rrf" -> ((s, d) => TfIdf.hybridSearchRrf(s, d)),
+    "kmeans_iterate" -> ((s, d) => VectorAnalytics.kmeansIterate(s, d)),
     "token_shards" -> ((s, d) => TextAnalysis.tokenShards(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
@@ -286,6 +291,32 @@ object SparkEntry {
        |$MinhashOracleSql
        |) WHERE doc_a < 10000 AND doc_b >= 10000
        |ORDER BY new_doc, dup_of""".stripMargin
+
+  /** Decontamination oracle, shared verbatim by `decontaminate` and
+    * `bloom_decontaminate` — the Bloom prefilter must not change the
+    * result, so both gate against one formulation.
+    */
+  private val DuckDecontaminateOracle =
+    """WITH train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+      |), eval AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |), sht AS (
+      |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |    || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train) c,
+      |    UNNEST(range(1, len(l) - 3)) t(i)
+      |), she AS (
+      |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |    || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM eval) c,
+      |    UNNEST(range(1, len(l) - 3)) t(i)
+      |)
+      |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+      |  count(*) AS n_shared
+      |FROM sht t JOIN she e ON t.sh = e.sh
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY train_doc, eval_doc""".stripMargin
 
   /** Exact-kNN oracle, shared verbatim by `knn_search` and its pure-SQL
     * twin `sql_vector_knn` — one formulation, two gate entries.
@@ -1194,6 +1225,38 @@ object SparkEntry {
         |SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS idx,
         |  round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one exact Lloyd step: assignment ranks on identical IEEE squared-L2
+    // doubles (cid breaks the impossible tie), member means and the
+    // seed→mean shift are rounded only at the output edge
+    "kmeans_iterate" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 8
+        |), pairs AS (
+        |  SELECT e.vec_id, e.v, s.cid,
+        |    list_sum(list_transform(list_zip(e.v, s.c),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+        |        AS rn
+        |    FROM pairs) WHERE rn = 1
+        |), means AS (
+        |  SELECT cid, i AS pos, avg(x) AS m, count(*) AS n
+        |  FROM (SELECT cid, unnest(v) AS x,
+        |          generate_subscripts(v, 1) AS i FROM best)
+        |  GROUP BY cid, i
+        |)
+        |SELECT m.cid AS cluster_id, CAST(max(m.n) AS BIGINT) AS n_members,
+        |  round(sqrt(sum((s.c[m.pos] - m.m) * (s.c[m.pos] - m.m))), 6)
+        |    AS shift
+        |FROM means m JOIN seeds s ON s.cid = m.cid
+        |GROUP BY m.cid ORDER BY cluster_id""".stripMargin,
     "pairwise_sim_hist" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -1379,27 +1442,12 @@ object SparkEntry {
         |  AND c.c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer)
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin,
-    "decontaminate" ->
-      """WITH train AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
-        |), eval AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
-        |), sht AS (
-        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-        |    || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train) c,
-        |    UNNEST(range(1, len(l) - 3)) t(i)
-        |), she AS (
-        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-        |    || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM eval) c,
-        |    UNNEST(range(1, len(l) - 3)) t(i)
-        |)
-        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
-        |  count(*) AS n_shared
-        |FROM sht t JOIN she e ON t.sh = e.sh
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY train_doc, eval_doc""".stripMargin,
+    "decontaminate" -> DuckDecontaminateOracle,
+    // the Bloom filter admits a SUPERSET (no false negatives) and the
+    // exact join confirms, so the prefiltered result is byte-identical to
+    // the exact one — same oracle, and any prefilter bug that drops a true
+    // match flips this entry red
+    "bloom_decontaminate" -> DuckDecontaminateOracle,
     "corpus_prepare" ->
       s"""WITH $DuckToks,
          |pt AS (
@@ -1449,6 +1497,49 @@ object SparkEntry {
         |  round(avg(length(text)), 4) AS avg_chars,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // flags as 0/1 BIGINTs (not booleans) so both engines hash the same
+    // typed value; thresholds are the same literals the Spark side uses
+    // and raw_avg / the distinct ratio are single IEEE divisions of exact
+    // integer sums — identical doubles, so the comparisons agree
+    "gopher_rules" ->
+      s"""WITH $DuckToks,
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    count(DISTINCT tok) AS n_distinct,
+         |    avg(length(tok)) AS raw_avg,
+         |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
+         |        THEN 1 ELSE 0 END) AS n_stop
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens,
+         |  round(raw_avg, 4) AS avg_tok_len,
+         |  round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
+         |  CAST(n_stop AS BIGINT) AS n_stop,
+         |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+         |  CAST(CASE WHEN raw_avg BETWEEN 3.8 AND 5.2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_avg,
+         |  CAST(CASE WHEN n_distinct::DOUBLE / n_tokens >= 0.35
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
+         |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS ok_stop,
+         |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
+         |    AND raw_avg BETWEEN 3.8 AND 5.2
+         |    AND n_distinct::DOUBLE / n_tokens >= 0.35
+         |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM per ORDER BY doc_id""".stripMargin,
+    "dataset_split" ->
+      """WITH b AS (
+        |  SELECT lang, source, n_chars,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 AS b
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tfidf_search" ->
       s"""WITH $DuckToks,
          |terms AS (
@@ -1502,6 +1593,108 @@ object SparkEntry {
          |FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id, ad
          |GROUP BY tf.doc_id
          |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin,
+    // RRF fusion of the bm25 leg (identical CTE chain to bm25_search,
+    // ranking on the 4dp-rounded score) and the hashed bag-of-words
+    // vector leg (identical embedding chain to text_embed_search; the
+    // query vector embeds the five query terms through the same buckets);
+    // absent-leg ranks surface as 0, fusion constant K = 60
+    "hybrid_search_rrf" ->
+      s"""WITH $DuckToks,
+         |terms AS (
+         |  SELECT tok FROM toks GROUP BY tok
+         |  ORDER BY count(*) DESC, tok LIMIT 5
+         |),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |dlen AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+         |  FROM toks GROUP BY 1
+         |),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+         |dft AS (
+         |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+         |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM dft, nn
+         |),
+         |tfx AS (
+         |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1, 2, 3
+         |),
+         |bm25 AS (
+         |  SELECT tfx.doc_id,
+         |    round(sum(tfx.idf * tfx.tf * (1.2 + 1.0) /
+         |      (tfx.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
+         |      AS score
+         |  FROM tfx JOIN dlen ON tfx.doc_id = dlen.doc_id, ad
+         |  GROUP BY tfx.doc_id
+         |),
+         |ltop AS (
+         |  SELECT doc_id, rn AS bm25_rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |    FROM bm25) WHERE rn <= 50
+         |),
+         |hb AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
+         |  FROM toks
+         |), cnt AS (
+         |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
+         |  FROM hb GROUP BY 1, 2
+         |), dense AS (
+         |  SELECT d.doc_id, g.j, COALESCE(c.c, 0.0) AS c
+         |  FROM (SELECT DISTINCT doc_id FROM hb) d
+         |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+         |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.j = g.j
+         |), vec AS (
+         |  SELECT doc_id, list(c ORDER BY j) AS raw FROM dense GROUP BY doc_id
+         |), normed AS (
+         |  SELECT doc_id, list_transform(raw, x -> x /
+         |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS v
+         |  FROM vec
+         |),
+         |qhb AS (
+         |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
+         |  FROM terms
+         |), qcnt AS (
+         |  SELECT j, CAST(count(*) AS DOUBLE) AS c FROM qhb GROUP BY j
+         |), qdense AS (
+         |  SELECT g.j, COALESCE(c.c, 0.0) AS c
+         |  FROM (SELECT unnest(range(16)) AS j) g
+         |  LEFT JOIN qcnt c ON c.j = g.j
+         |), qvec AS (
+         |  SELECT list(c ORDER BY j) AS raw FROM qdense
+         |), qnorm AS (
+         |  SELECT list_transform(raw, x -> x /
+         |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS qv
+         |  FROM qvec
+         |),
+         |vleg AS (
+         |  SELECT n.doc_id,
+         |    list_sum(list_transform(list_zip(q.qv, n.v),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |  FROM normed n, qnorm q
+         |),
+         |vtop AS (
+         |  SELECT doc_id, rn AS vec_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS rn
+         |    FROM vleg) WHERE rn <= 50
+         |),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(l.bm25_rank, 0) AS bm25_rank,
+         |    COALESCE(v.vec_rank, 0) AS vec_rank
+         |  FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+         |)
+         |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+         |  CAST(vec_rank AS BIGINT) AS vec_rank,
+         |  round((CASE WHEN bm25_rank > 0
+         |      THEN 1.0 / (60.0 + bm25_rank) ELSE 0.0 END) +
+         |    (CASE WHEN vec_rank > 0
+         |      THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END), 6) AS rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // chunking: lo is clamped non-negative BEFORE the division, so
     // DuckDB's floor-// and Spark's truncating div agree
     "chunk_docs" ->

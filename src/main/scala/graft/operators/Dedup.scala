@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -623,13 +623,81 @@ object Dedup {
     */
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
                     minShared: Long = 3L): DataFrame = {
+    val (train, eval) = contaminationSides(spark, sfDir, n)
+    train.join(eval, col("h") === col("h2"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** [[decontaminate]]'s train/eval shingle sides, shared with the
+    * Bloom-prefiltered variant so the contamination semantics (every 10th
+    * doc stands in for the eval suite, n-gram width, hash key) cannot
+    * fork between the exact and the prefiltered path.
+    */
+  private def contaminationSides(spark: SparkSession, sfDir: String,
+                                 n: Int): (DataFrame, DataFrame) = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val train = hashShingleCol(shingles(docs.filter(col("doc_id") % 10 =!= 0), n))
       .select(col("doc_id").as("train_doc"), col("h"))
     val eval = hashShingleCol(shingles(docs.filter(col("doc_id") % 10 === 0), n))
       .select(col("doc_id").as("eval_doc"), col("h").as("h2"))
-    train.join(eval, col("h") === col("h2"))
+    (train, eval)
+  }
+
+  /** Bloom-prefiltered decontamination — byte-identical result to
+    * [[decontaminate]] (the Bloom filter admits a superset of the true
+    * matches, no false negatives; the exact equi-join then confirms), but
+    * the train-side shingle stream is cut by a broadcast Bloom filter
+    * built from the eval hashes BEFORE the join, so the shuffle carries
+    * ≈fpp of the non-matching corpus instead of all of it. At 100 TB that
+    * is the decontamination plan: the eval suite is the small side by
+    * definition, its filter is O(eval) bits, and the membership test is
+    * pure codegen — xxhash64 + bit arithmetic against a literal long
+    * array, no UDF and no sketch object in the row path.
+    *
+    * The filter is built once from the distinct eval hashes (a bounded
+    * driver collect of k set-bit positions per eval shingle — the same
+    * driver-side footprint `DataFrame.stat.bloomFilter` has, which also
+    * ships its sketch through the driver).
+    */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String, nGram: Int = 5,
+                         minShared: Long = 3L,
+                         fpp: Double = 0.01): DataFrame = {
+    val (train, eval) = contaminationSides(spark, sfDir, nGram)
+    val evalHashes = eval.select(col("h2")).distinct()
+    val nKeys = math.max(1L, evalHashes.count())
+    // standard sizing: m = -n·ln p / (ln 2)², k = (m/n)·ln 2 probes
+    val ln2 = math.log(2.0)
+    val mBits = {
+      val raw = math.ceil(-nKeys * math.log(fpp) / (ln2 * ln2)).toLong
+      math.max(64L, ((raw + 63) / 64) * 64)
+    }
+    val k = math.max(1, math.round(mBits.toDouble / nKeys * ln2).toInt)
+    def bitPos(i: Int, h: Column): Column =
+      pmod(xxhash64(lit(i), h), lit(mBits))
+    val words = new Array[Long]((mBits / 64).toInt)
+    evalHashes
+      .select(explode(array((0 until k).map(i => bitPos(i, col("h2"))): _*))
+        .as("p"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p / 64).toInt) |= (1L << (p % 64).toInt)
+      }
+    val wordsCol = typedLit(words.toSeq)
+    // dynamic bit test without a dynamic shift (the DSL's shiftright takes
+    // a static count): mask lookup from a 64-entry power-of-two literal
+    val pow2 = typedLit((0 until 63).map(b => 1L << b) :+ Long.MinValue)
+    val mightContain = (0 until k).map { i =>
+      val p = bitPos(i, col("h"))
+      element_at(wordsCol, floor(p / lit(64)).cast("int") + 1)
+        .bitwiseAND(element_at(pow2, pmod(p, lit(64)).cast("int") + 1)) =!= 0L
+    }.reduce(_ && _)
+    train.filter(mightContain)
+      .join(eval, col("h") === col("h2"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

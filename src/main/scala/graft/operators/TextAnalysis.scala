@@ -556,4 +556,67 @@ object TextAnalysis {
         levenshtein(col("tok_a"), col("tok_b")).cast("long"))
       .orderBy("tok_a", "tok_b")
   }
+
+  /** Gopher-style multi-rule quality gate (Rae et al. 2021 §A1.1, public):
+    * independent per-document heuristics — token-count bounds, mean token
+    * length bounds, distinct-token ratio (repetition guard), minimum
+    * stopword hits — each surfaced as its own 0/1 flag so a pipeline can
+    * audit WHICH rule rejected a document, plus the conjunctive keep bit.
+    * Thresholds sit inside the fixture corpus's observed ranges (tokens
+    * 10–99, avg length 3.7–5.3, distinct ratio 0.28–1.0) so every rule
+    * genuinely discriminates.
+    *
+    * Scale shape: one tokenize explode → one per-doc hash aggregate → a
+    * broadcast-free narrow projection; flags are integer comparisons on
+    * exact long counts and two IEEE divisions identical in both engines.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String,
+                  minTokens: Long = 30L, maxTokens: Long = 90L,
+                  minAvgLen: Double = 3.8, maxAvgLen: Double = 5.2,
+                  minDistinctRatio: Double = 0.35,
+                  minStop: Long = 2L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    tokensPos(docs).groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        avg(length(col("tok"))).as("raw_avg"),
+        sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .withColumn("raw_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("raw_avg"), 4).as("avg_tok_len"),
+        round(col("raw_ratio"), 4).as("distinct_ratio"),
+        col("n_stop"),
+        flag(col("n_tokens").between(minTokens, maxTokens)).as("ok_len"),
+        flag(col("raw_avg").between(minAvgLen, maxAvgLen)).as("ok_avg"),
+        flag(col("raw_ratio") >= minDistinctRatio).as("ok_rep"),
+        flag(col("n_stop") >= minStop).as("ok_stop"))
+      .withColumn("keep",
+        flag(col("ok_len") + col("ok_avg") + col("ok_rep") +
+          col("ok_stop") === 4L))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split — content-hash buckets (8/1/1), so
+    * a document's assignment is stable under repartitioning, re-ingestion
+    * and re-ordering (the property `randomSplit` lacks). Reports the
+    * per-split × language composition a corpus card needs. Pure narrow
+    * map + one small aggregate; nothing is collected.
+    */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = hash32(col("text")) % 10
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("split",
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("split", "lang")
+  }
 }

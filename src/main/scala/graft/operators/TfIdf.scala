@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -58,7 +59,19 @@ object TfIdf {
     */
   def bm25Search(spark: SparkSession, sfDir: String, nTerms: Int = 5,
                  topK: Int = 20, k1: Double = 1.2,
-                 b: Double = 0.75): DataFrame = {
+                 b: Double = 0.75): DataFrame =
+    bm25Scores(spark, sfDir, nTerms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+
+  /** The full BM25-scored relation behind [[bm25Search]] — one formula,
+    * shared with the rank-fusion consumer [[hybridSearchRrf]] so the
+    * lexical leg of the hybrid ranking cannot drift from the standalone
+    * search's oracle.
+    */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String,
+                                nTerms: Int, k1: Double,
+                                b: Double): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val toks = TextAnalysis.tokensPos(docs).select(col("doc_id"), col("tok"))
     val dlen = toks.groupBy(col("doc_id"))
@@ -85,7 +98,65 @@ object TfIdf {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("score"),
         sum(col("tf")).cast("long").as("n_hits"))
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
+    * (Cormack et al. 2009, public): rrf(d) = Σ_legs 1/(K + rank_leg(d)),
+    * K = 60 — the standard fusion for BM25 + embedding retrieval. Both
+    * legs answer the SAME query (the corpus's top-`nTerms` tokens): the
+    * lexical leg is [[bm25Scores]]; the vector leg embeds the query
+    * token bag through [[VectorSearch.textEmbed]]'s hashed bag-of-words
+    * space and ranks by squared L2. A leg contributes only its top
+    * `perLeg` ranks; a doc missing from a leg scores 0 there (rank
+    * reported as 0).
+    *
+    * Scale shape: each leg ends in a small top-`perLeg` relation (global
+    * sort-limit = partial top-k per partition + one tiny merge), the
+    * fusion is an outer join of two ≤perLeg-row frames — broadcast-sized
+    * by construction regardless of corpus size. The vector-leg scan is
+    * one pass: the query vector is a 1-row cross join, distances narrow.
+    */
+  def hybridSearchRrf(spark: SparkSession, sfDir: String, nTerms: Int = 5,
+                      perLeg: Int = 50, topK: Int = 20,
+                      rrfK: Double = 60.0): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokensPos(docs).select(col("doc_id"), col("tok"))
+    // rank AFTER the global sort-limit: the limit runs as partial top-k
+    // per partition + one small merge, so the unpartitioned rank window
+    // only ever sees perLeg rows — never the corpus
+    val wb = Window.orderBy(col("score").desc, col("doc_id"))
+    val lexical = bm25Scores(spark, sfDir, nTerms, 1.2, 0.75)
+      .orderBy(col("score").desc, col("doc_id")).limit(perLeg)
+      .withColumn("bm25_rank", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    // the query's bag-of-words vector, built by the SAME hashed-bucket
+    // pipeline as the corpus embeddings (one 1-row aggregate)
+    val dim = 16
+    val queryTerms = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok")).limit(nTerms).select(col("tok"))
+    val qvec = VectorSearch.textEmbed(
+      queryTerms.agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+        .select(lit(-1L).as("doc_id"), col("text")), dim)
+      .select(col("v").as("qv"))
+    val wv = Window.orderBy(col("dist"), col("doc_id"))
+    val vector = VectorSearch.textEmbed(docs, dim)
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.squaredL2(col("qv"), col("v")).as("dist"))
+      .orderBy(col("dist"), col("doc_id")).limit(perLeg)
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .select(col("doc_id"), col("vec_rank"))
+    lexical.join(vector, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf", round(
+        when(col("bm25_rank") > 0, lit(1.0) / (lit(rrfK) + col("bm25_rank")))
+          .otherwise(lit(0.0)) +
+        when(col("vec_rank") > 0, lit(1.0) / (lit(rrfK) + col("vec_rank")))
+          .otherwise(lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
   }
 }

@@ -51,4 +51,48 @@ object VectorAnalytics {
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 6).as("avg_norm"))
       .orderBy("label")
+
+  /** One full Lloyd (k-means) iteration with deterministic seeds, surfaced
+    * as an auditable relation: seed centroids = the first `k` vectors by
+    * vec_id, assignment = arg-min squared L2 (ties to the smaller
+    * centroid id), new centroid = element-wise member mean, and per
+    * cluster the reported `shift` = ‖seed − new‖₂ — the convergence
+    * quantity a clustering pipeline monitors between iterations. Exact in
+    * both engines, so unlike a full KMeans fit this k-means STEP is
+    * oracle-checkable bit-for-bit.
+    *
+    * Scale shape: the k seed rows broadcast into a one-pass assignment
+    * (min_by over a k-way array, no join amplification on the big side);
+    * the recompute is posexplode → (cluster, dim) partial-agg — the same
+    * skinny-row layout as [[centroids]]. Nothing is collected; iterating
+    * = re-running with the new centroids, exactly how
+    * [[AnnSearch]]'s index build consumes MLlib.
+    */
+  def kmeansIterate(spark: SparkSession, sfDir: String,
+                    k: Int = 8): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("cid"),
+        squaredL2(col("v"), col("c")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("v"))).as("best"))
+      .select(col("best.cid").as("cid"), col("best.v").as("v"))
+    val means = assigned
+      .select(col("cid"), posexplode(col("v")))
+      .toDF("cid", "pos", "x")
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+    means.join(seeds, "cid")
+      .select(col("cid"), col("n"),
+        pow(element_at(col("c"), col("pos") + 1) - col("m"), 2.0).as("d2"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n_members"),
+        round(sqrt(sum(col("d2"))), 6).as("shift"))
+      .select(col("cid").as("cluster_id"), col("n_members"), col("shift"))
+      .orderBy("cluster_id")
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis, TfIdf, VectorAnalytics}
+
+/** Round-6 LLM-pipeline operators: quality-rule gating, deterministic
+  * splits, Bloom-prefiltered decontamination, hybrid rank fusion, and the
+  * auditable k-means step.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("gopherRules: flags are 0/1, keep is their conjunction, " +
+    "and the stats agree with an independent recount") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val flags = Seq("ok_len", "ok_avg", "ok_rep", "ok_stop")
+        .map(r.getAs[Long])
+      flags.foreach(f => assert(f == 0L || f == 1L))
+      assert(r.getAs[Long]("keep") ==
+        (if (flags.forall(_ == 1L)) 1L else 0L))
+      // the length rule must agree with the reported token count
+      assert((r.getAs[Long]("ok_len") == 1L) ==
+        (r.getAs[Long]("n_tokens") >= 30L &&
+          r.getAs[Long]("n_tokens") <= 90L))
+    }
+    // the gate must actually gate: some docs in, not all docs out
+    val kept = rows.count(_.getAs[Long]("keep") == 1L)
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("datasetSplit: splits partition the corpus and are " +
+    "stable across re-evaluation") {
+    val agg = TextAnalysis.datasetSplit(spark, sf)
+    val rows = agg.collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")))
+    // content-hash assignment ⇒ a second evaluation is identical
+    assert(agg.collect().toSeq == rows.toSeq)
+  }
+
+  test("bloomDecontaminate == decontaminate at default and at a " +
+    "saturating fpp (superset prefilter, exact confirm)") {
+    val exact = Dedup.decontaminate(spark, sf).collect().toSeq
+    assert(Dedup.bloomDecontaminate(spark, sf).collect().toSeq == exact)
+    // a sloppy 20% filter admits more noise into the confirm join but
+    // must never change the result
+    assert(Dedup.bloomDecontaminate(spark, sf, fpp = 0.2)
+      .collect().toSeq == exact)
+  }
+
+  test("hybridSearchRrf: fused scores are non-increasing, every row " +
+    "has a contributing leg, ranks stay within the per-leg cut") {
+    val rows = TfIdf.hybridSearchRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (b, v) = (r.getAs[Long]("bm25_rank"), r.getAs[Long]("vec_rank"))
+      assert(b >= 0L && b <= 50L && v >= 0L && v <= 50L)
+      assert(b > 0L || v > 0L)
+    }
+  }
+
+  test("kmeansIterate: every seed anchors a non-empty cluster, members " +
+    "partition the corpus, shifts are finite and non-negative") {
+    val rows = VectorAnalytics.kmeansIterate(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSeq ==
+      (0L until 8L).toSeq)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n)
+    rows.foreach { r =>
+      // a seed is its own nearest centroid, so no cluster can be empty
+      assert(r.getAs[Long]("n_members") >= 1L)
+      val s = r.getAs[Double]("shift")
+      assert(!s.isNaN && s >= 0.0)
+    }
+  }
+}
