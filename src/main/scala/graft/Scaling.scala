@@ -35,7 +35,8 @@ object Scaling {
     * strongest 100× claims (VERDICT r4 asked for exactly these).
     */
   val Tier: Seq[String] = Seq("simhash_dedup", "minhash_dedup",
-    "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups")
+    "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups",
+    "substring_runs", "bloom_decontaminate")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.

@@ -103,6 +103,7 @@ object SparkEntry {
     "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
+    "substring_runs" -> ((s, d) => Dedup.substringRuns(s, d)),
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
     "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
@@ -1448,6 +1449,44 @@ object SparkEntry {
     // the exact one — same oracle, and any prefilter bug that drops a true
     // match flips this entry red
     "bloom_decontaminate" -> DuckDecontaminateOracle,
+    // contiguous-run dedup: positional 5-gram matches on a constant
+    // diagonal, islands via the pos − row_number() trick (1-based DuckDB
+    // positions vs 0-based Spark positions cancel in both the diagonal
+    // and the island key); the >1000-frequency stop-gram cap is mirrored
+    "substring_runs" ->
+      s"""WITH $DuckCorpus,
+         |shp AS (
+         |  SELECT doc_id, i AS pos,
+         |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+         |      || ' ' || l[i+4] AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM corpus) c,
+         |    UNNEST(range(1, greatest(len(l) - 3, 1))) t(i)
+         |),
+         |cold AS (
+         |  SELECT * FROM shp WHERE sh NOT IN (
+         |    SELECT sh FROM shp GROUP BY sh HAVING count(*) > 1000)
+         |),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         |    a.pos - b.pos AS diag
+         |  FROM cold a JOIN cold b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |),
+         |isl AS (
+         |  SELECT doc_a, doc_b, diag,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+         |  FROM m
+         |),
+         |runs AS (
+         |  SELECT doc_a, doc_b, diag, island, count(*) AS len
+         |  FROM isl GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(max(len) + 4 AS BIGINT) AS run_tokens,
+         |  count(*) AS n_runs
+         |FROM runs GROUP BY 1, 2 HAVING max(len) + 4 >= 20
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "corpus_prepare" ->
       s"""WITH $DuckToks,
          |pt AS (

@@ -722,6 +722,62 @@ object Dedup {
     jaccardFromCounts(inter, hsh, threshold)
   }
 
+  /** Exact substring-run detection (the contiguous-overlap dedup of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, public) — find document pairs sharing a VERBATIM run of ≥
+    * `minRunTokens` tokens, the signal set-overlap measures (Jaccard,
+    * MinHash) cannot see: a long quote inside otherwise-different
+    * documents. Positional n-gram shingles matched across docs land on a
+    * constant diagonal (pos_a − pos_b); consecutive positions on one
+    * diagonal are grouped into islands with the classic
+    * pos − row_number() trick, and an island of s shingles is a verbatim
+    * run of s + n − 1 tokens.
+    *
+    * Scale shape: the candidate generator is the same 8-byte hashed
+    * shingle equi-join as [[jaccardDupes]] — never all-pairs — and the
+    * `maxShingleFreq` cap drops boilerplate shingles (the paper's
+    * stop-gram guard) BEFORE the join, bounding any hot key's fan-out;
+    * the island windows partition per (pair, diagonal), so their state is
+    * one pair's overlap, not the corpus.
+    */
+  def substringRuns(spark: SparkSession, sfDir: String, n: Int = 5,
+                    minRunTokens: Long = 20L,
+                    maxShingleFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = split(col("text"), " ")
+    val sh = nearDupCorpus(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        when(size(l) >= n,
+          transform(sequence(lit(1), size(l) - (n - 1)),
+            k => concat_ws(" ", slice(l, k, lit(n)))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "sh")
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxShingleFreq).select(col("h"))
+    // the capped shingle table feeds BOTH sides of the self-join — cut
+    // the lineage once (the simhash signature-table pattern) so tokenize
+    // + hash + cap run one time, not per side
+    val cold = sh.join(hot, Seq("h"), "left_anti").localCheckpoint(true)
+    val a = cold.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+      col("h"))
+    val b = cold.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("h").as("h2"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    a.join(b, col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("len")) + (n - 1)).as("run_tokens"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup: corpus = embeddings plus offset copies
     * (v + 0.01 per element, id + 10000; cos ≈ 0.9999 to the original while
     * natural pairs stay ≤ ~0.52). Exact all-pairs at fixture scale; the

@@ -66,6 +66,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringRuns: every injected tail-duplicate surfaces with its " +
+    "exact run length; nothing under the floor leaks through") {
+    val runs = Dedup.substringRuns(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("run_tokens")).toMap
+    runs.values.foreach(rt => assert(rt >= 20L))
+    // the injected near-dup is the doc minus its first token, so the
+    // shared verbatim run is exactly the tail: n_tokens − 1
+    val docTokens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docTokens.foreach { case (id, n) =>
+      if (n - 1 >= 20L)
+        assert(runs.get((id, id + 10000L)).contains(n - 1),
+          s"doc $id: expected run ${n - 1}, got ${runs.get((id, id + 10000L))}")
+    }
+  }
+
   test("kmeansIterate: every seed anchors a non-empty cluster, members " +
     "partition the corpus, shifts are finite and non-negative") {
     val rows = VectorAnalytics.kmeansIterate(spark, sf).collect()
