@@ -109,6 +109,9 @@ object SparkEntry {
     "dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
     "hybrid_search_rrf" -> ((s, d) => TfIdf.hybridSearchRrf(s, d)),
     "kmeans_iterate" -> ((s, d) => VectorAnalytics.kmeansIterate(s, d)),
+    "phrase_search" -> ((s, d) => TextSearch.phraseSearch(s, d)),
+    "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "sql_bm25_search" -> ((s, d) => TfIdf.sqlBm25Search(s, d)),
     "token_shards" -> ((s, d) => TextAnalysis.tokenShards(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
@@ -318,6 +321,43 @@ object SparkEntry {
       |FROM sht t JOIN she e ON t.sh = e.sh
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** Okapi BM25 oracle, shared verbatim by `bm25_search` and its
+    * pure-SQL twin `sql_bm25_search` — one formulation, two gate
+    * entries (the text-search analog of [[DuckKnnOracle]]'s pairing).
+    */
+  private lazy val DuckBm25Oracle =
+    s"""WITH $DuckToks,
+       |terms AS (
+       |  SELECT tok FROM toks GROUP BY tok
+       |  ORDER BY count(*) DESC, tok LIMIT 5
+       |),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |dlen AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       |  FROM toks GROUP BY 1
+       |),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+       |dft AS (
+       |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+       |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+       |  FROM dft, nn
+       |),
+       |tf AS (
+       |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1, 2, 3
+       |)
+       |SELECT tf.doc_id,
+       |  round(sum(tf.idf * tf.tf * (1.2 + 1.0) /
+       |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
+       |    AS score,
+       |  CAST(sum(tf.tf) AS BIGINT) AS n_hits
+       |FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id, ad
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
 
   /** Exact-kNN oracle, shared verbatim by `knn_search` and its pure-SQL
     * twin `sql_vector_knn` — one formulation, two gate entries.
@@ -1599,39 +1639,50 @@ object SparkEntry {
          |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin,
     // BM25: every constant sub-expression ((1.2 + 1.0), (1.0 - 0.75)) is
     // written as the SAME literal arithmetic the Spark side folds, so the
-    // two engines' doubles are bit-identical before the 4dp rounding
-    "bm25_search" ->
-      s"""WITH $DuckToks,
-         |terms AS (
-         |  SELECT tok FROM toks GROUP BY tok
-         |  ORDER BY count(*) DESC, tok LIMIT 5
-         |),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-         |dlen AS (
-         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
-         |  FROM toks GROUP BY 1
-         |),
-         |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
-         |dft AS (
-         |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
-         |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
-         |),
-         |w AS (
-         |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
-         |  FROM dft, nn
-         |),
-         |tf AS (
-         |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1, 2, 3
-         |)
-         |SELECT tf.doc_id,
-         |  round(sum(tf.idf * tf.tf * (1.2 + 1.0) /
-         |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
-         |    AS score,
-         |  CAST(sum(tf.tf) AS BIGINT) AS n_hits
-         |FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id, ad
-         |GROUP BY tf.doc_id
-         |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin,
+    // two engines' doubles are bit-identical before the 4dp rounding;
+    // shared by the DataFrame path and its pure-SQL twin
+    "bm25_search" -> DuckBm25Oracle,
+    "sql_bm25_search" -> DuckBm25Oracle,
+    // order-sensitive phrase matching: positions are 0-based on the
+    // engine side, 1-based in DuckDB's UNNEST(range(...)) — the oracle
+    // subtracts 1 at the output edge
+    "phrase_search" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents) c,
+        |    UNNEST(range(1, greatest(len(l) - 1, 1))) t(i)
+        |  WHERE NOT (l[i] || ' ' || l[i+1] || ' ' || l[i+2]) LIKE '%  %'
+        |    AND NOT (l[i] || ' ' || l[i+1] || ' ' || l[i+2]) LIKE ' %'
+        |    AND NOT (l[i] || ' ' || l[i+1] || ' ' || l[i+2]) LIKE '% '
+        |),
+        |p AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  ORDER BY count(*) DESC, gram LIMIT 1
+        |)
+        |SELECT g.doc_id, count(*) AS n_occurrences,
+        |  CAST(min(g.pos) - 1 AS BIGINT) AS first_pos
+        |FROM g JOIN p ON g.gram = p.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // novelty = share of a doc's distinct trigrams whose corpus-min
+    // doc_id is the doc itself; single IEEE division, rounded at the edge
+    "ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents) c,
+        |    UNNEST(range(1, greatest(len(l) - 1, 1))) t(i)
+        |),
+        |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    ::DOUBLE / count(*), 6) AS novelty
+        |FROM sh s JOIN f ON s.sh = f.sh
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // RRF fusion of the bm25 leg (identical CTE chain to bm25_search,
     // ranking on the 4dp-rounded score) and the hashed bag-of-words
     // vector leg (identical embedding chain to text_embed_search; the

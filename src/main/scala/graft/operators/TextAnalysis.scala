@@ -601,6 +601,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** N-gram novelty scoring — per document, the fraction of its distinct
+    * word n-grams FIRST seen in it (first = the corpus's min doc_id
+    * holding the shingle): 1.0 = all-new content, → 0 = assembled from
+    * already-seen fragments. The redundancy-curve metric a curation
+    * pipeline tracks as a corpus grows — dedup's scalar cousin (dedup
+    * asks "is this pair similar", novelty asks "how much of THIS doc is
+    * new at all").
+    *
+    * Scale shape: distinct shingles per doc (one aggregate), min-doc per
+    * shingle (one aggregate on the 8-byte hash), one join back — all
+    * keyed shuffles with partial aggregation, nothing all-pairs.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String,
+                   n: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val hashed = Dedup.shingles(docs, n)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val first = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    hashed.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("novelty",
+        round(col("n_new") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split — content-hash buckets (8/1/1), so
     * a document's assignment is stable under repartitioning, re-ingestion
     * and re-ordering (the property `randomSplit` lacks). Reports the

@@ -41,4 +41,41 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Exact PHRASE search — order-sensitive matching, the query class
+    * token-overlap scoring cannot answer ("slow fast" ≠ "fast slow").
+    * The query phrase is the corpus's most frequent word trigram
+    * (deterministic, self-contained, the [[searchExact]] convention);
+    * returns every doc containing it verbatim, with its occurrence count
+    * and first position.
+    *
+    * Scale shape: positional trigrams are a narrow array-expression
+    * explode (the [[TextAnalysis]] bigram pattern, no self-join on
+    * positions); the phrase is a 1-row broadcast; matching is a
+    * broadcast-semi join + per-doc aggregate — one shuffle, keyed by
+    * doc.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   n: Int = 3): DataFrame = {
+    val l = split(col("text"), " ")
+    val grams = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(
+        when(size(l) >= n,
+          transform(sequence(lit(1), size(l) - (n - 1)),
+            k => concat_ws(" ", slice(l, k, lit(n)))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "gram")
+      // the raw split can hold empty tokens at double spaces; a phrase
+      // containing one is an artifact, not corpus text
+      .filter(!col("gram").contains("  ") &&
+        !col("gram").startsWith(" ") && !col("gram").endsWith(" "))
+    val phrase = grams.groupBy(col("gram")).count()
+      .orderBy(col("count").desc, col("gram")).limit(1)
+      .select(col("gram").as("q"))
+    grams.join(broadcast(phrase), col("gram") === col("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
 }

@@ -100,6 +100,58 @@ object TfIdf {
         sum(col("tf")).cast("long").as("n_hits"))
   }
 
+  /** [[bm25Search]] as ONE ANSI SQL statement over a registered
+    * `documents` view — the text-search stack for SQL-only consumers
+    * (the `sql_vector_knn` convention applied to retrieval). Every
+    * constant is written as the same literal arithmetic the DataFrame
+    * path folds, so the two surfaces — and the DuckDB oracle all three
+    * share — produce bit-identical doubles before the 4dp rounding.
+    * Catalyst plans this statement into the same broadcast-join +
+    * partial-aggregate shape as the DataFrame version: the SQL surface
+    * costs nothing at scale.
+    */
+  def sqlBm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("docs_sql")
+    spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS tok FROM docs_sql
+        |  ) WHERE tok <> ''
+        |),
+        |terms AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 5
+        |),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs_sql),
+        |dlen AS (
+        |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |  FROM toks GROUP BY doc_id
+        |),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+        |dft AS (
+        |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+        |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY t.tok
+        |),
+        |w AS (
+        |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM dft CROSS JOIN nn
+        |),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN w ON t.tok = w.tok
+        |  GROUP BY t.doc_id, t.tok, w.idf
+        |)
+        |SELECT tf.doc_id,
+        |  round(sum(tf.idf * tf.tf * (1.2 + 1.0) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
+        |    AS score,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_hits
+        |FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN ad
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+  }
+
   /** Hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
     * (Cormack et al. 2009, public): rrf(d) = Σ_legs 1/(K + rank_leg(d)),
     * K = 60 — the standard fusion for BM25 + embedding retrieval. Both

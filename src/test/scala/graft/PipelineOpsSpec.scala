@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis, TfIdf, VectorAnalytics}
+import graft.operators.{Dedup, TextAnalysis, TextSearch, TfIdf,
+  VectorAnalytics}
 
 /** Round-6 LLM-pipeline operators: quality-rule gating, deterministic
   * splits, Bloom-prefiltered decontamination, hybrid rank fusion, and the
@@ -83,6 +84,54 @@ class PipelineOpsSpec extends SparkSpec {
         assert(runs.get((id, id + 10000L)).contains(n - 1),
           s"doc $id: expected run ${n - 1}, got ${runs.get((id, id + 10000L))}")
     }
+  }
+
+  test("phraseSearch: every hit actually contains the phrase verbatim " +
+    "at its reported first position") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recover the query phrase independently: most frequent trigram,
+    // ties to the lexicographically smallest (the operator's ordering)
+    val best = docs.values.toSeq
+      .flatMap(_.split(" ").sliding(3)
+        .filter(w => w.length == 3 && w.forall(_.nonEmpty))
+        .map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, os) => (g, os.size) }
+    val maxN = best.values.max
+    val expected = best.filter(_._2 == maxN).keys.min
+    val rows = TextSearch.phraseSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ")
+      val p = r.getAs[Long]("first_pos").toInt
+      assert(toks.slice(p, p + 3).mkString(" ") == expected,
+        s"doc ${r.getAs[Long]("doc_id")} pos $p")
+      assert(r.getAs[Long]("n_occurrences") >= 1L)
+    }
+  }
+
+  test("ngramNovelty: bounded in [0,1], the first doc is all-new, and " +
+    "per-doc new counts sum to the corpus's distinct shingle count") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_shingles"))
+    }
+    // the smallest doc_id holding any shingle saw all of them first
+    assert(rows.head.getAs[Double]("novelty") == 1.0)
+    val totalDistinct = operators.Dedup.shingles(
+      Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")), 3)
+      .select(col("sh")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == totalDistinct)
+  }
+
+  test("sqlBm25Search is bit-identical to the DataFrame bm25Search") {
+    assert(TfIdf.sqlBm25Search(spark, sf).collect().toSeq ==
+      TfIdf.bm25Search(spark, sf).collect().toSeq)
   }
 
   test("kmeansIterate: every seed anchors a non-empty cluster, members " +
