@@ -177,6 +177,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingIndex.streamingIvfAppend(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
+    "streaming_quality_filter" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingQualityFilter(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the dedup oracles (kept in one place so
@@ -321,6 +323,37 @@ object SparkEntry {
       |FROM sht t JOIN she e ON t.sh = e.sh
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** Gopher-rules oracle, shared verbatim by the batch `gopher_rules`
+    * gate and its stateless streaming twin `streaming_quality_filter`.
+    */
+  private lazy val DuckGopherOracle =
+    s"""WITH $DuckToks,
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_distinct,
+       |    avg(length(tok)) AS raw_avg,
+       |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
+       |        THEN 1 ELSE 0 END) AS n_stop
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens,
+       |  round(raw_avg, 4) AS avg_tok_len,
+       |  round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
+       |    THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+       |  CAST(CASE WHEN raw_avg BETWEEN 3.8 AND 5.2
+       |    THEN 1 ELSE 0 END AS BIGINT) AS ok_avg,
+       |  CAST(CASE WHEN n_distinct::DOUBLE / n_tokens >= 0.35
+       |    THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
+       |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS ok_stop,
+       |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
+       |    AND raw_avg BETWEEN 3.8 AND 5.2
+       |    AND n_distinct::DOUBLE / n_tokens >= 0.35
+       |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM per ORDER BY doc_id""".stripMargin
 
   /** Okapi BM25 oracle, shared verbatim by `bm25_search` and its
     * pure-SQL twin `sql_bm25_search` — one formulation, two gate
@@ -1579,34 +1612,11 @@ object SparkEntry {
     // flags as 0/1 BIGINTs (not booleans) so both engines hash the same
     // typed value; thresholds are the same literals the Spark side uses
     // and raw_avg / the distinct ratio are single IEEE divisions of exact
-    // integer sums — identical doubles, so the comparisons agree
-    "gopher_rules" ->
-      s"""WITH $DuckToks,
-         |per AS (
-         |  SELECT doc_id, count(*) AS n_tokens,
-         |    count(DISTINCT tok) AS n_distinct,
-         |    avg(length(tok)) AS raw_avg,
-         |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
-         |        THEN 1 ELSE 0 END) AS n_stop
-         |  FROM toks GROUP BY doc_id
-         |)
-         |SELECT doc_id, n_tokens,
-         |  round(raw_avg, 4) AS avg_tok_len,
-         |  round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
-         |  CAST(n_stop AS BIGINT) AS n_stop,
-         |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
-         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
-         |  CAST(CASE WHEN raw_avg BETWEEN 3.8 AND 5.2
-         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_avg,
-         |  CAST(CASE WHEN n_distinct::DOUBLE / n_tokens >= 0.35
-         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
-         |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
-         |    AS ok_stop,
-         |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90
-         |    AND raw_avg BETWEEN 3.8 AND 5.2
-         |    AND n_distinct::DOUBLE / n_tokens >= 0.35
-         |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM per ORDER BY doc_id""".stripMargin,
+    // integer sums — identical doubles, so the comparisons agree. Shared
+    // by the batch gate and its stateless streaming twin (row-identical
+    // by construction — same arithmetic, per-row instead of re-aggregated)
+    "gopher_rules" -> DuckGopherOracle,
+    "streaming_quality_filter" -> DuckGopherOracle,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT lang, source, n_chars,

@@ -742,10 +742,21 @@ object Dedup {
     */
   def substringRuns(spark: SparkSession, sfDir: String, n: Int = 5,
                     minRunTokens: Long = 20L,
-                    maxShingleFreq: Long = 1000L): DataFrame = {
+                    maxShingleFreq: Long = 1000L): DataFrame =
+    substringRunsOver(nearDupCorpus(spark, sfDir), n, minRunTokens,
+      maxShingleFreq)
+
+  /** [[substringRuns]] over an arbitrary (doc_id, text) corpus —
+    * `private[graft]` so property tests can cross-check the
+    * diagonal-island result against brute-force longest-common-run DP on
+    * generated documents.
+    */
+  private[graft] def substringRunsOver(corpus: DataFrame, n: Int,
+                                       minRunTokens: Long,
+                                       maxShingleFreq: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = split(col("text"), " ")
-    val sh = nearDupCorpus(spark, sfDir)
+    val sh = corpus
       .select(col("doc_id"), posexplode(
         when(size(l) >= n,
           transform(sequence(lit(1), size(l) - (n - 1)),

@@ -22,15 +22,18 @@ object StreamingOps extends Serializable {
     * single fixture file in a temp dir (what a real deployment's landing
     * directory would be). Returns the staged directory path.
     */
-  private def stageEventsDir(sfDir: String): String = {
+  private def stageEventsDir(sfDir: String): String =
+    stageTableDir(sfDir, "events")
+
+  private def stageTableDir(sfDir: String, table: String): String = {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft_stream_${table}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
+    val link = dir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+        java.nio.file.Paths.get(s"$sfDir/$table.parquet"))
     dir.toString
   }
 
@@ -417,5 +420,60 @@ object StreamingOps extends Serializable {
         round((col("end_us") - col("start_us")).cast("double") / 1000000.0, 3)
           .as("duration_s"))
       .orderBy("user_id", "session_id")
+  }
+
+  /** The [[graft.operators.TextAnalysis.gopherRules]] quality gate as a
+    * STREAMING filter over an arriving document corpus — the
+    * filter-at-ingest deployment (gate documents as they land, before
+    * they ever reach the training corpus). Deliberately STATELESS: the
+    * per-doc statistics are pure array expressions over the row (no
+    * explode → groupBy re-aggregation), so the streaming query holds zero
+    * state, needs no watermark, and every micro-batch is one narrow
+    * codegen pass — per-trigger cost is O(batch) by construction. The
+    * same exact-integer/IEEE arithmetic as the batch operator: output is
+    * row-identical, and the entry shares `gopher_rules`' DuckDB oracle.
+    */
+  def streamingQualityFilter(spark: SparkSession, sfDir: String,
+                             minTokens: Long = 30L, maxTokens: Long = 90L,
+                             minAvgLen: Double = 3.8,
+                             maxAvgLen: Double = 5.2,
+                             minDistinctRatio: Double = 0.35,
+                             minStop: Long = 2L): DataFrame = {
+    val schema = Tables.load(spark, sfDir, "documents").schema
+    val toks = expr("filter(split(text, ' '), t -> t != '')")
+    val stopList = "('the','a','and','of','to','in','is','it')"
+    val flag = (c: org.apache.spark.sql.Column) =>
+      when(c, 1L).otherwise(0L)
+    val scored = spark.readStream.schema(schema)
+      .parquet(stageTableDir(sfDir, "documents"))
+      .select(col("doc_id"), toks.as("toks"))
+      // the batch operator's tokenize-aggregate silently drops all-empty
+      // docs; mirror that edge so the outputs stay row-identical
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        // exact integer length sum in a long accumulator, ONE double
+        // division at the end — bit-identical to the batch avg()
+        (expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+          .cast("double") / size(col("toks"))).as("raw_avg"),
+        expr(s"size(filter(toks, t -> t IN $stopList))")
+          .cast("long").as("n_stop"))
+      .withColumn("raw_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("raw_avg"), 4).as("avg_tok_len"),
+        round(col("raw_ratio"), 4).as("distinct_ratio"),
+        col("n_stop"),
+        flag(col("n_tokens").between(minTokens, maxTokens)).as("ok_len"),
+        flag(col("raw_avg").between(minAvgLen, maxAvgLen)).as("ok_avg"),
+        flag(col("raw_ratio") >= minDistinctRatio).as("ok_rep"),
+        flag(col("n_stop") >= minStop).as("ok_stop"))
+      .withColumn("keep",
+        flag(col("ok_len") + col("ok_avg") + col("ok_rep") +
+          col("ok_stop") === 4L))
+    runToMemory(scored, "graft_stream_quality", "append")
+      .orderBy("doc_id")
   }
 }

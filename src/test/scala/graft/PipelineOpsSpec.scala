@@ -134,6 +134,14 @@ class PipelineOpsSpec extends SparkSpec {
       TfIdf.bm25Search(spark, sf).collect().toSeq)
   }
 
+  test("streamingQualityFilter is row-identical to the batch gopherRules " +
+    "gate (stateless per-row arithmetic == tokenize-aggregate)") {
+    val streamed = graft.streaming.StreamingOps
+      .streamingQualityFilter(spark, sf).collect().toSeq
+    val batch = TextAnalysis.gopherRules(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("kmeansIterate: every seed anchors a non-empty cluster, members " +
     "partition the corpus, shifts are finite and non-negative") {
     val rows = VectorAnalytics.kmeansIterate(spark, sf).collect()

@@ -214,4 +214,46 @@ class PropertySpec extends SparkSpec {
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
+
+  test("substringRuns == brute-force longest-common-run DP over random " +
+    "docs with planted verbatim quotes") {
+    import graft.operators.Dedup
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.containerOfN[Vector, String](24, tokGen)
+    val base = samples(docGen, 10).map(_.toVector)
+    // plant a shared 9-token quote into docs 3..5 so runs ≥ the floor
+    // exist by construction, at different offsets (distinct diagonals)
+    val quote = Vector("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9")
+    val docs = base.zipWithIndex.map { case (d, i) =>
+      if (i >= 3 && i <= 5) (d.take(2 * i) ++ quote ++ d.drop(2 * i))
+      else d
+    }
+    val n = 3
+    val minRun = 5L
+    val df = spark.createDataFrame(
+      docs.zipWithIndex.map { case (d, i) => (i.toLong, d.mkString(" ")) }
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRunsOver(df, n, minRun, 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("run_tokens"))
+      .toMap
+    // brute force: longest common contiguous token run per pair
+    def lcr(a: Vector[String], b: Vector[String]): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices if a(i) == b(j)) {
+        var k = 0
+        while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k))
+          k += 1
+        best = math.max(best, k)
+      }
+      best
+    }
+    val want = (for {
+      i <- docs.indices; j <- docs.indices if i < j
+      r = lcr(docs(i), docs(j)) if r >= minRun
+    } yield (i.toLong, j.toLong) -> r.toLong).toMap
+    assert(want.nonEmpty) // the planted quotes actually produced runs
+    assert(got == want,
+      s"missing=${(want.toSet -- got.toSet).take(5)} " +
+        s"extra=${(got.toSet -- want.toSet).take(5)}")
+  }
 }
