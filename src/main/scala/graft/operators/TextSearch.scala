@@ -69,6 +69,9 @@ object TextSearch {
       // containing one is an artifact, not corpus text
       .filter(!col("gram").contains("  ") &&
         !col("gram").startsWith(" ") && !col("gram").endsWith(" "))
+      // the gram stream feeds BOTH the phrase selection and the match
+      // join — cut the lineage once so tokenize + explode run one time
+      .localCheckpoint(true)
     val phrase = grams.groupBy(col("gram")).count()
       .orderBy(col("count").desc, col("gram")).limit(1)
       .select(col("gram").as("q"))
