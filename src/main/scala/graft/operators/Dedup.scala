@@ -661,7 +661,12 @@ object Dedup {
     * The filter is built once from the distinct eval hashes (a bounded
     * driver collect of k set-bit positions per eval shingle — the same
     * driver-side footprint `DataFrame.stat.bloomFilter` has, which also
-    * ships its sketch through the driver).
+    * ships its sketch through the driver). The word array rides the plan
+    * as ONE complex-type literal — a serialized ArrayData reference, not
+    * unrolled codegen constants, so generated-method size is flat in m;
+    * for a multi-MB filter (eval suites past ~10⁶ distinct shingles at
+    * 1% fpp) move the array behind `sparkContext.broadcast` so executors
+    * fetch it once per node instead of once per task closure.
     */
   def bloomDecontaminate(spark: SparkSession, sfDir: String, nGram: Int = 5,
                          minShared: Long = 3L,
