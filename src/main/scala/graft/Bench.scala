@@ -67,25 +67,34 @@ object Bench {
     // floor. Reps knob: SPARK_GRAFT_REPS (default 3; 1 = the old
     // single-shot mode for quick triage).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // a swallowed exception would masquerade as a fast success — track
     // failures explicitly and surface them in the JSON (errors:[] is the
-    // healthy state)
+    // healthy state). A failed rep's time-to-exception is NOT a latency:
+    // only successful reps enter the numeric maps, and a query with zero
+    // successes is absent from them entirely (errors[] still names it) —
+    // the budget derivation must never ingest a failure's timing.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = names.map { name =>
+    val results = names.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         sweep()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            if (!errors.contains(name)) errors += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              if (!errors.contains(name)) errors += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      name -> (times(times.length / 2), times.head)
+      // sorted index len/2 = the true median for odd rep counts, the
+      // upper-middle for even ones (conservative: never the lucky run)
+      if (times.isEmpty) None
+      else Some(name -> (times(times.length / 2), times.head))
     }
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")

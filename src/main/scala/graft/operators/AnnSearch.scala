@@ -225,8 +225,7 @@ object AnnSearch {
     * survives the segmented layout unchanged.
     */
   private[graft] def ivfVectors(spark: SparkSession, dir: String): DataFrame =
-    ivfLayout(spark, dir)._2
-      .map(s => spark.read.parquet(s)).reduce(_ unionByName _)
+    IndexStore.readUnion(spark, ivfLayout(spark, dir)._2)
 
   /** The IVF probe-and-scan against an EXPLICIT index dir — shared by the
     * fixture-corpus [[ivfKnn]] and the appended-version gate, so the two
@@ -603,18 +602,22 @@ object AnnSearch {
     val n = embeddingCount(spark, sfDir)
     val probePoints = Seq(math.max(1, nc / 8), autoProbe(nc), nc).distinct
     val rerankPoints = Seq(k, 40, 120).distinct
+    // price each probe point ONCE — the ivf and ivf_sq layouts hold the
+    // same rows per cluster, so their cost_rows are identical and the
+    // assignment job (cross join + window + collect) need not run twice
+    val pricedRows = probePoints.map(p => p -> probedRows(p)).toMap
     val rows =
       probePoints.map { p =>
         ("ivf", p.toLong,
           recallOf(ivfKnn(spark, sfDir, nQueries, k, nc, p)),
-          probedRows(p))
+          pricedRows(p))
       } ++
       probePoints.map { p =>
         // the SQ8 layout holds the SAME rows per cluster (quantize is a
         // map over the assigned table), at ~3.5x fewer bytes each
         ("ivf_sq", p.toLong,
           recallOf(ivfSqKnn(spark, sfDir, nQueries, k, nc, p)),
-          probedRows(p))
+          pricedRows(p))
       } ++
       rerankPoints.map { r =>
         ("pq", r.toLong,

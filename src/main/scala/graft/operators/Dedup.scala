@@ -671,7 +671,11 @@ object Dedup {
   def bloomDecontaminate(spark: SparkSession, sfDir: String, nGram: Int = 5,
                          minShared: Long = 3L,
                          fpp: Double = 0.01): DataFrame = {
-    val (train, eval) = contaminationSides(spark, sfDir, nGram)
+    val (train, rawEval) = contaminationSides(spark, sfDir, nGram)
+    // the eval side feeds THREE consumers (count, bit-position collect,
+    // confirm join) — cut the lineage once so tokenize + shingle + md5
+    // run one time, not per consumer (the small side by definition)
+    val eval = rawEval.localCheckpoint(true)
     val evalHashes = eval.select(col("h2")).distinct()
     val nKeys = math.max(1L, evalHashes.count())
     // standard sizing: m = -n·ln p / (ln 2)², k = (m/n)·ln 2 probes
@@ -756,18 +760,28 @@ object Dedup {
     * diagonal-island result against brute-force longest-common-run DP on
     * generated documents.
     */
-  private[graft] def substringRunsOver(corpus: DataFrame, n: Int,
-                                       minRunTokens: Long,
-                                       maxShingleFreq: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Positional n-gram shingles — (doc_id, pos, sh) with pos 0-based over
+    * the raw split. THE one positional-shingle construction, shared by
+    * [[substringRunsOver]] and [[TextSearch.phraseSearch]] so the window
+    * arithmetic (and any future tail/empty-token fix) cannot fork.
+    */
+  private[graft] def positionalShingles(corpus: DataFrame,
+                                        n: Int): DataFrame = {
     val l = split(col("text"), " ")
-    val sh = corpus
+    corpus
       .select(col("doc_id"), posexplode(
         when(size(l) >= n,
           transform(sequence(lit(1), size(l) - (n - 1)),
             k => concat_ws(" ", slice(l, k, lit(n)))))
           .otherwise(array().cast("array<string>"))))
       .toDF("doc_id", "pos", "sh")
+  }
+
+  private[graft] def substringRunsOver(corpus: DataFrame, n: Int,
+                                       minRunTokens: Long,
+                                       maxShingleFreq: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = positionalShingles(corpus, n)
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))

@@ -57,14 +57,10 @@ object TextSearch {
     */
   def phraseSearch(spark: SparkSession, sfDir: String,
                    n: Int = 3): DataFrame = {
-    val l = split(col("text"), " ")
-    val grams = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), posexplode(
-        when(size(l) >= n,
-          transform(sequence(lit(1), size(l) - (n - 1)),
-            k => concat_ws(" ", slice(l, k, lit(n)))))
-          .otherwise(array().cast("array<string>"))))
-      .toDF("doc_id", "pos", "gram")
+    val grams = Dedup.positionalShingles(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")), n)
+      .withColumnRenamed("sh", "gram")
       // the raw split can hold empty tokens at double spaces; a phrase
       // containing one is an artifact, not corpus text
       .filter(!col("gram").contains("  ") &&

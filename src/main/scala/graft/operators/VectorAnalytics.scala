@@ -86,9 +86,12 @@ object VectorAnalytics {
       .toDF("cid", "pos", "x")
       .groupBy(col("cid"), col("pos"))
       .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+    // squared via multiplication, NOT pow(x, 2.0): Math.pow is only
+    // 1-ULP-accurate and not specified to equal x*x, while the oracle
+    // multiplies — the bit-identity contract demands the same operation
+    val diff = element_at(col("c"), col("pos") + 1) - col("m")
     means.join(seeds, "cid")
-      .select(col("cid"), col("n"),
-        pow(element_at(col("c"), col("pos") + 1) - col("m"), 2.0).as("d2"))
+      .select(col("cid"), col("n"), (diff * diff).as("d2"))
       .groupBy(col("cid"))
       .agg(max(col("n")).as("n_members"),
         round(sqrt(sum(col("d2"))), 6).as("shift"))

@@ -147,11 +147,23 @@ object IndexStore {
     * layer their merge on top (e.g.
     * [[graft.streaming.StreamingIndex.loadMappingAt]]).
     */
+  /** Union-read a list of immutable segment paths — THE one
+    * segment-resolution seam ([[loadSegments]], the streaming store's
+    * schema-pinned reader and the IVF layout reader all delegate here,
+    * so empty-segment/ordering/schema-merge behavior cannot drift
+    * between the three stores).
+    */
+  def readUnion(spark: SparkSession, paths: Seq[String],
+                schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    paths
+      .map(p => schema.fold(spark.read)(s => spark.read.schema(s)).parquet(p))
+      .reduce(_ unionByName _)
+
   def loadSegments(spark: SparkSession, versionDir: String,
                    artifact: String): DataFrame =
-    manifestSegments(readManifest(spark, versionDir), artifact)
-      .map(p => spark.read.parquet(p))
-      .reduce(_ unionByName _)
+    readUnion(spark,
+      manifestSegments(readManifest(spark, versionDir), artifact))
 
   def save(mapping: DataFrame, vectors: DataFrame, dir: String): Unit = {
     mapping.write.mode(SaveMode.Overwrite).parquet(s"$dir/mapping")

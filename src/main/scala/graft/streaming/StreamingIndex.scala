@@ -161,10 +161,10 @@ object StreamingIndex {
     */
   private[graft] def loadVectorsAt(spark: SparkSession,
                                    versionDir: String): DataFrame =
-    IndexStore.manifestSegments(
-        IndexStore.readManifest(spark, versionDir), "vectors")
-      .map(p => spark.read.schema(VectorSchema).parquet(p))
-      .reduce(_ unionByName _)
+    IndexStore.readUnion(spark,
+      IndexStore.manifestSegments(
+        IndexStore.readManifest(spark, versionDir), "vectors"),
+      Some(VectorSchema))
 
   /** Process every add-file currently in `srcDir` (Trigger.AvailableNow)
     * into versioned index snapshots under `root`, checkpointing source
