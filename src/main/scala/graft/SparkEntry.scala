@@ -112,6 +112,10 @@ object SparkEntry {
     "phrase_search" -> ((s, d) => TextSearch.phraseSearch(s, d)),
     "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "sql_bm25_search" -> ((s, d) => TfIdf.sqlBm25Search(s, d)),
+    "collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "length_trim" -> ((s, d) => TextAnalysis.lengthTrim(s, d)),
+    "embedding_outliers" ->
+      ((s, d) => VectorAnalytics.embeddingOutliers(s, d)),
     "token_shards" -> ((s, d) => TextAnalysis.tokenShards(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
@@ -1675,6 +1679,75 @@ object SparkEntry {
         |  CAST(min(g.pos) - 1 AS BIGINT) AS first_pos
         |FROM g JOIN p ON g.gram = p.gram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // PMI over the ONE shared bigram definition (raw-split adjacency,
+    // empties break pairs — the doc_perplexity bg CTE); exact-integer
+    // counts in IEEE divisions, ln at the end, ranked on the rounded pmi
+    "collocations" ->
+      s"""WITH $DuckToks,
+         |bg AS (
+         |  SELECT l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |        FROM documents) c,
+         |    UNNEST(range(1, greatest(len(l), 1))) t(i)
+         |  WHERE l[i] <> '' AND l[i + 1] <> ''
+         |),
+         |n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+         |n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg FROM bg),
+         |uni AS (
+         |  SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+         |),
+         |pair AS (
+         |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+         |)
+         |SELECT p.w1 || ' ' || p.w2 AS bigram,
+         |  CAST(p.c12 AS BIGINT) AS cnt,
+         |  round(ln((p.c12 / n2.n_bg) /
+         |    ((u1.c / n1.n_tok) * (u2.c / n1.n_tok))), 6) AS pmi
+         |FROM pair p
+         |JOIN uni u1 ON u1.tok = p.w1
+         |JOIN uni u2 ON u2.tok = p.w2
+         |CROSS JOIN n1 CROSS JOIN n2
+         |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+    // learned-cutoff trim: exact percentile ↔ quantile_cont (the
+    // `percentiles` parity pairing) broadcast as one row
+    "length_trim" ->
+      s"""WITH $DuckToks,
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+         |),
+         |b AS (
+         |  SELECT quantile_cont(n_tokens, 0.1) AS lo_b,
+         |    quantile_cont(n_tokens, 0.9) AS hi_b
+         |  FROM per
+         |)
+         |SELECT doc_id, n_tokens FROM per, b
+         |WHERE n_tokens >= lo_b AND n_tokens <= hi_b
+         |ORDER BY doc_id""".stripMargin,
+    // per-label centroid distance z-score, rounded at 6dp BEFORE the
+    // threshold compare so both engines gate on the same value
+    "embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label, pos, avg(x) AS m FROM e GROUP BY 1, 2
+        |), d AS (
+        |  SELECT e.vec_id, e.label,
+        |    sqrt(sum((e.x - m.m) * (e.x - m.m))) AS d
+        |  FROM e JOIN m ON m.label = e.label AND m.pos = e.pos
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT label, avg(d) AS mu, stddev_pop(d) AS sd
+        |  FROM d GROUP BY label
+        |)
+        |SELECT d.vec_id, d.label, round(d.d, 6) AS dist,
+        |  round((d.d - s.mu) / s.sd, 6) AS z
+        |FROM d JOIN s ON s.label = d.label
+        |WHERE round((d.d - s.mu) / s.sd, 6) >= 2.0
+        |ORDER BY d.label, d.vec_id""".stripMargin,
     // novelty = share of a doc's distinct trigrams whose corpus-min
     // doc_id is the doc itself; single IEEE division, rounded at the edge
     "ngram_novelty" ->

@@ -601,6 +601,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Collocation extraction by pointwise mutual information —
+    * PMI(w1,w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ) over the corpus bigram
+    * stream, min-count floored (raw PMI promotes hapax pairs; the floor
+    * is the standard guard). Surfaces the phrases that co-occur far
+    * above chance — the phrase-mining step of vocabulary construction.
+    * Bigrams come from [[bigramPairs]] — the ONE bigram definition
+    * shared with ngram_freq/perplexity/TextRank — and every probability
+    * is an exact-integer count in one IEEE division, so both engines
+    * rank identical doubles.
+    *
+    * Scale shape: two token-stream aggregates (unigrams, bigrams), two
+    * keyed joins on the word, two 1-row broadcast totals; ranking is a
+    * global top-k (partial per partition + small merge), never a full
+    * sort.
+    */
+  def collocations(spark: SparkSession, sfDir: String, minCount: Long = 5L,
+                   topK: Int = 30): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = tokensPos(docs)
+    val bg = bigramPairs(docs)
+    val nTok = toks.agg(count(lit(1)).cast("double").as("n_tok"))
+    val nBg = bg.agg(count(lit(1)).cast("double").as("n_bg"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
+    bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c12").cast("long").as("cnt"),
+        round(log((col("c12") / col("n_bg")) /
+          ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** Corpus-statistics length trim — drop documents outside the corpus's
+    * [p10, p90] token-length band (the trim-outliers step of corpus
+    * prep, with the cutoffs LEARNED from the corpus rather than fixed
+    * like [[gopherRules]]' bounds). Exact `percentile` over the per-doc
+    * counts (the [[graft.operators.Relational.percentiles]] parity
+    * pairing), broadcast as one row; the filter itself is narrow.
+    */
+  def lengthTrim(spark: SparkSession, sfDir: String, lo: Double = 0.1,
+                 hi: Double = 0.9): DataFrame = {
+    val perDoc = tokensPos(Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val bounds = perDoc.agg(
+      expr(s"percentile(n_tokens, $lo)").as("lo_b"),
+      expr(s"percentile(n_tokens, $hi)").as("hi_b"))
+    perDoc.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("lo_b") &&
+        col("n_tokens") <= col("hi_b"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram novelty scoring — per document, the fraction of its distinct
     * word n-grams FIRST seen in it (first = the corpus's min doc_id
     * holding the shingle): 1.0 = all-new content, → 0 = assembled from

@@ -52,6 +52,44 @@ object VectorAnalytics {
       .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 6).as("avg_norm"))
       .orderBy("label")
 
+  /** Embedding-outlier detection — per label, flag vectors whose
+    * distance to the label centroid sits ≥ `zThresh` population
+    * standard deviations above the label mean distance: the
+    * "mislabeled / corrupted embedding" filter a curation pipeline runs
+    * before training on labeled vectors. The z-score is rounded at 6dp
+    * BEFORE the threshold compare so both engines gate on the same
+    * value.
+    *
+    * Scale shape: centroids via the (label, dim) skinny-row aggregate
+    * ([[centroids]]' layout), distances via one join back on (label,
+    * dim) + per-vector aggregate, the per-label moment stats a tiny
+    * aggregate — all keyed, nothing collected.
+    */
+  def embeddingOutliers(spark: SparkSession, sfDir: String,
+                        zThresh: Double = 2.0): DataFrame = {
+    val exploded = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .toDF("vec_id", "label", "pos", "x")
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("x").cast("double").as("x"))
+    val means = exploded.groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+    val dists = exploded.join(means, Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        ((col("x") - col("m")) * (col("x") - col("m"))).as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum(col("d2"))).as("d"))
+    val stats = dists.groupBy(col("label"))
+      .agg(avg(col("d")).as("mu"), stddev_pop(col("d")).as("sd"))
+    dists.join(stats, "label")
+      .withColumn("z", round((col("d") - col("mu")) / col("sd"), 6))
+      .filter(col("z") >= zThresh)
+      .select(col("vec_id"), col("label"), round(col("d"), 6).as("dist"),
+        col("z"))
+      .orderBy("label", "vec_id")
+  }
+
   /** One full Lloyd (k-means) iteration with deterministic seeds, surfaced
     * as an auditable relation: seed centroids = the first `k` vectors by
     * vec_id, assignment = arg-min squared L2 (ties to the smaller

@@ -142,6 +142,74 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("collocations: PMI agrees with an independent recount and the " +
+    "count floor holds") {
+    val rows = TextAnalysis.collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = docs.flatMap(_.split(" ").filter(_.nonEmpty))
+    val uni = toks.groupBy(identity).map { case (t, o) => t -> o.length }
+    val bgs = docs.flatMap(_.split(" ").sliding(2)
+      .filter(w => w.length == 2 && w.forall(_.nonEmpty))
+      .map(w => (w(0), w(1))))
+    val pair = bgs.groupBy(identity).map { case (p, o) => p -> o.length }
+    val nTok = toks.length.toDouble
+    val nBg = bgs.length.toDouble
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getAs[String]("bigram").split(" ")
+      val c12 = pair((w1, w2)).toDouble
+      assert(r.getAs[Long]("cnt") == c12.toLong && c12 >= 5)
+      val want = math.log((c12 / nBg) /
+        ((uni(w1) / nTok) * (uni(w2) / nTok)))
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-5)
+    }
+  }
+
+  test("lengthTrim keeps exactly the docs inside the corpus's own " +
+    "[p10, p90] token-length band") {
+    val kept = TextAnalysis.lengthTrim(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val counts = TextAnalysis.tokenizeStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens"))
+    val sorted = counts.map(_._2.toDouble).sorted
+    def q(p: Double): Double = { // percentile() linear interpolation
+      val h = (sorted.length - 1) * p
+      val i = h.toInt
+      if (i + 1 < sorted.length) sorted(i) + (h - i) * (sorted(i + 1) - sorted(i))
+      else sorted(i)
+    }
+    val (lo, hi) = (q(0.1), q(0.9))
+    val want = counts.filter { case (_, n) => n >= lo && n <= hi }
+      .map(_._1).toSet
+    assert(kept == want)
+    assert(kept.nonEmpty && kept.size < counts.length) // it actually trims
+  }
+
+  test("embeddingOutliers: z-scores recompute exactly and flagged rows " +
+    "are the >= 2 sigma tail per label") {
+    val emb = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLabel = emb.groupBy(_._2)
+    val flagged = VectorAnalytics.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("z"))).toMap
+    val want = byLabel.toSeq.flatMap { case (_, vs) =>
+      val dim = vs.head._3.length
+      val cent = (0 until dim).map(j => vs.map(_._3(j)).sum / vs.length)
+      val ds = vs.map { case (id, _, v) =>
+        id -> math.sqrt((0 until dim).map(j =>
+          (v(j) - cent(j)) * (v(j) - cent(j))).sum) }
+      val mu = ds.map(_._2).sum / ds.length
+      val sd = math.sqrt(ds.map(d => (d._2 - mu) * (d._2 - mu)).sum / ds.length)
+      ds.collect { case (id, d)
+        if BigDecimal((d - mu) / sd).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble >= 2.0 => id }
+    }.toSet
+    assert(flagged.keySet == want)
+    flagged.values.foreach(z => assert(z >= 2.0))
+  }
+
   test("kmeansIterate: every seed anchors a non-empty cluster, members " +
     "partition the corpus, shifts are finite and non-negative") {
     val rows = VectorAnalytics.kmeansIterate(spark, sf).collect()
