@@ -172,9 +172,28 @@ object Scaling {
       StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
     }
 
+    // 4. stateless quality gate: the same fixed doc batch through the
+    // per-row gopher arithmetic — no index, no state; the trigger must
+    // be scale-INDEPENDENT outright (the corpus never enters the plan)
+    val tQual = timed {
+      val toks = expr("filter(split(text, ' '), t -> t != '')")
+      batchDocs
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          expr("size(filter(toks, t -> t IN " +
+            "('the','a','and','of','to','in','is','it')))").as("n_stop"))
+        .filter(col("n_tokens").between(30, 90) &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.35 &&
+          col("n_stop") >= 2)
+        .count()
+    }
+
     Seq(("ivf_append_trigger", tIvf, dirBytes(ivfOut)),
       ("corpus_dedup_trigger", tDedup, 0L),
-      ("flat_ingest_trigger", tFlat, dirBytes(s"$root/v1")))
+      ("flat_ingest_trigger", tFlat, dirBytes(s"$root/v1")),
+      ("quality_filter_trigger", tQual, 0L))
   }
 
   def main(args: Array[String]): Unit = {
