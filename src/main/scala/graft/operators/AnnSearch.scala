@@ -143,15 +143,46 @@ object AnnSearch {
     dir
   }
 
-  /** nprobe nearest centroids per query (tiny crossJoin: Q × k centroids).
+  /** Probe strategy switch: below this many queries the probe is a
+    * bounded collect (`isin` literals → static PartitionFilters — the
+    * cheapest plan when the probe set is a few MB); above it the search
+    * keeps the probe DISTRIBUTED and lets dynamic partition pruning do
+    * the same file-level pruning ([[ivfSearchJoinedAt]]). The cost the
+    * threshold bounds is driver memory: the collect stages Q·d doubles
+    * plus Q·nprobe assignment rows — at d=2048 that is ~16 KB per query,
+    * so 1024 queries ≈ 16 MB (fine) while a 10⁶-query batch would be
+    * ~16 GB (a driver OOM). Same control-plane-count pattern as
+    * [[graft.operators.Dedup.autoPairedBands]]: the safe-at-scale mode
+    * engages automatically, not by opt-in.
+    */
+  private[graft] val JoinProbeQueryThreshold = 1024L
+
+  /** nprobe nearest centroids per query as a LAZY plan (tiny crossJoin:
+    * Q × k centroids, k = O(√n)) — the ONE probe subplan both strategies
+    * share, so probe tie-breaking ((cdist, cluster) window) can never
+    * drift between the collected and joined paths or the IVF layouts.
+    */
+  private def probeFrame(queries: DataFrame, centersDf: DataFrame,
+                         nProbe: Int): DataFrame = {
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("cluster"))
+    queries.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", squaredL2(col("qu"), col("center")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qu"), col("cluster"))
+  }
+
+  /** nprobe nearest centroids per query, COLLECTED (the low-Q strategy).
     * The probe set (≤ Q·nprobe rows, Q·d doubles) is collected ONCE,
     * deliberately: the distinct cluster ids become `isin` literals — what
     * the parquet source turns into PartitionFilters, the file-level
     * pruning that makes a probe touch nprobe/k of a 100 TB index — and
     * the rows become the broadcast join side. This bounded collect IS the
     * index probe mechanism, not a driver-side compute loop; without it
-    * the probe subplan would run twice (collect + lazy plan). Shared by
-    * both IVF layouts so probe tie-breaking can never drift.
+    * the probe subplan would run twice (collect + lazy plan). Bounded by
+    * [[JoinProbeQueryThreshold]] at the call sites — high-Q searches
+    * never reach it.
     */
   private def probe(spark: SparkSession, queries: DataFrame,
                     centersDf: DataFrame,
@@ -169,18 +200,11 @@ object AnnSearch {
     */
   private def probeAssignments(spark: SparkSession, queries: DataFrame,
                                centersDf: DataFrame, nProbe: Int)
-      : Seq[(Long, Seq[Double], Int)] = {
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("cdist"), col("cluster"))
-    queries.crossJoin(broadcast(centersDf))
-      .withColumn("cdist", squaredL2(col("qu"), col("center")))
-      .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nProbe)
-      .select(col("query_id"), col("qu"), col("cluster"))
+      : Seq[(Long, Seq[Double], Int)] =
+    probeFrame(queries, centersDf, nProbe)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
       .toSeq
-  }
 
   private def queryVectors(spark: SparkSession, sfDir: String,
                            nQueries: Int): DataFrame =
@@ -191,13 +215,31 @@ object AnnSearch {
   /** IVF-style approximate top-k against the PERSISTED index
     * (load-or-build): nprobe nearest centroids per query from the tiny
     * persisted centroid table ([[probe]]), then candidates read only from
-    * the probed cluster partitions.
+    * the probed cluster partitions. Above [[JoinProbeQueryThreshold]]
+    * queries the probe auto-switches from the bounded collect to the
+    * broadcast-probe-join + dynamic-partition-pruning plan
+    * ([[ivfSearchJoinedAt]]) so a batch-query run never stages Q·d
+    * doubles on the driver.
     */
   def ivfKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
              k: Int = 10, nClusters: Int = 0, nProbe: Int = 0): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = loadOrBuildIvf(spark, sfDir, nc)
     ivfSearchAt(spark, dir, queryVectors(spark, sfDir, nQueries), k,
+      resolveProbe(nc, nProbe), expectedQ = nQueries.toLong)
+  }
+
+  /** [[ivfKnn]] forced onto the joined-probe strategy regardless of Q —
+    * the high-Q plan made testable at fixture scale (the bit-identity
+    * spec and the DPP plan assertion run against this).
+    */
+  private[graft] def ivfKnnJoined(spark: SparkSession, sfDir: String,
+                                  nQueries: Int = 10, k: Int = 10,
+                                  nClusters: Int = 0,
+                                  nProbe: Int = 0): DataFrame = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = loadOrBuildIvf(spark, sfDir, nc)
+    ivfSearchJoinedAt(spark, dir, queryVectors(spark, sfDir, nQueries), k,
       resolveProbe(nc, nProbe))
   }
 
@@ -230,10 +272,26 @@ object AnnSearch {
   /** The IVF probe-and-scan against an EXPLICIT index dir — shared by the
     * fixture-corpus [[ivfKnn]] and the appended-version gate, so the two
     * can never drift in probe tie-breaking or candidate shaping.
+    * `expectedQ` is the caller's known query count (a filter literal at
+    * every call site — never a count job); above
+    * [[JoinProbeQueryThreshold]] the search dispatches to the
+    * driver-safe joined strategy.
     */
   private def ivfSearchAt(spark: SparkSession, dir: String,
-                          queries: DataFrame, k: Int,
-                          nProbe: Int): DataFrame = {
+                          queries: DataFrame, k: Int, nProbe: Int,
+                          expectedQ: Long = 0L): DataFrame = {
+    if (expectedQ > JoinProbeQueryThreshold)
+      return ivfSearchJoinedAt(spark, dir, queries, k, nProbe)
+    ivfSearchCollectAt(spark, dir, queries, k, nProbe)
+  }
+
+  /** The low-Q (collect-probe) strategy against an explicit dir —
+    * exposed so the spec can pin joined-vs-collect bit-identity on the
+    * SAME (possibly manifested) version.
+    */
+  private[graft] def ivfSearchCollectAt(spark: SparkSession, dir: String,
+                                        queries: DataFrame, k: Int,
+                                        nProbe: Int): DataFrame = {
     val (centroidsPath, _) = ivfLayout(spark, dir)
     val centersDf = spark.read.parquet(centroidsPath)
     val (probedClusters, probes) = probe(spark, queries, centersDf, nProbe)
@@ -244,6 +302,35 @@ object AnnSearch {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),
           squaredL2(col("qu"), col("v")).as("dist")), k)
+  }
+
+  /** The high-Q IVF probe-and-scan: the probe stays a DISTRIBUTED plan
+    * ([[probeFrame]]) and becomes the broadcast side of an equi-join on
+    * the PARTITION column, so Spark's dynamic partition pruning closes
+    * the same file-level pruning the collect path gets from its `isin`
+    * literals — without ever staging query vectors on the driver (the
+    * exact plan [[sqlAnnIvf]]'s BROADCAST hint produces, now the
+    * programmatic path too). The join runs PER SEGMENT with the union
+    * ABOVE it (join distributes over union; [[VectorSearch.topK]] ranks
+    * the union) because DPP attaches to a partitioned file scan, not to
+    * a Union — the broadcast exchange of the probe side is planned once
+    * and reused across branches. Same probe window, same distance
+    * expression, same ranking tail as the collect path → bit-identical
+    * rows (spec-asserted).
+    */
+  private[graft] def ivfSearchJoinedAt(spark: SparkSession, dir: String,
+                                       queries: DataFrame, k: Int,
+                                       nProbe: Int): DataFrame = {
+    val (centroidsPath, segments) = ivfLayout(spark, dir)
+    val centersDf = spark.read.parquet(centroidsPath)
+    val probes = probeFrame(queries, centersDf, nProbe)
+    val cands = segments.map { seg =>
+      broadcast(probes).join(spark.read.parquet(seg), "cluster")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist"))
+    }.reduce(_ unionAll _)
+    VectorSearch.topK(cands, k)
   }
 
   /** Load-or-build gate for the persisted IVF index — the ONE place the
@@ -382,19 +469,48 @@ object AnnSearch {
 
   /** [[ivfKnn]] over the composed IVF+SQ8 layout: probe-pruned partitions,
     * asymmetric distance on dequantized rows, exact rescore of the
-    * per-query candidate margin against full-precision vectors.
+    * per-query candidate margin against full-precision vectors. Same
+    * probe auto-switch as [[ivfKnn]]: above [[JoinProbeQueryThreshold]]
+    * queries the probe side stays distributed and DPP prunes the
+    * quantized scan.
     */
   def ivfSqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
                k: Int = 10, nClusters: Int = 0, nProbe: Int = 0,
-               rerank: Int = 40): DataFrame = {
+               rerank: Int = 40): DataFrame =
+    ivfSqSearch(spark, sfDir, nQueries, k, nClusters, nProbe, rerank,
+      forceJoin = false)
+
+  /** [[ivfSqKnn]] forced onto the joined-probe strategy — the high-Q
+    * plan made testable at fixture scale (bit-identity spec).
+    */
+  private[graft] def ivfSqKnnJoined(spark: SparkSession, sfDir: String,
+                                    nQueries: Int = 10, k: Int = 10,
+                                    nClusters: Int = 0, nProbe: Int = 0,
+                                    rerank: Int = 40): DataFrame =
+    ivfSqSearch(spark, sfDir, nQueries, k, nClusters, nProbe, rerank,
+      forceJoin = true)
+
+  private def ivfSqSearch(spark: SparkSession, sfDir: String,
+                          nQueries: Int, k: Int, nClusters: Int,
+                          nProbe: Int, rerank: Int,
+                          forceJoin: Boolean): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = buildIvfSqIndex(spark, sfDir, nc)
     val centersDf = spark.read.parquet(s"$dir/centroids")
-    val (probedClusters, probes) =
-      probe(spark, queryVectors(spark, sfDir, nQueries), centersDf,
-        resolveProbe(nc, nProbe))
-    val assigned = spark.read.parquet(s"$dir/vectors")
-      .filter(col("cluster").isin(probedClusters: _*))
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val np = resolveProbe(nc, nProbe)
+    val (probes, assigned) =
+      if (forceJoin || nQueries.toLong > JoinProbeQueryThreshold)
+        // distributed probe: DPP from the broadcast join on the
+        // partition column prunes the quantized scan (single segment —
+        // the SQ layout is always plain, so no per-segment fan-out)
+        (probeFrame(queries, centersDf, np),
+          spark.read.parquet(s"$dir/vectors"))
+      else {
+        val (probedClusters, p) = probe(spark, queries, centersDf, np)
+        (p, spark.read.parquet(s"$dir/vectors")
+          .filter(col("cluster").isin(probedClusters: _*)))
+      }
     val adist = broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),

@@ -228,6 +228,48 @@ class AnnSpec extends SparkSpec {
       AnnSearch.ivfVectors(spark, comp).count() + batch.count())
   }
 
+  test("joined-probe IVF is bit-identical to the collect probe and " +
+      "plans dynamic partition pruning") {
+    // the auto-switch's high-Q strategy, forced at fixture scale: same
+    // probe window, same distance, same ranking tail → bit-identical
+    val want = AnnSearch.ivfKnn(spark, sf).collect().map(_.toSeq).toSeq
+    val joined = AnnSearch.ivfKnnJoined(spark, sf)
+    val got = joined.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // no probe collect: pruning must come from a DPP subquery on the
+    // cluster-partitioned scan, not from isin literals
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n"))
+    // and the SQ8 layout takes the same switch (exact-rescore tail makes
+    // it bit-identical too)
+    val wantSq = AnnSearch.ivfSqKnn(spark, sf).collect().map(_.toSeq).toSeq
+    val gotSq = AnnSearch.ivfSqKnnJoined(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotSq.nonEmpty && gotSq == wantSq)
+  }
+
+  test("joined probe searches a MANIFESTED (appended) version " +
+      "identically to the collect probe") {
+    // segments resolve per-branch under the join (union ABOVE the join,
+    // so DPP attaches to each partitioned scan); results must match the
+    // collect path over the same appended version
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_joinprobe").toString
+    val batch = Tables.load(spark, sf, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + 0.01)").as("v"))
+    AnnSearch.appendToIvfIndex(spark, sf, batch, out)
+    val queries = AnnSearch.fixtureQueries(spark, sf, 10)
+    val np = AnnSearch.defaultProbe(spark, sf)
+    val got = AnnSearch.ivfSearchJoinedAt(spark, out, queries, 10, np)
+      .collect().map(_.toSeq).toSeq
+    val want = AnnSearch.ivfSearchCollectAt(spark, out, queries, 10, np)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("SQL-only IVF probe equals the programmatic scale path") {
     val sql = AnnSearch.sqlAnnIvf(spark, sf)
     val got = sql.collect().map(_.toSeq).toSeq
