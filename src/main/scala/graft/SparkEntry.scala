@@ -1352,58 +1352,69 @@ object SparkEntry {
         |  round(avg(sqrt(list_sum(list_transform(embedding,
         |    y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))), 6) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the fixture PNG geometry/pixels are pure doc_id arithmetic
+    // (Multimodal.imgWidth/frameHeight/nFrames/pixel); the oracle
+    // recomputes the dimensions and 4x4 sampled-grid checksums ImageIO
+    // must recover from the DECODED pixels
     "multimodal_decode" ->
-      """WITH x AS (
-        |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
-        |    AS n_bytes,
-        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h, text
+      """WITH d AS (
+        |  SELECT doc_id, 16 + (doc_id * 7) % 49 AS w,
+        |    16 + (doc_id * 13) % 49 AS fh, 1 + doc_id % 4 AS nf
         |  FROM documents
         |),
-        |base AS (
-        |  SELECT doc_id, n_bytes, 64 + h % 960 AS width,
-        |    64 + (h // 960) % 960 AS height, 1 + n_bytes % 5 AS n_frames,
-        |    text
-        |  FROM x
+        |g AS (
+        |  SELECT doc_id, f.f AS f, (i.i * (w - 1)) // 3 AS x,
+        |    f.f * fh + (j.j * (fh - 1)) // 3 AS y
+        |  FROM d, UNNEST(range(0, nf)) f(f), UNNEST(range(0, 4)) i(i),
+        |    UNNEST(range(0, 4)) j(j)
         |),
-        |frames AS (
-        |  SELECT b.doc_id,
-        |    string_agg(
-        |      (('0x' || substr(md5(b.text || '#' || i), 1, 8))::BIGINT)
-        |        ::VARCHAR, ',' ORDER BY i) AS frame_hashes
-        |  FROM base b, UNNEST(range(1, CAST(n_frames AS BIGINT) + 1)) t(i)
-        |  GROUP BY b.doc_id
+        |chk AS (
+        |  SELECT doc_id, f, CAST(sum(
+        |      ((x * 31 + y * 17 + doc_id * 11) % 256) * 65536
+        |    + ((x * 13 + y * 29 + doc_id * 7) % 256) * 256
+        |    + ((x * 7 + y * 11 + doc_id * 3) % 256)) AS BIGINT) AS chk
+        |  FROM g GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(chk::VARCHAR, ',' ORDER BY f)
+        |    AS frame_checksums
+        |  FROM chk GROUP BY doc_id
         |)
-        |SELECT b.doc_id, b.n_bytes, b.width, b.height, b.n_frames,
-        |  f.frame_hashes
-        |FROM base b JOIN frames f ON f.doc_id = b.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.fh * d.nf AS BIGINT) AS height,
+        |  CAST(d.nf AS BIGINT) AS n_frames, a.frame_checksums
+        |FROM d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // features = per-grid-column pixel sums over the FULL decoded image
+    // (height = fh*nf); out_w/out_h = integer aspect-fit into 256
     "multimodal_featurize" ->
-      """WITH x AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+      """WITH d AS (
+        |  SELECT doc_id, 16 + (doc_id * 7) % 49 AS w,
+        |    (16 + (doc_id * 13) % 49) * (1 + doc_id % 4) AS h
         |  FROM documents
         |),
-        |base AS (
-        |  SELECT doc_id, 64 + h % 960 AS width,
-        |    64 + (h // 960) % 960 AS height
-        |  FROM x
+        |g AS (
+        |  SELECT doc_id, i.i AS i, (i.i * (w - 1)) // 3 AS x,
+        |    (j.j * (h - 1)) // 3 AS y
+        |  FROM d, UNNEST(range(0, 4)) i(i), UNNEST(range(0, 4)) j(j)
         |),
-        |dims AS (
-        |  SELECT doc_id, width, height,
-        |    width * 256 // greatest(width, height) AS out_w,
-        |    height * 256 // greatest(width, height) AS out_h
-        |  FROM base
+        |s AS (
+        |  SELECT doc_id, i, CAST(sum(
+        |      ((x * 31 + y * 17 + doc_id * 11) % 256) * 65536
+        |    + ((x * 13 + y * 29 + doc_id * 7) % 256) * 256
+        |    + ((x * 7 + y * 11 + doc_id * 3) % 256)) AS BIGINT) AS v
+        |  FROM g GROUP BY 1, 2
         |),
         |feats AS (
-        |  SELECT d.doc_id,
-        |    string_agg(
-        |      (('0x' || substr(md5(d.doc_id || ':' || i), 1, 8))::BIGINT)
-        |        ::VARCHAR, ',' ORDER BY i) AS features
-        |  FROM dims d, UNNEST(range(1, 5)) t(i)
-        |  GROUP BY d.doc_id
+        |  SELECT doc_id, string_agg(v::VARCHAR, ',' ORDER BY i) AS features
+        |  FROM s GROUP BY doc_id
         |)
-        |SELECT d.doc_id, d.width, d.height, d.out_w, d.out_h, f.features
-        |FROM dims d JOIN feats f ON f.doc_id = d.doc_id
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * 256 // greatest(d.w, d.h) AS BIGINT) AS out_w,
+        |  CAST(d.h * 256 // greatest(d.w, d.h) AS BIGINT) AS out_h,
+        |  f.features
+        |FROM d JOIN feats f ON f.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
@@ -1591,22 +1602,31 @@ object SparkEntry {
          |FROM kept k JOIN keep_min m ON m.key = k.key AND m.doc_id = k.doc_id
          |WHERE ('0x' || substr(md5(k.text), 1, 8))::BIGINT % 4 = 0
          |ORDER BY k.doc_id""".stripMargin,
+    // every 2nd frame strip (0-indexed) of the decoded filmstrip, reduced
+    // to min/max of the per-frame grid checksums (same chk CTE as
+    // multimodal_decode)
     "multimodal_frames" ->
-      """WITH x AS (
-        |  SELECT doc_id,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |    text
+      """WITH d AS (
+        |  SELECT doc_id, 16 + (doc_id * 7) % 49 AS w,
+        |    16 + (doc_id * 13) % 49 AS fh, 1 + doc_id % 4 AS nf
         |  FROM documents
-        |), b AS (
-        |  SELECT doc_id, 1 + n_bytes % 5 AS n_frames, text FROM x
-        |), f AS (
-        |  SELECT doc_id, i,
-        |    ('0x' || substr(md5(text || '#' || i), 1, 8))::BIGINT AS fh
-        |  FROM b, UNNEST(range(1, CAST(n_frames AS BIGINT) + 1)) t(i)
+        |),
+        |g AS (
+        |  SELECT doc_id, f.f AS f, (i.i * (w - 1)) // 3 AS x,
+        |    f.f * fh + (j.j * (fh - 1)) // 3 AS y
+        |  FROM d, UNNEST(range(0, nf)) f(f), UNNEST(range(0, 4)) i(i),
+        |    UNNEST(range(0, 4)) j(j)
+        |),
+        |chk AS (
+        |  SELECT doc_id, f, CAST(sum(
+        |      ((x * 31 + y * 17 + doc_id * 11) % 256) * 65536
+        |    + ((x * 13 + y * 29 + doc_id * 7) % 256) * 256
+        |    + ((x * 7 + y * 11 + doc_id * 3) % 256)) AS BIGINT) AS chk
+        |  FROM g GROUP BY 1, 2
         |)
-        |SELECT doc_id, count(*) AS n_sampled, min(fh) AS min_hash,
-        |  max(fh) AS max_hash
-        |FROM f WHERE i % 2 = 1
+        |SELECT doc_id, count(*) AS n_sampled, min(chk) AS min_hash,
+        |  max(chk) AS max_hash
+        |FROM chk WHERE f % 2 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,6 +1,8 @@
 package graft.operators
 
-import java.security.MessageDigest
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,63 +11,131 @@ import graft.Tables
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * decoded in partition-sized batches — the reference ingests image bytes
-  * exactly this way (`main.py:105-110` reads the upload into `bytes` before
-  * embedding/OCR).
+  * exactly this way (`main.py:105-110` reads the upload into `bytes`
+  * before embedding/OCR, `main.py:77` decodes them with PIL).
   *
-  * The Spark-side shape is the real thing and is what this module tests:
-  *  - payloads as `BinaryType` (the fixture has no images, so document text
-  *    bytes stand in; `spark.read.format("binaryFile")` yields the same
-  *    `content: binary` column for real blobs),
-  *  - a typed metadata struct carried next to the payload,
+  * The decode is REAL: payloads are PNG files and [[decodeOne]] parses
+  * them with `javax.imageio.ImageIO` (the JVM's PIL). The testdata has no
+  * image column, so the FIXTURE side synthesizes one deterministic PNG
+  * per document — a filmstrip of `n_frames` equal-height frames whose
+  * geometry and pixel values are pure doc_id arithmetic ([[imgWidth]] /
+  * [[frameHeight]] / [[nFrames]] / [[pixel]]). That makes the decode
+  * oracle-checkable end to end: the DuckDB oracle recomputes the expected
+  * dimensions and 4×4 pixel-grid checksums from the same arithmetic, so
+  * the entries only match if ImageIO genuinely recovered the encoded
+  * pixels. A real deployment swaps [[mediaTable]] for
+  * `spark.read.format("binaryFile")` (same `content: binary` column) and
+  * keeps every stage downstream of it unchanged.
+  *
+  * Spark-side shape (the part that must survive 100 TB):
+  *  - payloads as `BinaryType` + a typed metadata struct alongside,
   *  - decode as an iterator-to-iterator `mapPartitions` over a typed
   *    Dataset (the JVM analog of `mapInPandas` batches: one partition =
   *    one batch, constant memory, no driver collect),
-  *  - explicit repartitioning before decode so batch sizes are controlled.
-  *
-  * ==STUB== the actual pixel/audio decoding. The container has no image
-  * libs, so `decodeBatch` derives deterministic fake (width, height,
-  * frame hashes) from the md5 of the payload. A real deployment swaps ONLY
-  * the body of [[Multimodal.decodeOne]] for (e.g.) a JNI/ImageIO decode;
-  * schema, partitioning and batch shape stay as tested here.
+  *  - explicit byte-targeted repartitioning before decode so batch
+  *    DECODED-pixel memory is controlled.
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, content: Array[Byte])
-  case class Decoded(doc_id: Long, n_bytes: Long, width: Long, height: Long,
-                     n_frames: Long, frame_hashes: Seq[Long])
+  case class MediaRow(doc_id: Long, content: Array[Byte], frame_h: Int)
+  case class Decoded(doc_id: Long, width: Long, height: Long,
+                     n_frames: Long, frame_checksums: Seq[Long])
   case class Featurized(doc_id: Long, width: Long, height: Long,
                         out_w: Long, out_h: Long, features: Seq[Long])
 
-  private def md5hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
-
-  private def hash32(s: String): Long =
-    java.lang.Long.parseLong(s.take(8), 16)
-
-  /** STUB decoder — deterministic fake dimensions + frame samples derived
-    * from the payload hash (see class doc; a real decoder replaces this
-    * body only).
+  /** Fixture geometry — pure doc_id arithmetic, mirrored verbatim by the
+    * DuckDB oracle. Frames are [16, 64] px a side so the whole sf0.1
+    * fixture stays a few MB decoded.
     */
-  private[operators] def decodeOne(r: MediaRow): Decoded = {
-    val x = hash32(md5hex(r.content))
-    val nBytes = r.content.length.toLong
-    val nFrames = 1 + nBytes % 5
-    val frames = (1L to nFrames).map { i =>
-      hash32(md5hex((new String(r.content, "UTF-8") + "#" + i)
-        .getBytes("UTF-8")))
-    }
-    Decoded(r.doc_id, nBytes, 64 + x % 960, 64 + (x / 960) % 960,
-      nFrames, frames)
+  private[graft] def imgWidth(docId: Long): Int =
+    (16 + (docId * 7) % 49).toInt
+  private[graft] def frameHeight(docId: Long): Int =
+    (16 + (docId * 13) % 49).toInt
+  private[graft] def nFrames(docId: Long): Int = (1 + docId % 4).toInt
+
+  /** Packed RGB at (x, y) of document `docId`'s filmstrip (y is absolute
+    * within the strip, so every frame's pixels differ).
+    */
+  private[graft] def pixel(docId: Long, x: Int, y: Int): Int = {
+    val r = ((x * 31L + y * 17L + docId * 11L) % 256L).toInt
+    val g = ((x * 13L + y * 29L + docId * 7L) % 256L).toInt
+    val b = ((x * 7L + y * 11L + docId * 3L) % 256L).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  /** Binary payload + typed metadata struct for every document. */
-  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+  /** Fixture encoder: one real PNG per document (frames stacked
+    * vertically — a filmstrip, the still-image shape of a video column).
+    * PNG is lossless, so the decoder must recover [[pixel]] exactly.
+    */
+  private[graft] def encodeOne(docId: Long): Array[Byte] = {
+    val w = imgWidth(docId)
+    val h = frameHeight(docId) * nFrames(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 4×4 sampled-grid checksum of one frame strip: Σ of the packed RGB at
+    * x_i = ⌊i(w−1)/3⌋, y_j = yOff + ⌊j(h−1)/3⌋ — integer positions, so
+    * any engine agrees; reading DECODED pixels, so a header-only "decode"
+    * cannot fake it. Bounded: 16 · 0xFFFFFF < 2³².
+    */
+  private def gridChecksum(img: BufferedImage, yOff: Int, h: Int): Long = {
+    val w = img.getWidth
+    var sum = 0L
+    var i = 0
+    while (i < 4) {
+      val x = i * (w - 1) / 3
+      var j = 0
+      while (j < 4) {
+        sum += (img.getRGB(x, yOff + j * (h - 1) / 3) & 0xffffff).toLong
+        j += 1
+      }
+      i += 1
+    }
+    sum
+  }
+
+  /** The REAL decoder: ImageIO parses the PNG bytes; dimensions and frame
+    * count come from the decoded image (frame height from the row's typed
+    * metadata), checksums from decoded pixels. Fails loudly on an
+    * undecodable payload — silently skipping corrupt media would
+    * undercount a 100 TB ingest with no signal.
+    */
+  private[graft] def decodeOne(r: MediaRow): Decoded = {
+    val img = ImageIO.read(new ByteArrayInputStream(r.content))
+    require(img != null, s"undecodable media payload for doc ${r.doc_id}")
+    val nf = img.getHeight / r.frame_h
+    val checks = (0 until nf)
+      .map(f => gridChecksum(img, f * r.frame_h, r.frame_h))
+    Decoded(r.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+      nf.toLong, checks)
+  }
+
+  /** Binary payload + typed metadata struct for every document — the
+    * fixture batch ([[encodeOne]] per doc_id, one map pass). `frame_h`
+    * rides in the metadata: the decoder needs it to split the filmstrip,
+    * exactly the "typed metadata next to the opaque payload" contract.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("content"),
-        struct(lit("text/plain").as("format"),
-          length(col("text")).cast("long").as("n_bytes"),
-          col("source")).as("meta"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeOne(id),
+        frameHeight(id))))
+      .toDF()
+      .select(col("doc_id"), col("content"),
+        struct(lit("image/png").as("format"),
+          length(col("content")).cast("long").as("n_bytes"),
+          col("frame_h")).as("meta"))
+  }
 
   /** The decode stage proper (unordered): one mapPartitions pass over the
     * controlled batches — shared by [[decode]] and [[frameSample]] so both
@@ -88,27 +158,32 @@ object Multimodal {
 
   /** Resize + feature-extract stage over decoded media: aspect-preserving
     * fit into 256×256 (integer arithmetic — exact in any engine) and a
-    * 4-value feature vector (STUB: md5-derived in lieu of a pooled CNN
-    * embedding; a real extractor replaces [[featurizeOne]]'s body only).
+    * 4-value feature vector — the per-grid-column pixel sums of the
+    * decoded image (the deterministic stand-in for a pooled CNN
+    * embedding; a real extractor replaces only the `feats` expression).
     */
-  private[operators] def featurizeOne(r: MediaRow): Featurized = {
-    val x = hash32(md5hex(r.content))
-    val width = 64 + x % 960
-    val height = 64 + (x / 960) % 960
-    val m = math.max(width, height)
-    val feats = (1 to 4).map { i =>
-      hash32(md5hex(s"${r.doc_id}:$i".getBytes("UTF-8")))
+  private[graft] def featurizeOne(r: MediaRow): Featurized = {
+    val img = ImageIO.read(new ByteArrayInputStream(r.content))
+    require(img != null, s"undecodable media payload for doc ${r.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val m = math.max(w, h)
+    val feats = (0 until 4).map { i =>
+      val x = i * (w - 1) / 3
+      (0 until 4).map { j =>
+        (img.getRGB(x, j * (h - 1) / 3) & 0xffffff).toLong
+      }.sum
     }
-    Featurized(r.doc_id, width, height, width * 256 / m, height * 256 / m,
+    Featurized(r.doc_id, w.toLong, h.toLong, w * 256L / m, h * 256L / m,
       feats)
   }
 
-  /** Decode batches are sized by PAYLOAD BYTES, not row count: media rows
-    * vary by orders of magnitude (a thumbnail vs a video), and decoded
-    * frames amplify memory well beyond the encoded bytes, so the batch
-    * size is the executor-memory control. Default 32 MiB encoded per
-    * batch leaves room for a ~10–50× decode amplification inside a
-    * multi-GiB executor; callers override per modality.
+  /** Decode batches are sized by DECODED PIXEL BYTES, not row count:
+    * media rows vary by orders of magnitude (a thumbnail vs a video), and
+    * decoded frames are what actually occupy executor memory — encoded
+    * size under-counts by the compression ratio. Default 32 MiB decoded
+    * per batch inside a multi-GiB executor; callers override per
+    * modality.
     */
   val DefaultBatchBytes: Long = 32L * 1024 * 1024
 
@@ -122,27 +197,35 @@ object Multimodal {
       (totalBytes + targetBatchBytes - 1) / targetBatchBytes)).toInt
   }
 
-  /** The shared batch shape for decode-style stages: payload column,
-    * byte-targeted repartitioning (= batch sizing at scale), typed rows.
-    * The sizing scan is one cheap aggregate over the payload lengths; at
-    * 100 TB the same number comes from table statistics instead.
-    */
-  /** Payload-bytes cache: one sizing scan per fixture dir per JVM —
-    * without it every decode/featurize/frameSample CONSTRUCTION re-scans
-    * the payload column for a number that never changes (at 100 TB the
-    * same figure comes from table statistics).
+  /** Decoded-size estimate for the whole fixture: Σ w·h·3 bytes, computed
+    * from the geometry arithmetic — one cheap aggregate over doc ids,
+    * never an encode pass (at 100 TB the same figure comes from source
+    * listings / table statistics). Cached per fixture dir per JVM so
+    * every decode/featurize/frameSample CONSTRUCTION doesn't re-run it.
     */
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private[graft] def estimatedPayloadBytes(spark: SparkSession,
+                                           sfDir: String): Long =
+    sizeCache.computeIfAbsent(sfDir, _ =>
+      Tables.load(spark, sfDir, "documents")
+        .select(((lit(16) + (col("doc_id") * 7) % 49) *
+          (lit(16) + (col("doc_id") * 13) % 49) *
+          (lit(1) + col("doc_id") % 4) * 3).cast("long").as("b"))
+        .agg(coalesce(sum(col("b")), lit(0L))).head.getLong(0)).longValue()
+
+  /** The shared batch shape for decode-style stages: payload column +
+    * the metadata the decoder needs, byte-targeted repartitioning
+    * (= batch sizing at scale), typed rows.
+    */
   private[graft] def mediaBatches(spark: SparkSession, sfDir: String,
                                   targetBatchBytes: Long) = {
     import spark.implicits._
     val media = mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("content"))
-    val totalBytes = sizeCache.computeIfAbsent(sfDir, _ =>
-      media.agg(coalesce(sum(length(col("content"))), lit(0L)))
-        .head.getLong(0)).longValue()
+      .select(col("doc_id"), col("content"),
+        col("meta.frame_h").as("frame_h"))
+    val totalBytes = estimatedPayloadBytes(spark, sfDir)
     media
       .repartition(batchCount(totalBytes, targetBatchBytes), col("doc_id"))
       .as[MediaRow]
@@ -156,17 +239,18 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Frame-sampling stage over decoded media: explode frame hashes into
-    * per-frame rows (the shape a frame-level feature extractor consumes —
-    * one row per sampled video frame), keep every 2nd frame, aggregate
-    * back per document. At scale this is the fan-out point between decode
-    * and per-frame inference: a narrow explode, no shuffle until the
-    * per-doc re-aggregation.
+  /** Frame-sampling stage over decoded media: explode per-frame checksums
+    * into per-frame rows (the shape a frame-level feature extractor
+    * consumes — one row per sampled video frame), keep every 2nd frame,
+    * aggregate back per document. At scale this is the fan-out point
+    * between decode and per-frame inference: a narrow explode, no shuffle
+    * until the per-doc re-aggregation.
     */
   def frameSample(spark: SparkSession, sfDir: String,
                   targetBatchBytes: Long = DefaultBatchBytes): DataFrame = {
     decoded(spark, sfDir, targetBatchBytes)
-      .select(col("doc_id"), posexplode(col("frame_hashes")).as(Seq("pos", "fh")))
+      .select(col("doc_id"),
+        posexplode(col("frame_checksums")).as(Seq("pos", "fh")))
       .filter(col("pos") % 2 === 0)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sampled"), min(col("fh")).as("min_hash"),
@@ -183,7 +267,7 @@ object Multimodal {
     */
   def decodeFlat(spark: SparkSession, sfDir: String): DataFrame =
     decode(spark, sfDir)
-      .withColumn("frame_hashes", csv(col("frame_hashes")))
+      .withColumn("frame_checksums", csv(col("frame_checksums")))
 
   /** Gate shape of [[featurize]] — see [[decodeFlat]]. */
   def featurizeFlat(spark: SparkSession, sfDir: String): DataFrame =

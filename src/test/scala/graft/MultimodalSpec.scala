@@ -4,16 +4,46 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
-  test("media table carries binary payload + typed metadata struct") {
+  test("media table carries a real PNG payload + typed metadata struct") {
     val df = Multimodal.mediaTable(spark, sf)
     val schema = df.schema
     assert(schema("content").dataType.typeName == "binary")
     assert(schema("meta").dataType.typeName == "struct")
     val row = df.head
     val meta = row.getStruct(row.fieldIndex("meta"))
-    assert(meta.getAs[String]("format") == "text/plain")
+    assert(meta.getAs[String]("format") == "image/png")
     assert(meta.getAs[Long]("n_bytes") ==
       row.getAs[Array[Byte]]("content").length)
+    // the payload is an actual PNG stream (magic bytes), not a stand-in
+    val png = row.getAs[Array[Byte]]("content")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+  }
+
+  test("decodeOne round-trips the encoder through a REAL ImageIO parse") {
+    // encode → decode must recover the arithmetic geometry exactly; a
+    // header-only or hash-derived "decode" cannot produce these checksums
+    Seq(0L, 1L, 7L, 123L).foreach { id =>
+      val row = Multimodal.MediaRow(id, Multimodal.encodeOne(id),
+        Multimodal.frameHeight(id))
+      val d = Multimodal.decodeOne(row)
+      assert(d.width == Multimodal.imgWidth(id))
+      assert(d.height ==
+        Multimodal.frameHeight(id).toLong * Multimodal.nFrames(id))
+      assert(d.n_frames == Multimodal.nFrames(id))
+      // first frame's grid checksum recomputed from the pixel formula
+      val w = Multimodal.imgWidth(id)
+      val fh = Multimodal.frameHeight(id)
+      val want = (for (i <- 0 until 4; j <- 0 until 4) yield
+        (Multimodal.pixel(id, i * (w - 1) / 3, j * (fh - 1) / 3)
+          & 0xffffff).toLong).sum
+      assert(d.frame_checksums.head == want)
+    }
+    // corrupt payloads fail loudly, never silently skip
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeOne(
+        Multimodal.MediaRow(9L, Array[Byte](1, 2, 3, 4), 16))
+    }
   }
 
   test("decode is deterministic, bounded, and batch-partitioned") {
@@ -21,32 +51,31 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.decode(spark, sf).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     a.foreach { r =>
-      assert(r.getAs[Long]("width") >= 64 && r.getAs[Long]("width") < 1024)
-      assert(r.getAs[Long]("height") >= 64 && r.getAs[Long]("height") < 1024)
-      assert(r.getSeq[Long](r.fieldIndex("frame_hashes")).length ==
+      assert(r.getAs[Long]("width") >= 16 && r.getAs[Long]("width") <= 64)
+      assert(r.getAs[Long]("height") >= 16 &&
+        r.getAs[Long]("height") <= 64 * 4)
+      assert(r.getSeq[Long](r.fieldIndex("frame_checksums")).length ==
         r.getAs[Long]("n_frames"))
     }
   }
 
   test("decode batch sizing follows the target-bytes knob") {
-    import org.apache.spark.sql.functions._
     // ceil-division partition math, clamped at both ends
     assert(Multimodal.batchCount(0L, 1024L) == 1)
     assert(Multimodal.batchCount(1024L, 1024L) == 1)
     assert(Multimodal.batchCount(1025L, 1024L) == 2)
     assert(Multimodal.batchCount(Long.MaxValue / 2, 1L) == (1 << 20))
     // end to end: a small byte target must yield multiple decode batches
-    // (the fixture payload is ~hundreds of KiB), the default one batch —
+    // (the fixture decodes to ~MBs of pixels), the default one batch —
     // and the RESULT must not depend on the batching
-    val total = Tables.load(spark, sf, "documents")
-      .agg(sum(length(col("text")))).head.getLong(0)
+    val total = Multimodal.estimatedPayloadBytes(spark, sf)
     val target = 1024L
     val want = Multimodal.batchCount(total, target)
     assert(want > 1)
     assert(Multimodal.mediaBatches(spark, sf, target)
       .rdd.getNumPartitions == want)
     assert(Multimodal.mediaBatches(spark, sf, Multimodal.DefaultBatchBytes)
-      .rdd.getNumPartitions == 1) // fixture payload ≪ 32 MiB
+      .rdd.getNumPartitions == 1) // fixture decodes to ≪ 32 MiB
     assert(Multimodal.decode(spark, sf, targetBatchBytes = target)
       .collect().map(_.toSeq).toSeq ==
       Multimodal.decode(spark, sf).collect().map(_.toSeq).toSeq)
