@@ -93,7 +93,7 @@ object Scaling {
     * bytes stay flat.
     */
   def streamingTier(spark: SparkSession, dataDir: String, work: String,
-                    batchN: Int): Seq[(String, Double, Long)] = {
+                    batchN: Int): Seq[(String, Double, Long, Long)] = {
     import graft.operators.{AnnSearch, Dedup}
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
@@ -173,8 +173,10 @@ object Scaling {
     }
 
     // 4. stateless quality gate: the same fixed doc batch through the
-    // per-row gopher arithmetic — no index, no state; the trigger must
-    // be scale-INDEPENDENT outright (the corpus never enters the plan)
+    // per-row gopher arithmetic (all FOUR rules — length, mean token
+    // length, distinct ratio, stopwords) — no index, no state; the
+    // trigger must be scale-INDEPENDENT outright (the corpus never
+    // enters the plan)
     val tQual = timed {
       val toks = expr("filter(split(text, ' '), t -> t != '')")
       batchDocs
@@ -182,18 +184,29 @@ object Scaling {
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"), size(col("toks")).as("n_tokens"),
           size(array_distinct(col("toks"))).as("n_distinct"),
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+            .cast("double").as("len_sum"),
           expr("size(filter(toks, t -> t IN " +
             "('the','a','and','of','to','in','is','it')))").as("n_stop"))
         .filter(col("n_tokens").between(30, 90) &&
+          (col("len_sum") / col("n_tokens")).between(3.8, 5.2) &&
           col("n_distinct").cast("double") / col("n_tokens") >= 0.35 &&
           col("n_stop") >= 2)
         .count()
     }
 
-    Seq(("ivf_append_trigger", tIvf, dirBytes(ivfOut)),
-      ("corpus_dedup_trigger", tDedup, 0L),
-      ("flat_ingest_trigger", tFlat, dirBytes(s"$root/v1")),
-      ("quality_filter_trigger", tQual, 0L))
+    // segment counts of the trigger's output version — what the
+    // DefaultMaxSegments compaction policy bounds; reported so the
+    // read-amplification side of merge-on-read is measured, not argued
+    def segs(versionDir: String, artifact: String): Long =
+      IndexStore.readManifest(spark, versionDir)
+        .count(_._1 == artifact).toLong
+    Seq(("ivf_append_trigger", tIvf, dirBytes(ivfOut),
+        segs(ivfOut, "vectors")),
+      ("corpus_dedup_trigger", tDedup, 0L, 0L),
+      ("flat_ingest_trigger", tFlat, dirBytes(s"$root/v1"),
+        segs(s"$root/v1", "mapping")),
+      ("quality_filter_trigger", tQual, 0L, 0L))
   }
 
   def main(args: Array[String]): Unit = {
@@ -241,10 +254,11 @@ object Scaling {
     val s1 = streamingTier(spark, base, s"$work/stream_x1", bn)
     val sN = streamingTier(spark, big, s"$work/stream_x$factor", bn)
     val streamRows = s1.zip(sN).map {
-      case ((n, a, b1), (_, c, bN)) =>
+      case ((n, a, b1, g1), (_, c, bN, gN)) =>
         val exp = math.log(c / a) / math.log(factor.toDouble)
         f"""{"query":"$n","t1":$a%.2f,"tN":$c%.2f,"factor":$factor,""" +
-          f""""exponent":$exp%.2f,"bytes1":$b1,"bytesN":$bN}"""
+          f""""exponent":$exp%.2f,"bytes1":$b1,"bytesN":$bN,""" +
+          f""""segs1":$g1,"segsN":$gN}"""
     }
     val json = (rows ++ streamRows).mkString("[", ",", "]")
     println(json)

@@ -103,7 +103,10 @@ object SparkEntry {
     "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
-    "substring_runs" -> ((s, d) => Dedup.substringRuns(s, d)),
+    // cap pinned at the auto formula's fixture value so the DuckDB
+    // oracle's `> 1000` literal stays correct at every verify scale
+    "substring_runs" -> ((s, d) =>
+      Dedup.substringRuns(s, d, maxShingleFreq = 1000L)),
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
     "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
@@ -1760,7 +1763,8 @@ object SparkEntry {
         |  FROM e JOIN m ON m.label = e.label AND m.pos = e.pos
         |  GROUP BY 1, 2
         |), s AS (
-        |  SELECT label, avg(d) AS mu, stddev_pop(d) AS sd
+        |  SELECT label, round(avg(d), 6) AS mu,
+        |    round(stddev_pop(d), 6) AS sd
         |  FROM d GROUP BY label
         |)
         |SELECT d.vec_id, d.label, round(d.d, 6) AS dist,

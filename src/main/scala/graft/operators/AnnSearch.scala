@@ -372,8 +372,10 @@ object AnnSearch {
     * while any surviving manifest references it.
     */
   private[graft] def appendToIvfIndexAt(spark: SparkSession, dir: String,
-                                        batch: DataFrame,
-                                        out: String): Unit = {
+                                        batch: DataFrame, out: String,
+                                        maxSegments: Int =
+                                          IndexStore.DefaultMaxSegments)
+      : Unit = {
     // a committed `out` means this version already folded its batch — a
     // re-invocation (crash-replay, retried job) must not append it twice
     if (IndexStore.committed(s"$out/manifest")) return
@@ -397,27 +399,45 @@ object AnnSearch {
     // leftovers at the segment path before this version's write.
     val segment = s"$out/segment"
     val wb = Window.partitionBy("uid").orderBy(col("cdist"), col("cluster"))
-    batch.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+    val assigned = batch
+      .select(col("vec_id"), l2Normalize(col("v")).as("v"))
       .withColumn("uid", monotonically_increasing_id())
       .crossJoin(broadcast(centersDf))
       .withColumn("cdist", squaredL2(col("v"), col("center")))
       .withColumn("cr", row_number().over(wb))
       .filter(col("cr") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
-      // one O(batch) shuffle so each touched cluster gets ONE file, not
-      // one per (task × cluster): a micro-batch spread over every writer
-      // task would otherwise add tasks·nprobe-ish small files per trigger
-      // — the file-listing death of a frequently-appended index
-      .repartition(col("cluster"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cluster").parquet(segment)
-    // LAST: the manifest commits the version (see commit protocol above)
-    // — a crash anywhere before this line reads as "never built"
-    IndexStore.writeManifest(spark, out,
-      ("centroids", centroidsPath, 0L) +:
-        (segments :+ segment).zipWithIndex.map { case (s, i) =>
-          ("vectors", s, i.toLong)
-        })
+    if (segments.length + 1 > maxSegments) {
+      // compaction trigger ([[IndexStore.DefaultMaxSegments]]): fold the
+      // whole chain + batch into ONE fresh cluster-partitioned segment,
+      // re-clustered to one file per cluster — per-cluster rows are
+      // O(√n) by the nlist sizing, so single files stay scan-friendly
+      // and the chain's accumulated small delta files collapse
+      ivfVectors(spark, dir).select(col("vec_id"), col("v"), col("cluster"))
+        .unionByName(assigned)
+        .repartition(col("cluster"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(segment)
+      IndexStore.writeManifest(spark, out,
+        Seq(("centroids", centroidsPath, 0L), ("vectors", segment, 0L)))
+    } else {
+      assigned
+        // one O(batch) shuffle so each touched cluster gets ONE file, not
+        // one per (task × cluster): a micro-batch spread over every
+        // writer task would otherwise add tasks·nprobe-ish small files
+        // per trigger — the file-listing death of a frequently-appended
+        // index
+        .repartition(col("cluster"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(segment)
+      // LAST: the manifest commits the version (see commit protocol
+      // above) — a crash anywhere before this line reads as "never built"
+      IndexStore.writeManifest(spark, out,
+        ("centroids", centroidsPath, 0L) +:
+          (segments :+ segment).zipWithIndex.map { case (s, i) =>
+            ("vectors", s, i.toLong)
+          })
+    }
   }
 
   /** Compact an appended IVF version into a standalone one-segment index

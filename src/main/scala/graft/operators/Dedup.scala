@@ -747,19 +747,31 @@ object Dedup {
     * `maxShingleFreq` cap drops boilerplate shingles (the paper's
     * stop-gram guard) BEFORE the join, bounding any hot key's fan-out;
     * the island windows partition per (pair, diagonal), so their state is
-    * one pair's overlap, not the corpus.
+    * one pair's overlap, not the corpus. The default cap (0 = auto) is
+    * DERIVED from the cached corpus count ([[autoShingleFreq]]), so the
+    * pruned fraction — the operator's effective semantics — doesn't
+    * drift as the corpus grows; gate entries pin an explicit cap so
+    * their oracle stays fixed.
     */
   def substringRuns(spark: SparkSession, sfDir: String, n: Int = 5,
                     minRunTokens: Long = 20L,
-                    maxShingleFreq: Long = 1000L): DataFrame =
+                    maxShingleFreq: Long = 0L): DataFrame =
     substringRunsOver(nearDupCorpus(spark, sfDir), n, minRunTokens,
-      maxShingleFreq)
+      if (maxShingleFreq > 0) maxShingleFreq
+      else autoShingleFreq(corpusCount(spark, sfDir)))
 
-  /** [[substringRuns]] over an arbitrary (doc_id, text) corpus —
-    * `private[graft]` so property tests can cross-check the
-    * diagonal-island result against brute-force longest-common-run DP on
-    * generated documents.
+  /** Hot-shingle cap auto-sizing (the [[autoPairedBands]] pattern): a
+    * shingle is boilerplate when it recurs across ≳2% of the corpus
+    * (n/50), so the cap scales WITH the corpus — a fixed constant prunes
+    * an ever-larger fraction of genuinely quotable shingles as n grows
+    * past 50·cap docs and silently weakens the operator. The 1000 floor
+    * preserves the measured fixture operating point (≤50k-doc corpora
+    * see exactly the old constant) and keeps join fan-out bounded at
+    * ~cap² rows per hot key.
     */
+  private[graft] def autoShingleFreq(n: Long): Long =
+    math.max(1000L, n / 50L)
+
   /** Positional n-gram shingles — (doc_id, pos, sh) with pos 0-based over
     * the raw split. THE one positional-shingle construction, shared by
     * [[substringRunsOver]] and [[TextSearch.phraseSearch]] so the window
@@ -777,6 +789,11 @@ object Dedup {
       .toDF("doc_id", "pos", "sh")
   }
 
+  /** [[substringRuns]] over an arbitrary (doc_id, text) corpus —
+    * `private[graft]` so property tests can cross-check the
+    * diagonal-island result against brute-force longest-common-run DP on
+    * generated documents.
+    */
   private[graft] def substringRunsOver(corpus: DataFrame, n: Int,
                                        minRunTokens: Long,
                                        maxShingleFreq: Long): DataFrame = {

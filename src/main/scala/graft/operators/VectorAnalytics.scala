@@ -80,8 +80,14 @@ object VectorAnalytics {
         ((col("x") - col("m")) * (col("x") - col("m"))).as("d2"))
       .groupBy(col("vec_id"), col("label"))
       .agg(sqrt(sum(col("d2"))).as("d"))
+    // mu/sd are rounded at 6dp BEFORE z: the per-label avg/stddev sums
+    // are the most order-dependent terms in the chain, and an unrounded
+    // 1-ULP drift there would propagate into z right at the >= zThresh
+    // boundary; pinning them to the 6dp grid (both engines) makes the
+    // gate's inputs engine-stable
     val stats = dists.groupBy(col("label"))
-      .agg(avg(col("d")).as("mu"), stddev_pop(col("d")).as("sd"))
+      .agg(round(avg(col("d")), 6).as("mu"),
+        round(stddev_pop(col("d")), 6).as("sd"))
     dists.join(stats, "label")
       .withColumn("z", round((col("d") - col("mu")) / col("sd"), 6))
       .filter(col("z") >= zThresh)

@@ -117,6 +117,21 @@ object IndexStore {
     * reads as "version never existed", and a checkpointed replay rewrites
     * the same segments deterministically).
     */
+  /** Compaction policy shared by every manifested store (flat upsert
+    * store and IVF chain): when writing a version would push one
+    * artifact's segment list PAST this bound, the writer folds the whole
+    * resolved artifact into a single fresh segment instead of appending a
+    * delta — the level-0 file cap of log-structured tables. The bound is
+    * what turns merge-on-read from "grows forever" into a constant
+    * read-amplification factor: reads union at most `DefaultMaxSegments`
+    * segment scans, and the compaction's O(corpus) rewrite is amortized
+    * over the `DefaultMaxSegments − 1` O(batch) appends it re-arms. The
+    * policy is derived purely from the PREDECESSOR's manifest, so a
+    * checkpointed replay of a batch makes the same decision and rewrites
+    * the same version deterministically.
+    */
+  val DefaultMaxSegments: Int = 8
+
   def writeManifest(spark: SparkSession, versionDir: String,
                     entries: Seq[(String, String, Long)]): Unit = {
     import spark.implicits._

@@ -171,9 +171,21 @@ object StreamingIndex {
     * progress in `ckptDir`. Re-invocations resume from the checkpoint:
     * already-folded files are never re-read, a replayed batch rewrites
     * its own version deterministically.
+    *
+    * Segment growth is bounded IN the chain: when appending a delta
+    * would push the mapping past `maxSegments` segments
+    * ([[IndexStore.DefaultMaxSegments]]), the batch's version is written
+    * COMPACTED — the resolved mapping and full vector set as the
+    * version's own single segments, manifest referencing nothing older —
+    * so merge-on-read never unions more than `maxSegments` scans no
+    * matter how long the ingest runs. The decision reads only the
+    * predecessor's manifest: a crash-replay of the batch re-decides
+    * identically.
     */
   def ingestAvailable(spark: SparkSession, srcDir: String, root: String,
-                      ckptDir: String): Unit = {
+                      ckptDir: String,
+                      maxSegments: Int =
+                        IndexStore.DefaultMaxSegments): Unit = {
     val q = spark.readStream.schema(BatchSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", ckptDir)
@@ -202,15 +214,33 @@ object StreamingIndex {
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], MappingSchema))
         val (delta, newVecs) = mergeBatch(prevMapping, batch)
-        // the batch's OWN segments only — O(batch) files per version
         val mSeg = s"$root/v$batchId/mapping"
         val vSeg = s"$root/v$batchId/vectors"
-        IndexStore.saveDataset(delta, mSeg)
-        IndexStore.saveDataset(newVecs, vSeg)
-        // LAST: the manifest (predecessor's segments re-referenced + the
-        // two new ones) commits the version
-        IndexStore.writeManifest(spark, s"$root/v$batchId",
-          prev ++ Seq(("mapping", mSeg, batchId), ("vectors", vSeg, batchId)))
+        if (prev.count(_._1 == "mapping") + 1 > maxSegments) {
+          // compaction trigger (see scaladoc): resolved state as the
+          // version's own single segments — delta ∪ untouched survivors
+          // is exactly what merge-on-read LWW would resolve, computed
+          // here once instead of on every future read
+          IndexStore.saveDataset(delta.unionByName(
+            prevMapping.join(delta.select("str_id"), Seq("str_id"),
+              "left_anti")), mSeg)
+          IndexStore.saveDataset(prevVer
+            .map(v => loadVectorsAt(spark, s"$root/v$v"))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], VectorSchema))
+            .unionByName(newVecs), vSeg)
+          IndexStore.writeManifest(spark, s"$root/v$batchId",
+            Seq(("mapping", mSeg, batchId), ("vectors", vSeg, batchId)))
+        } else {
+          // the batch's OWN segments only — O(batch) files per version
+          IndexStore.saveDataset(delta, mSeg)
+          IndexStore.saveDataset(newVecs, vSeg)
+          // LAST: the manifest (predecessor's segments re-referenced +
+          // the two new ones) commits the version
+          IndexStore.writeManifest(spark, s"$root/v$batchId",
+            prev ++ Seq(("mapping", mSeg, batchId),
+              ("vectors", vSeg, batchId)))
+        }
         ()
       }
       .start()

@@ -228,6 +228,51 @@ class AnnSpec extends SparkSpec {
       AnnSearch.ivfVectors(spark, comp).count() + batch.count())
   }
 
+  test("IVF append auto-compacts once the segment chain passes the bound") {
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def shifted(off: Long, d: Double) =
+      Tables.load(spark, sf, "embeddings")
+        .select((col("vec_id") + off).as("vec_id"),
+          expr(s"transform(embedding, x -> cast(x as double) + $d)")
+            .as("v"))
+    val base = AnnSearch.ensureIvfIndex(spark, sf)
+    val v1 = tmp("graft_ivf_auto_v1")
+    val v2 = tmp("graft_ivf_auto_v2")
+    // base(1 segment) + batch → 2 ≤ 2: still a delta append
+    AnnSearch.appendToIvfIndexAt(spark, base, shifted(50000L, 0.01), v1,
+      maxSegments = 2)
+    assert(IndexStore.readManifest(spark, v1).count(_._1 == "vectors") == 2)
+    // 2 + 1 > 2: the policy folds chain + batch into ONE fresh segment
+    AnnSearch.appendToIvfIndexAt(spark, v1, shifted(60000L, 0.02), v2,
+      maxSegments = 2)
+    assert(IndexStore.readManifest(spark, v2).count(_._1 == "vectors") == 1)
+    // byte-identical reads vs the never-compacted control chain: same
+    // rows, same vectors, same per-cluster layout
+    val ctl = tmp("graft_ivf_auto_ctl")
+    AnnSearch.appendToIvfIndexAt(spark, v1, shifted(60000L, 0.02), ctl)
+    assert(IndexStore.readManifest(spark, ctl).count(_._1 == "vectors") == 3)
+    def resolved(dir: String) =
+      AnnSearch.ivfVectors(spark, dir)
+        .select(col("vec_id"), col("cluster"), col("v"))
+        .orderBy("vec_id", "cluster").collect().map(_.toSeq).toSeq
+    assert(resolved(v2).nonEmpty && resolved(v2) == resolved(ctl))
+    // and the compacted version is fewer files on disk (the point)
+    def nFiles(dir: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(IndexStore.hadoopConf)
+      val segs = IndexStore.manifestSegments(
+        IndexStore.readManifest(spark, dir), "vectors")
+      segs.map { s =>
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s), true)
+        var n = 0
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }.sum
+    }
+    assert(nFiles(v2) < nFiles(ctl))
+  }
+
   test("joined-probe IVF is bit-identical to the collect probe and " +
       "plans dynamic partition pruning") {
     // the auto-switch's high-Q strategy, forced at fixture scale: same

@@ -67,6 +67,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringRuns hot-shingle cap derives from the corpus count") {
+    // the autoPairedBands pattern: fixed floor at fixture scale (so the
+    // pinned-cap gate entry and the auto default coincide there), then
+    // n/50 — the cap follows the corpus instead of pruning an ever-larger
+    // fraction of it
+    assert(Dedup.autoShingleFreq(1000L) == 1000L)
+    assert(Dedup.autoShingleFreq(50000L) == 1000L)
+    assert(Dedup.autoShingleFreq(1000L * 1000) == 20000L)
+    assert(Dedup.autoShingleFreq(Dedup.corpusCount(spark, sf)) == 1000L)
+    // at fixture scale the auto default therefore matches the pinned cap
+    val auto = Dedup.substringRuns(spark, sf).collect().map(_.toSeq).toSeq
+    val pinned = Dedup.substringRuns(spark, sf, maxShingleFreq = 1000L)
+      .collect().map(_.toSeq).toSeq
+    assert(auto.nonEmpty && auto == pinned)
+  }
+
   test("substringRuns: every injected tail-duplicate surfaces with its " +
     "exact run length; nothing under the floor leaks through") {
     val runs = Dedup.substringRuns(spark, sf).collect()

@@ -296,6 +296,48 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("flat-store ingest auto-compacts past the segment bound") {
+    import graft.sources.IndexStore
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    // batch i updates one existing id and adds one new id, so the LWW
+    // resolution genuinely matters when the compaction folds it
+    def b(i: Int) = Seq(
+      ("k-upd", s"text-v$i", Seq(0.1 * (i + 1), 0.2)),
+      (s"k-new-$i", s"text-new-$i", Seq(0.3, 0.1 * (i + 1))))
+      .toDF("str_id", "text", "v")
+    def chain(maxSegments: Int): String = {
+      val root = Files.createTempDirectory("graft_flat_auto").toString
+      (0 to 2).foreach { i =>
+        StreamingIndex.stageInto(b(i), s"$root/landing", s"batch$i")
+        StreamingIndex.ingestAvailable(spark, s"$root/landing", root,
+          s"$root/ckpt", maxSegments)
+      }
+      root
+    }
+    val auto = chain(maxSegments = 2)
+    val ctl = chain(maxSegments = IndexStore.DefaultMaxSegments)
+    // v0, v1 are delta appends under both policies; v2 would be the 3rd
+    // mapping segment → the auto chain writes it compacted
+    val m = IndexStore.readManifest(spark, s"$auto/v2")
+    assert(m.count(_._1 == "mapping") == 1)
+    assert(m.count(_._1 == "vectors") == 1)
+    assert(IndexStore.readManifest(spark, s"$ctl/v2")
+      .count(_._1 == "mapping") == 3)
+    // resolved reads are byte-identical to the never-compacted control
+    def mapping(root: String) =
+      StreamingIndex.loadMappingAt(spark, s"$root/v2")
+        .orderBy("str_id").collect().map(_.toSeq).toSeq
+    def vectors(root: String) =
+      StreamingIndex.loadVectorsAt(spark, s"$root/v2")
+        .orderBy("faiss_id").collect().map(_.toSeq).toSeq
+    assert(mapping(auto).nonEmpty && mapping(auto) == mapping(ctl))
+    assert(vectors(auto) == vectors(ctl))
+    // and the compacted version resolves without reading v0/v1 segments:
+    // its manifest references only its own two
+    assert(m.forall(_._2.contains("/v2/")))
+  }
+
   test("compaction collapses the chain to one segment per artifact") {
     import graft.sources.IndexStore
     import graft.streaming.StreamingIndex
