@@ -88,6 +88,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
+    "sql_minhash_dedup" -> ((s, d) => Dedup.sqlMinhashDedup(s, d)),
     // both modes PINNED so each oracle stays mode-stable at any fixture
     // size; the count-derived auto default is spec-asserted (DedupSpec)
     "simhash_dedup" ->
@@ -949,6 +950,10 @@ object SparkEntry {
         |FROM k GROUP BY key HAVING count(*) >= 2
         |ORDER BY keep_id""".stripMargin,
     "minhash_dedup" -> MinhashOracleSql,
+    // the SQL-only surface runs the same signature → band → verify
+    // pipeline over the registered signature view, bit-identical to the
+    // programmatic path — so it shares minhash_dedup's oracle verbatim
+    "sql_minhash_dedup" -> MinhashOracleSql,
     // connected components of the near-dup pair graph: min label
     // reachable from each node == the component's min doc_id
     "dup_groups" ->

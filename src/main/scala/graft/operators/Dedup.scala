@@ -179,6 +179,70 @@ object Dedup {
     jaccardFromCounts(inter, hsh, threshold)
   }
 
+  /** The MinHash near-dup flagship through the PURE-SQL surface — what a
+    * SQL-only consumer of the library runs (the search twins are
+    * `sql_vector_knn` / `sql_ann_ivf` / `sql_bm25_search`; this closes
+    * the dedup tier). The persisted signature artifact
+    * ([[injectedShingleTable]] — (doc_id, h, x), built once per data
+    * version) is exposed as a view, and the whole
+    * signature → band → candidate → exact-Jaccard pipeline is ONE ANSI
+    * statement: 12 minhashes from a VALUES constants table (same (a, b,
+    * prime) as [[bandKeysFromHashes]]), 4 order-free band keys, the band
+    * equi-join for candidates (never all-pairs — the statement's joins
+    * are all equi-joins, so Catalyst plans shuffled hash/sort-merge
+    * joins, no cartesian), then set-intersection verification over the
+    * stored 48-bit hashes. Same integer math, same rounding, same
+    * ordering → bit-identical rows to [[minhashDedup]] (spec-asserted),
+    * so the SQL surface shares `minhash_dedup`'s oracle verbatim.
+    */
+  def sqlMinhashDedup(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    injectedShingleTable(spark, sfDir)
+      .createOrReplaceTempView("dedup_shingles_sql")
+    spark.sql(
+      s"""WITH consts AS (
+         |  SELECT * FROM VALUES
+         |    (0,37,17),(1,49,118),(2,61,219),(3,73,320),(4,85,421),
+         |    (5,97,522),(6,109,623),(7,121,724),(8,133,825),(9,145,926),
+         |    (10,157,1027),(11,169,1128) AS t(i, a, b)
+         |),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * x + b) % 4294967291) AS mh
+         |  FROM dedup_shingles_sql CROSS JOIN consts
+         |  GROUP BY doc_id, i
+         |),
+         |bands AS (
+         |  SELECT doc_id, i div 3 AS band,
+         |    sum(mh * (i % 3 + 1)) AS band_key
+         |  FROM mh GROUP BY doc_id, i div 3
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n
+         |  FROM dedup_shingles_sql GROUP BY doc_id
+         |),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN dedup_shingles_sql s1 ON s1.doc_id = c.doc_a
+         |  JOIN dedup_shingles_sql s2 ON s2.doc_id = c.doc_b
+         |   AND s2.h = s1.h
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= $threshold
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Build (once) the persisted dedup index for the corpus: the shingle
     * hash table is materialized FIRST (one tokenize pass), then the band
     * keys are derived from the stored 32-bit hashes — the corpus text is

@@ -22,6 +22,22 @@ class DedupSpec extends SparkSpec {
     assert(injected.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("SQL-only MinHash dedup equals the programmatic flagship") {
+    val sql = Dedup.sqlMinhashDedup(spark, sf)
+    val got = sql.collect().map(_.toSeq).toSeq
+    val want = Dedup.minhashDedup(spark, sf).collect().map(_.toSeq).toSeq
+    // same constants, same integer band math, same Jaccard rounding →
+    // bit-identical rows, so the SQL surface shares the oracle verbatim
+    assert(got.nonEmpty && got == want)
+    // the candidate generator stays a band EQUI-join: no CartesianProduct
+    // anywhere in the physical plan (all-pairs would be the silent scale
+    // killer). The only nested-loop join allowed is the 12-row constants
+    // broadcast feeding the signature aggregate.
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      plan.linesIterator.filter(_.contains("Join")).take(8).mkString("\n"))
+  }
+
   test("simhash of a near-identical doc is within small hamming distance") {
     val rows = Dedup.simhashDedup(spark, sf).collect()
     val injected = rows.filter(r =>
