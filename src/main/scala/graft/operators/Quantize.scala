@@ -137,7 +137,20 @@ object Quantize {
     */
   def pqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
             k: Int = 10, m: Int = 8, nCodes: Int = 0,
-            rerank: Int = 40): DataFrame = {
+            rerank: Int = 40): DataFrame =
+    VectorSearch.rescoreTopK(
+      VectorSearch.pruneCandidates(
+        pqAdist(spark, sfDir, nQueries, m, nCodes), rerank),
+      VectorSearch.normalized(spark, sfDir), k)
+
+  /** The ADC scan of [[pqKnn]] — (query_id, qu, id, adist) BEFORE the
+    * rerank-margin prune. Split out because the margin is the only thing
+    * an operating-point sweep varies: [[AnnSearch.annRecallCurve]] prices
+    * 3 rerank points off ONE materialized ADC scan instead of three.
+    */
+  private[operators] def pqAdist(spark: SparkSession, sfDir: String,
+                                 nQueries: Int, m: Int = 8,
+                                 nCodes: Int = 0): DataFrame = {
     val nk = resolveCodes(spark, sfDir, nCodes)
     val dir = buildPqIndex(spark, sfDir, m, nk)
     val books = spark.read.parquet(s"$dir/codebooks")
@@ -165,14 +178,12 @@ object Quantize {
         transform(sequence(lit(0), lit(m * nk - 1)),
           i => coalesce(element_at(col("lm"), i),
             lit(Double.PositiveInfinity))).as("lut"))
-    val adist = spark.read.parquet(s"$dir/codes")
+    spark.read.parquet(s"$dir/codes")
       .join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
         expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
           acc + element_at(lut, j * $nk +
             element_at(codes, j + 1) + 1))""").as("adist"))
-    VectorSearch.rescoreTopK(
-      VectorSearch.pruneCandidates(adist, rerank), normed, k)
   }
 
   /** Top-k search over the quantized store with exact re-ranking:
