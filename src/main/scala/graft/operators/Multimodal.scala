@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.sources.IndexStore
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * decoded in partition-sized batches — the reference ingests image bytes
@@ -37,7 +38,15 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO defaults to spooling every ImageInputStream through a temp
+  // FILE on disk — a per-image disk round-trip that dwarfs the decode of
+  // a small in-memory payload. Payloads here are already byte arrays;
+  // decode them in memory. (JVM-wide flag, set on executor classload.)
+  ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, content: Array[Byte], frame_h: Int)
+  private case class BuiltRow(doc_id: Long, content: Array[Byte],
+                              frame_h: Int, decoded_bytes: Long)
   case class Decoded(doc_id: Long, width: Long, height: Long,
                      n_frames: Long, frame_checksums: Seq[Long])
   case class Featurized(doc_id: Long, width: Long, height: Long,
@@ -52,6 +61,15 @@ object Multimodal {
   private[graft] def frameHeight(docId: Long): Int =
     (16 + (docId * 13) % 49).toInt
   private[graft] def nFrames(docId: Long): Int = (1 + docId % 4).toInt
+
+  /** Decoded size of one document's filmstrip: 3 bytes/px over the full
+    * strip. The SINGLE source of truth for decoded-size arithmetic — the
+    * persisted fixture stores this per row, and batch sizing reads the
+    * stored column, so the geometry helpers can change without desyncing
+    * batch sizing.
+    */
+  private[graft] def decodedBytes(docId: Long): Long =
+    3L * imgWidth(docId) * frameHeight(docId) * nFrames(docId)
 
   /** Packed RGB at (x, y) of document `docId`'s filmstrip (y is absolute
     * within the strip, so every frame's pixels differ).
@@ -119,22 +137,40 @@ object Multimodal {
       nf.toLong, checks)
   }
 
-  /** Binary payload + typed metadata struct for every document — the
-    * fixture batch ([[encodeOne]] per doc_id, one map pass). `frame_h`
-    * rides in the metadata: the decoder needs it to split the filmstrip,
-    * exactly the "typed metadata next to the opaque payload" contract.
+  /** One-time fixture build: binary payload + typed metadata per document
+    * ([[encodeOne]] per doc_id, one map pass). `frame_h` rides in the
+    * metadata — the decoder needs it to split the filmstrip — and
+    * `decoded_bytes` records the post-decode footprint batch sizing needs
+    * (a real ingest gets the same figure from probe stats at write time).
     */
-  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+  private def buildMediaTable(spark: SparkSession,
+                              sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => MediaRow(id, encodeOne(id),
-        frameHeight(id))))
+      .mapPartitions(_.map(id => BuiltRow(id, encodeOne(id),
+        frameHeight(id), decodedBytes(id))))
       .toDF()
       .select(col("doc_id"), col("content"),
         struct(lit("image/png").as("format"),
           length(col("content")).cast("long").as("n_bytes"),
-          col("frame_h")).as("meta"))
+          col("frame_h"), col("decoded_bytes")).as("meta"))
+  }
+
+  /** Binary payload + typed metadata struct for every document — the
+    * "typed metadata next to the opaque payload" contract. The synthesized
+    * fixture is PERSISTED once per (fixture dir, data fingerprint) behind
+    * [[IndexStore.committed]] — the same load-or-build pattern as the
+    * dedup shingle store — so queries (and the bench) time the DECODE
+    * stage the operator exists for, never the fixture's PNG encode. A real
+    * deployment swaps this loader for
+    * `spark.read.format("binaryFile")` and keeps everything downstream.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir, "media-fixture-v1", "documents")
+    if (!IndexStore.committed(s"$dir/media"))
+      IndexStore.saveDataset(buildMediaTable(spark, sfDir), s"$dir/media")
+    spark.read.parquet(s"$dir/media")
   }
 
   /** The decode stage proper (unordered): one mapPartitions pass over the
@@ -197,11 +233,13 @@ object Multimodal {
       (totalBytes + targetBatchBytes - 1) / targetBatchBytes)).toInt
   }
 
-  /** Decoded-size estimate for the whole fixture: Σ w·h·3 bytes, computed
-    * from the geometry arithmetic — one cheap aggregate over doc ids,
-    * never an encode pass (at 100 TB the same figure comes from source
-    * listings / table statistics). Cached per fixture dir per JVM so
-    * every decode/featurize/frameSample CONSTRUCTION doesn't re-run it.
+  /** Decoded-size estimate for the whole fixture: Σ of the PERSISTED
+    * per-row `meta.decoded_bytes` — one cheap single-column aggregate over
+    * the stored table (at 100 TB the same figure comes from table
+    * statistics). Reading the stored column keeps exactly one copy of the
+    * geometry arithmetic ([[decodedBytes]], pinned by spec). Cached per
+    * fixture dir per JVM so every decode/featurize/frameSample
+    * CONSTRUCTION doesn't re-run it.
     */
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -209,15 +247,17 @@ object Multimodal {
   private[graft] def estimatedPayloadBytes(spark: SparkSession,
                                            sfDir: String): Long =
     sizeCache.computeIfAbsent(sfDir, _ =>
-      Tables.load(spark, sfDir, "documents")
-        .select(((lit(16) + (col("doc_id") * 7) % 49) *
-          (lit(16) + (col("doc_id") * 13) % 49) *
-          (lit(1) + col("doc_id") % 4) * 3).cast("long").as("b"))
-        .agg(coalesce(sum(col("b")), lit(0L))).head.getLong(0)).longValue()
+      mediaTable(spark, sfDir)
+        .agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
+        .head.getLong(0)).longValue()
 
   /** The shared batch shape for decode-style stages: payload column +
     * the metadata the decoder needs, byte-targeted repartitioning
-    * (= batch sizing at scale), typed rows.
+    * (= batch sizing at scale), typed rows. The byte target is an UPPER
+    * bound on decoded bytes per batch; partition count is floored at the
+    * cluster's default parallelism so a corpus that decodes under one
+    * batch still fans the (CPU-bound) decode across every core — more
+    * partitions only shrink batches, never violate the byte target.
     */
   private[graft] def mediaBatches(spark: SparkSession, sfDir: String,
                                   targetBatchBytes: Long) = {
@@ -226,9 +266,9 @@ object Multimodal {
       .select(col("doc_id"), col("content"),
         col("meta.frame_h").as("frame_h"))
     val totalBytes = estimatedPayloadBytes(spark, sfDir)
-    media
-      .repartition(batchCount(totalBytes, targetBatchBytes), col("doc_id"))
-      .as[MediaRow]
+    val n = math.max(batchCount(totalBytes, targetBatchBytes),
+      spark.sparkContext.defaultParallelism)
+    media.repartition(n, col("doc_id")).as[MediaRow]
   }
 
   def featurize(spark: SparkSession, sfDir: String,

@@ -59,6 +59,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media fixture is persisted once and batch sizing reads it back") {
+    // second load must hit the committed store, not re-encode: identical
+    // rows, and the loader's plan is a bare parquet scan (no serialized
+    // lambda from the encode mapPartitions)
+    val plan = Multimodal.mediaTable(spark, sf).queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      "mediaTable should read the persisted fixture, not re-encode")
+    // the persisted decoded_bytes column is pinned to the Scala geometry
+    // helpers — editing one without the other fails here
+    import org.apache.spark.sql.functions.col
+    val stored = Multimodal.mediaTable(spark, sf)
+      .select(col("doc_id"), col("meta.decoded_bytes")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored.nonEmpty)
+    stored.foreach { case (id, b) =>
+      assert(b == Multimodal.decodedBytes(id),
+        s"stored decoded_bytes desynced from helpers for doc $id")
+    }
+    assert(Multimodal.estimatedPayloadBytes(spark, sf) ==
+      stored.keysIterator.map(Multimodal.decodedBytes).sum)
+  }
+
   test("decode batch sizing follows the target-bytes knob") {
     // ceil-division partition math, clamped at both ends
     assert(Multimodal.batchCount(0L, 1024L) == 1)
@@ -72,10 +95,13 @@ class MultimodalSpec extends SparkSpec {
     val target = 1024L
     val want = Multimodal.batchCount(total, target)
     assert(want > 1)
+    val par = spark.sparkContext.defaultParallelism
     assert(Multimodal.mediaBatches(spark, sf, target)
-      .rdd.getNumPartitions == want)
+      .rdd.getNumPartitions == math.max(want, par))
+    // fixture decodes to ≪ 32 MiB → the byte target asks for one batch,
+    // but the parallelism floor still fans the decode across all cores
     assert(Multimodal.mediaBatches(spark, sf, Multimodal.DefaultBatchBytes)
-      .rdd.getNumPartitions == 1) // fixture decodes to ≪ 32 MiB
+      .rdd.getNumPartitions == par)
     assert(Multimodal.decode(spark, sf, targetBatchBytes = target)
       .collect().map(_.toSeq).toSeq ==
       Multimodal.decode(spark, sf).collect().map(_.toSeq).toSeq)
