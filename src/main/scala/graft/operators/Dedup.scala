@@ -233,14 +233,21 @@ object Dedup {
          |  JOIN dedup_shingles_sql s2 ON s2.doc_id = c.doc_b
          |   AND s2.h = s1.h
          |  GROUP BY c.doc_a, c.doc_b
+         |),
+         |scored AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jacc
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.doc_a
+         |  JOIN sizes nb ON nb.doc_id = i.doc_b
          |)
-         |SELECT i.doc_a, i.doc_b,
-         |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
-         |FROM inter i
-         |JOIN sizes na ON na.doc_id = i.doc_a
-         |JOIN sizes nb ON nb.doc_id = i.doc_b
-         |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= $threshold
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
+         |FROM scored
+         |WHERE jacc >= :threshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+      // named-parameter bind, not string interpolation: a NaN/Infinity or
+      // locale-formatted Double yields a typed error, never invalid SQL
+      Map("threshold" -> threshold))
   }
 
   /** Build (once) the persisted dedup index for the corpus: the shingle
