@@ -147,15 +147,52 @@ object AnnSearch {
     * bounded collect (`isin` literals → static PartitionFilters — the
     * cheapest plan when the probe set is a few MB); above it the search
     * keeps the probe DISTRIBUTED and lets dynamic partition pruning do
-    * the same file-level pruning ([[ivfSearchJoinedAt]]). The cost the
-    * threshold bounds is driver memory: the collect stages Q·d doubles
-    * plus Q·nprobe assignment rows — at d=2048 that is ~16 KB per query,
-    * so 1024 queries ≈ 16 MB (fine) while a 10⁶-query batch would be
-    * ~16 GB (a driver OOM). Same control-plane-count pattern as
+    * the same file-level pruning ([[ivfSearchJoinedAt]]). What this
+    * switch removes is the `isin`-literal COLLECT of Q·d doubles plus
+    * Q·nprobe assignment rows (at d=2048 ~16 KB per query: 1024 queries
+    * ≈ 16 MB fine, a 10⁶-query batch ~16 GB — a driver OOM). The joined
+    * strategy still BROADCASTS the probe frame — which stages it through
+    * the driver too — until [[BroadcastProbeByteLimit]], above which the
+    * hint drops and the join shuffles; the two bounds together are what
+    * make the claim "never stages Q·d doubles on the driver" true at any
+    * Q. Same control-plane-count pattern as
     * [[graft.operators.Dedup.autoPairedBands]]: the safe-at-scale mode
     * engages automatically, not by opt-in.
     */
   private[graft] val JoinProbeQueryThreshold = 1024L
+
+  /** Staging ceiling for BROADCASTING the probe side of the joined
+    * strategy, in bytes of query-vector payload (Q·nprobe·d·8): a
+    * broadcast exchange still collects the whole probe frame to the
+    * driver and replicates it to every executor, so the joined strategy
+    * alone only relocates the Q·d staging, it doesn't remove it. Above
+    * this bound the hint is dropped and the probe-vector join plans as a
+    * shuffle join: file-level pruning (DPP) is lost, but at that Q the
+    * probe set touches essentially every cluster anyway — with
+    * Q·nprobe ≫ k clusters there is nothing left to prune, and the
+    * shuffle join is the plan a 10⁶-query batch needs to survive.
+    * 1 GiB: comfortably under both the 8 GiB broadcast-relation cap and
+    * a typical driver/executor memory share.
+    */
+  private[graft] val BroadcastProbeByteLimit = 1L << 30
+
+  /** Vector dimensionality read from the tiny centroid table (one-row
+    * control-plane read) — the joined strategy needs it to price the
+    * probe payload against [[BroadcastProbeByteLimit]].
+    */
+  private def centroidDim(centersDf: DataFrame): Int =
+    centersDf.select(col("center")).head.getSeq[Double](0).length
+
+  /** The probe side of the joined strategy: broadcast while the staged
+    * payload is bounded, shuffle once it isn't. `expectedQ = 0` means
+    * "caller knows the probe is small" (fixture-forced plan tests) and
+    * keeps the broadcast shape.
+    */
+  private def probeSide(probes: DataFrame, expectedQ: Long, nProbe: Int,
+                        d: => Int): DataFrame =
+    if (expectedQ > 0 &&
+        expectedQ * nProbe * d * 8L > BroadcastProbeByteLimit) probes
+    else broadcast(probes)
 
   /** nprobe nearest centroids per query as a LAZY plan (tiny crossJoin:
     * Q × k centroids, k = O(√n)) — the ONE probe subplan both strategies
@@ -235,12 +272,12 @@ object AnnSearch {
     */
   private[graft] def ivfKnnJoined(spark: SparkSession, sfDir: String,
                                   nQueries: Int = 10, k: Int = 10,
-                                  nClusters: Int = 0,
-                                  nProbe: Int = 0): DataFrame = {
+                                  nClusters: Int = 0, nProbe: Int = 0,
+                                  expectedQ: Long = 0L): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = loadOrBuildIvf(spark, sfDir, nc)
     ivfSearchJoinedAt(spark, dir, queryVectors(spark, sfDir, nQueries), k,
-      resolveProbe(nc, nProbe))
+      resolveProbe(nc, nProbe), expectedQ)
   }
 
   /** Resolve an index dir to (centroids path, seq-ordered vector segment
@@ -281,7 +318,7 @@ object AnnSearch {
                           queries: DataFrame, k: Int, nProbe: Int,
                           expectedQ: Long = 0L): DataFrame = {
     if (expectedQ > JoinProbeQueryThreshold)
-      return ivfSearchJoinedAt(spark, dir, queries, k, nProbe)
+      return ivfSearchJoinedAt(spark, dir, queries, k, nProbe, expectedQ)
     ivfSearchCollectAt(spark, dir, queries, k, nProbe)
   }
 
@@ -316,16 +353,20 @@ object AnnSearch {
     * a Union — the broadcast exchange of the probe side is planned once
     * and reused across branches. Same probe window, same distance
     * expression, same ranking tail as the collect path → bit-identical
-    * rows (spec-asserted).
+    * rows (spec-asserted). Above [[BroadcastProbeByteLimit]] of staged
+    * probe payload the broadcast hint is dropped ([[probeSide]]) — the
+    * join shuffles instead of staging Q·d doubles through the driver.
     */
   private[graft] def ivfSearchJoinedAt(spark: SparkSession, dir: String,
                                        queries: DataFrame, k: Int,
-                                       nProbe: Int): DataFrame = {
+                                       nProbe: Int,
+                                       expectedQ: Long = 0L): DataFrame = {
     val (centroidsPath, segments) = ivfLayout(spark, dir)
     val centersDf = spark.read.parquet(centroidsPath)
     val probes = probeFrame(queries, centersDf, nProbe)
+    val p = probeSide(probes, expectedQ, nProbe, centroidDim(centersDf))
     val cands = segments.map { seg =>
-      broadcast(probes).join(spark.read.parquet(seg), "cluster")
+      p.join(spark.read.parquet(seg), "cluster")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),
           squaredL2(col("qu"), col("v")).as("dist"))
@@ -523,15 +564,18 @@ object AnnSearch {
       if (forceJoin || nQueries.toLong > JoinProbeQueryThreshold)
         // distributed probe: DPP from the broadcast join on the
         // partition column prunes the quantized scan (single segment —
-        // the SQ layout is always plain, so no per-segment fan-out)
-        (probeFrame(queries, centersDf, np),
+        // the SQ layout is always plain, so no per-segment fan-out);
+        // above BroadcastProbeByteLimit the hint drops away (probeSide)
+        (probeSide(probeFrame(queries, centersDf, np),
+          if (forceJoin) 0L else nQueries.toLong, np,
+          centroidDim(centersDf)),
           spark.read.parquet(s"$dir/vectors"))
       else {
         val (probedClusters, p) = probe(spark, queries, centersDf, np)
-        (p, spark.read.parquet(s"$dir/vectors")
+        (broadcast(p), spark.read.parquet(s"$dir/vectors")
           .filter(col("cluster").isin(probedClusters: _*)))
       }
-    val adist = broadcast(probes).join(assigned, "cluster")
+    val adist = probes.join(assigned, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
         squaredL2(col("qu"),
@@ -800,7 +844,8 @@ object AnnSearch {
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val recall = probeRecall(spark, out, union,
-      queryVectors(spark, sfDir, nQueries), k, resolveProbe(nc, 0))
+      queryVectors(spark, sfDir, nQueries), k, resolveProbe(nc, 0),
+      expectedQ = nQueries.toLong)
     val viols = Seq(
       Option.when(nOut != 2 * nBase)(
         ("vector_count", 2.0 * nBase, nOut.toDouble)),
@@ -812,17 +857,21 @@ object AnnSearch {
 
   /** Average recall@k of probing the index at `dir` against the exact
     * k-NN over an explicit normalized corpus — the shared measurement of
-    * both append gates (batch and streamed).
+    * both append gates (batch and streamed). `expectedQ` is the CALLER's
+    * known query count (required, no default): a recall gauge over a
+    * large query batch must take the driver-safe joined probe exactly
+    * like a search would.
     */
   private[graft] def probeRecall(spark: SparkSession, dir: String,
                                  union: DataFrame, queries: DataFrame,
-                                 k: Int, nProbe: Int): Double = {
+                                 k: Int, nProbe: Int,
+                                 expectedQ: Long): Double = {
     val exact = VectorSearch.topK(
       union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),
           squaredL2(col("qu"), col("v")).as("dist")), k)
       .select(col("query_id"), col("id")).localCheckpoint(true)
-    val approx = ivfSearchAt(spark, dir, queries, k, nProbe)
+    val approx = ivfSearchAt(spark, dir, queries, k, nProbe, expectedQ)
     val hits = exact.join(approx.select(col("query_id"), col("id")),
       Seq("query_id", "id"), "left_semi").count()
     hits.toDouble / exact.count()

@@ -596,7 +596,7 @@ object StreamingIndex {
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val recall = AnnSearch.probeRecall(spark, finalDir, union,
       AnnSearch.fixtureQueries(spark, sfDir, nQueries), k,
-      AnnSearch.defaultProbe(spark, sfDir))
+      AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),

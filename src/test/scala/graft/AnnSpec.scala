@@ -295,6 +295,38 @@ class AnnSpec extends SparkSpec {
     assert(gotSq.nonEmpty && gotSq == wantSq)
   }
 
+  test("probe broadcast drops to a shuffle join above the byte limit, " +
+      "bit-identically") {
+    // an expectedQ large enough that Q·nprobe·d·8 exceeds the 1 GiB
+    // staging ceiling: the probe side must lose its broadcast HINT —
+    // the planner is then free to pick by size (it would re-broadcast a
+    // genuinely tiny probe, and must not be able to broadcast a huge
+    // one). Observable: with cost-based auto-broadcast disabled, the
+    // hinted plan still forces BroadcastHashJoin, the unhinted one
+    // shuffles. Rows stay identical either way.
+    val want = AnnSearch.ivfKnn(spark, sf).collect().map(_.toSeq).toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val big = AnnSearch.ivfKnnJoined(spark, sf,
+        expectedQ = AnnSearch.BroadcastProbeByteLimit)
+      assert(big.collect().map(_.toSeq).toSeq == want)
+      val joins = big.queryExecution.sparkPlan.toString.linesIterator
+        .filter(l => l.contains("Join") && l.contains("cluster"))
+        .mkString("\n")
+      assert(joins.nonEmpty && !joins.contains("BroadcastHashJoin"), joins)
+      // below the limit the hint stays: probe→vectors join is still a
+      // forced broadcast even with auto-broadcast off
+      val small = AnnSearch.ivfKnnJoined(spark, sf)
+      assert(small.collect().map(_.toSeq).toSeq == want)
+      val sJoins = small.queryExecution.sparkPlan.toString.linesIterator
+        .filter(l => l.contains("Join") && l.contains("cluster"))
+        .mkString("\n")
+      assert(sJoins.contains("BroadcastHashJoin"), sJoins)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("joined probe searches a MANIFESTED (appended) version " +
       "identically to the collect probe") {
     // segments resolve per-branch under the join (union ABOVE the join,
