@@ -142,6 +142,15 @@ object SparkEntry {
     // spec-asserted BIT-IDENTICAL to ann_ivf_persisted (AnnSpec), so it
     // inherits the ivf recall gates transitively
     "sql_ann_ivf" -> ((s, d) => AnnSearch.sqlAnnIvf(s, d)),
+    // exact metadata-filtered k-NN (the brute-force truth of filtered
+    // vector search) and its IVF scale path: label rides IN the index
+    // rows, so the predicate pushes into the probed partition scan; the
+    // selectivity-scaled over-probe saturates at fixture scale, making
+    // BOTH entries share one exact filtered-kNN oracle (at 100 TB the
+    // IVF path is genuinely approximate — its recall floor rides in
+    // ann_recall_violations)
+    "knn_filtered" -> ((s, d) => VectorSearch.knnSearchFiltered(s, d)),
+    "ann_filtered" -> ((s, d) => AnnSearch.ivfFilteredKnn(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),
@@ -424,6 +433,32 @@ object SparkEntry {
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** [[DuckKnnOracle]] with the metadata predicate on the candidate side
+    * — the exact filtered-kNN truth `knn_filtered` and `ann_filtered`
+    * are both checked against.
+    */
+  private val DuckKnnFilteredOracle =
+    """WITH normed AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |  FROM normed q JOIN normed c
+        |    ON c.vec_id <> q.vec_id AND c.label = 1
+        |  WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT query_id, id, round(dist, 6) AS distance, rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   private val DuckToks =
     """toks AS (
       |  SELECT doc_id, tok FROM (
@@ -463,6 +498,11 @@ object SparkEntry {
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
     "sql_vector_knn" -> DuckKnnOracle,
+    // exact filtered k-NN: the knn oracle with the metadata predicate on
+    // the CANDIDATE side only (queries stay unfiltered); shared verbatim
+    // by the brute-force baseline and the saturated-probe IVF path
+    "knn_filtered" -> DuckKnnFilteredOracle,
+    "ann_filtered" -> DuckKnnFilteredOracle,
     // mirrors the FULL SQ8 pipeline (quantize → asymmetric distance →
     // top-40 candidates → exact rescore → top-10), so the gate equality is
     // by construction; every arithmetic step is IEEE double + HALF_UP

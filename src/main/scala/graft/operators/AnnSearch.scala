@@ -588,6 +588,125 @@ object AnnSearch {
       VectorSearch.normalized(spark, sfDir), k)
   }
 
+  /** Load-or-build the PAYLOAD-CARRYING IVF layout: the same centroids
+    * and cluster-partitioned vectors as the plain index, with the
+    * filterable metadata column (`label`) riding IN the vector rows —
+    * the layout every production vector store uses for metadata
+    * filtering, so a predicate composes with the partition prune as a
+    * pushed filter on the SAME scan. Derived from the plain index's
+    * committed artifacts (one assignment pass is shared); a from-scratch
+    * deployment builds with payload columns on day one.
+    */
+  private def loadOrBuildFilteredIvf(spark: SparkSession, sfDir: String,
+                                     nClusters: Int): String = {
+    val dir = IndexStore.indexDir(sfDir, s"ivf$nClusters-flt-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/vectors")) {
+      val base = loadOrBuildIvf(spark, sfDir, nClusters)
+      IndexStore.saveDataset(
+        spark.read.parquet(s"$base/centroids"), s"$dir/centroids")
+      val labels = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+      spark.read.parquet(s"$base/vectors").join(labels, "vec_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(s"$dir/vectors")
+    }
+    dir
+  }
+
+  /** Fraction of the corpus matching `label` — the predicate SELECTIVITY
+    * the filtered probe over-probes by. Two cached control-plane counts
+    * (at 100 TB both come from table statistics / NDV sketches).
+    */
+  private val selCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def labelSelectivity(spark: SparkSession, sfDir: String,
+                               label: Int): Double =
+    selCache.computeIfAbsent(s"$sfDir#$label", _ => {
+      val matching = Tables.load(spark, sfDir, "embeddings")
+        .filter(col("label") === label).count()
+      matching.toDouble / math.max(1L, embeddingCount(spark, sfDir))
+    }).doubleValue()
+
+  /** FILTERED approximate k-NN: metadata predicate + IVF probe in ONE
+    * plan — the promised-but-missing `search_by_text`-style filtered
+    * search direction (`README.md:37`). Two compositions make it scale:
+    *
+    *  - the predicate prunes INSIDE the partition scan: `label` is a
+    *    payload column of the cluster-partitioned index, so the probed
+    *    scan carries BOTH `PartitionFilters` (cluster ∈ probed) and
+    *    `PushedFilters` (label = L) — matching rows are selected at the
+    *    row-group level of only the probed partitions, never filtered
+    *    after a full read;
+    *  - the probe OVER-PROBES inversely to selectivity: a predicate
+    *    matching fraction `sel` of the corpus thins every cluster's
+    *    candidates by `sel`, so reaching the unfiltered candidate count
+    *    needs ~nprobe/sel clusters (the standard filtered-ANN heuristic).
+    *    Saturation at nc clusters makes sparse fixtures EXACT — at the
+    *    gate scales the over-probe saturates, so this entry shares the
+    *    exact filtered-kNN oracle; at 100 TB (nc = √n ≫ nprobe/sel) it
+    *    is a genuine partition-pruned approximate search. A predicate
+    *    selective enough to saturate every probe (sel → 0) wants a
+    *    different layout — partition by (label, cluster) — noted, not
+    *    built: at that point the filter IS the index.
+    *
+    * Same probe window, distance, and ranking tail as [[ivfKnn]]; same
+    * high-Q auto-switch ([[JoinProbeQueryThreshold]], [[probeSide]]).
+    */
+  def ivfFilteredKnn(spark: SparkSession, sfDir: String, label: Int = 1,
+                     nQueries: Int = 10, k: Int = 10, nClusters: Int = 0,
+                     nProbe: Int = 0): DataFrame =
+    ivfFilteredSearch(spark, sfDir, label, nQueries, k, nClusters, nProbe,
+      forceJoin = false)
+
+  /** [[ivfFilteredKnn]] forced onto the joined-probe strategy — the
+    * high-Q plan made testable at fixture scale (bit-identity spec).
+    */
+  private[graft] def ivfFilteredKnnJoined(spark: SparkSession,
+                                          sfDir: String, label: Int = 1,
+                                          nQueries: Int = 10, k: Int = 10,
+                                          nClusters: Int = 0,
+                                          nProbe: Int = 0): DataFrame =
+    ivfFilteredSearch(spark, sfDir, label, nQueries, k, nClusters, nProbe,
+      forceJoin = true)
+
+  /** The over-probed cluster count of a filtered search: nprobe/sel,
+    * saturating at the cluster count. Exposed for the saturation spec.
+    */
+  private[graft] def filteredProbe(nProbe: Int, nClusters: Int,
+                                   sel: Double): Int =
+    math.min(nClusters.toLong,
+      math.ceil(nProbe / math.max(sel, 1e-12)).toLong).toInt
+
+  private def ivfFilteredSearch(spark: SparkSession, sfDir: String,
+                                label: Int, nQueries: Int, k: Int,
+                                nClusters: Int, nProbe: Int,
+                                forceJoin: Boolean): DataFrame = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = loadOrBuildFilteredIvf(spark, sfDir, nc)
+    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val np = filteredProbe(resolveProbe(nc, nProbe), nc,
+      labelSelectivity(spark, sfDir, label))
+    val (probes, assigned) =
+      if (forceJoin || nQueries.toLong > JoinProbeQueryThreshold)
+        (probeSide(probeFrame(queries, centersDf, np),
+          if (forceJoin) 0L else nQueries.toLong, np,
+          centroidDim(centersDf)),
+          spark.read.parquet(s"$dir/vectors"))
+      else {
+        val (probedClusters, p) = probe(spark, queries, centersDf, np)
+        (broadcast(p), spark.read.parquet(s"$dir/vectors")
+          .filter(col("cluster").isin(probedClusters: _*)))
+      }
+    VectorSearch.topK(
+      probes.join(assigned.filter(col("label") === label), "cluster")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
+  }
+
   /** The persisted-IVF scale path through the PURE-SQL surface — what a
     * SQL-only consumer of the library runs (the exact-k-NN twin is
     * `sql_vector_knn`). The index artifacts are exposed as views over the
@@ -658,14 +777,15 @@ object AnnSearch {
                 nQueries: Int = 10, k: Int = 10,
                 floors: Map[String, Double] =
                   Map("lsh" -> 0.8, "ivf" -> 0.6, "ivf_sq" -> 0.6,
-                    "pq" -> 0.4)): DataFrame = {
+                    "pq" -> 0.4, "ivf_filtered" -> 0.6)): DataFrame = {
     val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("id"))
     val allQueries = exact.select(col("query_id")).distinct()
     // left join from the full query list so a method that found zero true
     // neighbors for some query reports recall 0 rather than vanishing
-    def recallOf(name: String, approx: DataFrame): DataFrame = {
-      val hits = exact.join(approx.select(col("query_id"), col("id")),
+    def recallAgainst(exactRef: DataFrame, name: String,
+                      approx: DataFrame): DataFrame = {
+      val hits = exactRef.join(approx.select(col("query_id"), col("id")),
           Seq("query_id", "id"), "left_semi")
         .groupBy("query_id")
         .agg(count(lit(1)).as("n_hits"))
@@ -676,11 +796,21 @@ object AnnSearch {
         .withColumn("floor", lit(floors.getOrElse(name, 0.8)))
         .withColumn("meets_floor", col("recall") >= col("floor"))
     }
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      recallAgainst(exact, name, approx)
+    // the filtered method's truth is the exact FILTERED k-NN — recall
+    // against the unfiltered exact would conflate predicate selectivity
+    // with probe misses
+    val filteredExact = VectorSearch
+      .knnSearchFiltered(spark, sfDir, nQueries = nQueries, k = k)
+      .select(col("query_id"), col("id"))
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallOf("ivf_sq", ivfSqKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallOf("pq",
         Quantize.pqKnn(spark, sfDir, nQueries, k)))
+      .unionAll(recallAgainst(filteredExact, "ivf_filtered",
+        ivfFilteredKnn(spark, sfDir, nQueries = nQueries, k = k)))
       .select(col("method"), col("query_id"), col("recall"),
         col("floor"), col("meets_floor"))
       .orderBy("method", "query_id")
@@ -708,7 +838,8 @@ object AnnSearch {
                           nQueries: Int = 10, k: Int = 10,
                           queryMinima: Map[String, Double] =
                             Map("lsh" -> 0.5, "ivf" -> 0.25,
-                              "ivf_sq" -> 0.25, "pq" -> 0.15)): DataFrame = {
+                              "ivf_sq" -> 0.25, "pq" -> 0.15,
+                              "ivf_filtered" -> 0.25)): DataFrame = {
     // materialize ONCE: both violation branches derive from r, and the
     // recall report costs the exact kNN plus all four approximate
     // searches — without the cut the union would run that suite twice

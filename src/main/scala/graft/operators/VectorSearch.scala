@@ -87,6 +87,29 @@ object VectorSearch {
         squaredL2(col("qv"), col("v")).as("dist")), k)
   }
 
+  /** Exact METADATA-FILTERED top-k: the brute-force baseline of filtered
+    * vector search ("nearest neighbors among vectors WHERE label = L" —
+    * the reference's OCR-text column exists to be filtered on,
+    * `main.py:112`). The predicate lands on the candidate side BEFORE the
+    * distance join, and because it filters the raw table projection it
+    * reaches the parquet scan as a pushed filter — the scan reads only
+    * label-matching row groups, and the distance pass is over n·sel
+    * candidates, not n. Queries are NOT filtered: any vector may ask for
+    * its nearest neighbors within the filtered slice.
+    */
+  def knnSearchFiltered(spark: SparkSession, sfDir: String,
+                        label: Int = 1, nQueries: Int = 10,
+                        k: Int = 10): DataFrame = {
+    val queries = normalized(spark, sfDir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cands = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("label") === label)
+      .select(col("vec_id"), l2Normalize(col("embedding")).as("v"))
+    topK(cands.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        squaredL2(col("qv"), col("v")).as("dist")), k)
+  }
+
   /** Hashing-trick text embeddings: token-count vector over `dim` hash
     * buckets, L2-normalized — the deterministic, engine-portable stand-in
     * for a model-produced text embedding (the reference's declared

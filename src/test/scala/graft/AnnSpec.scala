@@ -347,6 +347,35 @@ class AnnSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("filtered ANN pushes the predicate INSIDE the probed partition " +
+      "scan and saturates to the exact filtered k-NN") {
+    val res = AnnSearch.ivfFilteredKnn(spark, sf)
+    val got = res.collect().map(_.toSeq).toSeq
+    // over-probe saturation: 10 labels → sel ≈ 0.1, nprobe/sel ≥ nc, so
+    // the probe covers every cluster and the result IS the exact
+    // filtered k-NN (the oracle both entries share)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nc = AnnSearch.autoClusters(n)
+    assert(AnnSearch.filteredProbe(AnnSearch.autoProbe(nc), nc, 0.1) == nc)
+    // a genuinely selective probe does NOT saturate (the 100 TB regime)
+    assert(AnnSearch.filteredProbe(4, 100000, 0.1) == 40)
+    val want = graft.operators.VectorSearch.knnSearchFiltered(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // plan shape: ONE scan carries BOTH the partition prune (cluster
+    // isin literals) and the pushed metadata predicate (label = 1) —
+    // filtering at the row-group level of only the probed partitions
+    val scanLines = res.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l =>
+      "PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(l).nonEmpty &&
+        "PushedFilters: \\[[^\\]]*EqualTo\\(label,1\\)".r
+          .findFirstIn(l).nonEmpty), scanLines.mkString("\n"))
+    // the high-Q joined strategy returns identical rows
+    val joined = AnnSearch.ivfFilteredKnnJoined(spark, sf)
+    assert(joined.collect().map(_.toSeq).toSeq == want)
+  }
+
   test("SQL-only IVF probe equals the programmatic scale path") {
     val sql = AnnSearch.sqlAnnIvf(spark, sf)
     val got = sql.collect().map(_.toSeq).toSeq
