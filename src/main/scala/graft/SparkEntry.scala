@@ -102,6 +102,10 @@ object SparkEntry {
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "merged_index_dedup" -> ((s, d) => Dedup.mergedIndexDedup(s, d)),
     "dup_groups" -> ((s, d) => Dedup.dupGroups(s, d)),
+    // the closure through the pure-SQL surface: bounded min-propagation
+    // unroll (Spark SQL has no UNION-distinct recursion), bit-identical
+    // to dup_groups by spec
+    "sql_dup_groups" -> ((s, d) => Dedup.sqlDupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     // cap pinned at the auto formula's fixture value so the DuckDB
@@ -432,6 +436,28 @@ object SparkEntry {
         |)
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** Connected components of the near-dup pair graph, shared by
+    * `dup_groups` and its pure-SQL twin `sql_dup_groups`: DuckDB's
+    * recursive CTE computes true reachability, so the min reachable
+    * label per node is the component minimum.
+    */
+  private lazy val DuckDupGroupsOracle =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$MinhashOracleSql
+       |  )
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+       |)
+       |SELECT id AS doc_id, min(label) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** [[DuckKnnOracle]] with the metadata predicate on the candidate side
     * — the exact filtered-kNN truth `knn_filtered` and `ann_filtered`
@@ -996,22 +1022,11 @@ object SparkEntry {
     "sql_minhash_dedup" -> MinhashOracleSql,
     // connected components of the near-dup pair graph: min label
     // reachable from each node == the component's min doc_id
-    "dup_groups" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |$MinhashOracleSql
-         |  )
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs
-         |), reach(id, label) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
-         |)
-         |SELECT id AS doc_id, min(label) AS component
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dup_groups" -> DuckDupGroupsOracle,
+    // the SQL-only closure (bounded min-propagation unroll) is
+    // spec-asserted bit-identical to dup_groups, so it shares the
+    // recursive oracle verbatim
+    "sql_dup_groups" -> DuckDupGroupsOracle,
     // the deletion step: per duplicate component keep the best-quality
     // member (ties -> lowest id); corpus copies (id >= 10000) score via
     // their base doc

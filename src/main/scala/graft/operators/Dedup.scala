@@ -195,58 +195,126 @@ object Dedup {
     * ordering → bit-identical rows to [[minhashDedup]] (spec-asserted),
     * so the SQL surface shares `minhash_dedup`'s oracle verbatim.
     */
+  /** The signature → band → candidate → exact-Jaccard CTE chain over the
+    * exposed shingle view, ending in a `pairs` CTE of the
+    * threshold-passing near-dup pairs — the shared SQL front half of
+    * [[sqlMinhashDedup]] and [[sqlDupGroups]] (one formulation, so the
+    * SQL pair semantics cannot fork between the pair list and the
+    * closure). The threshold is a NAMED PARAMETER, bound at
+    * `spark.sql(text, args)` — never string-interpolated.
+    */
+  private val MinhashPairsCtes: String =
+    """consts AS (
+      |  SELECT * FROM VALUES
+      |    (0,37,17),(1,49,118),(2,61,219),(3,73,320),(4,85,421),
+      |    (5,97,522),(6,109,623),(7,121,724),(8,133,825),(9,145,926),
+      |    (10,157,1027),(11,169,1128) AS t(i, a, b)
+      |),
+      |mh AS (
+      |  SELECT doc_id, i, min((a * x + b) % 4294967291) AS mh
+      |  FROM dedup_shingles_sql CROSS JOIN consts
+      |  GROUP BY doc_id, i
+      |),
+      |bands AS (
+      |  SELECT doc_id, i div 3 AS band,
+      |    sum(mh * (i % 3 + 1)) AS band_key
+      |  FROM mh GROUP BY doc_id, i div 3
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id
+      |),
+      |sizes AS (
+      |  SELECT doc_id, count(*) AS n
+      |  FROM dedup_shingles_sql GROUP BY doc_id
+      |),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |  FROM cand c
+      |  JOIN dedup_shingles_sql s1 ON s1.doc_id = c.doc_a
+      |  JOIN dedup_shingles_sql s2 ON s2.doc_id = c.doc_b
+      |   AND s2.h = s1.h
+      |  GROUP BY c.doc_a, c.doc_b
+      |),
+      |scored AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |    CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jacc
+      |  FROM inter i
+      |  JOIN sizes na ON na.doc_id = i.doc_a
+      |  JOIN sizes nb ON nb.doc_id = i.doc_b
+      |),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= :threshold
+      |)""".stripMargin
+
   def sqlMinhashDedup(spark: SparkSession, sfDir: String,
                       threshold: Double = 0.5): DataFrame = {
     injectedShingleTable(spark, sfDir)
       .createOrReplaceTempView("dedup_shingles_sql")
     spark.sql(
-      s"""WITH consts AS (
-         |  SELECT * FROM VALUES
-         |    (0,37,17),(1,49,118),(2,61,219),(3,73,320),(4,85,421),
-         |    (5,97,522),(6,109,623),(7,121,724),(8,133,825),(9,145,926),
-         |    (10,157,1027),(11,169,1128) AS t(i, a, b)
-         |),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * x + b) % 4294967291) AS mh
-         |  FROM dedup_shingles_sql CROSS JOIN consts
-         |  GROUP BY doc_id, i
-         |),
-         |bands AS (
-         |  SELECT doc_id, i div 3 AS band,
-         |    sum(mh * (i % 3 + 1)) AS band_key
-         |  FROM mh GROUP BY doc_id, i div 3
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id
-         |),
-         |sizes AS (
-         |  SELECT doc_id, count(*) AS n
-         |  FROM dedup_shingles_sql GROUP BY doc_id
-         |),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
-         |  FROM cand c
-         |  JOIN dedup_shingles_sql s1 ON s1.doc_id = c.doc_a
-         |  JOIN dedup_shingles_sql s2 ON s2.doc_id = c.doc_b
-         |   AND s2.h = s1.h
-         |  GROUP BY c.doc_a, c.doc_b
-         |),
-         |scored AS (
-         |  SELECT i.doc_a, i.doc_b,
-         |    CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jacc
-         |  FROM inter i
-         |  JOIN sizes na ON na.doc_id = i.doc_a
-         |  JOIN sizes nb ON nb.doc_id = i.doc_b
-         |)
+      s"""WITH $MinhashPairsCtes
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
-         |FROM scored
-         |WHERE jacc >= :threshold
+         |FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
-      // named-parameter bind, not string interpolation: a NaN/Infinity or
-      // locale-formatted Double yields a typed error, never invalid SQL
+      Map("threshold" -> threshold))
+  }
+
+  /** How many min-propagation rounds [[sqlDupGroups]] unrolls. Plain SQL
+    * (no recursion) needs `diameter` rounds for the component minimum to
+    * reach every member; the fixture pair graph's diameter is ≤ 4
+    * (injected groups are stars/short chains) and the spec asserts
+    * bit-identity with the converged iterative [[dupGroups]], so a
+    * fixture change that outgrows this cap fails loudly rather than
+    * mislabeling. 12 ≫ 4 keeps slack without measurable cost (each
+    * round is one equi-join + one partial agg over |E|+|V| rows).
+    */
+  private[graft] val SqlClosureRounds = 12
+
+  /** Duplicate GROUPS through the PURE-SQL surface — the last dedup tier
+    * a SQL-only consumer couldn't reach. True recursion is not available
+    * (Spark 4.1 rejects UNION-distinct inside WITH RECURSIVE, and the
+    * UNION ALL form cannot reach a fixpoint on a cyclic pair graph), so
+    * the closure is the VERDICT-suggested bounded unroll: the shared
+    * [[MinhashPairsCtes]] front half, then [[SqlClosureRounds]] chained
+    * rounds of label(x) := min over (neighbors ∪ self) of label — each
+    * round ONE generated CTE that references its predecessor exactly
+    * once (self-loops in the adjacency make the single aggregate cover
+    * the keep-own-label case), so the plan is linear in rounds, never an
+    * exponential CTE re-expansion. Output and ordering match
+    * [[dupGroups]] bit-for-bit (spec-asserted), so the entry shares
+    * `dup_groups`' recursive DuckDB oracle verbatim.
+    */
+  def sqlDupGroups(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    injectedShingleTable(spark, sfDir)
+      .createOrReplaceTempView("dedup_shingles_sql")
+    val rounds = (1 to SqlClosureRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT a.src AS id, min(r.label) AS label
+         |  FROM adj a JOIN r${i - 1} r ON r.id = a.dst
+         |  GROUP BY a.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    spark.sql(
+      s"""WITH $MinhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |adj AS (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL
+         |  SELECT id, id FROM nodes
+         |),
+         |r0 AS (SELECT id, id AS label FROM nodes),
+         |$rounds
+         |SELECT id AS doc_id, label AS component
+         |FROM r$SqlClosureRounds
+         |ORDER BY doc_id""".stripMargin,
       Map("threshold" -> threshold))
   }
 

@@ -38,6 +38,20 @@ class DedupSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Join")).take(8).mkString("\n"))
   }
 
+  test("SQL-only dup groups equal the iterative closure") {
+    val sql = Dedup.sqlDupGroups(spark, sf)
+    val got = sql.collect().map(_.toSeq).toSeq
+    // dupGroups require-fails if unconverged, so equality here proves the
+    // bounded unroll's round count covers the fixture graph's diameter
+    val want = Dedup.dupGroups(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // every generated propagation round is an equi-join — an all-pairs
+    // closure would be the scale killer
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      plan.linesIterator.filter(_.contains("Join")).take(8).mkString("\n"))
+  }
+
   test("simhash of a near-identical doc is within small hamming distance") {
     val rows = Dedup.simhashDedup(spark, sf).collect()
     val injected = rows.filter(r =>
