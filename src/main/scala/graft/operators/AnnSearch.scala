@@ -200,14 +200,25 @@ object AnnSearch {
     * drift between the collected and joined paths or the IVF layouts.
     */
   private def probeFrame(queries: DataFrame, centersDf: DataFrame,
-                         nProbe: Int): DataFrame = {
+                         nProbe: Int): DataFrame =
+    probeFrameRanked(queries, centersDf)
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qu"), col("cluster"))
+
+  /** [[probeFrame]] WITHOUT the nprobe cut, keeping the per-query probe
+    * rank `cr`: probe sets are NESTED in the rank (cr ≤ p ⊆ cr ≤ p′ for
+    * p ≤ p′), which is what lets an operating-point sweep derive every
+    * nprobe point from ONE materialized full-probe frame
+    * ([[annRecallCurve]]).
+    */
+  private def probeFrameRanked(queries: DataFrame,
+                               centersDf: DataFrame): DataFrame = {
     val wc = Window.partitionBy("query_id")
       .orderBy(col("cdist"), col("cluster"))
     queries.crossJoin(broadcast(centersDf))
       .withColumn("cdist", squaredL2(col("qu"), col("center")))
       .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nProbe)
-      .select(col("query_id"), col("qu"), col("cluster"))
+      .select(col("query_id"), col("qu"), col("cluster"), col("cr"))
   }
 
   /** nprobe nearest centroids per query, COLLECTED (the low-Q strategy).
@@ -882,10 +893,14 @@ object AnnSearch {
     * can only move closer to the exact result — so the spec asserts
     * monotonicity deterministically (for cost_rows too), and full probe
     * (nprobe = nClusters) must hit recall 1.0 exactly at
-    * cost_rows = nQueries · n. The driver-side loop is control-plane
-    * only (≤ 9 operating points, one distributed search job each, exactly
-    * like text_rank's iteration loop); per-point recall is a count
-    * aggregate, never a row collect.
+    * cost_rows = nQueries · n. Probe-rank nesting makes the sweep cheap:
+    * each layout's candidate frame is materialized ONCE at full probe
+    * and an operating point is a rank filter + ranking tail (identical
+    * rows to running that point's search directly — the same subset the
+    * point's own probe would select). The driver-side loop is
+    * control-plane only (≤ 9 operating points, like text_rank's
+    * iteration loop); per-point recall is a count aggregate, never a
+    * row collect.
     */
   def annRecallCurve(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
@@ -899,40 +914,65 @@ object AnnSearch {
         Seq("query_id", "id"), "left_semi").count()
       math.round(hits / denom * 10000.0) / 10000.0
     }
-    // probe pricing: cluster sizes collected once (O(√n) rows), each
-    // point's row cost summed from its probe assignments
     val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
-    val clusterSizes = spark.read.parquet(s"$ivfDir/vectors")
-      .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val centersDf = spark.read.parquet(s"$ivfDir/centroids")
     val queries = queryVectors(spark, sfDir, nQueries)
-    def probedRows(p: Int): Long =
-      probeAssignments(spark, queries, centersDf, p)
-        .map(a => clusterSizes.getOrElse(a._3, 0L)).sum
     val n = embeddingCount(spark, sfDir)
     val probePoints = Seq(math.max(1, nc / 8), autoProbe(nc), nc).distinct
     val rerankPoints = Seq(k, 40, 120).distinct
-    // price each probe point ONCE — the ivf and ivf_sq layouts hold the
-    // same rows per cluster, so their cost_rows are identical and the
-    // assignment job (cross join + window + collect) need not run twice
-    val pricedRows = probePoints.map(p => p -> probedRows(p)).toMap
+    // probe sets are NESTED in the probe rank, so the whole sweep derives
+    // from ONE ranked full-probe frame: pricing is a single Q·nc
+    // control-plane collect (never per point), and each layout's
+    // candidate frame is materialized ONCE at nprobe = nc — an operating
+    // point is then a `cr <= p` filter plus the (cheap) ranking tail,
+    // not a re-probe + re-scan
+    val probes = probeFrameRanked(queries, centersDf).localCheckpoint(true)
+    val clusterSizes = spark.read.parquet(s"$ivfDir/vectors")
+      .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val assignments = probes.select(col("cluster"), col("cr")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    def probedRows(p: Int): Long = assignments.iterator
+      .filter(_._2 <= p).map(a => clusterSizes.getOrElse(a._1, 0L)).sum
+    // full-probe candidates per layout, each ONE scan+join (ivf_sq holds
+    // the same rows per cluster at ~3.5× fewer bytes; pq's ADC scans
+    // every code, so its one frame is rerank-independent already)
+    val ivfCand = probes
+      .join(spark.read.parquet(s"$ivfDir/vectors"), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cr"), col("vec_id").as("id"),
+        squaredL2(col("qu"), col("v")).as("dist"))
+      .localCheckpoint(true)
+    val sqDir = buildIvfSqIndex(spark, sfDir, nc)
+    val sqCand = probes
+      .join(spark.read.parquet(s"$sqDir/vectors"), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cr"), col("qu"),
+        col("vec_id").as("id"),
+        squaredL2(col("qu"),
+          transform(col("qv"), x => x.cast("double") / col("scale")))
+          .as("adist"))
+      .localCheckpoint(true)
+    val pqCand = Quantize.pqAdist(spark, sfDir, nQueries)
+      .localCheckpoint(true)
+    val normed = VectorSearch.normalized(spark, sfDir)
     val rows =
       probePoints.map { p =>
         ("ivf", p.toLong,
-          recallOf(ivfKnn(spark, sfDir, nQueries, k, nc, p)),
-          pricedRows(p))
+          recallOf(VectorSearch.topK(ivfCand.filter(col("cr") <= p), k)),
+          probedRows(p))
       } ++
       probePoints.map { p =>
-        // the SQ8 layout holds the SAME rows per cluster (quantize is a
-        // map over the assigned table), at ~3.5x fewer bytes each
         ("ivf_sq", p.toLong,
-          recallOf(ivfSqKnn(spark, sfDir, nQueries, k, nc, p)),
-          pricedRows(p))
+          recallOf(VectorSearch.rescoreTopK(
+            VectorSearch.pruneCandidates(
+              sqCand.filter(col("cr") <= p), 40), normed, k)),
+          probedRows(p))
       } ++
       rerankPoints.map { r =>
         ("pq", r.toLong,
-          recallOf(Quantize.pqKnn(spark, sfDir, nQueries, k, rerank = r)),
+          recallOf(VectorSearch.rescoreTopK(
+            VectorSearch.pruneCandidates(pqCand, r), normed, k)),
           math.min(r.toLong, n - 1) * nQueries)
       }
     rows.toDF("method", "cost", "recall", "cost_rows")
