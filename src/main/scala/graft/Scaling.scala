@@ -246,6 +246,39 @@ object Scaling {
       val exp = math.log(b / a) / math.log(factor.toDouble)
       f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,"exponent":$exp%.2f}"""
     }
+    // multimodal tier: decode + featurize at both corpus scales under
+    // the FIXED 32 MiB decoded-byte batch target (batch COUNT grows with
+    // the corpus, per-batch decoded bytes do not). The persisted media
+    // fixture is built untimed (same build-once discipline as WarmUp),
+    // so the timed pass measures the decode stage. Rows carry total
+    // decoded bytes at each scale: exponent ≈ 1 with flat decoded-MB/s
+    // is the "no super-linear term, flat per-batch cost" evidence.
+    val mmQueries = Seq("multimodal_decode", "multimodal_featurize")
+    def runMm(dir: String): Seq[(String, Double)] = {
+      try SparkEntry.queries("multimodal_decode")(spark, dir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scaling] media fixture build @ $dir " +
+          s"failed: ${e.getMessage}")
+      }
+      mmQueries.map { n =>
+        sweep()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val mm1 = runMm(base)
+    val mmN = runMm(big)
+    val mmBytes1 = graft.operators.Multimodal
+      .estimatedPayloadBytes(spark, base)
+    val mmBytesN = graft.operators.Multimodal
+      .estimatedPayloadBytes(spark, big)
+    val mmRows = mm1.zip(mmN).map { case ((n, a), (_, b)) =>
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,""" +
+        f""""exponent":$exp%.2f,"bytes1":$mmBytes1,"bytesN":$mmBytesN}"""
+    }
+
     // streaming tier: FIXED batch per trigger at both corpus scales —
     // exponent ~0 = per-trigger cost independent of the base corpus, and
     // written bytes must stay flat (the manifest-version guarantee)
@@ -260,7 +293,7 @@ object Scaling {
           f""""exponent":$exp%.2f,"bytes1":$b1,"bytesN":$bN,""" +
           f""""segs1":$g1,"segsN":$gN}"""
     }
-    val json = (rows ++ streamRows).mkString("[", ",", "]")
+    val json = (rows ++ mmRows ++ streamRows).mkString("[", ",", "]")
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
       "SCALING_RESULTS.json")

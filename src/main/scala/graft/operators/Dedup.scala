@@ -263,33 +263,48 @@ object Dedup {
 
   /** How many min-propagation rounds [[sqlDupGroups]] unrolls. Plain SQL
     * (no recursion) needs `diameter` rounds for the component minimum to
-    * reach every member; the fixture pair graph's diameter is ≤ 4
-    * (injected groups are stars/short chains) and the spec asserts
-    * bit-identity with the converged iterative [[dupGroups]], so a
-    * fixture change that outgrows this cap fails loudly rather than
-    * mislabeling. 12 ≫ 4 keeps slack without measurable cost (each
-    * round is one equi-join + one partial agg over |E|+|V| rows).
+    * reach every member; measured on the sf0.1 fixture, plain
+    * propagation converges in 2 rounds (the injected groups are stars —
+    * the 2nd round is already the no-change confirmation), and the spec
+    * asserts bit-identity with the converged iterative [[dupGroups]], so
+    * a fixture change that outgrows this cap fails loudly rather than
+    * mislabeling. 6 = 3× the measured need; each round costs a fixed
+    * ~0.3 s of shuffle latency over the materialized pair view, so slack
+    * is priced, not free.
     */
-  private[graft] val SqlClosureRounds = 12
+  private[graft] val SqlClosureRounds = 6
 
   /** Duplicate GROUPS through the PURE-SQL surface — the last dedup tier
     * a SQL-only consumer couldn't reach. True recursion is not available
     * (Spark 4.1 rejects UNION-distinct inside WITH RECURSIVE, and the
     * UNION ALL form cannot reach a fixpoint on a cyclic pair graph), so
-    * the closure is the VERDICT-suggested bounded unroll: the shared
-    * [[MinhashPairsCtes]] front half, then [[SqlClosureRounds]] chained
-    * rounds of label(x) := min over (neighbors ∪ self) of label — each
-    * round ONE generated CTE that references its predecessor exactly
-    * once (self-loops in the adjacency make the single aggregate cover
-    * the keep-own-label case), so the plan is linear in rounds, never an
-    * exponential CTE re-expansion. Output and ordering match
-    * [[dupGroups]] bit-for-bit (spec-asserted), so the entry shares
-    * `dup_groups`' recursive DuckDB oracle verbatim.
+    * the closure is the VERDICT-suggested bounded unroll:
+    * [[SqlClosureRounds]] chained rounds of label(x) := min over
+    * (neighbors ∪ self) of label — each round ONE generated CTE that
+    * references its predecessor exactly once (self-loops in the
+    * adjacency make the single aggregate cover the keep-own-label case).
+    *
+    * TWO statements, exactly as a SQL user would stage it: the shared
+    * [[MinhashPairsCtes]] pair list is MATERIALIZED first (the CREATE
+    * TABLE AS step of any iterative SQL algorithm), then the unroll runs
+    * over the tiny pair view. The staging is load-bearing, not style:
+    * Spark inlines CTEs per reference, so a single combined statement
+    * re-evaluates the O(corpus) signature front half once per round —
+    * measured 300 parquet scans and 7 s where the staged form does one
+    * front-half pass and ~0.9 s. Output and ordering match [[dupGroups]]
+    * bit-for-bit (spec-asserted), so the entry shares `dup_groups`'
+    * recursive DuckDB oracle verbatim.
     */
   def sqlDupGroups(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.5): DataFrame = {
     injectedShingleTable(spark, sfDir)
       .createOrReplaceTempView("dedup_shingles_sql")
+    spark.sql(
+      s"""WITH $MinhashPairsCtes
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+      Map("threshold" -> threshold))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("dedup_pairs_sql")
     val rounds = (1 to SqlClosureRounds).map { i =>
       s"""r$i AS (
          |  SELECT a.src AS id, min(r.label) AS label
@@ -298,11 +313,10 @@ object Dedup {
          |)""".stripMargin
     }.mkString(",\n")
     spark.sql(
-      s"""WITH $MinhashPairsCtes,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      s"""WITH edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM dedup_pairs_sql
          |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs
+         |  SELECT doc_b, doc_a FROM dedup_pairs_sql
          |),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),
          |adj AS (
@@ -314,8 +328,7 @@ object Dedup {
          |$rounds
          |SELECT id AS doc_id, label AS component
          |FROM r$SqlClosureRounds
-         |ORDER BY doc_id""".stripMargin,
-      Map("threshold" -> threshold))
+         |ORDER BY doc_id""".stripMargin)
   }
 
   /** Build (once) the persisted dedup index for the corpus: the shingle
