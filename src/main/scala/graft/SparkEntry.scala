@@ -165,6 +165,9 @@ object SparkEntry {
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // the audio modality: REAL PCM s16le parse + per-window frame
+    // features, fused in one mapPartitions pass (no per-sample explode)
+    "multimodal_audio" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
     "bm25_search" -> ((s, d) => TfIdf.bm25Search(s, d)),
@@ -1691,6 +1694,27 @@ object SparkEntry {
         |  max(chk) AS max_hash
         |FROM chk WHERE f % 2 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the audio modality's windows recomputed from the same (doc_id, t)
+    // arithmetic the PCM fixture encodes — the features only match if
+    // the engine genuinely parsed the little-endian int16 payload
+    "multimodal_audio" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, 2048 + (doc_id * 5) % 1024)) AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, t,
+        |    ((doc_id * 11 + t * 31) % 65536) - 32768 AS v
+        |  FROM t
+        |)
+        |SELECT doc_id, t // 512 AS "window",
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(min(v) AS BIGINT) AS min_s,
+        |  CAST(max(v) AS BIGINT) AS max_s,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id, t // 512
+        |ORDER BY doc_id, "window"""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(length(text)), 4) AS avg_chars,

@@ -298,6 +298,129 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // AUDIO modality: PCM s16le payloads (the second of the mission's
+  // image/audio/video trio; the filmstrip above covers image+video).
+  // ------------------------------------------------------------------
+
+  case class AudioRow(doc_id: Long, content: Array[Byte])
+  case class AudioWindow(doc_id: Long, window: Long, n_samples: Long,
+                         min_s: Long, max_s: Long, sum_abs: Long,
+                         energy: Long)
+
+  /** Per-frame analysis window: 512 samples (32 ms at the fixture's
+    * 16 kHz) — the hop size a frame-level audio featurizer consumes.
+    */
+  val AudioWindowSamples: Int = 512
+
+  /** Audio fixture arithmetic — pure (doc_id, t) functions, mirrored
+    * verbatim by the DuckDB oracle (both operands non-negative, so `%`
+    * agrees across engines).
+    */
+  private[graft] def audioSamples(docId: Long): Int =
+    (2048 + (docId * 5) % 1024).toInt
+  private[graft] def audioSample(docId: Long, t: Int): Short =
+    ((docId * 11 + t * 31L) % 65536L - 32768L).toShort
+
+  /** Fixture encoder: one REAL PCM s16le clip per document —
+    * little-endian int16 samples, the rawest audio wire format (what
+    * `ffmpeg -f s16le` emits). Lossless, so the decoder must recover
+    * [[audioSample]] exactly.
+    */
+  private[graft] def encodeAudioOne(docId: Long): Array[Byte] = {
+    val n = audioSamples(docId)
+    val buf = java.nio.ByteBuffer.allocate(2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var t = 0
+    while (t < n) { buf.putShort(audioSample(docId, t)); t += 1 }
+    buf.array()
+  }
+
+  /** The REAL audio decode + frame featurize, FUSED: parse the payload's
+    * little-endian int16 samples and fold each [[AudioWindowSamples]]
+    * window to (n, min, max, Σ|s|, Σs²) — the integer-exact skeleton of
+    * an RMS-energy/peak frame feature — in ONE imperative pass. No
+    * per-sample explode ever hits the plan: a 100 TB corpus at 16 kHz is
+    * ~10¹³ sample rows if exploded, vs ~10¹⁰ window rows emitted here.
+    * Fails loudly on a torn payload (odd byte count), same contract as
+    * the image decoder.
+    */
+  private[graft] def decodeAudioOne(r: AudioRow): Seq[AudioWindow] = {
+    require(r.content.length % 2 == 0,
+      s"torn PCM16 payload for doc ${r.doc_id}: ${r.content.length} bytes")
+    val sb = java.nio.ByteBuffer.wrap(r.content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val n = sb.limit()
+    val out = Seq.newBuilder[AudioWindow]
+    var w = 0
+    var t = 0
+    while (t < n) {
+      val start = t
+      val end = math.min(n, start + AudioWindowSamples)
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var sa = 0L
+      var en = 0L
+      while (t < end) {
+        val s = sb.get(t).toLong
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        sa += math.abs(s)
+        en += s * s
+        t += 1
+      }
+      out += AudioWindow(r.doc_id, w.toLong, (end - start).toLong,
+        mn, mx, sa, en)
+      w += 1
+    }
+    out.result()
+  }
+
+  /** Load-or-build the persisted audio fixture — same committed-store
+    * pattern as [[mediaTable]]; `decoded_bytes` = 2·n_samples (PCM is
+    * uncompressed, decode ≈ encode size).
+    */
+  private[graft] def audioTable(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir, "media-audio-v1", "documents")
+    if (!IndexStore.committed(s"$dir/audio")) {
+      import spark.implicits._
+      IndexStore.saveDataset(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, encodeAudioOne(id),
+            2L * audioSamples(id))))
+          .toDF("doc_id", "content", "decoded_bytes")
+          .select(col("doc_id"), col("content"),
+            struct(lit("audio/pcm-s16le").as("format"),
+              lit(16000).as("sample_rate"),
+              length(col("content")).cast("long").as("n_bytes"),
+              col("decoded_bytes")).as("meta")),
+        s"$dir/audio")
+    }
+    spark.read.parquet(s"$dir/audio")
+  }
+
+  /** Frame-level audio features over the opaque PCM column: byte-
+    * targeted batches ([[batchCount]] with the same parallelism floor as
+    * the image path), one fused decode+featurize `mapPartitions` pass,
+    * window rows out. The audio twin of [[frameSample]].
+    */
+  def audioFeatures(spark: SparkSession, sfDir: String,
+                    targetBatchBytes: Long = DefaultBatchBytes): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, sfDir)
+    val totalBytes = audio
+      .agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
+      .head.getLong(0)
+    val n = math.max(batchCount(totalBytes, targetBatchBytes),
+      spark.sparkContext.defaultParallelism)
+    audio.select(col("doc_id"), col("content"))
+      .repartition(n, col("doc_id")).as[AudioRow]
+      .mapPartitions(_.flatMap(decodeAudioOne)).toDF()
+      .orderBy("doc_id", "window")
+  }
+
   private def csv(c: org.apache.spark.sql.Column) =
     array_join(transform(c, _.cast("string")), ",")
 

@@ -82,6 +82,38 @@ class MultimodalSpec extends SparkSpec {
       stored.keysIterator.map(Multimodal.decodedBytes).sum)
   }
 
+  test("audio decode round-trips the PCM encoder and windows exactly") {
+    // encode → decode must recover the sample arithmetic through a REAL
+    // little-endian int16 parse
+    Seq(0L, 1L, 7L, 123L).foreach { id =>
+      val ws = Multimodal.decodeAudioOne(
+        Multimodal.AudioRow(id, Multimodal.encodeAudioOne(id)))
+      val n = Multimodal.audioSamples(id)
+      assert(ws.map(_.n_samples).sum == n)
+      assert(ws.length == (n + Multimodal.AudioWindowSamples - 1) /
+        Multimodal.AudioWindowSamples)
+      val w0 = (0 until Multimodal.AudioWindowSamples)
+        .map(t => Multimodal.audioSample(id, t).toLong)
+      assert(ws.head.min_s == w0.min && ws.head.max_s == w0.max)
+      assert(ws.head.sum_abs == w0.map(math.abs).sum)
+      assert(ws.head.energy == w0.map(s => s * s).sum)
+    }
+    // torn payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioOne(Multimodal.AudioRow(9L, Array[Byte](1)))
+    }
+    // end to end: persisted fixture, batched decode, result independent
+    // of the batch target
+    val a = Multimodal.audioFeatures(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(Multimodal.audioFeatures(spark, sf, targetBatchBytes = 1024L)
+      .collect().map(_.toSeq).toSeq == a)
+    val plan = Multimodal.audioTable(spark, sf).queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      "audioTable should read the persisted fixture, not re-encode")
+  }
+
   test("decode batch sizing follows the target-bytes knob") {
     // ceil-division partition math, clamped at both ends
     assert(Multimodal.batchCount(0L, 1024L) == 1)
