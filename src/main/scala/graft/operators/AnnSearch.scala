@@ -190,8 +190,11 @@ object AnnSearch {
     */
   private def probeSide(probes: DataFrame, expectedQ: Long, nProbe: Int,
                         d: => Int): DataFrame =
+    // compare by division so an enormous expectedQ cannot overflow the
+    // product into a negative (which would silently keep the broadcast)
     if (expectedQ > 0 &&
-        expectedQ * nProbe * d * 8L > BroadcastProbeByteLimit) probes
+        expectedQ > BroadcastProbeByteLimit /
+          math.max(1L, nProbe.toLong * d * 8L)) probes
     else broadcast(probes)
 
   /** nprobe nearest centroids per query as a LAZY plan (tiny crossJoin:

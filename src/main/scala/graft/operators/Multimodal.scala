@@ -406,13 +406,16 @@ object Multimodal {
     * the image path), one fused decode+featurize `mapPartitions` pass,
     * window rows out. The audio twin of [[frameSample]].
     */
+  private val audioSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def audioFeatures(spark: SparkSession, sfDir: String,
                     targetBatchBytes: Long = DefaultBatchBytes): DataFrame = {
     import spark.implicits._
     val audio = audioTable(spark, sfDir)
-    val totalBytes = audio
-      .agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
-      .head.getLong(0)
+    val totalBytes = audioSizeCache.computeIfAbsent(sfDir, _ =>
+      audio.agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
+        .head.getLong(0)).longValue()
     val n = math.max(batchCount(totalBytes, targetBatchBytes),
       spark.sparkContext.defaultParallelism)
     audio.select(col("doc_id"), col("content"))
