@@ -155,6 +155,7 @@ object SparkEntry {
     // ann_recall_violations)
     "knn_filtered" -> ((s, d) => VectorSearch.knnSearchFiltered(s, d)),
     "ann_filtered" -> ((s, d) => AnnSearch.ivfFilteredKnn(s, d)),
+    "sql_ann_filtered" -> ((s, d) => AnnSearch.sqlAnnFiltered(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),
@@ -532,6 +533,9 @@ object SparkEntry {
     // by the brute-force baseline and the saturated-probe IVF path
     "knn_filtered" -> DuckKnnFilteredOracle,
     "ann_filtered" -> DuckKnnFilteredOracle,
+    // the SQL twin is bit-identical to ann_filtered (spec-asserted), so
+    // it shares the exact filtered-kNN oracle too
+    "sql_ann_filtered" -> DuckKnnFilteredOracle,
     // mirrors the FULL SQ8 pipeline (quantize → asymmetric distance →
     // top-40 candidates → exact rescore → top-10), so the gate equality is
     // by construction; every arithmetic step is IEEE double + HALF_UP

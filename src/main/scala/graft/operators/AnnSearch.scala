@@ -778,6 +778,66 @@ object AnnSearch {
          |FROM ranked WHERE rn <= $k ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** The FILTERED IVF path through the PURE-SQL surface — completes the
+    * SQL-twin symmetry (knn / ivf / bm25 / minhash / dup_groups /
+    * filtered): the payload-carrying index is exposed as views, and the
+    * whole predicate-composed probe-then-scan is ONE ANSI statement. The
+    * `label = L` predicate sits in the candidate join's ON clause over
+    * the view of the cluster-partitioned layout, so it reaches the scan
+    * as a pushed row-group filter ALONGSIDE the DPP partition prune from
+    * the broadcast probe join — the same one-scan composition as the
+    * programmatic [[ivfFilteredKnn]]. The over-probe count is the same
+    * [[filteredProbe]] literal (selectivity from the cached
+    * control-plane count), so saturation — and with it the exact
+    * filtered-kNN oracle — carries over. Bit-identical to
+    * [[ivfFilteredKnn]] (spec-asserted).
+    */
+  def sqlAnnFiltered(spark: SparkSession, sfDir: String, label: Int = 1,
+                     nQueries: Int = 10, k: Int = 10, nClusters: Int = 0,
+                     nProbe: Int = 0): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val dir = loadOrBuildFilteredIvf(spark, sfDir, nc)
+    spark.read.parquet(s"$dir/centroids")
+      .createOrReplaceTempView("ivf_flt_centroids_sql")
+    spark.read.parquet(s"$dir/vectors")
+      .createOrReplaceTempView("ivf_flt_vectors_sql")
+    Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("ivf_emb_sql")
+    val np = filteredProbe(resolveProbe(nc, nProbe), nc,
+      labelSelectivity(spark, sfDir, label))
+    spark.sql(
+      s"""WITH queries AS (
+         |  SELECT vec_id AS query_id, graft_l2_normalize(
+         |    transform(embedding, x -> CAST(x AS DOUBLE))) AS qu
+         |  FROM ivf_emb_sql WHERE vec_id < $nQueries
+         |), probes AS (
+         |  SELECT query_id, qu, cluster FROM (
+         |    SELECT q.query_id, q.qu, c.cluster,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY graft_squared_l2(q.qu, c.center), c.cluster)
+         |        AS cr
+         |    FROM queries q CROSS JOIN ivf_flt_centroids_sql c
+         |  ) WHERE cr <= $np
+         |), cand AS (
+         |  SELECT /*+ BROADCAST(p) */
+         |    p.query_id, v.vec_id AS id,
+         |    graft_squared_l2(p.qu, v.v) AS dist
+         |  FROM probes p JOIN ivf_flt_vectors_sql v
+         |    ON v.cluster = p.cluster AND v.vec_id <> p.query_id
+         |   AND v.label = :label
+         |), ranked AS (
+         |  SELECT query_id, id, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist, id) AS rn
+         |  FROM cand
+         |)
+         |SELECT query_id, id, round(dist, 6) AS distance,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $k ORDER BY query_id, rn""".stripMargin,
+      Map("label" -> label))
+  }
+
   /** Recall of the approximate searches against the exact k-NN, per query
     * and method — the accuracy report the reference's `efSearch` knob
     * (`main.py:31`) trades against. `meets_floor` flags queries below the

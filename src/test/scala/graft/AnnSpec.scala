@@ -374,6 +374,16 @@ class AnnSpec extends SparkSpec {
     // the high-Q joined strategy returns identical rows
     val joined = AnnSearch.ivfFilteredKnnJoined(spark, sf)
     assert(joined.collect().map(_.toSeq).toSeq == want)
+    // and the pure-SQL twin is bit-identical too, with the predicate
+    // pushed into the same DPP-pruned scan
+    val sql = AnnSearch.sqlAnnFiltered(spark, sf)
+    assert(sql.collect().map(_.toSeq).toSeq == want)
+    val sqlPlan = sql.queryExecution.executedPlan.toString
+    assert(sqlPlan.toLowerCase.contains("dynamicpruning"))
+    assert(sqlPlan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(label,1)")),
+      sqlPlan.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString("\n"))
   }
 
   test("SQL-only IVF probe equals the programmatic scale path") {
