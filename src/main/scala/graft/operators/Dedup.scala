@@ -299,13 +299,30 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     injectedShingleTable(spark, sfDir)
       .createOrReplaceTempView("dedup_shingles_sql")
-    spark.sql(
-      s"""WITH $MinhashPairsCtes
-         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
-      Map("threshold" -> threshold))
+    sqlClosureOver(spark,
+      spark.sql(
+        s"""WITH $MinhashPairsCtes
+           |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+        Map("threshold" -> threshold)),
+      SqlClosureRounds)
+  }
+
+  /** The bounded min-propagation unroll over an ARBITRARY 2-column pair
+    * frame — [[sqlDupGroups]]' closure half, `private[graft]` so
+    * property tests can cross-check it against the iterative
+    * [[components]] on generated graphs (and show the round bound is
+    * real, not vacuous, on a path longer than `rounds`). The pair frame
+    * is materialized once (see [[sqlDupGroups]]' scaladoc for why that
+    * staging is load-bearing).
+    */
+  private[graft] def sqlClosureOver(spark: SparkSession, pairs: DataFrame,
+                                    rounds: Int): DataFrame = {
+    pairs
+      .select(col(pairs.columns(0)).as("doc_a"),
+        col(pairs.columns(1)).as("doc_b"))
       .localCheckpoint(true)
       .createOrReplaceTempView("dedup_pairs_sql")
-    val rounds = (1 to SqlClosureRounds).map { i =>
+    val roundCtes = (1 to rounds).map { i =>
       s"""r$i AS (
          |  SELECT a.src AS id, min(r.label) AS label
          |  FROM adj a JOIN r${i - 1} r ON r.id = a.dst
@@ -325,9 +342,9 @@ object Dedup {
          |  SELECT id, id FROM nodes
          |),
          |r0 AS (SELECT id, id AS label FROM nodes),
-         |$rounds
+         |$roundCtes
          |SELECT id AS doc_id, label AS component
-         |FROM r$SqlClosureRounds
+         |FROM r$rounds
          |ORDER BY doc_id""".stripMargin)
   }
 

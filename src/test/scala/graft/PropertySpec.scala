@@ -256,4 +256,41 @@ class PropertySpec extends SparkSpec {
       s"missing=${(want.toSet -- got.toSet).take(5)} " +
         s"extra=${(got.toSet -- want.toSet).take(5)}")
   }
+
+  test("SQL closure unroll == iterative components on random graphs, " +
+      "and the round bound is real") {
+    import graft.operators.Dedup
+    // random undirected graphs: up to 24 nodes, random edge lists (self
+    // loops and duplicates allowed by construction of the generator's
+    // range — the closure must tolerate both)
+    val edgeGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+    } yield edges.filter { case (a, b) => a != b }
+    val cases = samples(edgeGen, 8).filter(_.nonEmpty)
+    assert(cases.nonEmpty)
+    cases.foreach { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      // rounds = node count ≥ any diameter → must equal the converged
+      // iterative closure exactly
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+      val got = Dedup.sqlClosureOver(spark, pairs, rounds = nodes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = Dedup.components(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"edges=$edges")
+    }
+    // the bound is real, not vacuous: on a path of 11 nodes, 2 rounds of
+    // min-propagation cannot carry label 0 to the far end (node 10 only
+    // sees its 2-hop neighborhood minimum, 8)
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val truncated = Dedup.sqlClosureOver(spark, path, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(truncated(10L) == 8L && truncated(2L) == 0L)
+    val full = Dedup.sqlClosureOver(spark, path, rounds = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full.values.forall(_ == 0L))
+  }
 }
