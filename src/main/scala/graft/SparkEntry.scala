@@ -169,6 +169,11 @@ object SparkEntry {
     // the audio modality: REAL PCM s16le parse + per-window frame
     // features, fused in one mapPartitions pass (no per-sample explode)
     "multimodal_audio" -> ((s, d) => Multimodal.audioFeatures(s, d)),
+    // decode-at-ingest: the same fused parse+featurize as a STATELESS
+    // streaming pass over landing payload files — row-identical to the
+    // batch entry, shares its oracle
+    "streaming_media_decode" ->
+      ((s, d) => graft.streaming.StreamingOps.streamingMediaDecode(s, d)),
     "lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
     "bm25_search" -> ((s, d) => TfIdf.bm25Search(s, d)),
@@ -462,6 +467,29 @@ object SparkEntry {
        |)
        |SELECT id AS doc_id, min(label) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** The audio modality's per-window frame features recomputed from the
+    * generating (doc_id, t) arithmetic — shared by `multimodal_audio`
+    * and `streaming_media_decode`.
+    */
+  private val DuckAudioOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, 2048 + (doc_id * 5) % 1024)) AS t
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, t,
+      |    ((doc_id * 11 + t * 31) % 65536) - 32768 AS v
+      |  FROM t
+      |)
+      |SELECT doc_id, t // 512 AS "window",
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(min(v) AS BIGINT) AS min_s,
+      |  CAST(max(v) AS BIGINT) AS max_s,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(v * v) AS BIGINT) AS energy
+      |FROM s GROUP BY doc_id, t // 512
+      |ORDER BY doc_id, "window"""".stripMargin
 
   /** [[DuckKnnOracle]] with the metadata predicate on the candidate side
     * — the exact filtered-kNN truth `knn_filtered` and `ann_filtered`
@@ -1700,25 +1728,11 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the audio modality's windows recomputed from the same (doc_id, t)
     // arithmetic the PCM fixture encodes — the features only match if
-    // the engine genuinely parsed the little-endian int16 payload
-    "multimodal_audio" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, 2048 + (doc_id * 5) % 1024)) AS t
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, t,
-        |    ((doc_id * 11 + t * 31) % 65536) - 32768 AS v
-        |  FROM t
-        |)
-        |SELECT doc_id, t // 512 AS "window",
-        |  CAST(count(*) AS BIGINT) AS n_samples,
-        |  CAST(min(v) AS BIGINT) AS min_s,
-        |  CAST(max(v) AS BIGINT) AS max_s,
-        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
-        |  CAST(sum(v * v) AS BIGINT) AS energy
-        |FROM s GROUP BY doc_id, t // 512
-        |ORDER BY doc_id, "window"""".stripMargin,
+    // the engine genuinely parsed the little-endian int16 payload.
+    // Shared by the batch entry and its decode-at-ingest streaming twin
+    // (row-identical by construction — same fused parse, per micro-batch)
+    "multimodal_audio" -> DuckAudioOracle,
+    "streaming_media_decode" -> DuckAudioOracle,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(length(text)), 4) AS avg_chars,

@@ -380,6 +380,16 @@ object Multimodal {
     * pattern as [[mediaTable]]; `decoded_bytes` = 2·n_samples (PCM is
     * uncompressed, decode ≈ encode size).
     */
+  /** Ensure the audio fixture is built and return its committed dir —
+    * the path a STREAMING reader points its file source at
+    * ([[graft.streaming.StreamingOps.streamingMediaDecode]]).
+    */
+  private[graft] def audioFixtureDir(spark: SparkSession,
+                                     sfDir: String): String = {
+    audioTable(spark, sfDir)
+    s"${IndexStore.indexDir(sfDir, "media-audio-v1", "documents")}/audio"
+  }
+
   private[graft] def audioTable(spark: SparkSession,
                                 sfDir: String): DataFrame = {
     val dir = IndexStore.indexDir(sfDir, "media-audio-v1", "documents")

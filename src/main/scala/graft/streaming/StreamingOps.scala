@@ -433,6 +433,28 @@ object StreamingOps extends Serializable {
     * same exact-integer/IEEE arithmetic as the batch operator: output is
     * row-identical, and the entry shares `gopher_rules`' DuckDB oracle.
     */
+  /** STREAMING media decode — binary payloads decoded as they LAND (the
+    * arrival shape of a 100 TB media ingest: files of opaque payloads
+    * dropped into a landing dir, decoded before anything downstream sees
+    * them). Deliberately STATELESS: the fused PCM parse + per-window
+    * frame featurize ([[graft.operators.Multimodal.decodeAudioOne]])
+    * runs as a typed `mapPartitions` inside each micro-batch — zero
+    * state, no watermark, per-trigger cost O(batch payload bytes) by
+    * construction. Same arithmetic as the batch operator: output is
+    * row-identical, and the entry shares `multimodal_audio`'s oracle.
+    */
+  def streamingMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = Multimodal.audioFixtureDir(spark, sfDir)
+    val schema = spark.read.parquet(dir).schema
+    val decoded = spark.readStream.schema(schema).parquet(dir)
+      .select(col("doc_id"), col("content")).as[Multimodal.AudioRow]
+      .mapPartitions(_.flatMap(Multimodal.decodeAudioOne)).toDF()
+    runToMemory(decoded, "graft_stream_media", "append")
+      .orderBy("doc_id", "window")
+  }
+
   def streamingQualityFilter(spark: SparkSession, sfDir: String,
                              minTokens: Long = 30L, maxTokens: Long = 90L,
                              minAvgLen: Double = 3.8,

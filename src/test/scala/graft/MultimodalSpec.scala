@@ -114,6 +114,14 @@ class MultimodalSpec extends SparkSpec {
       "audioTable should read the persisted fixture, not re-encode")
   }
 
+  test("streaming media decode is row-identical to the batch operator") {
+    val batch = Multimodal.audioFeatures(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val streamed = graft.streaming.StreamingOps
+      .streamingMediaDecode(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("decode batch sizing follows the target-bytes knob") {
     // ceil-division partition math, clamped at both ends
     assert(Multimodal.batchCount(0L, 1024L) == 1)
