@@ -45,7 +45,11 @@ object Bench {
         "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
         "streaming_index_ingest", "merged_index_dedup",
         "ivf_append_violations", "streaming_index_search",
-        "streaming_corpus_dedup", "streaming_ivf_append").foreach { n =>
+        "streaming_corpus_dedup", "streaming_ivf_append",
+        // round 8: the filtered-IVF layout, the persisted PNG/PCM media
+        // fixtures (one build per data fingerprint each)
+        "ann_filtered", "multimodal_decode", "multimodal_audio")
+      .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the

@@ -256,30 +256,39 @@ object Scaling {
     // decoded bytes at each scale: exponent ≈ 1 with flat decoded-MB/s
     // is the "no super-linear term, flat per-batch cost" evidence.
     val mmQueries = Seq("multimodal_decode", "multimodal_featurize")
-    def runMm(dir: String): Seq[(String, Double)] = {
-      try SparkEntry.queries("multimodal_decode")(spark, dir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[scaling] media fixture build @ $dir " +
-          s"failed: ${e.getMessage}")
+    // a failed fixture build must DROP the multimodal tier (empty rows),
+    // not crash the run — the already-measured batch-tier timings and
+    // the streaming tier below still land in the output
+    def runMm(dir: String): Seq[(String, Double)] =
+      try {
+        SparkEntry.queries("multimodal_decode")(spark, dir).count()
+        mmQueries.map { n =>
+          sweep()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).count()
+          n -> (System.nanoTime() - t0) / 1e9
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaling] multimodal tier @ $dir skipped: " +
+          e.getMessage)
+        Seq.empty
       }
-      mmQueries.map { n =>
-        sweep()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, dir).count()
-        n -> (System.nanoTime() - t0) / 1e9
-      }
-    }
     val mm1 = runMm(base)
     val mmN = runMm(big)
-    val mmBytes1 = graft.operators.Multimodal
-      .estimatedPayloadBytes(spark, base)
-    val mmBytesN = graft.operators.Multimodal
-      .estimatedPayloadBytes(spark, big)
-    val mmRows = mm1.zip(mmN).map { case ((n, a), (_, b)) =>
-      val exp = math.log(b / a) / math.log(factor.toDouble)
-      f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,""" +
-        f""""exponent":$exp%.2f,"bytes1":$mmBytes1,"bytesN":$mmBytesN}"""
-    }
+    val mmRows =
+      if (mm1.size != mmQueries.size || mmN.size != mmQueries.size)
+        Seq.empty
+      else {
+        val mmBytes1 = graft.operators.Multimodal
+          .estimatedPayloadBytes(spark, base)
+        val mmBytesN = graft.operators.Multimodal
+          .estimatedPayloadBytes(spark, big)
+        mm1.zip(mmN).map { case ((n, a), (_, b)) =>
+          val exp = math.log(b / a) / math.log(factor.toDouble)
+          f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,""" +
+            f""""exponent":$exp%.2f,"bytes1":$mmBytes1,"bytesN":$mmBytesN}"""
+        }
+      }
 
     // streaming tier: FIXED batch per trigger at both corpus scales —
     // exponent ~0 = per-trigger cost independent of the base corpus, and

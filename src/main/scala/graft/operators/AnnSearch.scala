@@ -856,16 +856,26 @@ object AnnSearch {
       .select(col("query_id"), col("id"))
     val allQueries = exact.select(col("query_id")).distinct()
     // left join from the full query list so a method that found zero true
-    // neighbors for some query reports recall 0 rather than vanishing
+    // neighbors for some query reports recall 0 rather than vanishing.
+    // The denominator is the EXACT set's own per-query size, not k: a
+    // filtered truth set can hold fewer than k rows (selective label,
+    // tiny corpus), and dividing by k there would report recall < 1 for
+    // a perfect search and trip the gates spuriously. For the
+    // unfiltered methods the exact set has exactly k rows per query, so
+    // the value is unchanged.
     def recallAgainst(exactRef: DataFrame, name: String,
                       approx: DataFrame): DataFrame = {
+      val denom = exactRef.groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"))
       val hits = exactRef.join(approx.select(col("query_id"), col("id")),
           Seq("query_id", "id"), "left_semi")
         .groupBy("query_id")
         .agg(count(lit(1)).as("n_hits"))
-      allQueries.join(hits, Seq("query_id"), "left_outer")
+      allQueries.join(denom, Seq("query_id"), "left_outer")
+        .join(hits, Seq("query_id"), "left_outer")
         .select(col("query_id"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            coalesce(col("n_exact"), lit(k.toLong))).as("recall"))
         .withColumn("method", lit(name))
         .withColumn("floor", lit(floors.getOrElse(name, 0.8)))
         .withColumn("meets_floor", col("recall") >= col("floor"))

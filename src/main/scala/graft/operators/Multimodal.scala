@@ -233,23 +233,26 @@ object Multimodal {
       (totalBytes + targetBatchBytes - 1) / targetBatchBytes)).toInt
   }
 
-  /** Decoded-size estimate for the whole fixture: Σ of the PERSISTED
-    * per-row `meta.decoded_bytes` — one cheap single-column aggregate over
-    * the stored table (at 100 TB the same figure comes from table
-    * statistics). Reading the stored column keeps exactly one copy of the
-    * geometry arithmetic ([[decodedBytes]], pinned by spec). Cached per
-    * fixture dir per JVM so every decode/featurize/frameSample
-    * CONSTRUCTION doesn't re-run it.
+  /** Decoded-size estimate of a persisted fixture: Σ of the stored
+    * per-row `meta.decoded_bytes` — one cheap single-column aggregate
+    * over the committed table (at 100 TB the same figure comes from
+    * table statistics). Reading the stored column keeps exactly one copy
+    * of each modality's size arithmetic ([[decodedBytes]] /
+    * 2·n_samples, pinned by spec). ONE cache for every modality, keyed
+    * `<modality>#<fixture dir>` per JVM, so query CONSTRUCTION never
+    * re-runs the aggregate.
     */
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private def cachedDecodedBytes(key: String, table: => DataFrame): Long =
+    sizeCache.computeIfAbsent(key, _ =>
+      table.agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
+        .head.getLong(0)).longValue()
+
   private[graft] def estimatedPayloadBytes(spark: SparkSession,
                                            sfDir: String): Long =
-    sizeCache.computeIfAbsent(sfDir, _ =>
-      mediaTable(spark, sfDir)
-        .agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
-        .head.getLong(0)).longValue()
+    cachedDecodedBytes(s"img#$sfDir", mediaTable(spark, sfDir))
 
   /** The shared batch shape for decode-style stages: payload column +
     * the metadata the decoder needs, byte-targeted repartitioning
@@ -376,10 +379,6 @@ object Multimodal {
     out.result()
   }
 
-  /** Load-or-build the persisted audio fixture — same committed-store
-    * pattern as [[mediaTable]]; `decoded_bytes` = 2·n_samples (PCM is
-    * uncompressed, decode ≈ encode size).
-    */
   /** Ensure the audio fixture is built and return its committed dir —
     * the path a STREAMING reader points its file source at
     * ([[graft.streaming.StreamingOps.streamingMediaDecode]]).
@@ -390,6 +389,10 @@ object Multimodal {
     s"${IndexStore.indexDir(sfDir, "media-audio-v1", "documents")}/audio"
   }
 
+  /** Load-or-build the persisted audio fixture — same committed-store
+    * pattern as [[mediaTable]]; `decoded_bytes` = 2·n_samples (PCM is
+    * uncompressed, decode ≈ encode size).
+    */
   private[graft] def audioTable(spark: SparkSession,
                                 sfDir: String): DataFrame = {
     val dir = IndexStore.indexDir(sfDir, "media-audio-v1", "documents")
@@ -416,16 +419,11 @@ object Multimodal {
     * the image path), one fused decode+featurize `mapPartitions` pass,
     * window rows out. The audio twin of [[frameSample]].
     */
-  private val audioSizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
   def audioFeatures(spark: SparkSession, sfDir: String,
                     targetBatchBytes: Long = DefaultBatchBytes): DataFrame = {
     import spark.implicits._
     val audio = audioTable(spark, sfDir)
-    val totalBytes = audioSizeCache.computeIfAbsent(sfDir, _ =>
-      audio.agg(coalesce(sum(col("meta.decoded_bytes")), lit(0L)))
-        .head.getLong(0)).longValue()
+    val totalBytes = cachedDecodedBytes(s"audio#$sfDir", audio)
     val n = math.max(batchCount(totalBytes, targetBatchBytes),
       spark.sparkContext.defaultParallelism)
     audio.select(col("doc_id"), col("content"))

@@ -260,15 +260,15 @@ class PropertySpec extends SparkSpec {
   test("SQL closure unroll == iterative components on random graphs, " +
       "and the round bound is real") {
     import graft.operators.Dedup
-    // random undirected graphs: up to 24 nodes, random edge lists (self
-    // loops and duplicates allowed by construction of the generator's
-    // range — the closure must tolerate both)
+    // random undirected graphs: up to 24 nodes, raw random edge lists —
+    // self-loops and duplicate edges stay IN, the closure (and the
+    // iterative reference) must tolerate both
     val edgeGen = for {
       n <- Gen.choose(2, 24)
       m <- Gen.choose(1, 40)
       edges <- Gen.listOfN(m,
         Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
-    } yield edges.filter { case (a, b) => a != b }
+    } yield edges
     val cases = samples(edgeGen, 8).filter(_.nonEmpty)
     assert(cases.nonEmpty)
     cases.foreach { edges =>
