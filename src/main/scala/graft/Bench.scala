@@ -47,8 +47,9 @@ object Bench {
         "ivf_append_violations", "streaming_index_search",
         "streaming_corpus_dedup", "streaming_ivf_append",
         // round 8: the filtered-IVF layout, the persisted PNG/PCM media
-        // fixtures (one build per data fingerprint each)
-        "ann_filtered", "multimodal_decode", "multimodal_audio")
+        // fixtures, and the refit index (one build per data fingerprint)
+        "ann_filtered", "multimodal_decode", "multimodal_audio",
+        "ivf_refit_violations")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

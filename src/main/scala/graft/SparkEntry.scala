@@ -162,6 +162,10 @@ object SparkEntry {
     "ann_recall_curve" -> ((s, d) => AnnSearch.annRecallCurve(s, d)),
     "ivf_append_violations" ->
       ((s, d) => AnnSearch.ivfAppendViolations(s, d)),
+    // the lifecycle step after appends: re-fit the centroids over the
+    // grown corpus; zero rows = refit kept completeness AND recall
+    "ivf_refit_violations" ->
+      ((s, d) => AnnSearch.ivfRefitViolations(s, d)),
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
@@ -541,6 +545,13 @@ object SparkEntry {
     // same zero-row contract for the IVF append path: any completeness or
     // recall violation of the appended index version becomes a row
     "ivf_append_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // same zero-row contract for the refit step (completeness + recall
+    // of the re-clustered index vs the appended version it replaces)
+    "ivf_refit_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

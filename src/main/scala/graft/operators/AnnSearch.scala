@@ -124,11 +124,26 @@ object AnnSearch {
     */
   def buildIvfIndex(spark: SparkSession, sfDir: String,
                     nClusters: Int = 0): String = {
-    import spark.implicits._
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = IndexStore.indexDir(sfDir, s"ivf$nc-v1", "embeddings")
-    val data = normalizedVec(spark, sfDir)
-    val km = new KMeans().setK(nc).setSeed(42L).setMaxIter(5)
+    buildIvfOver(spark, normalizedVec(spark, sfDir), nc, dir)
+    dir
+  }
+
+  /** The IVF build proper over an EXPLICIT normalized corpus
+    * (vec_id, v [, features]) into an explicit dir — shared by the
+    * fixture build and the REFIT path ([[ivfRefitViolations]]), so a
+    * refit can never drift from the primary build in fit parameters or
+    * layout.
+    */
+  private def buildIvfOver(spark: SparkSession, corpus: DataFrame,
+                           nClusters: Int, dir: String): Unit = {
+    import spark.implicits._
+    val data =
+      if (corpus.columns.contains("features")) corpus
+      else corpus.select(col("vec_id"),
+        array_to_vector(col("v")).as("features"), col("v"))
+    val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(data)
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -140,7 +155,6 @@ object AnnSearch {
       .select(col("vec_id"), col("v"), col("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(s"$dir/vectors")
-    dir
   }
 
   /** Probe strategy switch: below this many queries the probe is a
@@ -1070,16 +1084,22 @@ object AnnSearch {
     * zero-row oracle, so an append regression flips the driver's
     * rows_match red.
     */
+  /** The deterministic growth batch both lifecycle gates append: every
+    * fixture embedding shifted to id + 20000 with +0.01 per element.
+    */
+  private def appendBatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.01)).as("v"))
+
   def ivfAppendViolations(spark: SparkSession, sfDir: String,
                           nQueries: Int = 10, k: Int = 10,
                           recallFloor: Double = 0.5): DataFrame = {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
     val out = IndexStore.indexDir(sfDir, s"ivf$nc-app-v2", "embeddings")
-    val batch = Tables.load(spark, sfDir, "embeddings")
-      .select((col("vec_id") + 20000).as("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") + lit(0.01)).as("v"))
+    val batch = appendBatch(spark, sfDir)
     appendToIvfIndex(spark, sfDir, batch, out, nc)
     val nBase = embeddingCount(spark, sfDir)
     val nOut = ivfVectors(spark, out).count()
@@ -1096,6 +1116,62 @@ object AnnSearch {
       Option.when(recall < recallFloor)(
         ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
+  /** HARD gate for index REFIT — the lifecycle step after appends: an
+    * appended version keeps assigning new vectors to the ORIGINAL
+    * centroids (exactly how FAISS IVF adds work), so after enough
+    * growth the centroids are stale — fit on half the corpus, sized
+    * √(n/2) when the corpus warrants √n. The refit re-runs the SAME
+    * k-means build ([[buildIvfOver]] — one build path, refit can't
+    * drift) over the appended corpus at its own auto size, and the gate
+    * emits a violation row (zero rows = passing, typed zero-row oracle)
+    * if either invariant breaks:
+    *
+    *  - completeness: the refit index must hold exactly the appended
+    *    corpus's rows (a dropped cluster in the rewrite trips this);
+    *  - quality: probing the refit index must reach at least the
+    *    APPENDED version's recall minus `eps` — refreshing centroids
+    *    must never cost recall (it typically gains: the refit centroids
+    *    see the grown corpus, and the auto probe fraction is
+    *    size-consistent again).
+    *
+    * Build-once: the refit index persists behind the committed gate, so
+    * the O(corpus) re-fit prices like every other index build — in the
+    * build phase, not the query path.
+    */
+  def ivfRefitViolations(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 10,
+                         eps: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    val appended = IndexStore.indexDir(sfDir, s"ivf$nc-refit-base-v1",
+      "embeddings")
+    val batch = appendBatch(spark, sfDir)
+    if (!IndexStore.committed(s"$appended/manifest"))
+      appendToIvfIndex(spark, sfDir, batch, appended, nc)
+    val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+    val nc2 = autoClusters(2 * embeddingCount(spark, sfDir))
+    val refit = IndexStore.indexDir(sfDir, s"ivf$nc2-refit-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$refit/centroids") ||
+        !IndexStore.committed(s"$refit/vectors"))
+      buildIvfOver(spark, union, nc2, refit)
+    val nAppended = ivfVectors(spark, appended).count()
+    val nRefit = ivfVectors(spark, refit).count()
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val before = probeRecall(spark, appended, union, queries, k,
+      resolveProbe(nc, 0), expectedQ = nQueries.toLong)
+    val after = probeRecall(spark, refit, union, queries, k,
+      resolveProbe(nc2, 0), expectedQ = nQueries.toLong)
+    val viols = Seq(
+      Option.when(nRefit != nAppended)(
+        ("vector_count", nAppended.toDouble, nRefit.toDouble)),
+      Option.when(after < before - eps)(
+        ("refit_recall", math.round((before - eps) * 10000.0) / 10000.0,
+          math.round(after * 10000.0) / 10000.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 

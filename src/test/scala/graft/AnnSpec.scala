@@ -327,6 +327,12 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("refit gate: re-clustering the appended corpus keeps completeness" +
+      " and recall") {
+    val viols = AnnSearch.ivfRefitViolations(spark, sf)
+    assert(viols.collect().isEmpty, viols.collect().mkString(", "))
+  }
+
   test("joined probe searches a MANIFESTED (appended) version " +
       "identically to the collect probe") {
     // segments resolve per-branch under the join (union ABOVE the join,
