@@ -49,7 +49,7 @@ object Bench {
         // round 8: the filtered-IVF layout, the persisted PNG/PCM media
         // fixtures, and the refit index (one build per data fingerprint)
         "ann_filtered", "multimodal_decode", "multimodal_audio",
-        "ivf_refit_violations")
+        "ivf_refit_violations", "semantic_decontaminate")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

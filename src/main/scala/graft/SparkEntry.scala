@@ -108,6 +108,10 @@ object SparkEntry {
     "sql_dup_groups" -> ((s, d) => Dedup.sqlDupGroups(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
+    // the embedding-space leg: eval items whose EMBEDDING matches a
+    // training vector — contamination token overlap cannot see
+    "semantic_decontaminate" ->
+      ((s, d) => Dedup.semanticDecontaminate(s, d)),
     // cap pinned at the auto formula's fixture value so the DuckDB
     // oracle's `> 1000` literal stays correct at every verify scale
     "substring_runs" -> ((s, d) =>
@@ -1646,6 +1650,39 @@ object SparkEntry {
     // the exact one — same oracle, and any prefilter bug that drops a true
     // match flips this entry red
     "bloom_decontaminate" -> DuckDecontaminateOracle,
+    // the embedding leg brute-forces the FULL train x eval cosine
+    // matrix, so a blocked-out true pair or a phantom SRP candidate
+    // both flip the compare red
+    "semantic_decontaminate" ->
+      """WITH train AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), tn AS (
+        |  SELECT vec_id, list_transform(v,
+        |    x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        |  FROM train
+        |), ebase AS (
+        |  SELECT vec_id, v FROM train WHERE vec_id < 50
+        |), ev AS (
+        |  SELECT vec_id + 30000 AS eval_id,
+        |    list_transform(v, x -> x + 0.002) AS w
+        |  FROM ebase
+        |  UNION ALL
+        |  SELECT vec_id + 40000, v[2:] || v[1:1] FROM ebase
+        |), en AS (
+        |  SELECT eval_id, list_transform(w,
+        |    x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS ue
+        |  FROM ev
+        |), scored AS (
+        |  SELECT t.vec_id AS train_id, e.eval_id,
+        |    list_sum(list_transform(list_zip(t.u, e.ue),
+        |      p -> p[1] * p[2])) AS c
+        |  FROM tn t CROSS JOIN en e
+        |)
+        |SELECT train_id, eval_id, round(c, 6) AS cosine
+        |FROM scored WHERE c >= 0.9
+        |ORDER BY train_id, eval_id""".stripMargin,
     // contiguous-run dedup: positional 5-gram matches on a constant
     // diagonal, islands via the pos − row_number() trick (1-based DuckDB
     // positions vs 0-based Spark positions cancel in both the diagonal

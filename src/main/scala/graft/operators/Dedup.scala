@@ -1044,6 +1044,30 @@ object Dedup {
     * Deterministic (fixed seed + fixed plan) — same pairs every run; on the
     * fixture it recovers the exact [[embedNearDup]] result (oracle-checked).
     */
+  /** The SRP band-signature construction — 64 seeded Gaussian
+    * hyperplane signs packed into `nBands` keys, as an explodable
+    * struct-array column over a normalized vector column. THE one SRP
+    * construction, shared by the within-corpus pruned near-dup and the
+    * cross-set semantic decontamination so their blocking can never
+    * drift.
+    */
+  private def srpBandStructs(dim: Int, nBands: Int, bandBits: Int,
+                             u: org.apache.spark.sql.Column) = {
+    val rng = new scala.util.Random(0x5eedL)
+    val planes = Array.fill(nBands * bandBits, dim)(rng.nextGaussian())
+    (0 until nBands).map { bnd =>
+      val key = (0 until bandBits).map { j =>
+        val r = array(planes(bnd * bandBits + j).toIndexedSeq.map(lit): _*)
+        when(dot(u, r) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bnd.toLong).as("band"), key.as("key"))
+    }
+  }
+
+  private def embeddingDim(spark: SparkSession, sfDir: String): Int =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+
   def embedNearDupPruned(spark: SparkSession, sfDir: String,
                          threshold: Double = 0.9, nBands: Int = 8,
                          bandBits: Int = 8): DataFrame = {
@@ -1057,17 +1081,8 @@ object Dedup {
         !IndexStore.committed(s"$dir/sigs")) {
       val built = embedCorpus(spark, sfDir)
       IndexStore.saveDataset(built, s"$dir/vectors")
-      val dim = Tables.load(spark, sfDir, "embeddings")
-        .select(size(col("embedding"))).head().getInt(0)
-      val rng = new scala.util.Random(0x5eedL)
-      val planes = Array.fill(nBands * bandBits, dim)(rng.nextGaussian())
-      val bandCols = (0 until nBands).map { bnd =>
-        val key = (0 until bandBits).map { j =>
-          val r = array(planes(bnd * bandBits + j).toIndexedSeq.map(lit): _*)
-          when(dot(col("u"), r) > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(bnd.toLong).as("band"), key.as("key"))
-      }
+      val bandCols = srpBandStructs(embeddingDim(spark, sfDir), nBands,
+        bandBits, col("u"))
       IndexStore.saveDataset(
         spark.read.parquet(s"$dir/vectors")
           .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
@@ -1090,6 +1105,81 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** SEMANTIC decontamination — the embedding-space third leg of the
+    * decontamination family (exact n-gram [[decontaminate]], its Bloom-
+    * prefiltered scale twin [[bloomDecontaminate]], and now "same
+    * content, different tokens": an eval item whose EMBEDDING is
+    * near-identical to a training vector is contamination a token-
+    * overlap check cannot see — paraphrases, re-encodes, format shifts).
+    *
+    * Shape: the TRAIN side persists normalized vectors + SRP band
+    * signatures once per data version (the [[embedNearDupPruned]] store
+    * pattern, built through the SAME [[srpBandStructs]] construction);
+    * the EVAL side — the small set by definition — computes its
+    * signatures inline per run. Candidates are band equi-join matches
+    * (never train×eval all-pairs), verified by exact cosine ≥
+    * `threshold`. At 100 TB the train side is the 10¹⁰-vector store and
+    * the probe stays O(|eval| · collisions).
+    *
+    * Eval fixture (deterministic, oracle-mirrored): the first 50
+    * training vectors perturbed +0.002 per element (cos ≈ 0.9999 —
+    * CONTAMINATED, ids + 30000) plus the same 50 rotated one position
+    * (decorrelated — clean, ids + 40000). The oracle brute-forces the
+    * full train×eval cosine matrix, so a blocked-out true pair or a
+    * phantom candidate both flip the gate red.
+    */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String,
+                            threshold: Double = 0.9, nBands: Int = 8,
+                            bandBits: Int = 8): DataFrame = {
+    val dim = embeddingDim(spark, sfDir)
+    // train side: load-or-build normalized vectors + signatures over the
+    // BASE corpus (not the dedup-injected one)
+    val dir = IndexStore.indexDir(sfDir, s"srpdecon$nBands-$bandBits-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$dir/vectors") ||
+        !IndexStore.committed(s"$dir/sigs")) {
+      IndexStore.saveDataset(
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"),
+            l2Normalize(transform(col("embedding"),
+              x => x.cast("double"))).as("u")),
+        s"$dir/vectors")
+      val bandCols = srpBandStructs(dim, nBands, bandBits, col("u"))
+      IndexStore.saveDataset(
+        spark.read.parquet(s"$dir/vectors")
+          .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"),
+            col("bk.key").as("key")),
+        s"$dir/sigs")
+    }
+    // eval side: fixture batch, normalized + signed inline (one pass)
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val eval = base
+      .select((col("vec_id") + 30000).as("eval_id"),
+        l2Normalize(transform(col("v"), x => x + lit(0.002))).as("ue"))
+      .unionAll(base.select((col("vec_id") + 40000).as("eval_id"),
+        l2Normalize(concat(slice(col("v"), 2, dim - 1),
+          slice(col("v"), 1, 1))).as("ue")))
+    val evalBands = srpBandStructs(dim, nBands, bandBits, col("ue"))
+    val evalSigs = eval
+      .select(col("eval_id"), col("ue"),
+        explode(array(evalBands: _*)).as("bk"))
+      .select(col("eval_id"), col("ue"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = evalSigs
+      .join(spark.read.parquet(s"$dir/sigs"), Seq("band", "key"))
+      .select(col("eval_id"), col("ue"), col("vec_id")).distinct()
+    cand.join(spark.read.parquet(s"$dir/vectors"), "vec_id")
+      .withColumn("cos", dot(col("u"), col("ue")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("train_id"), col("eval_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("train_id", "eval_id")
   }
 
   /** SemDeDup — semantic (embedding-space) deduplication by

@@ -52,6 +52,22 @@ class DedupSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Join")).take(8).mkString("\n"))
   }
 
+  test("semanticDecontaminate flags exactly the perturbed eval twins") {
+    val rows = Dedup.semanticDecontaminate(spark, sf).collect()
+    // 50 contaminated eval items (+30000, +0.002 perturbation) each hit
+    // their source train vector; the 50 rotated (+40000) items are clean
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eval_id") == r.getAs[Long]("train_id") + 30000)
+      assert(r.getAs[Double]("cosine") > 0.999)
+    }
+    // candidate generation is band equi-joins, never train x eval pairs
+    val plan = Dedup.semanticDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      plan.linesIterator.filter(_.contains("Join")).take(6).mkString("\n"))
+  }
+
   test("simhash of a near-identical doc is within small hamming distance") {
     val rows = Dedup.simhashDedup(spark, sf).collect()
     val injected = rows.filter(r =>
