@@ -114,12 +114,17 @@ object Bench {
     // which truncates the per-query map past ~66 entries — the file is the
     // durable record a later reader can diff round-over-round in full.
     // Path knob: SPARK_GRAFT_BENCH_OUT (default BENCH_LATEST.json in cwd).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_LATEST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // FULL suites only: a SPARK_GRAFT_ONLY triage run must never clobber
+    // the committed full-suite record with a few-query line.
+    if (only.isEmpty) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LATEST.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -888,8 +888,12 @@ object AnnSearch {
       allQueries.join(denom, Seq("query_id"), "left_outer")
         .join(hits, Seq("query_id"), "left_outer")
         .select(col("query_id"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") /
-            coalesce(col("n_exact"), lit(k.toLong))).as("recall"))
+          // an EMPTY truth set (no exact rows for this query) is
+          // vacuously perfect recall, not 0/k — a query whose filtered
+          // slice is empty must not trip the gates
+          when(col("n_exact").isNull, lit(1.0))
+            .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_exact")).as("recall"))
         .withColumn("method", lit(name))
         .withColumn("floor", lit(floors.getOrElse(name, 0.8)))
         .withColumn("meets_floor", col("recall") >= col("floor"))
@@ -1066,11 +1070,19 @@ object AnnSearch {
       .orderBy("method", "cost")
   }
 
+  /** The deterministic growth batch both lifecycle gates append: every
+    * fixture embedding shifted to id + 20000 with +0.01 per element.
+    */
+  private def appendBatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.01)).as("v"))
+
   /** HARD gate for the O(batch) IVF append (same zero-row contract as
-    * [[annRecallViolations]]): fold a deterministic batch — every fixture
-    * embedding shifted to id + 20000 with +0.01 on each element — into a
-    * NEW index version via [[appendToIvfIndex]], then emit a violation row
-    * if either invariant breaks:
+    * [[annRecallViolations]]): fold the deterministic [[appendBatch]]
+    * into a NEW index version via [[appendToIvfIndex]], then emit a
+    * violation row if either invariant breaks:
     *
     *  - completeness: the appended version must hold base + batch rows
     *    (a lost cluster partition in the file-copy, or a dropped batch
@@ -1084,15 +1096,6 @@ object AnnSearch {
     * zero-row oracle, so an append regression flips the driver's
     * rows_match red.
     */
-  /** The deterministic growth batch both lifecycle gates append: every
-    * fixture embedding shifted to id + 20000 with +0.01 per element.
-    */
-  private def appendBatch(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "embeddings")
-      .select((col("vec_id") + 20000).as("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") + lit(0.01)).as("v"))
-
   def ivfAppendViolations(spark: SparkSession, sfDir: String,
                           nQueries: Int = 10, k: Int = 10,
                           recallFloor: Double = 0.5): DataFrame = {
@@ -1149,8 +1152,9 @@ object AnnSearch {
     val appended = IndexStore.indexDir(sfDir, s"ivf$nc-refit-base-v1",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
-    if (!IndexStore.committed(s"$appended/manifest"))
-      appendToIvfIndex(spark, sfDir, batch, appended, nc)
+    // appendToIvfIndexAt is replay-idempotent on the committed manifest
+    // itself — no second guard here, one copy of the commit protocol
+    appendToIvfIndex(spark, sfDir, batch, appended, nc)
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val nc2 = autoClusters(2 * embeddingCount(spark, sfDir))

@@ -1025,25 +1025,6 @@ object Dedup {
     corpus.select(col("vec_id"), l2Normalize(col("v")).as("u"))
   }
 
-  /** Embedding near-dup with signed-random-projection blocking — the scale
-    * path [[embedNearDup]]'s scaladoc points at, wired as a dedup operator:
-    *
-    *  - 64 SRP bits per vector (sign of dot with a fixed seeded Gaussian
-    *    hyperplane — 64 codegen'd [[graft.functions.ArrayDot]]s, one narrow
-    *    pass, no shuffle),
-    *  - candidates = pairs agreeing on ANY 8-bit band: 8 equi-joins on
-    *    (band, key) via one explode + self-join + distinct — never an
-    *    all-pairs product,
-    *  - exact cosine verification on candidates only, so precision is
-    *    exact; recall is the LSH knob: the fixture's injected dupes sit at
-    *    cos ≈ 0.9968 (θ/π ≈ 0.0255 flip probability per bit), giving
-    *    P(miss) = (1−(1−θ/π)^8)^8 ≈ 1.5e-6 per pair, while a random pair
-    *    (cos ≈ 0) survives blocking with P ≈ 1−(1−2^-8)^8 ≈ 3% — the
-    *    ~30× candidate reduction that replaces O(n²) at 100 TB.
-    *
-    * Deterministic (fixed seed + fixed plan) — same pairs every run; on the
-    * fixture it recovers the exact [[embedNearDup]] result (oracle-checked).
-    */
   /** The SRP band-signature construction — 64 seeded Gaussian
     * hyperplane signs packed into `nBands` keys, as an explodable
     * struct-array column over a normalized vector column. THE one SRP
@@ -1064,10 +1045,45 @@ object Dedup {
     }
   }
 
+  /** Persist the SRP band signatures of a committed normalized-vector
+    * store (`dir/vectors`, column `u`) at `dir/sigs` — the second half
+    * of every SRP store build, shared so the persisted (vec_id, band,
+    * key) schema cannot fork between stores either.
+    */
+  private def persistSrpSigs(spark: SparkSession, dir: String, dim: Int,
+                             nBands: Int, bandBits: Int): Unit = {
+    val bandCols = srpBandStructs(dim, nBands, bandBits, col("u"))
+    IndexStore.saveDataset(
+      spark.read.parquet(s"$dir/vectors")
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"),
+          col("bk.key").as("key")),
+      s"$dir/sigs")
+  }
+
   private def embeddingDim(spark: SparkSession, sfDir: String): Int =
     Tables.load(spark, sfDir, "embeddings")
       .select(size(col("embedding"))).head().getInt(0)
 
+  /** Embedding near-dup with signed-random-projection blocking — the scale
+    * path [[embedNearDup]]'s scaladoc points at, wired as a dedup operator:
+    *
+    *  - 64 SRP bits per vector (sign of dot with a fixed seeded Gaussian
+    *    hyperplane — 64 codegen'd [[graft.functions.ArrayDot]]s, one narrow
+    *    pass, no shuffle),
+    *  - candidates = pairs agreeing on ANY 8-bit band: 8 equi-joins on
+    *    (band, key) via one explode + self-join + distinct — never an
+    *    all-pairs product,
+    *  - exact cosine verification on candidates only, so precision is
+    *    exact; recall is the LSH knob: the fixture's injected dupes sit at
+    *    cos ≈ 0.9968 (θ/π ≈ 0.0255 flip probability per bit), giving
+    *    P(miss) = (1−(1−θ/π)^8)^8 ≈ 1.5e-6 per pair, while a random pair
+    *    (cos ≈ 0) survives blocking with P ≈ 1−(1−2^-8)^8 ≈ 3% — the
+    *    ~30× candidate reduction that replaces O(n²) at 100 TB.
+    *
+    * Deterministic (fixed seed + fixed plan) — same pairs every run; on the
+    * fixture it recovers the exact [[embedNearDup]] result (oracle-checked).
+    */
   def embedNearDupPruned(spark: SparkSession, sfDir: String,
                          threshold: Double = 0.9, nBands: Int = 8,
                          bandBits: Int = 8): DataFrame = {
@@ -1079,16 +1095,9 @@ object Dedup {
       "embeddings")
     if (!IndexStore.committed(s"$dir/vectors") ||
         !IndexStore.committed(s"$dir/sigs")) {
-      val built = embedCorpus(spark, sfDir)
-      IndexStore.saveDataset(built, s"$dir/vectors")
-      val bandCols = srpBandStructs(embeddingDim(spark, sfDir), nBands,
-        bandBits, col("u"))
-      IndexStore.saveDataset(
-        spark.read.parquet(s"$dir/vectors")
-          .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"),
-            col("bk.key").as("key")),
-        s"$dir/sigs")
+      IndexStore.saveDataset(embedCorpus(spark, sfDir), s"$dir/vectors")
+      persistSrpSigs(spark, dir, embeddingDim(spark, sfDir), nBands,
+        bandBits)
     }
     val normed = spark.read.parquet(s"$dir/vectors")
     val slim = spark.read.parquet(s"$dir/sigs")
@@ -1146,13 +1155,7 @@ object Dedup {
             l2Normalize(transform(col("embedding"),
               x => x.cast("double"))).as("u")),
         s"$dir/vectors")
-      val bandCols = srpBandStructs(dim, nBands, bandBits, col("u"))
-      IndexStore.saveDataset(
-        spark.read.parquet(s"$dir/vectors")
-          .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"),
-            col("bk.key").as("key")),
-        s"$dir/sigs")
+      persistSrpSigs(spark, dir, dim, nBands, bandBits)
     }
     // eval side: fixture batch, normalized + signed inline (one pass)
     val base = Tables.load(spark, sfDir, "embeddings")

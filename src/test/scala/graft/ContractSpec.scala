@@ -7,7 +7,7 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
     assert(SparkEntry.queries.size >= 123)
-    // all but the sketch/model-based eight carry oracles (the two
+    // all but the sketch/model-based eight carry oracles (the three
     // *_violations gates DO carry typed zero-row oracles; sql_ann_ivf is
     // the SQL surface over the same approx index, floor-gated like
     // ann_recall)
