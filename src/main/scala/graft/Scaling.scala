@@ -37,13 +37,13 @@ object Scaling {
   val Tier: Seq[String] = Seq("simhash_dedup", "minhash_dedup",
     "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups",
     "substring_runs", "bloom_decontaminate", "ann_filtered",
-    "sql_dup_groups")
+    "sql_dup_groups", "semantic_decontaminate")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
     */
   private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted",
-    "ann_filtered")
+    "ann_filtered", "semantic_decontaminate")
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {
@@ -255,13 +255,17 @@ object Scaling {
     // so the timed pass measures the decode stage. Rows carry total
     // decoded bytes at each scale: exponent ≈ 1 with flat decoded-MB/s
     // is the "no super-linear term, flat per-batch cost" evidence.
-    val mmQueries = Seq("multimodal_decode", "multimodal_featurize")
+    val mmQueries = Seq("multimodal_decode", "multimodal_featurize",
+      "multimodal_audio")
     // a failed fixture build must DROP the multimodal tier (empty rows),
     // not crash the run — the already-measured batch-tier timings and
     // the streaming tier below still land in the output
     def runMm(dir: String): Seq[(String, Double)] =
       try {
+        // build both persisted media fixtures (PNG filmstrips + PCM
+        // clips) untimed
         SparkEntry.queries("multimodal_decode")(spark, dir).count()
+        SparkEntry.queries("multimodal_audio")(spark, dir).count()
         mmQueries.map { n =>
           sweep()
           val t0 = System.nanoTime()
