@@ -52,6 +52,7 @@ object SparkEntry {
     }),
     "ann_ivf_sq" -> ((s, d) => AnnSearch.ivfSqKnn(s, d)),
     "ann_pq" -> ((s, d) => Quantize.pqKnn(s, d)),
+    "ann_ivf_pq" -> ((s, d) => AnnSearch.ivfPqKnn(s, d)),
     "normalize_vectors" -> ((s, d) => VectorSearch.normalizeVectors(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),

@@ -616,6 +616,119 @@ object AnnSearch {
       VectorSearch.normalized(spark, sfDir), k)
   }
 
+  /** Build (once) the composed IVF+PQ layout — the production default of
+    * every FAISS deployment at scale (`IndexIVFPQ`; the reference holds
+    * raw float32 in a flat index, `main.py:60-62`, precisely the thing
+    * that stops fitting first at 100 TB): cluster-partitioned PRODUCT-
+    * QUANTIZED codes, so a probe prunes the scan to nprobe/k of the
+    * corpus AND each scanned row is m bytes instead of d·4. Artifacts:
+    * `centroids` (the IVF probe table), `codebooks` (the m per-subspace
+    * k-means tables), `codes` hive-partitioned by cluster. Both parents
+    * are the committed build-once indexes, so the compose is two
+    * control-plane copies plus ONE equi-join pass (codes ⋈ assignments)
+    * — no k-means refit, and the PQ arithmetic is definitionally
+    * identical to the flat-PQ path's.
+    *
+    * Codes quantize the raw (normalized) vectors, not the per-cluster
+    * residuals (FAISS `by_residual=false`): residual coding would buy
+    * recall at the cost of forking the LUT construction per probed
+    * cluster (Q·nprobe LUTs instead of Q); the lost recall is bought
+    * back by the exact-rescore margin, and the gate that prices that
+    * trade is the measured `ivf_pq` floor in [[annRecall]].
+    */
+  def buildIvfPqIndex(spark: SparkSession, sfDir: String,
+                      nClusters: Int = 0, m: Int = 8,
+                      nCodes: Int = 0): String = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
+    val dir = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/codebooks") ||
+        !IndexStore.committed(s"$dir/codes")) {
+      val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
+      val pqDir = Quantize.buildPqIndex(spark, sfDir, m, nk)
+      IndexStore.saveDataset(
+        spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
+      IndexStore.saveDataset(
+        spark.read.parquet(s"$pqDir/codebooks"), s"$dir/codebooks")
+      spark.read.parquet(s"$pqDir/codes")
+        .join(spark.read.parquet(s"$ivfDir/vectors")
+          .select(col("vec_id"), col("cluster")), "vec_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(s"$dir/codes")
+    }
+    dir
+  }
+
+  /** IVF+PQ top-k: probe-pruned partitions scanned by ADC lookup-table
+    * sums, exact rescore of the candidate margin — [[ivfSqKnn]]'s shape
+    * with the scan rows shrunk from ~d bytes (SQ8) to m bytes (PQ), the
+    * aggressive end of the family's storage/recall trade at the SAME
+    * probe pruning. The per-query LUTs are the shared distributed
+    * construction ([[Quantize.pqLutsAt]]) joined INTO the probe side, so
+    * the broadcast carries (qu, lut, cluster) per probe row and the code
+    * scan is one map-side pass summing m lookups per row; above
+    * [[JoinProbeQueryThreshold]] queries the probe stays distributed
+    * (DPP prunes the partitioned code scan), and [[probeSide]] prices
+    * the staged payload with the LUT bytes included.
+    */
+  def ivfPqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+               k: Int = 10, nClusters: Int = 0, nProbe: Int = 0,
+               m: Int = 8, nCodes: Int = 0, rerank: Int = 40): DataFrame =
+    ivfPqSearch(spark, sfDir, nQueries, k, nClusters, nProbe, m, nCodes,
+      rerank, forceJoin = false)
+
+  /** [[ivfPqKnn]] forced onto the joined-probe strategy — the high-Q
+    * plan made testable at fixture scale (bit-identity spec).
+    */
+  private[graft] def ivfPqKnnJoined(spark: SparkSession, sfDir: String,
+                                    nQueries: Int = 10, k: Int = 10,
+                                    nClusters: Int = 0, nProbe: Int = 0,
+                                    m: Int = 8, nCodes: Int = 0,
+                                    rerank: Int = 40): DataFrame =
+    ivfPqSearch(spark, sfDir, nQueries, k, nClusters, nProbe, m, nCodes,
+      rerank, forceJoin = true)
+
+  private def ivfPqSearch(spark: SparkSession, sfDir: String,
+                          nQueries: Int, k: Int, nClusters: Int,
+                          nProbe: Int, m: Int, nCodes: Int, rerank: Int,
+                          forceJoin: Boolean): DataFrame = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
+    val dir = buildIvfPqIndex(spark, sfDir, nc, m, nk)
+    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val np = resolveProbe(nc, nProbe)
+    val luts = Quantize.pqLutsAt(spark, s"$dir/codebooks", queries, m, nk)
+      .select(col("query_id"), col("lut"))
+    // the probe row payload is qu PLUS the m·nk-double LUT — price the
+    // broadcast staging with both, not just the query vector
+    def lutDim = centroidDim(centersDf) + m * nk
+    val (probes, codes) =
+      if (forceJoin || nQueries.toLong > JoinProbeQueryThreshold)
+        (probeSide(probeFrame(queries, centersDf, np)
+            .join(luts, "query_id"),
+          if (forceJoin) 0L else nQueries.toLong, np, lutDim),
+          spark.read.parquet(s"$dir/codes"))
+      else {
+        val (probedClusters, p) = probe(spark, queries, centersDf, np)
+        (broadcast(p.join(luts, "query_id")),
+          spark.read.parquet(s"$dir/codes")
+            .filter(col("cluster").isin(probedClusters: _*)))
+      }
+    val adist = probes.join(codes, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id").as("id"),
+        expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
+          acc + element_at(lut, j * $nk +
+            element_at(codes, j + 1) + 1))""").as("adist"))
+    // the ONE shared pruning tail — margin semantics identical to SQ8/PQ
+    VectorSearch.rescoreTopK(
+      VectorSearch.pruneCandidates(adist, rerank),
+      VectorSearch.normalized(spark, sfDir), k)
+  }
+
   /** Load-or-build the PAYLOAD-CARRYING IVF layout: the same centroids
     * and cluster-partitioned vectors as the plain index, with the
     * filterable metadata column (`label`) riding IN the vector rows —
@@ -865,7 +978,8 @@ object AnnSearch {
                 nQueries: Int = 10, k: Int = 10,
                 floors: Map[String, Double] =
                   Map("lsh" -> 0.8, "ivf" -> 0.6, "ivf_sq" -> 0.6,
-                    "pq" -> 0.4, "ivf_filtered" -> 0.6)): DataFrame = {
+                    "pq" -> 0.4, "ivf_filtered" -> 0.6,
+                    "ivf_pq" -> 0.4)): DataFrame = {
     val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("id"))
     val allQueries = exact.select(col("query_id")).distinct()
@@ -911,6 +1025,7 @@ object AnnSearch {
       .unionAll(recallOf("ivf_sq", ivfSqKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallOf("pq",
         Quantize.pqKnn(spark, sfDir, nQueries, k)))
+      .unionAll(recallOf("ivf_pq", ivfPqKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallAgainst(filteredExact, "ivf_filtered",
         ivfFilteredKnn(spark, sfDir, nQueries = nQueries, k = k)))
       .select(col("method"), col("query_id"), col("recall"),
@@ -941,10 +1056,11 @@ object AnnSearch {
                           queryMinima: Map[String, Double] =
                             Map("lsh" -> 0.5, "ivf" -> 0.25,
                               "ivf_sq" -> 0.25, "pq" -> 0.15,
-                              "ivf_filtered" -> 0.25)): DataFrame = {
+                              "ivf_filtered" -> 0.25,
+                              "ivf_pq" -> 0.15)): DataFrame = {
     // materialize ONCE: both violation branches derive from r, and the
-    // recall report costs the exact kNN plus all four approximate
-    // searches — without the cut the union would run that suite twice
+    // recall report costs the exact kNN plus every approximate search
+    // in the family — without the cut the union would run it all twice
     val r = annRecall(spark, sfDir, nQueries, k).localCheckpoint(true)
     val qmin = queryMinima.foldLeft(lit(0.0)) { case (acc, (m, f)) =>
       when(col("method") === m, lit(f)).otherwise(acc)
@@ -977,6 +1093,12 @@ object AnnSearch {
     *    (ivf_sq scans the same rows at ~3.5× fewer bytes per row).
     *  - pq: ADC scans every code regardless; the rerank margin prices the
     *    full-precision rescore, min(rerank, n-1) rows per query.
+    *
+    * ivf_pq is deliberately NOT a fourth swept layout: its two knobs are
+    * exactly its parents' (nprobe from the IVF probe, rerank from the PQ
+    * margin), so the ivf/pq sweeps already span its operating surface —
+    * and its composed recall is gated directly by the `ivf_pq` floor in
+    * [[annRecallViolations]].
     *
     * Recall is monotone non-decreasing in the cost parameter BY
     * CONSTRUCTION, not just in expectation: a larger nprobe (or rerank

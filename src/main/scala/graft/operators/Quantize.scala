@@ -37,8 +37,8 @@ object Quantize {
     * per centroid so the per-subspace k-means stays well-conditioned.
     * Fixture n=500 → 22 codes; explicit overrides always win.
     */
-  private def resolveCodes(spark: SparkSession, sfDir: String,
-                           nCodes: Int): Int =
+  private[operators] def resolveCodes(spark: SparkSession, sfDir: String,
+                                      nCodes: Int): Int =
     if (nCodes > 0) nCodes
     else {
       val n = AnnSearch.embeddingCount(spark, sfDir)
@@ -153,10 +153,32 @@ object Quantize {
                                  nCodes: Int = 0): DataFrame = {
     val nk = resolveCodes(spark, sfDir, nCodes)
     val dir = buildPqIndex(spark, sfDir, m, nk)
-    val books = spark.read.parquet(s"$dir/codebooks")
     val normed = VectorSearch.normalized(spark, sfDir)
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qu"))
+    val luts = pqLutsAt(spark, s"$dir/codebooks", queries, m, nk)
+    spark.read.parquet(s"$dir/codes")
+      .join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id").as("id"),
+        expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
+          acc + element_at(lut, j * $nk +
+            element_at(codes, j + 1) + 1))""").as("adist"))
+  }
+
+  /** Per-query ADC lookup tables against an EXPLICIT codebooks path —
+    * (query_id, qu, lut) with lut a dense m·nCodes array of subspace
+    * distances. THE one LUT construction, shared by the flat-PQ scan
+    * ([[pqAdist]]) and the cluster-pruned IVF-PQ scan
+    * ([[AnnSearch.ivfPqKnn]]), so the left-fold distance arithmetic (and
+    * the absent-slot +inf fill) cannot drift between the two layouts.
+    * Built DISTRIBUTED as a queries × codebooks join (Q·m·nCodes rows) —
+    * no query row or codebook ever lands on the driver, Q is unbounded.
+    */
+  private[operators] def pqLutsAt(spark: SparkSession,
+                                  codebooksPath: String,
+                                  queries: DataFrame, m: Int,
+                                  nk: Int): DataFrame = {
+    val books = spark.read.parquet(codebooksPath)
     // one row per (query, subspace, code): squared L2 between the query's
     // subspace slice and that code's center — the same left-fold order as
     // a sequential loop, so distances are bit-identical to a driver build
@@ -170,7 +192,7 @@ object Quantize {
     // dense m·nCodes layout per query; slots with no codebook row (k-means
     // may return < nCodes centers on a degenerate subspace) fill with +inf
     // — no stored code can reference an absent slot
-    val luts = entries.groupBy(col("query_id"))
+    entries.groupBy(col("query_id"))
       .agg(first(col("qu")).as("qu"),
         map_from_entries(collect_list(struct(col("slot"), col("d2"))))
           .as("lm"))
@@ -178,12 +200,6 @@ object Quantize {
         transform(sequence(lit(0), lit(m * nk - 1)),
           i => coalesce(element_at(col("lm"), i),
             lit(Double.PositiveInfinity))).as("lut"))
-    spark.read.parquet(s"$dir/codes")
-      .join(broadcast(luts), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qu"), col("vec_id").as("id"),
-        expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
-          acc + element_at(lut, j * $nk +
-            element_at(codes, j + 1) + 1))""").as("adist"))
   }
 
   /** Top-k search over the quantized store with exact re-ranking:

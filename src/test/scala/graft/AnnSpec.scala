@@ -22,6 +22,26 @@ class AnnSpec extends SparkSpec {
     // PQ trades the most recall for 30x storage; the exact-rescore margin
     // still has to keep it useful (measured ~0.63 avg on the fixture)
     assert(byMethod("pq") >= 0.5, s"pq recall ${byMethod("pq")}")
+    // IVF+PQ composes probe misses ON TOP of PQ's quantization loss, so
+    // it can only sit at or below flat PQ — and the floor keeps the
+    // composed loss bounded (the family's aggressive end stays useful)
+    assert(byMethod("ivf_pq") >= 0.4,
+      s"ivf_pq recall ${byMethod("ivf_pq")}")
+    assert(byMethod("ivf_pq") <= byMethod("pq") + 1e-9,
+      s"ivf_pq ${byMethod("ivf_pq")} > pq ${byMethod("pq")}")
+  }
+
+  test("IVF+PQ at full probe is bit-identical to flat PQ") {
+    // probing every cluster removes the probe loss entirely; both layouts
+    // then score the SAME codes with the SAME codebooks through the SAME
+    // margin/rescore tail — the compose changes pruning, not semantics
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nc = AnnSearch.autoClusters(n)
+    val want = graft.operators.Quantize.pqKnn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = AnnSearch.ivfPqKnn(spark, sf, nProbe = nc)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("persisted IVF probe prunes cluster partitions at the file source") {
@@ -293,6 +313,12 @@ class AnnSpec extends SparkSpec {
     val gotSq = AnnSearch.ivfSqKnnJoined(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(gotSq.nonEmpty && gotSq == wantSq)
+    // and the PQ layout: the probe side additionally carries the ADC
+    // LUTs, which must not perturb the switch or the result
+    val wantPq = AnnSearch.ivfPqKnn(spark, sf).collect().map(_.toSeq).toSeq
+    val gotPq = AnnSearch.ivfPqKnnJoined(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotPq.nonEmpty && gotPq == wantPq)
   }
 
   test("probe broadcast drops to a shuffle join above the byte limit, " +

@@ -6,15 +6,16 @@ class ContractSpec extends SparkSpec {
   test("every oracle key has a query; no silent Map-key collisions") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size >= 123)
-    // all but the sketch/model-based eight carry oracles (the three
+    assert(SparkEntry.queries.size >= 124)
+    // all but the sketch/model-based nine carry oracles (the three
     // *_violations gates DO carry typed zero-row oracles; sql_ann_ivf is
     // the SQL surface over the same approx index, floor-gated like
     // ann_recall)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle ==
       Set("approx_distinct", "ann_lsh", "ann_ivf_persisted", "ann_ivf_sq",
-        "ann_pq", "ann_recall", "ann_recall_curve", "sql_ann_ivf"), noOracle)
+        "ann_pq", "ann_ivf_pq", "ann_recall", "ann_recall_curve",
+        "sql_ann_ivf"), noOracle)
   }
 
   test("entry() smoke: flagship returns rows on sf0.001") {
