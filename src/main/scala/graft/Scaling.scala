@@ -37,13 +37,13 @@ object Scaling {
   val Tier: Seq[String] = Seq("simhash_dedup", "minhash_dedup",
     "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups",
     "substring_runs", "bloom_decontaminate", "ann_filtered",
-    "sql_dup_groups", "semantic_decontaminate")
+    "sql_dup_groups", "semantic_decontaminate", "ann_ivf_pq")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
     */
   private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted",
-    "ann_filtered", "semantic_decontaminate")
+    "ann_filtered", "semantic_decontaminate", "ann_ivf_pq")
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {

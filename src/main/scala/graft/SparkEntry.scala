@@ -167,6 +167,10 @@ object SparkEntry {
     "ann_recall_curve" -> ((s, d) => AnnSearch.annRecallCurve(s, d)),
     "ivf_append_violations" ->
       ((s, d) => AnnSearch.ivfAppendViolations(s, d)),
+    // the quantized twin of the append gate: frozen-codebook encode into
+    // a new IVF+PQ version; zero rows = complete, well-formed, searchable
+    "ivf_pq_append_violations" ->
+      ((s, d) => AnnSearch.ivfPqAppendViolations(s, d)),
     // the lifecycle step after appends: re-fit the centroids over the
     // grown corpus; zero rows = refit kept completeness AND recall
     "ivf_refit_violations" ->
@@ -557,6 +561,13 @@ object SparkEntry {
     // same zero-row contract for the refit step (completeness + recall
     // of the re-clustered index vs the appended version it replaces)
     "ivf_refit_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // the quantized append: completeness + m-wide codes + probe recall
+    // of the appended IVF+PQ version, same zero-row contract
+    "ivf_pq_append_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

@@ -697,36 +697,180 @@ object AnnSearch {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
     val dir = buildIvfPqIndex(spark, sfDir, nc, m, nk)
-    val centersDf = spark.read.parquet(s"$dir/centroids")
-    val queries = queryVectors(spark, sfDir, nQueries)
-    val np = resolveProbe(nc, nProbe)
-    val luts = Quantize.pqLutsAt(spark, s"$dir/codebooks", queries, m, nk)
+    ivfPqSearchAt(spark, dir, queryVectors(spark, sfDir, nQueries),
+      VectorSearch.normalized(spark, sfDir), k, resolveProbe(nc, nProbe),
+      m, nk, rerank, expectedQ = nQueries.toLong, forceJoin = forceJoin)
+  }
+
+  /** Resolve an IVF+PQ index dir to (centroids, codebooks, seq-ordered
+    * code segment dirs) — the [[ivfLayout]] contract extended with the
+    * codebooks artifact, so appended (manifested) versions share every
+    * read path with the plain build-once layout.
+    */
+  private[graft] def ivfPqLayout(spark: SparkSession, dir: String)
+      : (String, String, Seq[String]) =
+    if (IndexStore.committed(s"$dir/manifest")) {
+      val entries = IndexStore.readManifest(spark, dir)
+      (IndexStore.manifestSegments(entries, "centroids").head,
+        IndexStore.manifestSegments(entries, "codebooks").head,
+        IndexStore.manifestSegments(entries, "codes"))
+    } else (s"$dir/centroids", s"$dir/codebooks", Seq(s"$dir/codes"))
+
+  /** The IVF+PQ probe-and-scan against an EXPLICIT (possibly manifested)
+    * index dir — shared by the fixture search and the append gate, so
+    * probe tie-breaking, LUT arithmetic and margin semantics can never
+    * drift between them. `normed` is the full-precision rescore corpus:
+    * an appended version's candidates include batch ids, so the caller
+    * supplies the corpus the version actually indexes.
+    */
+  private[graft] def ivfPqSearchAt(spark: SparkSession, dir: String,
+                                   queries: DataFrame, normed: DataFrame,
+                                   k: Int, nProbe: Int, m: Int, nk: Int,
+                                   rerank: Int, expectedQ: Long,
+                                   forceJoin: Boolean = false): DataFrame = {
+    val (centroidsPath, codebooksPath, segments) = ivfPqLayout(spark, dir)
+    val centersDf = spark.read.parquet(centroidsPath)
+    val luts = Quantize.pqLutsAt(spark, codebooksPath, queries, m, nk)
       .select(col("query_id"), col("lut"))
-    // the probe row payload is qu PLUS the m·nk-double LUT — price the
-    // broadcast staging with both, not just the query vector
-    def lutDim = centroidDim(centersDf) + m * nk
-    val (probes, codes) =
-      if (forceJoin || nQueries.toLong > JoinProbeQueryThreshold)
-        (probeSide(probeFrame(queries, centersDf, np)
-            .join(luts, "query_id"),
-          if (forceJoin) 0L else nQueries.toLong, np, lutDim),
-          spark.read.parquet(s"$dir/codes"))
-      else {
-        val (probedClusters, p) = probe(spark, queries, centersDf, np)
-        (broadcast(p.join(luts, "query_id")),
-          spark.read.parquet(s"$dir/codes")
-            .filter(col("cluster").isin(probedClusters: _*)))
-      }
-    val adist = probes.join(codes, "cluster")
+    def adistOf(probeLutCodes: DataFrame): DataFrame = probeLutCodes
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
         expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
           acc + element_at(lut, j * $nk +
             element_at(codes, j + 1) + 1))""").as("adist"))
+    // the probe row payload is qu PLUS the m·nk-double LUT — price the
+    // broadcast staging with both, not just the query vector
+    def lutDim = centroidDim(centersDf) + m * nk
+    val adist =
+      if (forceJoin || expectedQ > JoinProbeQueryThreshold) {
+        val p = probeSide(probeFrame(queries, centersDf, nProbe)
+            .join(luts, "query_id"),
+          if (forceJoin) 0L else expectedQ, nProbe, lutDim)
+        // per-segment join with the union ABOVE it, as in
+        // [[ivfSearchJoinedAt]]: DPP attaches to each partitioned scan
+        segments.map(seg => adistOf(p.join(spark.read.parquet(seg),
+          "cluster"))).reduce(_ unionAll _)
+      } else {
+        val (probedClusters, p) = probe(spark, queries, centersDf, nProbe)
+        adistOf(broadcast(p.join(luts, "query_id"))
+          .join(IndexStore.readUnion(spark, segments)
+            .filter(col("cluster").isin(probedClusters: _*)), "cluster"))
+      }
     // the ONE shared pruning tail — margin semantics identical to SQ8/PQ
     VectorSearch.rescoreTopK(
-      VectorSearch.pruneCandidates(adist, rerank),
-      VectorSearch.normalized(spark, sfDir), k)
+      VectorSearch.pruneCandidates(adist, rerank), normed, k)
+  }
+
+  /** PQ-encode an explicit centroid-assigned frame (vec_id, v, cluster)
+    * with FROZEN codebooks — the add-time half of FAISS `IndexIVFPQ.add`:
+    * per subspace, each row takes the code of its nearest codebook
+    * center; the codebooks are never refit by an append (that is the
+    * refit lifecycle step's job, as with centroids). One crossJoin with
+    * the tiny broadcast codebook table (batch × m·nk rows — O(batch)
+    * with a constant factor, never corpus-bound) and a per-(row,
+    * subspace) argmin window; ties break on the lower code, matching the
+    * build-time k-means predict (first minimal index). The window
+    * partitions by a per-row uid so duplicate vec_ids in one batch stay
+    * distinct rows (add_with_ids semantics, as in [[appendToIvfIndexAt]]).
+    */
+  private def pqEncode(spark: SparkSession, codebooksPath: String,
+                       rows: DataFrame, m: Int, nk: Int): DataFrame = {
+    val books = spark.read.parquet(codebooksPath)
+    val wv = Window.partitionBy("uid", "subspace")
+      .orderBy(col("d2"), col("code"))
+    rows.withColumn("uid", monotonically_increasing_id())
+      .crossJoin(broadcast(books))
+      .withColumn("d2", expr(
+        """aggregate(
+          |  zip_with(slice(v, subspace * size(center) + 1, size(center)),
+          |    center, (x, y) -> (x - y) * (x - y)),
+          |  0D, (acc, d) -> acc + d)""".stripMargin))
+      .withColumn("cr", row_number().over(wv))
+      .filter(col("cr") === 1)
+      .groupBy(col("uid"))
+      .agg(first(col("vec_id")).as("vec_id"),
+        first(col("cluster")).as("cluster"),
+        transform(array_sort(
+          collect_list(struct(col("subspace"), col("code")))),
+          s => s.getField("code")).as("codes"))
+      .select(col("vec_id"), col("codes"), col("cluster"))
+  }
+
+  /** Incremental add to the persisted IVF+PQ index — the quantized twin
+    * of [[appendToIvfIndex]], completing the lifecycle for the layout a
+    * 100 TB deployment actually runs: new vectors are assigned to their
+    * nearest EXISTING centroid and encoded with the FROZEN codebooks
+    * ([[pqEncode]]), and a NEW version at `out` re-references the
+    * predecessor's immutable code segments by manifest plus ONE new
+    * cluster-partitioned batch segment. Same commit protocol (manifest
+    * written last, replay-idempotent on `committed(out/manifest)`), same
+    * [[IndexStore.DefaultMaxSegments]] in-chain auto-compaction bound.
+    */
+  def appendToIvfPqIndex(spark: SparkSession, sfDir: String,
+                         batch: DataFrame, out: String,
+                         nClusters: Int = 0, m: Int = 8,
+                         nCodes: Int = 0): Unit = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
+    appendToIvfPqIndexAt(spark, buildIvfPqIndex(spark, sfDir, nc, m, nk),
+      batch, out, m, nk)
+  }
+
+  private[graft] def appendToIvfPqIndexAt(spark: SparkSession,
+                                          dir: String, batch: DataFrame,
+                                          out: String, m: Int, nk: Int,
+                                          maxSegments: Int =
+                                            IndexStore.DefaultMaxSegments)
+      : Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    val (centroidsPath, codebooksPath, segments) = ivfPqLayout(spark, dir)
+    require(IndexStore.committed(centroidsPath) &&
+      IndexStore.committed(codebooksPath) &&
+      segments.forall(IndexStore.committed),
+      s"append base $dir is not a committed index version")
+    val centersDf = spark.read.parquet(centroidsPath)
+    val centerDim = centersDf.select(size(col("center"))).head.getInt(0)
+    batch.select(size(col("v"))).limit(1).collect().headOption.foreach {
+      r => require(r.getInt(0) == centerDim,
+        s"batch dim ${r.getInt(0)} != index dim $centerDim")
+    }
+    val wb = Window.partitionBy("uid").orderBy(col("cdist"), col("cluster"))
+    val assigned = batch
+      .select(col("vec_id"), l2Normalize(col("v")).as("v"))
+      .withColumn("uid", monotonically_increasing_id())
+      .crossJoin(broadcast(centersDf))
+      .withColumn("cdist", squaredL2(col("v"), col("center")))
+      .withColumn("cr", row_number().over(wb))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val encoded = pqEncode(spark, codebooksPath, assigned, m, nk)
+    val segment = s"$out/segment"
+    if (segments.length + 1 > maxSegments) {
+      // compaction trigger: fold the whole chain + batch into ONE fresh
+      // cluster-partitioned code segment ([[appendToIvfIndexAt]]'s bound)
+      IndexStore.readUnion(spark, segments)
+        .select(col("vec_id"), col("codes"), col("cluster"))
+        .unionByName(encoded)
+        .repartition(col("cluster"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(segment)
+      IndexStore.writeManifest(spark, out,
+        Seq(("centroids", centroidsPath, 0L),
+          ("codebooks", codebooksPath, 0L), ("codes", segment, 0L)))
+    } else {
+      encoded
+        // one O(batch) shuffle so each touched cluster gets ONE file
+        // (the small-file bound of [[appendToIvfIndexAt]])
+        .repartition(col("cluster"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cluster").parquet(segment)
+      IndexStore.writeManifest(spark, out,
+        ("centroids", centroidsPath, 0L) +:
+          ("codebooks", codebooksPath, 0L) +:
+          (segments :+ segment).zipWithIndex.map { case (s, i) =>
+            ("codes", s, i.toLong)
+          })
+    }
   }
 
   /** Load-or-build the PAYLOAD-CARRYING IVF layout: the same centroids
@@ -1244,6 +1388,60 @@ object AnnSearch {
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
+  /** HARD gate for the O(batch) IVF+PQ append — [[ivfAppendViolations]]'
+    * contract applied to the quantized layout (zero rows = passing,
+    * typed zero-row oracle): fold the SAME deterministic [[appendBatch]]
+    * into a new IVF+PQ version via [[appendToIvfPqIndex]], then emit a
+    * violation row if any invariant breaks:
+    *
+    *  - completeness: the appended version must hold base + batch code
+    *    rows (a lost partition or dropped batch row trips this);
+    *  - code width: every stored code array must have exactly m entries
+    *    (a partial encode — e.g. a dropped subspace in the frozen-
+    *    codebook argmin — trips this even when row counts look right);
+    *  - quality: probing the appended version must reach `recallFloor`
+    *    average recall@k against the exact k-NN over the appended
+    *    corpus. The floor sits below the flat append gate's 0.5: the
+    *    probe misses now compose with PQ quantization loss (the same
+    *    ordering the `ivf_pq` vs `ivf` floors encode in
+    *    [[annRecallViolations]]).
+    */
+  def ivfPqAppendViolations(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, k: Int = 10,
+                            recallFloor: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    val nk = Quantize.resolveCodes(spark, sfDir, 0)
+    val m = 8
+    val out = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v1",
+      "embeddings")
+    val batch = appendBatch(spark, sfDir)
+    appendToIvfPqIndex(spark, sfDir, batch, out, nc, m, nk)
+    val nBase = embeddingCount(spark, sfDir)
+    val codes = IndexStore.readUnion(spark, ivfPqLayout(spark, out)._3)
+    val nOut = codes.count()
+    val badWidth = codes.filter(size(col("codes")) =!= m).count()
+    val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val exact = unionExactTopK(union, queries, k)
+    val approx = ivfPqSearchAt(spark, out, queries, union, k,
+      resolveProbe(nc, 0), m, nk, rerank = 40,
+      expectedQ = nQueries.toLong)
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    val viols = Seq(
+      Option.when(nOut != 2 * nBase)(
+        ("vector_count", 2.0 * nBase, nOut.toDouble)),
+      Option.when(badWidth != 0)(
+        ("code_width", 0.0, badWidth.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
   /** HARD gate for index REFIT — the lifecycle step after appends: an
     * appended version keeps assigning new vectors to the ORIGINAL
     * centroids (exactly how FAISS IVF adds work), so after enough
@@ -1312,16 +1510,24 @@ object AnnSearch {
                                  union: DataFrame, queries: DataFrame,
                                  k: Int, nProbe: Int,
                                  expectedQ: Long): Double = {
-    val exact = VectorSearch.topK(
-      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("id"),
-          squaredL2(col("qu"), col("v")).as("dist")), k)
-      .select(col("query_id"), col("id")).localCheckpoint(true)
+    val exact = unionExactTopK(union, queries, k)
     val approx = ivfSearchAt(spark, dir, queries, k, nProbe, expectedQ)
     val hits = exact.join(approx.select(col("query_id"), col("id")),
       Seq("query_id", "id"), "left_semi").count()
     hits.toDouble / exact.count()
   }
+
+  /** Exact top-k (query_id, id) over an explicit normalized corpus — the
+    * shared truth set of every append-gate recall measurement, so the
+    * flat and PQ gates can never drift in their exact baseline.
+    */
+  private def unionExactTopK(union: DataFrame, queries: DataFrame,
+                             k: Int): DataFrame =
+    VectorSearch.topK(
+      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
+      .select(col("query_id"), col("id")).localCheckpoint(true)
 
   private[graft] def defaultProbe(spark: SparkSession,
                                   sfDir: String): Int = {

@@ -353,6 +353,12 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("IVF+PQ append gate: frozen-codebook encode yields a complete, " +
+      "well-formed, searchable next version") {
+    val viols = AnnSearch.ivfPqAppendViolations(spark, sf)
+    assert(viols.collect().isEmpty, viols.collect().mkString(", "))
+  }
+
   test("refit gate: re-clustering the appended corpus keeps completeness" +
       " and recall") {
     val viols = AnnSearch.ivfRefitViolations(spark, sf)

@@ -6,7 +6,7 @@ class ContractSpec extends SparkSpec {
   test("every oracle key has a query; no silent Map-key collisions") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size >= 124)
+    assert(SparkEntry.queries.size >= 125)
     // all but the sketch/model-based nine carry oracles (the three
     // *_violations gates DO carry typed zero-row oracles; sql_ann_ivf is
     // the SQL surface over the same approx index, floor-gated like
