@@ -1529,6 +1529,13 @@ object AnnSearch {
           squaredL2(col("qu"), col("v")).as("dist")), k)
       .select(col("query_id"), col("id")).localCheckpoint(true)
 
+  /** The fixture's auto-sized PQ codebook cardinality — exposed so specs
+    * drive the append-at-dir path with the same nk the build used.
+    */
+  private[graft] def pqCodebookSize(spark: SparkSession,
+                                    sfDir: String): Int =
+    Quantize.resolveCodes(spark, sfDir, 0)
+
   private[graft] def defaultProbe(spark: SparkSession,
                                   sfDir: String): Int = {
     val nc = resolveClusters(spark, sfDir, 0)

@@ -353,6 +353,39 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("IVF+PQ append auto-compacts once the code-segment chain passes " +
+      "the bound") {
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def shifted(off: Long, d: Double) =
+      Tables.load(spark, sf, "embeddings")
+        .select((col("vec_id") + off).as("vec_id"),
+          expr(s"transform(embedding, x -> cast(x as double) + $d)")
+            .as("v"))
+    val nk = AnnSearch.pqCodebookSize(spark, sf)
+    val base = AnnSearch.buildIvfPqIndex(spark, sf)
+    val v1 = tmp("graft_ivfpq_auto_v1")
+    val v2 = tmp("graft_ivfpq_auto_v2")
+    // base(1 segment) + batch → 2 ≤ 2: still a delta append
+    AnnSearch.appendToIvfPqIndexAt(spark, base, shifted(50000L, 0.01), v1,
+      8, nk, maxSegments = 2)
+    assert(IndexStore.readManifest(spark, v1).count(_._1 == "codes") == 2)
+    // 2 + 1 > 2: the policy folds chain + batch into ONE fresh segment
+    AnnSearch.appendToIvfPqIndexAt(spark, v1, shifted(60000L, 0.02), v2,
+      8, nk, maxSegments = 2)
+    assert(IndexStore.readManifest(spark, v2).count(_._1 == "codes") == 1)
+    // identical resolved reads vs the never-compacted control chain
+    val ctl = tmp("graft_ivfpq_auto_ctl")
+    AnnSearch.appendToIvfPqIndexAt(spark, v1, shifted(60000L, 0.02), ctl,
+      8, nk)
+    assert(IndexStore.readManifest(spark, ctl).count(_._1 == "codes") == 3)
+    def resolved(dir: String) =
+      IndexStore.readUnion(spark, AnnSearch.ivfPqLayout(spark, dir)._3)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+        .orderBy("vec_id", "cluster").collect().map(_.toSeq).toSeq
+    assert(resolved(v2).nonEmpty && resolved(v2) == resolved(ctl))
+  }
+
   test("IVF+PQ append gate: frozen-codebook encode yields a complete, " +
       "well-formed, searchable next version") {
     val viols = AnnSearch.ivfPqAppendViolations(spark, sf)
