@@ -283,14 +283,18 @@ object Scaling {
       if (mm1.size != mmQueries.size || mmN.size != mmQueries.size)
         Seq.empty
       else {
-        val mmBytes1 = graft.operators.Multimodal
-          .estimatedPayloadBytes(spark, base)
-        val mmBytesN = graft.operators.Multimodal
-          .estimatedPayloadBytes(spark, big)
+        // bytes are attributed PER MODALITY: the image rows carry the
+        // img# cache's total, the audio row the audio# cache's — one
+        // shared figure would mislabel multimodal_audio's byte metadata
+        def bytesOf(n: String, dir: String): Long =
+          if (n == "multimodal_audio")
+            graft.operators.Multimodal.audioPayloadBytes(spark, dir)
+          else graft.operators.Multimodal.estimatedPayloadBytes(spark, dir)
         mm1.zip(mmN).map { case ((n, a), (_, b)) =>
           val exp = math.log(b / a) / math.log(factor.toDouble)
           f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,"factor":$factor,""" +
-            f""""exponent":$exp%.2f,"bytes1":$mmBytes1,"bytesN":$mmBytesN}"""
+            f""""exponent":$exp%.2f,"bytes1":${bytesOf(n, base)},""" +
+            f""""bytesN":${bytesOf(n, big)}}"""
         }
       }
 

@@ -772,6 +772,15 @@ object AnnSearch {
     * build-time k-means predict (first minimal index). The window
     * partitions by a per-row uid so duplicate vec_ids in one batch stay
     * distinct rows (add_with_ids semantics, as in [[appendToIvfIndexAt]]).
+    *
+    * Arithmetic caveat (applies equally to append-time CENTROID
+    * assignment): this path computes exact fold-order squared L2 against
+    * the persisted codebook/centroid tables — the SAME expression the
+    * search paths use — while the BUILD-time k-means assignment goes
+    * through MLlib's norm-accelerated fastSquaredDistance. A borderline
+    * vector can therefore encode/assign differently between the build
+    * and append paths; the invariant is search-time arithmetic plus the
+    * recall-floor gates, NOT build/append bit-identity of assignments.
     */
   private def pqEncode(spark: SparkSession, codebooksPath: String,
                        rows: DataFrame, m: Int, nk: Int): DataFrame = {
@@ -902,17 +911,25 @@ object AnnSearch {
 
   /** Fraction of the corpus matching `label` — the predicate SELECTIVITY
     * the filtered probe over-probes by. Two cached control-plane counts
-    * (at 100 TB both come from table statistics / NDV sketches).
+    * (at 100 TB both come from table statistics / NDV sketches). The
+    * cache keys on the SOURCE fingerprint (as [[IndexStore.indexDir]]
+    * does), not the path: selectivity feeds the saturation-exactness
+    * property that lets `ann_filtered` share the exact oracle, so a
+    * regenerated fixture in the same JVM must never be served a stale
+    * figure — both counts run fresh inside the miss, keeping numerator
+    * and denominator consistent with each other.
     */
   private val selCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   private def labelSelectivity(spark: SparkSession, sfDir: String,
-                               label: Int): Double =
-    selCache.computeIfAbsent(s"$sfDir#$label", _ => {
-      val matching = Tables.load(spark, sfDir, "embeddings")
-        .filter(col("label") === label).count()
-      matching.toDouble / math.max(1L, embeddingCount(spark, sfDir))
+                               label: Int): Double = {
+    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
+    selCache.computeIfAbsent(s"$sfDir#$fp#$label", _ => {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val matching = emb.filter(col("label") === label).count()
+      matching.toDouble / math.max(1L, emb.count())
     }).doubleValue()
+  }
 
   /** FILTERED approximate k-NN: metadata predicate + IVF probe in ONE
     * plan — the promised-but-missing `search_by_text`-style filtered

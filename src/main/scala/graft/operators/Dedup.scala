@@ -322,13 +322,27 @@ object Dedup {
         col(pairs.columns(1)).as("doc_b"))
       .localCheckpoint(true)
       .createOrReplaceTempView("dedup_pairs_sql")
+    // the LAST round also carries each node's OWN previous-round label —
+    // read off the self-loop adjacency row, NOT via a second reference to
+    // r{rounds-1} (CTEs inline per reference, so that would re-evaluate
+    // the whole chain) — making convergence checkable at runtime for the
+    // cost of one extra aggregate in one round
     val roundCtes = (1 to rounds).map { i =>
+      val prev = if (i == rounds)
+        ",\n    min(CASE WHEN a.dst = a.src THEN r.label END) AS prev_label"
+      else ""
       s"""r$i AS (
-         |  SELECT a.src AS id, min(r.label) AS label
+         |  SELECT a.src AS id, min(r.label) AS label$prev
          |  FROM adj a JOIN r${i - 1} r ON r.id = a.dst
          |  GROUP BY a.src
          |)""".stripMargin
     }.mkString(",\n")
+    // runtime convergence gate: a graph whose diameter outgrew the round
+    // cap must fail LOUDLY (assert_true), never return mislabeled
+    // components — convergence means the final round changed nothing, so
+    // the cap must exceed the diameter by one (a confirmation round).
+    // The change count is a window over the final round's (tiny,
+    // pair-graph-nodes-only) frame — no second chain evaluation.
     spark.sql(
       s"""WITH edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM dedup_pairs_sql
@@ -343,8 +357,16 @@ object Dedup {
          |),
          |r0 AS (SELECT id, id AS label FROM nodes),
          |$roundCtes
-         |SELECT id AS doc_id, label AS component
-         |FROM r$rounds
+         |SELECT doc_id, component FROM (
+         |  SELECT id AS doc_id, label AS component,
+         |    count(CASE WHEN label <> prev_label THEN 1 END) OVER ()
+         |      AS moved
+         |  FROM r$rounds
+         |)
+         |WHERE assert_true(moved = 0,
+         |  'sqlClosureOver: unconverged after $rounds rounds - ' ||
+         |  'component labels would be wrong; raise the round cap')
+         |  IS NULL
          |ORDER BY doc_id""".stripMargin)
   }
 

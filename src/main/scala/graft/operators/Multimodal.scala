@@ -41,7 +41,11 @@ object Multimodal {
   // ImageIO defaults to spooling every ImageInputStream through a temp
   // FILE on disk — a per-image disk round-trip that dwarfs the decode of
   // a small in-memory payload. Payloads here are already byte arrays;
-  // decode them in memory. (JVM-wide flag, set on executor classload.)
+  // decode them in memory. NOTE for embedders: this flag is JVM-GLOBAL
+  // ImageIO state, set as a classload side effect on driver and
+  // executors — any other ImageIO user in the same JVM loses temp-file
+  // spooling too (harmless for byte-array decodes, but a surprise if
+  // your code feeds ImageIO multi-GB streams it expected to spool).
   ImageIO.setUseCache(false)
 
   case class MediaRow(doc_id: Long, content: Array[Byte], frame_h: Int)
@@ -253,6 +257,14 @@ object Multimodal {
   private[graft] def estimatedPayloadBytes(spark: SparkSession,
                                            sfDir: String): Long =
     cachedDecodedBytes(s"img#$sfDir", mediaTable(spark, sfDir))
+
+  /** The audio fixture's total decoded bytes — the `audio#<dir>` entry of
+    * the same cache, exposed so byte-per-modality reporting (the scaling
+    * tier) attributes the audio row to the audio cache, not the image's.
+    */
+  private[graft] def audioPayloadBytes(spark: SparkSession,
+                                       sfDir: String): Long =
+    cachedDecodedBytes(s"audio#$sfDir", audioTable(spark, sfDir))
 
   /** The shared batch shape for decode-style stages: payload column +
     * the metadata the decoder needs, byte-targeted repartitioning

@@ -77,14 +77,21 @@ object IndexStore {
     * index dir (the cluster analog is a build job + readers of committed
     * snapshots).
     */
-  def indexDir(sfDir: String, name: String, sourceTable: String): String = {
-    val src = new Path(sfDir, s"$sourceTable.parquet")
-    val fs = src.getFileSystem(hadoopConf)
-    val fp = java.lang.Long.toHexString(
-      fingerprint(fs, fs.getFileStatus(src)))
+  def indexDir(sfDir: String, name: String, sourceTable: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"),
-      s"$name-$fp").toString
+      s"$name-${sourceFingerprint(sfDir, sourceTable)}").toString
+
+  /** The SOURCE table's (size + mtime) fingerprint as a hex token — what
+    * [[indexDir]] embeds in every index path, exposed so in-JVM caches of
+    * source-DERIVED values (e.g. predicate selectivities) can key on data
+    * identity and never serve a regenerated fixture a stale figure.
+    */
+  private[graft] def sourceFingerprint(sfDir: String,
+                                       sourceTable: String): String = {
+    val src = new Path(sfDir, s"$sourceTable.parquet")
+    val fs = src.getFileSystem(hadoopConf)
+    java.lang.Long.toHexString(fingerprint(fs, fs.getFileStatus(src)))
   }
 
   /** Recursive (name, size, mtime) digest — handles both single-file and

@@ -282,13 +282,18 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == want, s"edges=$edges")
     }
-    // the bound is real, not vacuous: on a path of 11 nodes, 2 rounds of
-    // min-propagation cannot carry label 0 to the far end (node 10 only
-    // sees its 2-hop neighborhood minimum, 8)
+    // the bound is real, not vacuous — and an outgrown cap fails LOUDLY:
+    // on a path of 11 nodes, 2 rounds of min-propagation cannot carry
+    // label 0 to the far end, and the runtime convergence gate must turn
+    // that into an error, never silently mislabeled components
     val path = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val truncated = Dedup.sqlClosureOver(spark, path, rounds = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(truncated(10L) == 8L && truncated(2L) == 0L)
+    val e = intercept[Exception] {
+      Dedup.sqlClosureOver(spark, path, rounds = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unconverged")), e.toString)
     val full = Dedup.sqlClosureOver(spark, path, rounds = 11)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(full.values.forall(_ == 0L))
