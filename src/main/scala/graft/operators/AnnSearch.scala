@@ -1137,12 +1137,56 @@ object AnnSearch {
     */
   def annRecall(spark: SparkSession, sfDir: String,
                 nQueries: Int = 10, k: Int = 10,
-                floors: Map[String, Double] =
-                  Map("lsh" -> 0.8, "ivf" -> 0.6, "ivf_sq" -> 0.6,
-                    "pq" -> 0.4, "ivf_filtered" -> 0.6,
-                    "ivf_pq" -> 0.4)): DataFrame = {
-    val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
-      .select(col("query_id"), col("id"))
+                floors: Map[String, Double] = DefaultRecallFloors): DataFrame =
+    recallFrame(spark, sfDir, nQueries, k, floors)
+      .orderBy("method", "query_id")
+
+  private[graft] val DefaultRecallFloors: Map[String, Double] =
+    Map("lsh" -> 0.8, "ivf" -> 0.6, "ivf_sq" -> 0.6,
+      "pq" -> 0.4, "ivf_filtered" -> 0.6, "ivf_pq" -> 0.4)
+
+  /** The gauge tier's shared (method, query) recall frame — computed ONCE
+    * per (data fingerprint, nQueries, k, floors) per JVM and
+    * localCheckpoint'ed: [[annRecall]] IS this frame ordered, and
+    * [[annRecallViolations]] is a pure filter over it, so the exact
+    * denominator and the six per-method searches never run twice across
+    * the gauge tier (they are ~25% of the whole suite's wall-clock
+    * otherwise). Fingerprint keying, as in [[labelSelectivity]], keeps a
+    * regenerated fixture from reading a stale frame.
+    */
+  private val recallCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def recallFrame(spark: SparkSession, sfDir: String,
+                          nQueries: Int, k: Int,
+                          floors: Map[String, Double]): DataFrame = {
+    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
+    val key = s"$sfDir#$fp#$nQueries#$k#" +
+      floors.toSeq.sorted.mkString(",")
+    recallCache.computeIfAbsent(key, _ =>
+      computeRecallFrame(spark, sfDir, nQueries, k, floors)
+        .localCheckpoint(true))
+  }
+
+  /** The exact k-NN truth pairs (query_id, id), checkpointed and shared
+    * per (fingerprint, nQueries, k): the denominator of every recall
+    * gauge ([[annRecall]] via [[recallFrame]], [[annRecallCurve]]) — six
+    * per-method hit joins and the curve's nine operating points all read
+    * the same materialization instead of re-running the brute-force scan.
+    */
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def exactKnnPairs(spark: SparkSession, sfDir: String,
+                            nQueries: Int, k: Int): DataFrame = {
+    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
+    exactCache.computeIfAbsent(s"$sfDir#$fp#$nQueries#$k", _ =>
+      VectorSearch.knnSearch(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("id")).localCheckpoint(true))
+  }
+
+  private def computeRecallFrame(spark: SparkSession, sfDir: String,
+                                 nQueries: Int, k: Int,
+                                 floors: Map[String, Double]): DataFrame = {
+    val exact = exactKnnPairs(spark, sfDir, nQueries, k)
     val allQueries = exact.select(col("query_id")).distinct()
     // left join from the full query list so a method that found zero true
     // neighbors for some query reports recall 0 rather than vanishing.
@@ -1180,7 +1224,7 @@ object AnnSearch {
     // with probe misses
     val filteredExact = VectorSearch
       .knnSearchFiltered(spark, sfDir, nQueries = nQueries, k = k)
-      .select(col("query_id"), col("id"))
+      .select(col("query_id"), col("id")).localCheckpoint(true)
     recallOf("lsh", lshKnn(spark, sfDir, nQueries, k))
       .unionAll(recallOf("ivf", ivfKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallOf("ivf_sq", ivfSqKnn(spark, sfDir, nQueries, k)))
@@ -1191,7 +1235,6 @@ object AnnSearch {
         ivfFilteredKnn(spark, sfDir, nQueries = nQueries, k = k)))
       .select(col("method"), col("query_id"), col("recall"),
         col("floor"), col("meets_floor"))
-      .orderBy("method", "query_id")
   }
 
   /** HARD recall gate: an EMPTY result is the passing state, checked
@@ -1219,10 +1262,11 @@ object AnnSearch {
                               "ivf_sq" -> 0.25, "pq" -> 0.15,
                               "ivf_filtered" -> 0.25,
                               "ivf_pq" -> 0.15)): DataFrame = {
-    // materialize ONCE: both violation branches derive from r, and the
-    // recall report costs the exact kNN plus every approximate search
-    // in the family — without the cut the union would run it all twice
-    val r = annRecall(spark, sfDir, nQueries, k).localCheckpoint(true)
+    // the SHARED checkpointed gauge frame ([[recallFrame]]): both
+    // violation branches — and the `ann_recall` entry itself — read one
+    // materialization, so the exact denominator and the six per-method
+    // searches run once across the whole gauge tier
+    val r = recallFrame(spark, sfDir, nQueries, k, DefaultRecallFloors)
     val qmin = queryMinima.foldLeft(lit(0.0)) { case (acc, (m, f)) =>
       when(col("method") === m, lit(f)).otherwise(acc)
     }
@@ -1280,8 +1324,9 @@ object AnnSearch {
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
-    val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
-      .select(col("query_id"), col("id")).localCheckpoint(true)
+    // the same checkpointed truth pairs the recall frame reads — the
+    // curve's nine operating points add no second exact-kNN job
+    val exact = exactKnnPairs(spark, sfDir, nQueries, k)
     val denom = exact.count().toDouble
     def recallOf(approx: DataFrame): Double = {
       val hits = exact.join(approx.select(col("query_id"), col("id")),
