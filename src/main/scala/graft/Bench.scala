@@ -49,7 +49,10 @@ object Bench {
         // round 8: the filtered-IVF layout, the persisted PNG/PCM media
         // fixtures, and the refit index (one build per data fingerprint)
         "ann_filtered", "multimodal_decode", "multimodal_audio",
-        "ivf_refit_violations", "semantic_decontaminate")
+        "ivf_refit_violations", "semantic_decontaminate",
+        // round 9: the tombstone versions + compacted index and the
+        // streamed delete chain (one build per data fingerprint)
+        "index_delete_violations", "streaming_index_delete")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

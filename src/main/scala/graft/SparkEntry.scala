@@ -175,6 +175,11 @@ object SparkEntry {
     // grown corpus; zero rows = refit kept completeness AND recall
     "ivf_refit_violations" ->
       ((s, d) => AnnSearch.ivfRefitViolations(s, d)),
+    // the DELETE lifecycle step: O(batch) tombstone versions, search-time
+    // exclusion, physical drop at compaction; zero rows = all four
+    // invariants held (exclusion, live count, compacted count, recall)
+    "index_delete_violations" ->
+      ((s, d) => AnnSearch.ivfDeleteViolations(s, d)),
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
@@ -218,6 +223,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingIndex.streamingCorpusDedup(s, d)),
     "streaming_ivf_append" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingIvfAppend(s, d)),
+    // delete-at-ingest: add/delete requests in one checkpointed stream,
+    // each micro-batch an O(batch) index version (tombstones for the
+    // delete leg); zero rows = chain complete, deletes excluded, recall
+    "streaming_index_delete" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingIvfDelete(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
     "streaming_quality_filter" ->
@@ -575,6 +585,21 @@ object SparkEntry {
     // and for the STREAMED chain of appends (version chain, final count,
     // final-version probe recall)
     "streaming_ivf_append" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // the DELETE lifecycle: tombstone exclusion at search, live-count
+    // reconciliation, physical drop at compaction, post-compact recall —
+    // same zero-row contract
+    "index_delete_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // its streaming twin: delete-at-ingest through the checkpointed
+    // micro-batch version chain
+    "streaming_index_delete" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

@@ -329,10 +329,62 @@ object AnnSearch {
     * Each segment is hive-partitioned by cluster, and a `cluster IN`
     * filter above the union is pushed into EVERY branch's scan
     * (PushDownPredicates through Union), so probe-time partition pruning
-    * survives the segmented layout unchanged.
+    * survives the segmented layout unchanged. NOTE: raw rows — includes
+    * rows masked by tombstones; [[ivfLiveVectors]] is the resolved view.
     */
   private[graft] def ivfVectors(spark: SparkSession, dir: String): DataFrame =
     IndexStore.readUnion(spark, ivfLayout(spark, dir)._2)
+
+  /** The version's TOMBSTONE segment paths — the DELETE half of the index
+    * lifecycle (the reference wraps its index in `IndexIDMap`,
+    * `main.py:60-62`, precisely so entries are id-addressable — FAISS's
+    * `remove_ids` surface; takedown/retention is the first lifecycle
+    * event a production corpus hits). A delete version appends one
+    * O(batch) segment of bare vec_ids ([[deleteFromIvfIndexAt]]); a
+    * plain (build-once) layout has none.
+    */
+  private[graft] def ivfTombSegments(spark: SparkSession,
+                                     dir: String): Seq[String] =
+    if (IndexStore.committed(s"$dir/manifest"))
+      IndexStore.manifestSegments(
+        IndexStore.readManifest(spark, dir), "tombstones")
+    else Seq.empty
+
+  /** Drop tombstone-masked rows from a candidate/vector frame keyed by
+    * `idCol` — THE one exclusion seam every read path shares (searches,
+    * live counts, compaction), so masking semantics cannot drift. The
+    * tombstone set is a broadcast anti-join side: it is O(deletes-since-
+    * compaction), and the same `maxSegments` compaction policy that
+    * bounds the vector chain folds tombstones away ([[compactIvfTo]] and
+    * the in-chain fold both resolve them physically), so the broadcast
+    * stays bounded at scale. When the version carries no tombstones the
+    * frame is returned UNTOUCHED — the plan (and the bit-identity and
+    * DPP plan-shape specs over undeleted versions) is unchanged.
+    *
+    * Masking is id-global, not seq-aware: a tombstone hides the id in
+    * EVERY vector segment of the version chain, so re-adding a deleted
+    * id requires compacting the tombstone away first (matching the
+    * reference, which never re-uses a faiss_id: `main.py:129-130`
+    * allocates fresh dense ids).
+    */
+  private def excludeTombstoned(spark: SparkSession, dir: String,
+                                rows: DataFrame,
+                                idCol: String = "vec_id"): DataFrame = {
+    val segs = ivfTombSegments(spark, dir)
+    if (segs.isEmpty) rows
+    else rows.join(
+      broadcast(IndexStore.readUnion(spark, segs)
+        .select(col("vec_id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The version's LIVE vector table: raw segments minus tombstoned ids —
+    * what searches rank over and what "the index holds" means once
+    * deletes exist.
+    */
+  private[graft] def ivfLiveVectors(spark: SparkSession,
+                                    dir: String): DataFrame =
+    excludeTombstoned(spark, dir, ivfVectors(spark, dir))
 
   /** The IVF probe-and-scan against an EXPLICIT index dir — shared by the
     * fixture-corpus [[ivfKnn]] and the appended-version gate, so the two
@@ -360,8 +412,10 @@ object AnnSearch {
     val (centroidsPath, _) = ivfLayout(spark, dir)
     val centersDf = spark.read.parquet(centroidsPath)
     val (probedClusters, probes) = probe(spark, queries, centersDf, nProbe)
-    val assigned = ivfVectors(spark, dir)
-      .filter(col("cluster").isin(probedClusters: _*))
+    // tombstone exclusion ABOVE the isin-filtered scan: the static
+    // PartitionFilters stay on the scan, the anti-join only thins rows
+    val assigned = excludeTombstoned(spark, dir, ivfVectors(spark, dir)
+      .filter(col("cluster").isin(probedClusters: _*)))
     VectorSearch.topK(
       broadcast(probes).join(assigned, "cluster")
         .filter(col("vec_id") =!= col("query_id"))
@@ -399,7 +453,11 @@ object AnnSearch {
         .select(col("query_id"), col("vec_id").as("id"),
           squaredL2(col("qu"), col("v")).as("dist"))
     }.reduce(_ unionAll _)
-    VectorSearch.topK(cands, k)
+    // tombstone exclusion on the UNIONED candidates, not per segment
+    // scan: the probe join must sit directly on each partitioned scan
+    // for DPP to attach ([[excludeTombstoned]] is a no-op plan-wise on
+    // undeleted versions)
+    VectorSearch.topK(excludeTombstoned(spark, dir, cands, "id"), k)
   }
 
   /** Load-or-build gate for the persisted IVF index — the ONE place the
@@ -476,13 +534,19 @@ object AnnSearch {
       .withColumn("cr", row_number().over(wb))
       .filter(col("cr") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
+    val tombSegs = ivfTombSegments(spark, dir)
     if (segments.length + 1 > maxSegments) {
       // compaction trigger ([[IndexStore.DefaultMaxSegments]]): fold the
       // whole chain + batch into ONE fresh cluster-partitioned segment,
       // re-clustered to one file per cluster — per-cluster rows are
       // O(√n) by the nlist sizing, so single files stay scan-friendly
-      // and the chain's accumulated small delta files collapse
-      ivfVectors(spark, dir).select(col("vec_id"), col("v"), col("cluster"))
+      // and the chain's accumulated small delta files collapse. The fold
+      // reads the LIVE view: tombstone-masked rows are physically
+      // dropped here and the tombstones themselves retired from the
+      // manifest (the merge-on-read → compaction contract of the
+      // delete lifecycle)
+      ivfLiveVectors(spark, dir)
+        .select(col("vec_id"), col("v"), col("cluster"))
         .unionByName(assigned)
         .repartition(col("cluster"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -500,13 +564,70 @@ object AnnSearch {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cluster").parquet(segment)
       // LAST: the manifest commits the version (see commit protocol
-      // above) — a crash anywhere before this line reads as "never built"
+      // above) — a crash anywhere before this line reads as "never
+      // built". The predecessor's tombstones are carried FORWARD: an
+      // append after a delete must not silently un-delete
       IndexStore.writeManifest(spark, out,
         ("centroids", centroidsPath, 0L) +:
-          (segments :+ segment).zipWithIndex.map { case (s, i) =>
+          ((segments :+ segment).zipWithIndex.map { case (s, i) =>
             ("vectors", s, i.toLong)
-          })
+          } ++ tombSegs.zipWithIndex.map { case (s, i) =>
+            ("tombstones", s, i.toLong)
+          }))
     }
+  }
+
+  /** DELETE from the persisted IVF index — FAISS `remove_ids` restated
+    * for the manifested layout (the reference's `IndexIDMap`,
+    * `main.py:60-62`, exists precisely to make entries id-addressable):
+    * a NEW version at `out` re-references every predecessor segment and
+    * adds ONE tombstone segment holding the deleted vec_ids. Both
+    * compute and I/O are O(batch-of-deletes); no corpus data is copied,
+    * rewritten, or scanned. Reads resolve merge-on-read
+    * ([[excludeTombstoned]]); compaction ([[compactIvfTo]] or the
+    * in-chain fold) physically drops masked rows and retires the
+    * tombstones. Same commit protocol as the append (manifest LAST,
+    * replay-idempotent on `committed(out/manifest)`), and the same
+    * `maxSegments` bound applied to the TOMBSTONE chain: a delete that
+    * would push it past the bound folds all tombstone segments into one.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, sfDir: String,
+                         ids: DataFrame, out: String,
+                         nClusters: Int = 0): Unit =
+    deleteFromIvfIndexAt(spark, loadOrBuildIvf(spark, sfDir, nClusters),
+      ids, out)
+
+  private[graft] def deleteFromIvfIndexAt(spark: SparkSession, dir: String,
+                                          ids: DataFrame, out: String,
+                                          maxSegments: Int =
+                                            IndexStore.DefaultMaxSegments)
+      : Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    val (centroidsPath, segments) = ivfLayout(spark, dir)
+    require(IndexStore.committed(centroidsPath) &&
+      segments.forall(IndexStore.committed),
+      s"delete base $dir is not a committed index version")
+    val tombSegs = ivfTombSegments(spark, dir)
+    val segment = s"$out/tombstones"
+    val batch = ids.select(col("vec_id")).distinct()
+    val (written, kept) =
+      if (tombSegs.length + 1 > maxSegments) {
+        // fold the tombstone chain + batch into one fresh segment —
+        // O(total deletes since compaction), still never corpus-bound
+        (IndexStore.readUnion(spark, tombSegs).select(col("vec_id"))
+          .unionByName(batch).distinct(), Seq.empty[String])
+      } else (batch, tombSegs)
+    written.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(segment)
+    // LAST: the manifest commits the version — predecessor vector
+    // segments re-referenced untouched, tombstone chain extended/folded
+    IndexStore.writeManifest(spark, out,
+      ("centroids", centroidsPath, 0L) +:
+        (segments.zipWithIndex.map { case (s, i) =>
+          ("vectors", s, i.toLong)
+        } ++ (kept :+ segment).zipWithIndex.map { case (s, i) =>
+          ("tombstones", s, i.toLong)
+        }))
   }
 
   /** Compact an appended IVF version into a standalone one-segment index
@@ -517,11 +638,14 @@ object AnnSearch {
     * base build) plus copied centroids, producing a PLAIN-layout index
     * any reader or append chain can use as its new base. `out` is a
     * fresh dir; a crashed compaction reads as "never built" (centroids
-    * last = the commit marker of the plain layout).
+    * last = the commit marker of the plain layout). Tombstone-masked
+    * rows are RESOLVED here: the compacted index holds live rows only
+    * and carries no tombstones — the physical-drop half of the delete
+    * lifecycle.
     */
   def compactIvfTo(spark: SparkSession, dir: String, out: String): Unit = {
     val (centroidsPath, _) = ivfLayout(spark, dir)
-    ivfVectors(spark, dir)
+    ivfLiveVectors(spark, dir)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(s"$out/vectors")
     IndexStore.saveDataset(
@@ -1561,6 +1685,78 @@ object AnnSearch {
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
+  /** HARD gate for index DELETION — the lifecycle event between append
+    * and compact (takedowns/retention; the reference's `IndexIDMap`,
+    * `main.py:60-62`, makes entries id-addressable for exactly this):
+    * fold the deterministic [[appendBatch]] into a version, DELETE every
+    * 5th batch id via an O(batch) tombstone version
+    * ([[deleteFromIvfIndexAt]]), then emit a violation row (zero rows =
+    * passing, typed zero-row oracle) if any invariant breaks:
+    *
+    *  - exclusion: searching the deleted version must return NO
+    *    tombstoned id (a read path that misses the tombstone anti-join
+    *    trips this);
+    *  - merge-on-read completeness: the live view must hold exactly
+    *    base + batch − deleted rows;
+    *  - physical drop: compacting the deleted version must leave
+    *    exactly the live rows on disk (tombstones resolved, not
+    *    carried);
+    *  - quality: probing the COMPACTED index must reach `recallFloor`
+    *    average recall@k against the exact k-NN over the live corpus —
+    *    deletion must not degrade what remains.
+    */
+  def ivfDeleteViolations(spark: SparkSession, sfDir: String,
+                          nQueries: Int = 10, k: Int = 10,
+                          recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    // the SAME appended version the append gate builds (idempotent —
+    // one append job serves both gates in a suite run)
+    val appended = IndexStore.indexDir(sfDir, s"ivf$nc-app-v2",
+      "embeddings")
+    val batch = appendBatch(spark, sfDir)
+    appendToIvfIndex(spark, sfDir, batch, appended, nc)
+    val delIds = batch.select(col("vec_id"))
+      .filter(col("vec_id") % 5 === 0)
+    val deleted = IndexStore.indexDir(sfDir, s"ivf$nc-del-v1",
+      "embeddings")
+    deleteFromIvfIndexAt(spark, appended, delIds, deleted)
+    val nBase = embeddingCount(spark, sfDir)
+    val nDel = delIds.count()
+    val nLiveExpected = 2 * nBase - nDel
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val res = ivfSearchAt(spark, deleted, queries, k,
+      resolveProbe(nc, 0), expectedQ = nQueries.toLong)
+    val deletedInResults = res
+      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .count()
+    val nLive = ivfLiveVectors(spark, deleted).count()
+    val compacted = IndexStore.indexDir(sfDir, s"ivf$nc-delc-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$compacted/centroids") ||
+        !IndexStore.committed(s"$compacted/vectors"))
+      compactIvfTo(spark, deleted, compacted)
+    val nCompact = ivfVectors(spark, compacted).count()
+    // the live corpus: base ∪ batch minus the deleted ids, normalized
+    // exactly as the index stores them
+    val live = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val recall = probeRecall(spark, compacted, live, queries, k,
+      resolveProbe(nc, 0), expectedQ = nQueries.toLong)
+    val viols = Seq(
+      Option.when(deletedInResults != 0L)(
+        ("deleted_in_results", 0.0, deletedInResults.toDouble)),
+      Option.when(nLive != nLiveExpected)(
+        ("live_count", nLiveExpected.toDouble, nLive.toDouble)),
+      Option.when(nCompact != nLiveExpected)(
+        ("compact_count", nLiveExpected.toDouble, nCompact.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("post_compact_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
   /** Average recall@k of probing the index at `dir` against the exact
     * k-NN over an explicit normalized corpus — the shared measurement of
     * both append gates (batch and streamed). `expectedQ` is the CALLER's
@@ -1615,4 +1811,13 @@ object AnnSearch {
   private[graft] def ensureIvfIndex(spark: SparkSession,
                                     sfDir: String): String =
     loadOrBuildIvf(spark, sfDir, 0)
+
+  /** [[ivfSearchAt]] opened to the streaming package — the delete-at-
+    * ingest gate searches an explicit (possibly tombstoned) version
+    * through the exact same dispatch as every other caller.
+    */
+  private[graft] def searchIndexAt(spark: SparkSession, dir: String,
+                                   queries: DataFrame, k: Int,
+                                   nProbe: Int, expectedQ: Long): DataFrame =
+    ivfSearchAt(spark, dir, queries, k, nProbe, expectedQ)
 }

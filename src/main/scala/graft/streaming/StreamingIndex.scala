@@ -607,4 +607,122 @@ object StreamingIndex {
           math.round(recall * 10000.0) / 10000.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
+
+  /** DELETE-AT-INGEST — the streaming twin of the batch tombstone gate
+    * (`index_delete_violations`): add/delete requests land as files in
+    * ONE stream (schema + `op` column), and each checkpointed micro-batch
+    * folds into a new O(batch) index version — adds through
+    * [[graft.operators.AnnSearch.appendToIvfIndexAt]], deletes through
+    * [[graft.operators.AnnSearch.deleteFromIvfIndexAt]] (a tombstone
+    * segment + manifest, never a corpus rewrite). A mixed batch chains
+    * add-then-delete through an intermediate `v<id>-stage` dir —
+    * invisible to [[latestVersion]]'s `v\d+` match, so a half-committed
+    * stage never serves — with the delete commit carrying the version
+    * name. Same replay discipline as [[ingestAvailable]]: predecessor
+    * resolved below the batch id, committed-version-above fails loudly,
+    * a replayed batch rewrites its own version deterministically
+    * (tombstone writes are Overwrite + manifest-last, idempotent like
+    * segment writes).
+    *
+    * The fixture streams batch 0 = brand-new vectors (ids +50000),
+    * batch 1 = delete every 2nd of them, through two micro-batches under
+    * one checkpoint. Returns the zero-row violations contract: rows
+    * appear if the chain is incomplete, the final live count is not
+    * base + adds − deletes, any deleted id surfaces in a snapshot
+    * search, or the final snapshot misses the recall floor against the
+    * exact k-NN over the live corpus.
+    */
+  def streamingIvfDelete(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 10,
+                         recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.l2Normalize
+    import graft.operators.AnnSearch
+    val root = IndexStore.indexDir(sfDir, "stream-ivf-del-v1",
+      "embeddings")
+    val landing = s"$root/landing"
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // ids +50000: clear of the fixture's other injections (+10000 dedup,
+    // +20000 append gates, +30000/+40000 streaming appends)
+    val adds = emb.select((col("vec_id") + 50000).as("vec_id"),
+      transform(col("v"), x => x + lit(0.03)).as("v"))
+    val delIds = adds.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val reqSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("op", StringType)))
+    if (!latestVersion(root).exists(_ >= 1L)) {
+      val base = AnnSearch.ensureIvfIndex(spark, sfDir)
+      stageInto(adds.withColumn("op", lit("add")), landing, "batch0")
+      stageInto(delIds
+        .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
+        .withColumn("op", lit("delete")), landing, "batch1")
+      val q = spark.readStream
+        .schema(reqSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          latestVersion(root).filter(_ > batchId).foreach { v =>
+            throw new IllegalStateException(
+              s"IVF root $root has committed version v$v > batch " +
+                s"$batchId: checkpoint/root mismatch — refusing to " +
+                "rewrite history")
+          }
+          val baseDir = latestVersion(root, limit = batchId)
+            .map(v => s"$root/v$v").getOrElse(base)
+          val batchAdds = b.filter(col("op") === "add")
+            .select(col("vec_id"), col("v"))
+          val batchDels = b.filter(col("op") === "delete")
+            .select(col("vec_id"))
+          // O(batch) emptiness probes on the micro-batch, not the corpus
+          val hasAdds = !batchAdds.isEmpty
+          val hasDels = !batchDels.isEmpty
+          val out = s"$root/v$batchId"
+          if (hasAdds && hasDels) {
+            val stage = s"$out-stage"
+            AnnSearch.appendToIvfIndexAt(spark, baseDir, batchAdds, stage)
+            AnnSearch.deleteFromIvfIndexAt(spark, stage, batchDels, out)
+          } else if (hasAdds)
+            AnnSearch.appendToIvfIndexAt(spark, baseDir, batchAdds, out)
+          else if (hasDels)
+            AnnSearch.deleteFromIvfIndexAt(spark, baseDir, batchDels, out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val vLast = latestVersion(root).getOrElse(-1L)
+    val finalDir = s"$root/v$vLast"
+    val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val nDel = delIds.count()
+    val nLiveExpected = 2 * nBase - nDel
+    val nLive = AnnSearch.ivfLiveVectors(spark, finalDir).count()
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val res = AnnSearch.searchIndexAt(spark, finalDir, queries, k,
+      AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
+    val deletedInResults = res
+      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .count()
+    val live = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(adds.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val recall = AnnSearch.probeRecall(spark, finalDir, live, queries, k,
+      AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
+    val viols = Seq(
+      Option.when(vLast != 1L)(
+        ("version_chain", 1.0, vLast.toDouble)),
+      Option.when(nLive != nLiveExpected)(
+        ("live_count", nLiveExpected.toDouble, nLive.toDouble)),
+      Option.when(deletedInResults != 0L)(
+        ("deleted_in_results", 0.0, deletedInResults.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
 }

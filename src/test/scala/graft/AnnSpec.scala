@@ -248,6 +248,76 @@ class AnnSpec extends SparkSpec {
       AnnSearch.ivfVectors(spark, comp).count() + batch.count())
   }
 
+  test("delete writes O(batch) tombstones, searches exclude them, " +
+      "appends carry them forward, compaction drops them physically") {
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val batch = Tables.load(spark, sf, "embeddings")
+      .select((col("vec_id") + 20000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + 0.01)").as("v"))
+    val app = tmp("graft_ivf_del_app")
+    AnnSearch.appendToIvfIndex(spark, sf, batch, app)
+    val delIds = batch.select(col("vec_id"))
+      .filter(col("vec_id") % 5 === 0)
+    val deletedSet = delIds.collect().map(_.getLong(0)).toSet
+    val del = tmp("graft_ivf_del_v1")
+    AnnSearch.deleteFromIvfIndexAt(spark, app, delIds, del)
+    // O(batch): the version's own artifact is ONE tombstone segment of
+    // exactly the deleted ids; every vector segment is re-referenced
+    assert(spark.read.parquet(s"$del/tombstones").count() ==
+      deletedSet.size)
+    assert(IndexStore.readManifest(spark, del)
+      .filter(_._1 == "vectors").map(_._2)
+      .forall(p => !p.startsWith(del)))
+    // merge-on-read live view reconciles
+    val nApp = AnnSearch.ivfVectors(spark, app).count()
+    assert(AnnSearch.ivfLiveVectors(spark, del).count() ==
+      nApp - deletedSet.size)
+    // replay-idempotent: a second invocation is a no-op
+    AnnSearch.deleteFromIvfIndexAt(spark, app, delIds, del)
+    assert(AnnSearch.ivfLiveVectors(spark, del).count() ==
+      nApp - deletedSet.size)
+    // both probe strategies exclude tombstoned ids and stay bit-identical
+    val queries = AnnSearch.fixtureQueries(spark, sf, 10)
+    val np = AnnSearch.defaultProbe(spark, sf)
+    val viaCollect = AnnSearch
+      .ivfSearchCollectAt(spark, del, queries, 10, np)
+      .collect().map(_.toSeq).toSeq
+    val viaJoin = AnnSearch
+      .ivfSearchJoinedAt(spark, del, queries, 10, np)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCollect.nonEmpty && viaCollect == viaJoin)
+    assert(viaCollect.forall(r =>
+      !deletedSet.contains(r(1).asInstanceOf[Long])))
+    // an append on TOP of the delete must not un-delete: tombstones ride
+    // the new manifest and keep masking
+    val batch2 = Tables.load(spark, sf, "embeddings")
+      .select((col("vec_id") + 60000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + 0.02)").as("v"))
+    val next = tmp("graft_ivf_del_next")
+    AnnSearch.appendToIvfIndexAt(spark, del, batch2, next)
+    assert(AnnSearch.ivfLiveVectors(spark, next).count() ==
+      nApp - deletedSet.size + batch2.count())
+    assert(AnnSearch.ivfLiveVectors(spark, next)
+      .join(delIds, Seq("vec_id"), "left_semi").count() == 0)
+    // compaction resolves: live rows only on disk, tombstones retired —
+    // and the compacted search equals the merge-on-read search exactly
+    val comp = tmp("graft_ivf_del_comp")
+    AnnSearch.compactIvfTo(spark, del, comp)
+    assert(AnnSearch.ivfVectors(spark, comp).count() ==
+      nApp - deletedSet.size)
+    assert(AnnSearch.ivfTombSegments(spark, comp).isEmpty)
+    val viaCompacted = AnnSearch
+      .ivfSearchCollectAt(spark, comp, queries, 10, np)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCompacted == viaCollect)
+  }
+
+  test("delete gate: exclusion, live count, physical drop and recall " +
+      "all hold") {
+    assert(AnnSearch.ivfDeleteViolations(spark, sf).collect().isEmpty)
+  }
+
   test("IVF append auto-compacts once the segment chain passes the bound") {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString

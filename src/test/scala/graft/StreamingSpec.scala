@@ -158,6 +158,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streamed delete-at-ingest chains an add and a tombstone version " +
+      "with zero violations") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    import graft.operators.AnnSearch
+    assert(StreamingIndex.streamingIvfDelete(spark, sf).collect().isEmpty)
+    val root = IndexStore.indexDir(sf, "stream-ivf-del-v1", "embeddings")
+    Seq(0L, 1L).foreach { v =>
+      assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
+    }
+    // v0 is the pure-add version (no tombstones yet); v1 carries the
+    // delete batch's tombstone segment
+    assert(AnnSearch.ivfTombSegments(spark, s"$root/v0").isEmpty)
+    assert(AnnSearch.ivfTombSegments(spark, s"$root/v1").nonEmpty)
+  }
+
   test("streamed IVF appends chain versions with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
