@@ -50,9 +50,11 @@ object Bench {
         // fixtures, and the refit index (one build per data fingerprint)
         "ann_filtered", "multimodal_decode", "multimodal_audio",
         "ivf_refit_violations", "semantic_decontaminate",
-        // round 9: the tombstone versions + compacted index and the
-        // streamed delete chain (one build per data fingerprint)
-        "index_delete_violations", "streaming_index_delete")
+        // round 9: the tombstone versions + compacted index, the
+        // streamed delete chain, and the refit codebooks/codes (one
+        // build per data fingerprint)
+        "index_delete_violations", "streaming_index_delete",
+        "ivf_pq_refit_violations")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

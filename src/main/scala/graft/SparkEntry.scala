@@ -180,6 +180,11 @@ object SparkEntry {
     // invariants held (exclusion, live count, compacted count, recall)
     "index_delete_violations" ->
       ((s, d) => AnnSearch.ivfDeleteViolations(s, d)),
+    // the codebook-refit leg: re-train centroids AND codebooks over the
+    // grown corpus through the shared build paths; zero rows = complete,
+    // well-formed, recall no worse than the frozen-codebook version
+    "ivf_pq_refit_violations" ->
+      ((s, d) => AnnSearch.ivfPqRefitViolations(s, d)),
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
@@ -600,6 +605,13 @@ object SparkEntry {
     // its streaming twin: delete-at-ingest through the checkpointed
     // micro-batch version chain
     "streaming_index_delete" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // the codebook refit: completeness + m-wide codes + recall no worse
+    // than the frozen-codebook appended version, same zero-row contract
+    "ivf_pq_refit_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

@@ -772,17 +772,30 @@ object AnnSearch {
         !IndexStore.committed(s"$dir/codes")) {
       val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
       val pqDir = Quantize.buildPqIndex(spark, sfDir, m, nk)
-      IndexStore.saveDataset(
-        spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
-      IndexStore.saveDataset(
-        spark.read.parquet(s"$pqDir/codebooks"), s"$dir/codebooks")
-      spark.read.parquet(s"$pqDir/codes")
-        .join(spark.read.parquet(s"$ivfDir/vectors")
-          .select(col("vec_id"), col("cluster")), "vec_id")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cluster").parquet(s"$dir/codes")
+      composeIvfPq(spark, ivfDir, pqDir, dir)
     }
     dir
+  }
+
+  /** Compose a committed IVF layout and a committed PQ layout into one
+    * IVF+PQ dir: two control-plane artifact copies plus ONE equi-join
+    * pass (codes ⋈ cluster assignments) — THE one compose, shared by the
+    * build-once fixture index and the codebook-refit path so the two can
+    * never drift in artifact layout or join shape. Codes are written
+    * LAST: with [[buildIvfPqIndex]]'s three-artifact committed check
+    * they double as the compose's commit marker.
+    */
+  private def composeIvfPq(spark: SparkSession, ivfDir: String,
+                           pqDir: String, out: String): Unit = {
+    IndexStore.saveDataset(
+      spark.read.parquet(s"$ivfDir/centroids"), s"$out/centroids")
+    IndexStore.saveDataset(
+      spark.read.parquet(s"$pqDir/codebooks"), s"$out/codebooks")
+    spark.read.parquet(s"$pqDir/codes")
+      .join(spark.read.parquet(s"$ivfDir/vectors")
+        .select(col("vec_id"), col("cluster")), "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$out/codes")
   }
 
   /** IVF+PQ top-k: probe-pruned partitions scanned by ADC lookup-table
@@ -1679,6 +1692,87 @@ object AnnSearch {
     val viols = Seq(
       Option.when(nRefit != nAppended)(
         ("vector_count", nAppended.toDouble, nRefit.toDouble)),
+      Option.when(after < before - eps)(
+        ("refit_recall", math.round((before - eps) * 10000.0) / 10000.0,
+          math.round(after * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
+  /** HARD gate for CODEBOOK refit — [[ivfRefitViolations]]' contract
+    * extended to the quantized family: IVF+PQ appends freeze the
+    * codebooks by design ([[pqEncode]] — FAISS `IndexIVFPQ.add`
+    * semantics), so quantization error drifts unbounded across appends
+    * unless a refit periodically re-trains them over the grown corpus.
+    * FAISS retrains codebooks on refit; this gate is the gauge that
+    * keeps the engine's lifecycle story symmetric. The refit re-runs
+    * BOTH parents' shared builds over the appended corpus at its own
+    * auto sizes — centroids through [[buildIvfOver]] (the SAME dir the
+    * flat refit gate builds, shared work), codebooks through
+    * [[Quantize.buildPqOver]] (one PQ build path, refit can't drift) —
+    * and composes them through the one [[composeIvfPq]] seam. Violation
+    * rows (zero = passing, typed zero-row oracle):
+    *
+    *  - completeness: the refit index must hold exactly the appended
+    *    corpus's rows;
+    *  - code width: every refit code array must have exactly m entries;
+    *  - quality: probing the refit index must reach at least the
+    *    APPENDED (frozen-codebook) version's recall minus `eps` —
+    *    re-training codebooks must never cost recall.
+    *
+    * Build-once: all three rebuilt artifacts persist behind committed
+    * gates, so the O(corpus) re-fit prices in the build phase.
+    */
+  def ivfPqRefitViolations(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 10,
+                           eps: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    val nk = Quantize.resolveCodes(spark, sfDir, 0)
+    val m = 8
+    // the SAME appended version the PQ append gate builds (idempotent)
+    val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v1",
+      "embeddings")
+    val batch = appendBatch(spark, sfDir)
+    appendToIvfPqIndex(spark, sfDir, batch, appended, nc, m, nk)
+    val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+    val n2 = 2 * embeddingCount(spark, sfDir)
+    val nc2 = autoClusters(n2)
+    val nk2 = Quantize.codesFor(n2)
+    // centroid side: the refit IVF the flat gate builds (shared path +
+    // shared work); codebook side: the PQ build path over the union
+    val refitIvf = IndexStore.indexDir(sfDir, s"ivf$nc2-refit-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$refitIvf/centroids") ||
+        !IndexStore.committed(s"$refitIvf/vectors"))
+      buildIvfOver(spark, union, nc2, refitIvf)
+    val refitPq = IndexStore.indexDir(sfDir, s"pq$m-$nk2-refit-v1",
+      "embeddings")
+    Quantize.buildPqOver(spark, union, m, nk2, refitPq)
+    val refit = IndexStore.indexDir(sfDir, s"ivfpq$nc2-$m-$nk2-refit-v1",
+      "embeddings")
+    if (!IndexStore.committed(s"$refit/centroids") ||
+        !IndexStore.committed(s"$refit/codebooks") ||
+        !IndexStore.committed(s"$refit/codes"))
+      composeIvfPq(spark, refitIvf, refitPq, refit)
+    val codes = IndexStore.readUnion(spark, ivfPqLayout(spark, refit)._3)
+    val nRefit = codes.count()
+    val badWidth = codes.filter(size(col("codes")) =!= m).count()
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val exact = unionExactTopK(union, queries, k)
+    def recallOf(dir: String, probeN: Int, nkOf: Int): Double = {
+      val approx = ivfPqSearchAt(spark, dir, queries, union, k, probeN,
+        m, nkOf, rerank = 40, expectedQ = nQueries.toLong)
+      exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").count().toDouble / exact.count()
+    }
+    val before = recallOf(appended, resolveProbe(nc, 0), nk)
+    val after = recallOf(refit, resolveProbe(nc2, 0), nk2)
+    val viols = Seq(
+      Option.when(nRefit != n2)(
+        ("vector_count", n2.toDouble, nRefit.toDouble)),
+      Option.when(badWidth != 0)(
+        ("code_width", 0.0, badWidth.toDouble)),
       Option.when(after < before - eps)(
         ("refit_recall", math.round((before - eps) * 10000.0) / 10000.0,
           math.round(after * 10000.0) / 10000.0))).flatten

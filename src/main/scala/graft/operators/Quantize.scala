@@ -40,10 +40,7 @@ object Quantize {
   private[operators] def resolveCodes(spark: SparkSession, sfDir: String,
                                       nCodes: Int): Int =
     if (nCodes > 0) nCodes
-    else {
-      val n = AnnSearch.embeddingCount(spark, sfDir)
-      math.max(8, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
-    }
+    else codesFor(AnnSearch.embeddingCount(spark, sfDir))
 
   /** Append (scale, qv: array<tinyint>) and drop `v` — all other columns
     * (e.g. a cluster id) pass through, so layouts compose without a
@@ -84,18 +81,31 @@ object Quantize {
     */
   def buildPqIndex(spark: SparkSession, sfDir: String, m: Int = 8,
                    nCodes: Int = 0): String = {
+    val nk = resolveCodes(spark, sfDir, nCodes)
+    val dir = IndexStore.indexDir(sfDir, s"pq$m-$nk-v1", "embeddings")
+    buildPqOver(spark, VectorSearch.normalized(spark, sfDir), m, nk, dir)
+    dir
+  }
+
+  /** The PQ build proper over an EXPLICIT normalized corpus (vec_id, v)
+    * into an explicit dir — shared by the fixture build and the codebook
+    * REFIT path ([[AnnSearch.ivfPqRefitViolations]]), so a refit can
+    * never drift from the primary build in per-subspace fit parameters
+    * (seeds, iterations) or artifact layout. No-op when `dir` is already
+    * committed.
+    */
+  private[operators] def buildPqOver(spark: SparkSession, corpus: DataFrame,
+                                     m: Int, nk: Int, dir: String): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-    val nk = resolveCodes(spark, sfDir, nCodes)
-    val dir = IndexStore.indexDir(sfDir, s"pq$m-$nk-v1", "embeddings")
     if (IndexStore.committed(s"$dir/codebooks") &&
-        IndexStore.committed(s"$dir/codes")) return dir
+        IndexStore.committed(s"$dir/codes")) return
     // one normalize pass cached across the dim probe, the m k-means
     // fits and the m assignment transforms — without this the build
     // re-scans and re-normalizes the source ~2m+1 times; safe here
     // because the build completes (and unpersists) inside this call
-    val normed = VectorSearch.normalized(spark, sfDir).cache()
+    val normed = corpus.select(col("vec_id"), col("v")).cache()
     val dim = normed.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -120,8 +130,15 @@ object Quantize {
         s => s.getField("code")).as("codes"))
     IndexStore.saveDataset(codes, s"$dir/codes")
     normed.unpersist()
-    dir
+    ()
   }
+
+  /** [[resolveCodes]]' sizing rule applied to an EXPLICIT corpus size —
+    * what a refit over a grown corpus derives its codebook cardinality
+    * from (√n clamped to the byte-code ceiling).
+    */
+  private[operators] def codesFor(n: Long): Int =
+    math.max(8, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
 
   /** PQ top-k with exact re-ranking (asymmetric distance computation):
     * the per-query m×nCodes lookup table of subspace distances is computed

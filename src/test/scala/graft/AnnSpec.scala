@@ -318,6 +318,11 @@ class AnnSpec extends SparkSpec {
     assert(AnnSearch.ivfDeleteViolations(spark, sf).collect().isEmpty)
   }
 
+  test("PQ codebook refit gate: re-trained codebooks keep completeness " +
+      "and recall") {
+    assert(AnnSearch.ivfPqRefitViolations(spark, sf).collect().isEmpty)
+  }
+
   test("IVF append auto-compacts once the segment chain passes the bound") {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
