@@ -54,7 +54,7 @@ object Bench {
         // streamed delete chain, and the refit codebooks/codes (one
         // build per data fingerprint)
         "index_delete_violations", "streaming_index_delete",
-        "ivf_pq_refit_violations")
+        "ivf_pq_refit_violations", "hybrid_search_ann")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -121,6 +121,11 @@ object SparkEntry {
     "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
     "hybrid_search_rrf" -> ((s, d) => TfIdf.hybridSearchRrf(s, d)),
+    // the vector leg riding the persisted doc-space IVF index (saturated
+    // probe at fixture scale -> bit-identical to the exact entry)
+    "hybrid_search_ann" -> ((s, d) => TfIdf.hybridSearchAnn(s, d)),
+    // the whole hybrid retrieval as ONE ANSI statement (graft_* exprs)
+    "sql_hybrid_rrf" -> ((s, d) => TfIdf.sqlHybridRrf(s, d)),
     "kmeans_iterate" -> ((s, d) => VectorAnalytics.kmeansIterate(s, d)),
     "phrase_search" -> ((s, d) => TextSearch.phraseSearch(s, d)),
     "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
@@ -551,6 +556,113 @@ object SparkEntry {
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |    FROM documents) WHERE tok <> ''
       |)""".stripMargin
+
+  /** RRF fusion of the bm25 leg (identical CTE chain to bm25_search,
+    * ranking on the 4dp-rounded score) and the hashed bag-of-words vector
+    * leg (identical embedding chain to text_embed_search; the query
+    * vector embeds the five query terms through the same buckets);
+    * absent-leg ranks surface as 0, fusion constant K = 60. ONE oracle
+    * shared verbatim by all three hybrid surfaces: the exact DataFrame
+    * entry, the IVF-riding entry (whose saturated probe is exact at
+    * fixture scale), and the pure-SQL statement.
+    */
+  private val DuckHybridRrfOracle =
+    s"""WITH $DuckToks,
+       |terms AS (
+       |  SELECT tok FROM toks GROUP BY tok
+       |  ORDER BY count(*) DESC, tok LIMIT 5
+       |),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |dlen AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       |  FROM toks GROUP BY 1
+       |),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+       |dft AS (
+       |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+       |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+       |  FROM dft, nn
+       |),
+       |tfx AS (
+       |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1, 2, 3
+       |),
+       |bm25 AS (
+       |  SELECT tfx.doc_id,
+       |    round(sum(tfx.idf * tfx.tf * (1.2 + 1.0) /
+       |      (tfx.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
+       |      AS score
+       |  FROM tfx JOIN dlen ON tfx.doc_id = dlen.doc_id, ad
+       |  GROUP BY tfx.doc_id
+       |),
+       |ltop AS (
+       |  SELECT doc_id, rn AS bm25_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       |    FROM bm25) WHERE rn <= 50
+       |),
+       |hb AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
+       |  FROM toks
+       |), cnt AS (
+       |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
+       |  FROM hb GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT d.doc_id, g.j, COALESCE(c.c, 0.0) AS c
+       |  FROM (SELECT DISTINCT doc_id FROM hb) d
+       |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+       |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.j = g.j
+       |), vec AS (
+       |  SELECT doc_id, list(c ORDER BY j) AS raw FROM dense GROUP BY doc_id
+       |), normed AS (
+       |  SELECT doc_id, list_transform(raw, x -> x /
+       |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS v
+       |  FROM vec
+       |),
+       |qhb AS (
+       |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
+       |  FROM terms
+       |), qcnt AS (
+       |  SELECT j, CAST(count(*) AS DOUBLE) AS c FROM qhb GROUP BY j
+       |), qdense AS (
+       |  SELECT g.j, COALESCE(c.c, 0.0) AS c
+       |  FROM (SELECT unnest(range(16)) AS j) g
+       |  LEFT JOIN qcnt c ON c.j = g.j
+       |), qvec AS (
+       |  SELECT list(c ORDER BY j) AS raw FROM qdense
+       |), qnorm AS (
+       |  SELECT list_transform(raw, x -> x /
+       |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS qv
+       |  FROM qvec
+       |),
+       |vleg AS (
+       |  SELECT n.doc_id,
+       |    list_sum(list_transform(list_zip(q.qv, n.v),
+       |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM normed n, qnorm q
+       |),
+       |vtop AS (
+       |  SELECT doc_id, rn AS vec_rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS rn
+       |    FROM vleg) WHERE rn <= 50
+       |),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(l.bm25_rank, 0) AS bm25_rank,
+       |    COALESCE(v.vec_rank, 0) AS vec_rank
+       |  FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+       |)
+       |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       |  CAST(vec_rank AS BIGINT) AS vec_rank,
+       |  round((CASE WHEN bm25_rank > 0
+       |      THEN 1.0 / (60.0 + bm25_rank) ELSE 0.0 END) +
+       |    (CASE WHEN vec_rank > 0
+       |      THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END), 6) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1989,108 +2101,12 @@ object SparkEntry {
         |    ::DOUBLE / count(*), 6) AS novelty
         |FROM sh s JOIN f ON s.sh = f.sh
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
-    // RRF fusion of the bm25 leg (identical CTE chain to bm25_search,
-    // ranking on the 4dp-rounded score) and the hashed bag-of-words
-    // vector leg (identical embedding chain to text_embed_search; the
-    // query vector embeds the five query terms through the same buckets);
-    // absent-leg ranks surface as 0, fusion constant K = 60
-    "hybrid_search_rrf" ->
-      s"""WITH $DuckToks,
-         |terms AS (
-         |  SELECT tok FROM toks GROUP BY tok
-         |  ORDER BY count(*) DESC, tok LIMIT 5
-         |),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-         |dlen AS (
-         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
-         |  FROM toks GROUP BY 1
-         |),
-         |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
-         |dft AS (
-         |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
-         |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY 1
-         |),
-         |w AS (
-         |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
-         |  FROM dft, nn
-         |),
-         |tfx AS (
-         |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1, 2, 3
-         |),
-         |bm25 AS (
-         |  SELECT tfx.doc_id,
-         |    round(sum(tfx.idf * tfx.tf * (1.2 + 1.0) /
-         |      (tfx.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
-         |      AS score
-         |  FROM tfx JOIN dlen ON tfx.doc_id = dlen.doc_id, ad
-         |  GROUP BY tfx.doc_id
-         |),
-         |ltop AS (
-         |  SELECT doc_id, rn AS bm25_rank FROM (
-         |    SELECT doc_id,
-         |      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
-         |    FROM bm25) WHERE rn <= 50
-         |),
-         |hb AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
-         |  FROM toks
-         |), cnt AS (
-         |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
-         |  FROM hb GROUP BY 1, 2
-         |), dense AS (
-         |  SELECT d.doc_id, g.j, COALESCE(c.c, 0.0) AS c
-         |  FROM (SELECT DISTINCT doc_id FROM hb) d
-         |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
-         |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.j = g.j
-         |), vec AS (
-         |  SELECT doc_id, list(c ORDER BY j) AS raw FROM dense GROUP BY doc_id
-         |), normed AS (
-         |  SELECT doc_id, list_transform(raw, x -> x /
-         |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS v
-         |  FROM vec
-         |),
-         |qhb AS (
-         |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS j
-         |  FROM terms
-         |), qcnt AS (
-         |  SELECT j, CAST(count(*) AS DOUBLE) AS c FROM qhb GROUP BY j
-         |), qdense AS (
-         |  SELECT g.j, COALESCE(c.c, 0.0) AS c
-         |  FROM (SELECT unnest(range(16)) AS j) g
-         |  LEFT JOIN qcnt c ON c.j = g.j
-         |), qvec AS (
-         |  SELECT list(c ORDER BY j) AS raw FROM qdense
-         |), qnorm AS (
-         |  SELECT list_transform(raw, x -> x /
-         |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS qv
-         |  FROM qvec
-         |),
-         |vleg AS (
-         |  SELECT n.doc_id,
-         |    list_sum(list_transform(list_zip(q.qv, n.v),
-         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-         |  FROM normed n, qnorm q
-         |),
-         |vtop AS (
-         |  SELECT doc_id, rn AS vec_rank FROM (
-         |    SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS rn
-         |    FROM vleg) WHERE rn <= 50
-         |),
-         |fused AS (
-         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |    COALESCE(l.bm25_rank, 0) AS bm25_rank,
-         |    COALESCE(v.vec_rank, 0) AS vec_rank
-         |  FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
-         |)
-         |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
-         |  CAST(vec_rank AS BIGINT) AS vec_rank,
-         |  round((CASE WHEN bm25_rank > 0
-         |      THEN 1.0 / (60.0 + bm25_rank) ELSE 0.0 END) +
-         |    (CASE WHEN vec_rank > 0
-         |      THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END), 6) AS rrf
-         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // the three hybrid surfaces share ONE oracle (see its scaladoc):
+    // the IVF-riding entry's saturated probe is exact at fixture scale,
+    // and the SQL statement mirrors the DataFrame arithmetic
+    "hybrid_search_rrf" -> DuckHybridRrfOracle,
+    "hybrid_search_ann" -> DuckHybridRrfOracle,
+    "sql_hybrid_rrf" -> DuckHybridRrfOracle,
     // chunking: lo is clamped non-negative BEFORE the division, so
     // DuckDB's floor-// and Spark's truncating div agree
     "chunk_docs" ->

@@ -53,18 +53,22 @@ object AnnSearch {
   private[graft] def autoProbe(nClusters: Int): Int =
     math.max(1, (nClusters * 3 + 7) / 8)
 
-  /** Table-size cache for auto-sizing: one count job per fixture dir per
-    * JVM — every default-parameter query would otherwise re-count the
-    * LARGEST table just to re-derive the name of an already-built index.
-    * Safe because a regenerated fixture invalidates via
-    * [[IndexStore.indexDir]]'s source fingerprint, not via this count.
+  /** Table-size cache for auto-sizing: one count job per (fixture dir,
+    * table) per JVM — every default-parameter query would otherwise
+    * re-count the LARGEST table just to re-derive the name of an
+    * already-built index. Safe because a regenerated fixture invalidates
+    * via [[IndexStore.indexDir]]'s source fingerprint, not via this
+    * count.
     */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def tableCount(spark: SparkSession, sfDir: String,
+                                table: String): Long =
+    countCache.computeIfAbsent(s"$sfDir#$table",
+      _ => Tables.load(spark, sfDir, table).count()).longValue()
   private[graft] def embeddingCount(spark: SparkSession,
                                     sfDir: String): Long =
-    countCache.computeIfAbsent(sfDir,
-      _ => Tables.load(spark, sfDir, "embeddings").count()).longValue()
+    tableCount(spark, sfDir, "embeddings")
 
   private def resolveClusters(spark: SparkSession, sfDir: String,
                               nClusters: Int): Int =
@@ -1914,4 +1918,42 @@ object AnnSearch {
                                    queries: DataFrame, k: Int,
                                    nProbe: Int, expectedQ: Long): DataFrame =
     ivfSearchAt(spark, dir, queries, k, nProbe, expectedQ)
+
+  /** Build-once IVF index over the hashed-BoW DOCUMENT embedding space
+    * ([[VectorSearch.textEmbed]]) — the index the hybrid retrieval
+    * stack's vector leg rides ([[TfIdf.hybridSearchAnn]]), so the query
+    * every RAG stack runs stops exact-scanning the corpus at scale. Goes
+    * through the ONE [[buildIvfOver]] fit (doc embeddings are already
+    * unit-normalized by textEmbed), keyed to the `documents` source
+    * fingerprint.
+    */
+  private[graft] def loadOrBuildDocIvf(spark: SparkSession, sfDir: String,
+                                       dim: Int = 16): String = {
+    val nc = autoClusters(tableCount(spark, sfDir, "documents"))
+    val dir = IndexStore.indexDir(sfDir, s"ivfdoc$nc-$dim-v1", "documents")
+    if (!IndexStore.committed(s"$dir/centroids") ||
+        !IndexStore.committed(s"$dir/vectors")) {
+      val corpus = VectorSearch.textEmbed(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")), dim)
+        .select(col("doc_id").as("vec_id"), col("v"))
+      buildIvfOver(spark, corpus, nc, dir)
+    }
+    dir
+  }
+
+  /** Probe count for a retrieval leg asking for the top `perLeg` of an
+    * n-row corpus: when the requested depth is a noticeable fraction of
+    * the corpus (≥ 1/[[HybridSatFactor]]), probing saturates to a full
+    * scan — the standard selectivity switch of any optimizer, and what
+    * makes the leg EXACT at fixture scale (the shared-oracle property,
+    * same trick as [[filteredProbe]]'s saturation). At 100 TB
+    * (perLeg ≪ n/12) the default probe fraction applies and the leg's
+    * recall rides the spec floor.
+    */
+  private[graft] val HybridSatFactor = 12L
+  private[graft] def hybridVecProbe(nClusters: Int, perLeg: Int,
+                                    n: Long): Int =
+    if (perLeg.toLong * HybridSatFactor >= n) nClusters
+    else autoProbe(nClusters)
 }

@@ -173,32 +173,90 @@ object TfIdf {
                       rrfK: Double = 60.0): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val toks = TextAnalysis.tokensPos(docs).select(col("doc_id"), col("tok"))
-    // rank AFTER the global sort-limit: the limit runs as partial top-k
-    // per partition + one small merge, so the unpartitioned rank window
-    // only ever sees perLeg rows — never the corpus
-    val wb = Window.orderBy(col("score").desc, col("doc_id"))
-    val lexical = bm25Scores(spark, sfDir, nTerms, 1.2, 0.75)
-      .orderBy(col("score").desc, col("doc_id")).limit(perLeg)
-      .withColumn("bm25_rank", row_number().over(wb).cast("long"))
-      .select(col("doc_id"), col("bm25_rank"))
-    // the query's bag-of-words vector, built by the SAME hashed-bucket
-    // pipeline as the corpus embeddings (one 1-row aggregate)
     val dim = 16
-    val queryTerms = toks.groupBy(col("tok")).count()
-      .orderBy(col("count").desc, col("tok")).limit(nTerms).select(col("tok"))
-    val qvec = VectorSearch.textEmbed(
-      queryTerms.agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
-        .select(lit(-1L).as("doc_id"), col("text")), dim)
-      .select(col("v").as("qv"))
     val wv = Window.orderBy(col("dist"), col("doc_id"))
     val vector = VectorSearch.textEmbed(docs, dim)
-      .crossJoin(broadcast(qvec))
+      .crossJoin(broadcast(hybridQueryVec(spark, sfDir, nTerms, dim)
+        .select(col("qu").as("qv"))))
       .select(col("doc_id"),
         graft.functions.VectorOps.squaredL2(col("qv"), col("v")).as("dist"))
       .orderBy(col("dist"), col("doc_id")).limit(perLeg)
       .withColumn("vec_rank", row_number().over(wv).cast("long"))
       .select(col("doc_id"), col("vec_rank"))
+    rrfFuse(bm25TopRanks(spark, sfDir, nTerms, perLeg), vector, topK, rrfK)
+  }
+
+  /** [[hybridSearchRrf]] with the vector leg riding the persisted IVF
+    * index over the document embedding space
+    * ([[AnnSearch.loadOrBuildDocIvf]]) instead of exact-scanning the
+    * corpus — the composition a RAG stack needs at 100 TB, where the
+    * exact vector leg is the scale-killer: the leg becomes a
+    * probe-pruned partitioned scan (the same plan as `ann_ivf`), while
+    * the BM25 leg and the RRF fusion are unchanged. The probe count
+    * rides [[AnnSearch.hybridVecProbe]]: at fixture scale the requested
+    * depth (perLeg = 50 of 500 docs) saturates the probe, making the
+    * leg EXACT and the whole entry bit-identical to [[hybridSearchRrf]]
+    * — so it shares the DuckDB oracle verbatim; at corpus scale the
+    * default probe fraction applies and the leg's recall rides the spec
+    * floor (AnnSpec's non-saturated hybrid-leg test).
+    */
+  def hybridSearchAnn(spark: SparkSession, sfDir: String, nTerms: Int = 5,
+                      perLeg: Int = 50, topK: Int = 20,
+                      rrfK: Double = 60.0): DataFrame = {
+    val dim = 16
+    val dir = AnnSearch.loadOrBuildDocIvf(spark, sfDir, dim)
+    val n = AnnSearch.tableCount(spark, sfDir, "documents")
+    val np = AnnSearch.hybridVecProbe(
+      AnnSearch.autoClusters(n), perLeg, n)
+    // query_id = -1 can never collide with a doc_id, so the search's
+    // self-exclusion filter keeps every document in play
+    val vector = AnnSearch.searchIndexAt(spark, dir,
+        hybridQueryVec(spark, sfDir, nTerms, dim), perLeg, np,
+        expectedQ = 1L)
+      .select(col("id").as("doc_id"), col("rn").as("vec_rank"))
+    rrfFuse(bm25TopRanks(spark, sfDir, nTerms, perLeg), vector, topK, rrfK)
+  }
+
+  /** The lexical leg's top-`perLeg` ranks. Rank AFTER the global
+    * sort-limit: the limit runs as partial top-k per partition + one
+    * small merge, so the unpartitioned rank window only ever sees perLeg
+    * rows — never the corpus.
+    */
+  private def bm25TopRanks(spark: SparkSession, sfDir: String,
+                           nTerms: Int, perLeg: Int): DataFrame = {
+    val wb = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(spark, sfDir, nTerms, 1.2, 0.75)
+      .orderBy(col("score").desc, col("doc_id")).limit(perLeg)
+      .withColumn("bm25_rank", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+  }
+
+  /** The query's bag-of-words vector as a 1-row (query_id = -1, qu)
+    * frame, built by the SAME hashed-bucket pipeline as the corpus
+    * embeddings — shared by the exact and the IVF-riding vector legs so
+    * the query-side arithmetic cannot drift.
+    */
+  private[graft] def hybridQueryVec(spark: SparkSession, sfDir: String,
+                                    nTerms: Int = 5,
+                                    dim: Int = 16): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokensPos(docs).select(col("doc_id"), col("tok"))
+    val queryTerms = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok")).limit(nTerms).select(col("tok"))
+    VectorSearch.textEmbed(
+      queryTerms.agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+        .select(lit(-1L).as("doc_id"), col("text")), dim)
+      .select(lit(-1L).as("query_id"), col("v").as("qu"))
+  }
+
+  /** The RRF fusion tail — one outer join of two ≤ perLeg-row rank
+    * frames, broadcast-sized by construction regardless of corpus size.
+    * Shared by both hybrid variants so fusion arithmetic (absent-leg
+    * rank 0, K = 60) cannot drift.
+    */
+  private def rrfFuse(lexical: DataFrame, vector: DataFrame,
+                      topK: Int, rrfK: Double): DataFrame =
     lexical.join(vector, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
@@ -210,5 +268,118 @@ object TfIdf {
           .otherwise(lit(0.0)), 6))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
+
+  /** [[hybridSearchRrf]] as ONE ANSI SQL statement over a registered
+    * `documents` view — the last flagship family without a pure-SQL
+    * twin. Both legs and the fusion live in one statement: the BM25 CTE
+    * chain is [[sqlBm25Search]]'s (4dp-rounded score, ranked by
+    * `row_number` — Spark plans the `rn <= perLeg` filter as
+    * WindowGroupLimit, per-partition top-k, so the unpartitioned window
+    * never materializes the corpus), and the vector leg rebuilds the
+    * hashed bag-of-words embedding with the registered `graft_*`
+    * expressions (`graft_l2_normalize`, `graft_squared_l2`) — the SAME
+    * codegen arithmetic the DataFrame path uses, so the statement is
+    * bit-identical to [[hybridSearchRrf]] (spec-asserted) and shares the
+    * DuckDB oracle verbatim.
+    */
+  def sqlHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("docs_sql")
+    spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS tok FROM docs_sql
+        |  ) WHERE tok <> ''
+        |),
+        |terms AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 5
+        |),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs_sql),
+        |dlen AS (
+        |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |  FROM toks GROUP BY doc_id
+        |),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+        |dft AS (
+        |  SELECT t.tok, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+        |  FROM toks t JOIN terms u ON t.tok = u.tok GROUP BY t.tok
+        |),
+        |w AS (
+        |  SELECT tok, ln((nn.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM dft CROSS JOIN nn
+        |),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok, w.idf, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN w ON t.tok = w.tok
+        |  GROUP BY t.doc_id, t.tok, w.idf
+        |),
+        |bm25 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(tf.idf * tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.avgdl))), 4)
+        |      AS score
+        |  FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN ad
+        |  GROUP BY tf.doc_id
+        |),
+        |ltop AS (
+        |  SELECT doc_id, CAST(rn AS BIGINT) AS bm25_rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |    FROM bm25) WHERE rn <= 50
+        |),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 16
+        |      AS j
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
+        |  FROM hb GROUP BY doc_id, j
+        |), vec AS (
+        |  SELECT doc_id, graft_l2_normalize(
+        |    transform(sequence(0, 15),
+        |      i -> coalesce(element_at(jc, CAST(i AS BIGINT)), 0.0D))) AS v
+        |  FROM (
+        |    SELECT doc_id,
+        |      map_from_entries(collect_list(struct(j, c))) AS jc
+        |    FROM cnt GROUP BY doc_id
+        |  )
+        |),
+        |qhb AS (
+        |  SELECT CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)
+        |    % 16 AS j
+        |  FROM terms
+        |), qvec AS (
+        |  SELECT graft_l2_normalize(
+        |    transform(sequence(0, 15),
+        |      i -> coalesce(element_at(jc, CAST(i AS BIGINT)), 0.0D))) AS qv
+        |  FROM (
+        |    SELECT map_from_entries(collect_list(struct(j, c))) AS jc
+        |    FROM (
+        |      SELECT j, CAST(count(*) AS DOUBLE) AS c FROM qhb GROUP BY j
+        |    )
+        |  )
+        |),
+        |vtop AS (
+        |  SELECT doc_id, CAST(rn AS BIGINT) AS vec_rank FROM (
+        |    SELECT v.doc_id,
+        |      row_number() OVER (
+        |        ORDER BY graft_squared_l2(q.qv, v.v), v.doc_id) AS rn
+        |    FROM vec v CROSS JOIN qvec q) WHERE rn <= 50
+        |),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(l.bm25_rank, 0L) AS bm25_rank,
+        |    coalesce(v.vec_rank, 0L) AS vec_rank
+        |  FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+        |)
+        |SELECT doc_id, bm25_rank, vec_rank,
+        |  round((CASE WHEN bm25_rank > 0
+        |      THEN 1.0D / (60.0D + bm25_rank) ELSE 0.0D END) +
+        |    (CASE WHEN vec_rank > 0
+        |      THEN 1.0D / (60.0D + vec_rank) ELSE 0.0D END), 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
   }
 }

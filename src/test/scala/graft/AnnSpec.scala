@@ -323,6 +323,36 @@ class AnnSpec extends SparkSpec {
     assert(AnnSearch.ivfPqRefitViolations(spark, sf).collect().isEmpty)
   }
 
+  test("hybrid ANN equals the exact hybrid at fixture scale; the IVF " +
+      "leg holds a recall floor when the probe is NOT saturated") {
+    import graft.operators.TfIdf
+    // the saturated probe makes the vector leg exact, so the IVF-riding
+    // entry is bit-identical to the exact-scan entry (the shared-oracle
+    // property)
+    val want = TfIdf.hybridSearchRrf(spark, sf).collect().map(_.toSeq).toSeq
+    val got = TfIdf.hybridSearchAnn(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // and saturation genuinely engaged (perLeg=50 of a 500-doc corpus)
+    val n = Tables.load(spark, sf, "documents").count()
+    val nc = AnnSearch.autoClusters(n)
+    assert(AnnSearch.hybridVecProbe(nc, 50, n) == nc)
+    // …but NOT at corpus scale: the same rule at 100×-the-corpus probes
+    // the default fraction (the genuinely-approximate regime)
+    assert(AnnSearch.hybridVecProbe(nc, 50, n * 100) ==
+      AnnSearch.autoProbe(nc))
+    // recall floor for that regime, measured on the fixture: the leg at
+    // the default probe fraction vs the saturated (exact) leg
+    val dir = AnnSearch.loadOrBuildDocIvf(spark, sf)
+    val q = TfIdf.hybridQueryVec(spark, sf)
+    def ids(np: Int): Set[Long] =
+      AnnSearch.searchIndexAt(spark, dir, q, 50, np, expectedQ = 1L)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val exactLeg = ids(nc)
+    val probedLeg = ids(AnnSearch.autoProbe(nc))
+    val recall = exactLeg.intersect(probedLeg).size.toDouble / exactLeg.size
+    assert(recall >= 0.6, s"hybrid vec-leg recall@50 = $recall")
+  }
+
   test("IVF append auto-compacts once the segment chain passes the bound") {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
