@@ -224,18 +224,25 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCALING_ONLY: comma-separated query names — measure
+    // only these (targeted-datapoint mode, e.g. the multimodal tier
+    // under a different byte target). A filtered run skips the streaming
+    // tier and never overwrites the committed full-run results file.
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val tierSel = Tier.filter(n => only.forall(_.contains(n)))
     val big = s"$work/x$factor"
     buildBlowup(spark, base, big, factor)
     def sweep(): Unit = { spark.catalog.clearCache(); System.gc() }
     def run(dir: String): Seq[(String, Double)] = {
-      WarmUp.foreach { n =>
+      if (tierSel.nonEmpty) WarmUp.foreach { n =>
         try SparkEntry.queries(n)(spark, dir).count()
         catch { case e: Throwable =>
           System.err.println(s"[scaling] warm-up $n @ $dir failed: " +
             e.getMessage)
         }
       }
-      Tier.map { n =>
+      tierSel.map { n =>
         sweep()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).count()
@@ -257,11 +264,13 @@ object Scaling {
     // is the "no super-linear term, flat per-batch cost" evidence.
     val mmQueries = Seq("multimodal_decode", "multimodal_featurize",
       "multimodal_audio")
+      .filter(n => only.forall(_.contains(n)))
     // a failed fixture build must DROP the multimodal tier (empty rows),
     // not crash the run — the already-measured batch-tier timings and
     // the streaming tier below still land in the output
     def runMm(dir: String): Seq[(String, Double)] =
-      try {
+      if (mmQueries.isEmpty) Seq.empty
+      else try {
         // build both persisted media fixtures (PNG filmstrips + PCM
         // clips) untimed
         SparkEntry.queries("multimodal_decode")(spark, dir).count()
@@ -300,27 +309,34 @@ object Scaling {
 
     // streaming tier: FIXED batch per trigger at both corpus scales —
     // exponent ~0 = per-trigger cost independent of the base corpus, and
-    // written bytes must stay flat (the manifest-version guarantee)
-    val bn = math.min(1000L,
-      Tables.load(spark, base, "embeddings").count()).toInt
-    val s1 = streamingTier(spark, base, s"$work/stream_x1", bn)
-    val sN = streamingTier(spark, big, s"$work/stream_x$factor", bn)
-    val streamRows = s1.zip(sN).map {
-      case ((n, a, b1, g1), (_, c, bN, gN)) =>
-        val exp = math.log(c / a) / math.log(factor.toDouble)
-        f"""{"query":"$n","t1":$a%.2f,"tN":$c%.2f,"factor":$factor,""" +
-          f""""exponent":$exp%.2f,"bytes1":$b1,"bytesN":$bN,""" +
-          f""""segs1":$g1,"segsN":$gN}"""
+    // written bytes must stay flat (the manifest-version guarantee).
+    // Skipped in targeted (ONLY) mode: its four trigger names are not
+    // SparkEntry queries, and a targeted run wants one tier's datapoint.
+    val streamRows = if (only.isDefined) Seq.empty else {
+      val bn = math.min(1000L,
+        Tables.load(spark, base, "embeddings").count()).toInt
+      val s1 = streamingTier(spark, base, s"$work/stream_x1", bn)
+      val sN = streamingTier(spark, big, s"$work/stream_x$factor", bn)
+      s1.zip(sN).map {
+        case ((n, a, b1, g1), (_, c, bN, gN)) =>
+          val exp = math.log(c / a) / math.log(factor.toDouble)
+          f"""{"query":"$n","t1":$a%.2f,"tN":$c%.2f,"factor":$factor,""" +
+            f""""exponent":$exp%.2f,"bytes1":$b1,"bytesN":$bN,""" +
+            f""""segs1":$g1,"segsN":$gN}"""
+      }
     }
     val json = (rows ++ mmRows ++ streamRows).mkString("[", ",", "]")
     println(json)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
-      "SCALING_RESULTS.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[scaling] could not write $outPath: " +
-        e.getMessage)
+    // a targeted run never clobbers the committed full-run record
+    if (only.isEmpty) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
+        "SCALING_RESULTS.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[scaling] could not write $outPath: " +
+          e.getMessage)
+      }
     }
     spark.stop()
   }

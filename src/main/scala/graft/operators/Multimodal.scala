@@ -223,9 +223,13 @@ object Multimodal {
     * decoded frames are what actually occupy executor memory — encoded
     * size under-counts by the compression ratio. Default 32 MiB decoded
     * per batch inside a multi-GiB executor; callers override per
-    * modality.
+    * modality, and deployments tune the default via
+    * `SPARK_GRAFT_MM_BATCH_BYTES` (also how the scaling harness shows
+    * the per-byte cost is batch-packing-independent).
     */
-  val DefaultBatchBytes: Long = 32L * 1024 * 1024
+  val DefaultBatchBytes: Long =
+    sys.env.get("SPARK_GRAFT_MM_BATCH_BYTES").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
 
   /** Partition count for `totalBytes` of payload at `targetBatchBytes`
     * per batch — ⌈total/target⌉ clamped to [1, 1 << 20].
