@@ -37,13 +37,15 @@ object Scaling {
   val Tier: Seq[String] = Seq("simhash_dedup", "minhash_dedup",
     "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups",
     "substring_runs", "bloom_decontaminate", "ann_filtered",
-    "sql_dup_groups", "semantic_decontaminate", "ann_ivf_pq")
+    "sql_dup_groups", "semantic_decontaminate", "ann_ivf_pq",
+    "hybrid_search_ann")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
     */
   private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted",
-    "ann_filtered", "semantic_decontaminate", "ann_ivf_pq")
+    "ann_filtered", "semantic_decontaminate", "ann_ivf_pq",
+    "hybrid_search_ann")
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {
@@ -138,6 +140,18 @@ object Scaling {
       AnnSearch.appendToIvfIndexAt(spark, baseIvf, batchVec, ivfOut)
     }
 
+    // 1b. IVF delete: one fixed tombstone batch chained onto the
+    // appended version — the delete leg's O(batch) claim measured: the
+    // trigger reads the predecessor's manifest (control-plane) and
+    // writes one tombstone segment + manifest, never corpus data
+    val delOut = s"$work/ivf_del_trigger"
+    rmr(delOut)
+    val delIds = batchVec.select(col("vec_id"))
+      .filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val tDel = timed {
+      AnnSearch.deleteFromIvfIndexAt(spark, ivfOut, delIds, delOut)
+    }
+
     // 2. corpus-dedup probe: fixed batch against the persisted corpus
     // signature index (build untimed)
     val corpusDir = Dedup.ensureCorpusIndex(spark, dataDir)
@@ -205,6 +219,8 @@ object Scaling {
         .count(_._1 == artifact).toLong
     Seq(("ivf_append_trigger", tIvf, dirBytes(ivfOut),
         segs(ivfOut, "vectors")),
+      ("ivf_delete_trigger", tDel, dirBytes(delOut),
+        segs(delOut, "tombstones")),
       ("corpus_dedup_trigger", tDedup, 0L, 0L),
       ("flat_ingest_trigger", tFlat, dirBytes(s"$root/v1"),
         segs(s"$root/v1", "mapping")),
