@@ -54,7 +54,8 @@ object Bench {
         // streamed delete chain, and the refit codebooks/codes (one
         // build per data fingerprint)
         "index_delete_violations", "streaming_index_delete",
-        "ivf_pq_refit_violations", "hybrid_search_ann",
+        "streaming_flat_delete", "ivf_pq_refit_violations",
+        "hybrid_search_ann",
         // the shared recall-gauge frame (recallFrame/exactKnnPairs) is
         // itself a build-once-per-fingerprint artifact: construct it
         // here so the timed gauge entries measure steady-state reads

@@ -238,6 +238,12 @@ object SparkEntry {
     // delete leg); zero rows = chain complete, deletes excluded, recall
     "streaming_index_delete" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingIvfDelete(s, d)),
+    // the FLAT store's delete half (LWW tombstone rows, never-reused
+    // ids): add-all batch, then one MIXED delete+add batch; the final
+    // live mapping is fully reconstructable, so the oracle hash-checks
+    // every surviving row rather than a zero-row contract
+    "streaming_flat_delete" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingFlatDelete(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
     "streaming_quality_filter" ->
@@ -728,6 +734,41 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the flat store's streamed delete: batch0 adds all docs (dense ids
+    // in str_id order), batch1 deletes every 3rd id (LWW tombstone — the
+    // row leaves the live mapping, its id is never reused) and adds
+    // 10000-shifted new docs with continuation ids computed over ALL
+    // ids ever assigned
+    "streaming_flat_delete" ->
+      """WITH base AS (
+        |  SELECT d.doc_id, d.text
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |), b0 AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS str_id,
+        |    text, doc_id
+        |  FROM base
+        |), m0 AS (
+        |  SELECT str_id,
+        |    CAST(row_number() OVER (ORDER BY str_id) AS BIGINT) AS faiss_id,
+        |    text, doc_id
+        |  FROM b0
+        |), nw AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id + 10000 AS VARCHAR), 7, '0')
+        |    AS str_id, text
+        |  FROM base
+        |), mnew AS (
+        |  SELECT str_id,
+        |    (SELECT max(faiss_id) FROM m0) +
+        |      CAST(row_number() OVER (ORDER BY str_id) AS BIGINT)
+        |      AS faiss_id,
+        |    text
+        |  FROM nw
+        |), fin AS (
+        |  SELECT str_id, faiss_id, text FROM m0 WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT str_id, faiss_id, text FROM mnew
+        |)
+        |SELECT str_id, faiss_id, text FROM fin ORDER BY str_id""".stripMargin,
     "knn_search" -> DuckKnnOracle,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation

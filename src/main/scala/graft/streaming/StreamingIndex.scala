@@ -44,16 +44,32 @@ import graft.sources.IndexStore
   */
 object StreamingIndex {
 
-  /** Add-request schema: user string id, OCR/text payload, embedding. */
+  /** Add-request schema: user string id, OCR/text payload, embedding,
+    * and an optional `op` ("add" default / "delete") — old landing files
+    * without the column read as NULL op = add, so the schema extension
+    * is backward compatible with every committed landing dir.
+    */
   val BatchSchema: StructType = StructType(Seq(
     StructField("str_id", StringType),
     StructField("text", StringType),
-    StructField("v", ArrayType(DoubleType))))
+    StructField("v", ArrayType(DoubleType)),
+    StructField("op", StringType)))
 
+  /** Mapping-segment schema. `deleted` is the LWW DELETE marker — the
+    * flat store's tombstone (the reference's LWW upsert keeps the old
+    * vector forever, `main.py:119-126`; takedown/retention needs the
+    * missing half): a delete writes one delta row (str_id, its
+    * faiss_id, NULL text, deleted=true), last-writer-wins resolution
+    * applies it exactly like a text update, and a LATER re-add simply
+    * out-writes it (with a FRESH faiss_id — ids are never reused, as in
+    * `main.py:129-130`). Segments from before the column read as NULL =
+    * not deleted, so old committed stores remain readable.
+    */
   val MappingSchema: StructType = StructType(Seq(
     StructField("str_id", StringType),
     StructField("faiss_id", LongType),
-    StructField("text", StringType)))
+    StructField("text", StringType),
+    StructField("deleted", BooleanType)))
 
   val VectorSchema: StructType = StructType(Seq(
     StructField("faiss_id", LongType),
@@ -96,20 +112,62 @@ object StreamingIndex {
     * the producer's bug, as in the reference.
     */
   def mergeBatch(mapping: DataFrame, rawBatch: DataFrame)
+      : (DataFrame, DataFrame) =
+    mergeBatchOps(mapping.withColumn("deleted", lit(false)),
+      rawBatch.withColumn("op", lit("add")))
+
+  /** [[mergeBatch]] with DELETE support over the RAW (tombstone-
+    * carrying) resolved mapping: `rawMapping` must be the LWW-resolved
+    * rows INCLUDING deleted ones ([[loadMappingRawAt]]) — the live view
+    * drives upsert/exists decisions, but the dense-id continuation MUST
+    * count every id ever assigned (a max over the live view would
+    * re-issue a deleted id whose vector still sits in the insert-only
+    * segments). Batch rows with op = "delete" emit one tombstone delta
+    * row each (original faiss_id, NULL text, deleted = true) for ids
+    * that currently exist — a delete for an absent/already-deleted id
+    * is a no-op, and a delete and re-add across batches allocates a
+    * FRESH id (the reference never reuses ids, `main.py:129-130`).
+    */
+  def mergeBatchOps(rawMapping: DataFrame, rawBatch: DataFrame)
       : (DataFrame, DataFrame) = {
-    val batch = rawBatch.withColumn("v", l2Normalize(col("v")))
-    val spark = batch.sparkSession
+    val spark = rawBatch.sparkSession
+    val live = rawMapping.filter(!coalesce(col("deleted"), lit(false)))
+      .select(col("str_id"), col("faiss_id"), col("text"))
+    val isDelete = coalesce(col("op"), lit("add")) === "delete"
+    val adds = rawBatch.filter(!isDelete)
+      .withColumn("v", l2Normalize(col("v")))
+    val dels = rawBatch.filter(isDelete).select(col("str_id"))
+      .join(live, Seq("str_id"), "inner")
+      .select(col("str_id"), col("faiss_id"),
+        lit(null).cast(StringType).as("text"),
+        lit(true).as("deleted"))
+    // a RE-ADD of a deleted str_id would out-write its LWW tombstone and
+    // orphan the old vector back into the ranking — so the revival also
+    // emits the tombstone under a synthetic key in the reserved
+    // "~tomb-<id>" namespace, which no producer key ever out-writes
+    // (producer str_ids must not start with "~tomb-"; the reference's
+    // ids are filenames, which cannot). The synthetic rows stay out of
+    // the live view (deleted = true) and keep the dead-id set complete
+    // for search exclusion; compaction reclaims their VECTORS' space
+    // (the tiny rows themselves stay, as all tombstones do, for
+    // all-time-max id monotonicity).
+    val revived = rawMapping
+      .filter(coalesce(col("deleted"), lit(false)))
+      .join(adds.select(col("str_id")), Seq("str_id"), "inner")
+      .select(concat(lit("~tomb-"), col("faiss_id")).as("str_id"),
+        col("faiss_id"), lit(null).cast(StringType).as("text"),
+        lit(true).as("deleted"))
     // existing ids: text from the batch wins, faiss_id + vector kept —
     // emitted as DELTA rows (only the upserted ids, never the whole
     // mapping); merge-on-read picks the highest-seq row per str_id
-    val updated = mapping
-      .join(batch.select(col("str_id"), col("text").as("new_text")),
+    val updated = live
+      .join(adds.select(col("str_id"), col("text").as("new_text")),
         Seq("str_id"), "inner")
       .select(col("str_id"), col("faiss_id"),
-        col("new_text").as("text"))
-    val news = batch.join(mapping.select("str_id"), Seq("str_id"),
+        col("new_text").as("text"), lit(false).as("deleted"))
+    val news = adds.join(live.select("str_id"), Seq("str_id"),
       "left_anti")
-    val maxId = mapping.agg(coalesce(max(col("faiss_id")), lit(0L))
+    val maxId = rawMapping.agg(coalesce(max(col("faiss_id")), lit(0L))
       .as("max_id"))
     // dense id continuation without a single-partition window: range
     // partition on the order key, rank per partition, prefix-sum offsets
@@ -125,7 +183,11 @@ object StreamingIndex {
       .crossJoin(broadcast(maxId))
       .select(col("str_id"), (col("max_id") + col("rn")).as("faiss_id"),
         col("text"), col("v"))
-    (updated.unionByName(newMapped.select("str_id", "faiss_id", "text")),
+    (updated
+      .unionByName(newMapped.select(col("str_id"), col("faiss_id"),
+        col("text"), lit(false).as("deleted")))
+      .unionByName(dels)
+      .unionByName(revived),
       newMapped.select(col("faiss_id"), col("v")))
   }
 
@@ -139,7 +201,19 @@ object StreamingIndex {
     * bounds the segment count without changing this reader.
     */
   private[graft] def loadMappingAt(spark: SparkSession,
-                                   versionDir: String): DataFrame = {
+                                   versionDir: String): DataFrame =
+    loadMappingRawAt(spark, versionDir)
+      .filter(!coalesce(col("deleted"), lit(false)))
+      .select(col("str_id"), col("faiss_id"), col("text"))
+
+  /** The RAW LWW resolution — one row per str_id INCLUDING tombstoned
+    * ones (`deleted` carried through; pre-column segments read as NULL
+    * = live). Writers need this view: the dense-id continuation counts
+    * every id ever assigned, and the search path derives its
+    * deleted-faiss_id exclusion set from it.
+    */
+  private[graft] def loadMappingRawAt(spark: SparkSession,
+                                      versionDir: String): DataFrame = {
     val segs = IndexStore.manifestSegments(
       IndexStore.readManifest(spark, versionDir), "mapping")
     val w = org.apache.spark.sql.expressions.Window
@@ -152,7 +226,7 @@ object StreamingIndex {
       .reduce(_ unionByName _)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col("str_id"), col("faiss_id"), col("text"))
+      .select(col("str_id"), col("faiss_id"), col("text"), col("deleted"))
   }
 
   /** The version's full vector table: union of its immutable segments —
@@ -209,26 +283,35 @@ object StreamingIndex {
         val prev = prevVer
           .map(v => IndexStore.readManifest(spark, s"$root/v$v"))
           .getOrElse(Seq.empty)
-        val prevMapping = prevVer
-          .map(v => loadMappingAt(spark, s"$root/v$v"))
+        val prevRaw = prevVer
+          .map(v => loadMappingRawAt(spark, s"$root/v$v"))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], MappingSchema))
-        val (delta, newVecs) = mergeBatch(prevMapping, batch)
+        val (delta, newVecs) = mergeBatchOps(prevRaw, batch)
         val mSeg = s"$root/v$batchId/mapping"
         val vSeg = s"$root/v$batchId/vectors"
         if (prev.count(_._1 == "mapping") + 1 > maxSegments) {
           // compaction trigger (see scaladoc): resolved state as the
           // version's own single segments — delta ∪ untouched survivors
           // is exactly what merge-on-read LWW would resolve, computed
-          // here once instead of on every future read
-          IndexStore.saveDataset(delta.unionByName(
-            prevMapping.join(delta.select("str_id"), Seq("str_id"),
-              "left_anti")), mSeg)
+          // here once instead of on every future read. TOMBSTONE rows
+          // stay in the compacted mapping (tiny, and dropping them
+          // would regress the all-time max id → id reuse against the
+          // insert-only vector segments); their VECTORS are dropped
+          // physically — the delete's storage reclaim
+          val resolved = delta.unionByName(
+            prevRaw.join(delta.select("str_id"), Seq("str_id"),
+              "left_anti")).localCheckpoint(true)
+          IndexStore.saveDataset(resolved, mSeg)
+          val deadIds = resolved
+            .filter(coalesce(col("deleted"), lit(false)))
+            .select(col("faiss_id"))
           IndexStore.saveDataset(prevVer
             .map(v => loadVectorsAt(spark, s"$root/v$v"))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], VectorSchema))
-            .unionByName(newVecs), vSeg)
+            .unionByName(newVecs)
+            .join(broadcast(deadIds), Seq("faiss_id"), "left_anti"), vSeg)
           IndexStore.writeManifest(spark, s"$root/v$batchId",
             Seq(("mapping", mSeg, batchId), ("vectors", vSeg, batchId)))
         } else {
@@ -263,10 +346,20 @@ object StreamingIndex {
     def empty(schema: StructType) = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     val base = latestVersion(root).map(v => s"$root/v$v")
-    val mapping = base.map(loadMappingAt(spark, _))
+    val raw = base.map(loadMappingRawAt(spark, _))
       .getOrElse(empty(MappingSchema))
+    val mapping = raw.filter(!coalesce(col("deleted"), lit(false)))
+      .select(col("str_id"), col("faiss_id"), col("text"))
+    // tombstoned ids must leave the RANKING, not just the remap join —
+    // an inner-join-only exclusion would let deleted vectors burn top-k
+    // slots and shrink results below k. The deleted set is O(deletes
+    // since compaction) (compaction drops the vectors physically), so
+    // the anti-join side broadcasts, as with the IVF tombstones.
+    val deadIds = raw.filter(coalesce(col("deleted"), lit(false)))
+      .select(col("faiss_id"))
     val vectors = base.map(loadVectorsAt(spark, _))
       .getOrElse(empty(VectorSchema))
+      .join(broadcast(deadIds), Seq("faiss_id"), "left_anti")
     // normalize the query exactly as the stored side was (main.py:87
     // normalizes BOTH sides; same left-fold sum + divide → bit-identical
     // to the codegen normalizer, so a self-query lands at distance 0)
@@ -358,8 +451,13 @@ object StreamingIndex {
     val src = s"$root/v$v"
     val mSeg = s"$out/v0/mapping"
     val vSeg = s"$out/v0/vectors"
-    IndexStore.saveDataset(loadMappingAt(spark, src), mSeg)
-    IndexStore.saveDataset(loadVectorsAt(spark, src), vSeg)
+    // tombstone rows stay (id monotonicity — see the in-chain fold);
+    // their vectors are dropped physically
+    val raw = loadMappingRawAt(spark, src).localCheckpoint(true)
+    IndexStore.saveDataset(raw, mSeg)
+    IndexStore.saveDataset(loadVectorsAt(spark, src)
+      .join(broadcast(raw.filter(coalesce(col("deleted"), lit(false)))
+        .select(col("faiss_id"))), Seq("faiss_id"), "left_anti"), vSeg)
     // LAST: the manifest commits the compacted version
     IndexStore.writeManifest(spark, s"$out/v0",
       Seq(("mapping", mSeg, 0L), ("vectors", vSeg, 0L)))
@@ -724,5 +822,53 @@ object StreamingIndex {
         ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
+  /** DELETE through the FLAT mapping store — the reference's own store
+    * shape (`main.py:119-126` LWW upsert keeps the old vector forever;
+    * this is the missing takedown half, by str_id exactly as the
+    * reference's ids are addressed): batch 0 adds every document,
+    * batch 1 is a MIXED batch — a delete request for every 3rd id plus
+    * brand-new 10000-shifted adds — folded through the same
+    * checkpointed stream ([[mergeBatchOps]]). A delete writes ONE LWW
+    * tombstone delta row; the dense-id continuation counts every id
+    * ever assigned (a deleted id is never reused); search excludes
+    * tombstoned vectors from the RANKING ([[searchLatest]]); compaction
+    * drops their vectors physically while keeping the (tiny) tombstone
+    * rows for id monotonicity.
+    *
+    * Returns the final LIVE mapping (str_id, faiss_id, text) ordered by
+    * str_id — fully deterministic, so the DuckDB oracle reconstructs
+    * the whole add → mixed delete/add lifecycle end-to-end (a stronger
+    * check than a zero-row gate: every surviving row, id and text is
+    * hash-compared).
+    */
+  def streamingFlatDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = IndexStore.indexDir(sfDir, "stream-flat-del-v1", "documents")
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    if (!latestVersion(root).exists(_ >= 1L)) {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val b0 = joined.select(strId(col("doc_id")).as("str_id"),
+        col("text"), col("v"), lit("add").as("op"))
+      stageInto(b0, landing, "batch0")
+      ingestAvailable(spark, landing, root, ckpt)
+      val dels = joined.filter(col("doc_id") % 3 === 0)
+        .select(strId(col("doc_id")).as("str_id"),
+          lit(null).cast(StringType).as("text"),
+          lit(null).cast(ArrayType(DoubleType)).as("v"),
+          lit("delete").as("op"))
+      val nw = joined.select(strId(col("doc_id") + 10000).as("str_id"),
+        col("text"), transform(col("v"), x => x + 0.01).as("v"),
+        lit("add").as("op"))
+      stageInto(dels.unionByName(nw), landing, "batch1")
+      ingestAvailable(spark, landing, root, ckpt)
+    }
+    val v = latestVersion(root).get
+    loadMappingAt(spark, s"$root/v$v").orderBy("str_id")
   }
 }

@@ -158,6 +158,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("flat-store delete: tombstones leave the ranking, re-adds get " +
+      "fresh ids without resurrecting the old vector, compaction " +
+      "reclaims the space") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val root = tmp("graft_flat_del_root")
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+    def stage(prefix: String, rows: Seq[(String, String, Seq[Double],
+        String)]): Unit =
+      StreamingIndex.stageInto(rows.toDF("str_id", "text", "v", "op"),
+        landing, prefix)
+    def e(i: Int) = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    // batch 0: three adds; batch 1: delete x2; batch 2: RE-ADD x2 with a
+    // different vector — three checkpointed ingest invocations
+    stage("b0", Seq(("x1", "one", e(0), "add"), ("x2", "two", e(1), "add"),
+      ("x3", "three", e(2), "add")))
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    stage("b1", Seq(("x2", null, null, "delete")))
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    stage("b2", Seq(("x2", "two again", e(3), "add")))
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    val v = StreamingIndex.latestVersion(root).get
+    val live = StreamingIndex.loadMappingAt(spark, s"$root/v$v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // ids dense by str_id order; the re-add allocated a FRESH id (never
+    // reuse) and carries the new text
+    assert(live == Map("x1" -> (1L, "one"), "x2" -> (4L, "two again"),
+      "x3" -> (3L, "three")))
+    // query along the DELETED vector's axis: the old x2 vector (id 2)
+    // must be excluded from the RANKING — all three live rows come back
+    // and none at distance 0
+    val res = StreamingIndex.searchLatest(spark, root, e(1), k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(res.keySet == Set("x1", "x2", "x3"), res.toString)
+    assert(res.values.forall(_ > 0.0), res.toString)
+    // compaction keeps the (tiny) tombstone rows — all-time max id stays
+    // 4 — but physically drops the dead id's vector
+    val out = tmp("graft_flat_del_compact")
+    StreamingIndex.compactTo(spark, root, out)
+    val rawC = StreamingIndex.loadMappingRawAt(spark, s"$out/v0")
+    assert(rawC.agg(max(col("faiss_id"))).head.getLong(0) == 4L)
+    assert(spark.read.parquet(s"$out/v0/vectors").count() == 3L)
+    val resC = StreamingIndex.searchLatest(spark, out, e(1), k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(resC == res)
+  }
+
   test("streamed delete-at-ingest chains an add and a tombstone version " +
       "with zero violations") {
     import graft.streaming.StreamingIndex
