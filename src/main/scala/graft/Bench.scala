@@ -55,7 +55,7 @@ object Bench {
         // build per data fingerprint)
         "index_delete_violations", "streaming_index_delete",
         "streaming_flat_delete", "ivf_pq_refit_violations",
-        "hybrid_search_ann",
+        "ivf_pq_delete_violations", "hybrid_search_ann",
         // the shared recall-gauge frame (recallFrame/exactKnnPairs) is
         // itself a build-once-per-fingerprint artifact: construct it
         // here so the timed gauge entries measure steady-state reads

@@ -190,6 +190,11 @@ object SparkEntry {
     // well-formed, recall no worse than the frozen-codebook version
     "ivf_pq_refit_violations" ->
       ((s, d) => AnnSearch.ivfPqRefitViolations(s, d)),
+    // the quantized layout's delete leg: tombstone version over the
+    // IVF+PQ chain, ADC-search exclusion, live-count reconciliation,
+    // recall over the live corpus; zero rows = all held
+    "ivf_pq_delete_violations" ->
+      ((s, d) => AnnSearch.ivfPqDeleteViolations(s, d)),
     "text_embed_search" -> ((s, d) => VectorSearch.textEmbedSearch(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decodeFlat(s, d)),
     "multimodal_featurize" -> ((s, d) => Multimodal.featurizeFlat(s, d)),
@@ -730,6 +735,13 @@ object SparkEntry {
     // the codebook refit: completeness + m-wide codes + recall no worse
     // than the frozen-codebook appended version, same zero-row contract
     "ivf_pq_refit_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // the quantized chain's delete: ADC-search exclusion + live count +
+    // recall over the live corpus, same zero-row contract
+    "ivf_pq_delete_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

@@ -611,6 +611,63 @@ object AnnSearch {
     require(IndexStore.committed(centroidsPath) &&
       segments.forall(IndexStore.committed),
       s"delete base $dir is not a committed index version")
+    writeTombstoneVersion(spark, dir, ids, out, maxSegments,
+      ("centroids", centroidsPath, 0L) +:
+        segments.zipWithIndex.map { case (s, i) =>
+          ("vectors", s, i.toLong)
+        })
+  }
+
+  /** DELETE from the persisted IVF+PQ index — the quantized twin of
+    * [[deleteFromIvfIndex]], so the production-default layout has the
+    * same takedown surface as the flat one: a new version re-references
+    * centroids, codebooks and every code segment untouched and adds one
+    * O(batch) tombstone segment; the ADC scan excludes tombstoned ids
+    * merge-on-read ([[ivfPqSearchAt]]), appends carry tombstones
+    * forward, and the in-chain fold drops masked codes physically.
+    */
+  def deleteFromIvfPqIndex(spark: SparkSession, sfDir: String,
+                           ids: DataFrame, out: String,
+                           nClusters: Int = 0, m: Int = 8,
+                           nCodes: Int = 0): Unit = {
+    val nc = resolveClusters(spark, sfDir, nClusters)
+    val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
+    deleteFromIvfPqIndexAt(spark,
+      buildIvfPqIndex(spark, sfDir, nc, m, nk), ids, out)
+  }
+
+  private[graft] def deleteFromIvfPqIndexAt(spark: SparkSession,
+                                            dir: String, ids: DataFrame,
+                                            out: String,
+                                            maxSegments: Int =
+                                              IndexStore.DefaultMaxSegments)
+      : Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    val (centroidsPath, codebooksPath, segments) = ivfPqLayout(spark, dir)
+    require(IndexStore.committed(centroidsPath) &&
+      IndexStore.committed(codebooksPath) &&
+      segments.forall(IndexStore.committed),
+      s"delete base $dir is not a committed index version")
+    writeTombstoneVersion(spark, dir, ids, out, maxSegments,
+      ("centroids", centroidsPath, 0L) +:
+        ("codebooks", codebooksPath, 0L) +:
+        segments.zipWithIndex.map { case (s, i) =>
+          ("codes", s, i.toLong)
+        })
+  }
+
+  /** The shared tombstone-version tail of both delete paths: write the
+    * (folded-if-over-bound) tombstone segment, then commit a manifest
+    * of the predecessor's data artifacts plus the tombstone chain. One
+    * seam, so the two layouts cannot drift in fold bound, dedup of the
+    * id batch, or commit protocol (manifest LAST, replay-idempotent at
+    * the caller's `committed` guard).
+    */
+  private def writeTombstoneVersion(spark: SparkSession, dir: String,
+                                    ids: DataFrame, out: String,
+                                    maxSegments: Int,
+                                    dataEntries: Seq[(String, String, Long)])
+      : Unit = {
     val tombSegs = ivfTombSegments(spark, dir)
     val segment = s"$out/tombstones"
     val batch = ids.select(col("vec_id")).distinct()
@@ -623,15 +680,12 @@ object AnnSearch {
       } else (batch, tombSegs)
     written.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(segment)
-    // LAST: the manifest commits the version — predecessor vector
+    // LAST: the manifest commits the version — predecessor data
     // segments re-referenced untouched, tombstone chain extended/folded
     IndexStore.writeManifest(spark, out,
-      ("centroids", centroidsPath, 0L) +:
-        (segments.zipWithIndex.map { case (s, i) =>
-          ("vectors", s, i.toLong)
-        } ++ (kept :+ segment).zipWithIndex.map { case (s, i) =>
-          ("tombstones", s, i.toLong)
-        }))
+      dataEntries ++ (kept :+ segment).zipWithIndex.map { case (s, i) =>
+        ("tombstones", s, i.toLong)
+      })
   }
 
   /** Compact an appended IVF version into a standalone one-segment index
@@ -897,9 +951,13 @@ object AnnSearch {
           .join(IndexStore.readUnion(spark, segments)
             .filter(col("cluster").isin(probedClusters: _*)), "cluster"))
       }
-    // the ONE shared pruning tail — margin semantics identical to SQ8/PQ
+    // tombstone exclusion on the ADC candidates before the margin prune
+    // (a deleted id must not burn rerank slots either); a no-op plan-wise
+    // on undeleted versions, then the ONE shared pruning tail — margin
+    // semantics identical to SQ8/PQ
     VectorSearch.rescoreTopK(
-      VectorSearch.pruneCandidates(adist, rerank), normed, k)
+      VectorSearch.pruneCandidates(
+        excludeTombstoned(spark, dir, adist, "id"), rerank), normed, k)
   }
 
   /** PQ-encode an explicit centroid-assigned frame (vec_id, v, cluster)
@@ -995,10 +1053,14 @@ object AnnSearch {
       .select(col("vec_id"), col("v"), col("cluster"))
     val encoded = pqEncode(spark, codebooksPath, assigned, m, nk)
     val segment = s"$out/segment"
+    val tombSegs = ivfTombSegments(spark, dir)
     if (segments.length + 1 > maxSegments) {
       // compaction trigger: fold the whole chain + batch into ONE fresh
-      // cluster-partitioned code segment ([[appendToIvfIndexAt]]'s bound)
-      IndexStore.readUnion(spark, segments)
+      // cluster-partitioned code segment ([[appendToIvfIndexAt]]'s
+      // bound). The fold reads the LIVE view — tombstone-masked codes
+      // are dropped physically and the tombstones retired, exactly as
+      // in the flat chain's fold
+      excludeTombstoned(spark, dir, IndexStore.readUnion(spark, segments))
         .select(col("vec_id"), col("codes"), col("cluster"))
         .unionByName(encoded)
         .repartition(col("cluster"))
@@ -1014,12 +1076,15 @@ object AnnSearch {
         .repartition(col("cluster"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cluster").parquet(segment)
+      // tombstones carried FORWARD (an append must never un-delete)
       IndexStore.writeManifest(spark, out,
         ("centroids", centroidsPath, 0L) +:
           ("codebooks", codebooksPath, 0L) +:
-          (segments :+ segment).zipWithIndex.map { case (s, i) =>
+          ((segments :+ segment).zipWithIndex.map { case (s, i) =>
             ("codes", s, i.toLong)
-          })
+          } ++ tombSegs.zipWithIndex.map { case (s, i) =>
+            ("tombstones", s, i.toLong)
+          }))
     }
   }
 
@@ -1851,6 +1916,69 @@ object AnnSearch {
         ("compact_count", nLiveExpected.toDouble, nCompact.toDouble)),
       Option.when(recall < recallFloor)(
         ("post_compact_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
+  /** HARD gate for IVF+PQ DELETION — [[ivfDeleteViolations]]' contract
+    * on the quantized production-default layout, so the takedown
+    * surface is symmetric across both index families: fold the
+    * deterministic [[appendBatch]] into an IVF+PQ version, delete every
+    * 5th batch id via an O(batch) tombstone version
+    * ([[deleteFromIvfPqIndexAt]]), then emit a violation row (zero rows
+    * = passing, typed zero-row oracle) if any invariant breaks:
+    *
+    *  - exclusion: the ADC search over the deleted version must return
+    *    NO tombstoned id;
+    *  - merge-on-read completeness: the live code view must hold
+    *    exactly base + batch − deleted rows;
+    *  - quality: probing the deleted version must reach `recallFloor`
+    *    average recall@k against the exact k-NN over the LIVE corpus
+    *    (same floor as the PQ append gate — quantization loss composes
+    *    with probe misses, deletion must add nothing).
+    */
+  def ivfPqDeleteViolations(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, k: Int = 10,
+                            recallFloor: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val nc = resolveClusters(spark, sfDir, 0)
+    val nk = Quantize.resolveCodes(spark, sfDir, 0)
+    val m = 8
+    val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v1",
+      "embeddings")
+    val batch = appendBatch(spark, sfDir)
+    appendToIvfPqIndex(spark, sfDir, batch, appended, nc, m, nk)
+    val delIds = batch.select(col("vec_id"))
+      .filter(col("vec_id") % 5 === 0)
+    val deleted = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-del-v1",
+      "embeddings")
+    deleteFromIvfPqIndexAt(spark, appended, delIds, deleted)
+    val nBase = embeddingCount(spark, sfDir)
+    val nDel = delIds.count()
+    val nLiveExpected = 2 * nBase - nDel
+    val live = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val approx = ivfPqSearchAt(spark, deleted, queries, live, k,
+      resolveProbe(nc, 0), m, nk, rerank = 40,
+      expectedQ = nQueries.toLong)
+    val deletedInResults = approx
+      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .count()
+    val nLive = excludeTombstoned(spark, deleted,
+      IndexStore.readUnion(spark, ivfPqLayout(spark, deleted)._3)).count()
+    val exact = unionExactTopK(live, queries, k)
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    val viols = Seq(
+      Option.when(deletedInResults != 0L)(
+        ("deleted_in_results", 0.0, deletedInResults.toDouble)),
+      Option.when(nLive != nLiveExpected)(
+        ("live_count", nLiveExpected.toDouble, nLive.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }

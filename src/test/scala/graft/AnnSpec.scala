@@ -323,6 +323,53 @@ class AnnSpec extends SparkSpec {
     assert(AnnSearch.ivfPqRefitViolations(spark, sf).collect().isEmpty)
   }
 
+  test("IVF+PQ delete gate: ADC exclusion, live count and recall hold") {
+    assert(AnnSearch.ivfPqDeleteViolations(spark, sf).collect().isEmpty)
+  }
+
+  test("IVF+PQ delete survives appends and the in-chain fold never " +
+      "resurrects masked codes") {
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def shifted(off: Long, d: Double) =
+      Tables.load(spark, sf, "embeddings")
+        .select((col("vec_id") + off).as("vec_id"),
+          expr(s"transform(embedding, x -> cast(x as double) + $d)")
+            .as("v"))
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nc = AnnSearch.autoClusters(n)
+    val nk = AnnSearch.pqCodebookSize(spark, sf)
+    val base = graft.operators.AnnSearch
+      .buildIvfPqIndex(spark, sf, nc, 8, nk)
+    // append a batch, tombstone half of it, then append PAST the fold
+    // bound (maxSegments = 2 forces the fold on the next append): the
+    // folded single segment must hold live codes only
+    val v1 = tmp("graft_pqdel_v1")
+    AnnSearch.appendToIvfPqIndexAt(spark, base, shifted(70000, 0.01),
+      v1, 8, nk)
+    val delIds = shifted(70000, 0.01).select(col("vec_id"))
+      .filter(col("vec_id") % 2 === 0)
+    val nDel = delIds.count()
+    val v2 = tmp("graft_pqdel_v2")
+    AnnSearch.deleteFromIvfPqIndexAt(spark, v1, delIds, v2)
+    // append on top of the delete: tombstones must ride the manifest
+    val v3 = tmp("graft_pqdel_v3")
+    AnnSearch.appendToIvfPqIndexAt(spark, v2, shifted(80000, 0.02),
+      v3, 8, nk, maxSegments = 8)
+    assert(AnnSearch.ivfTombSegments(spark, v3).nonEmpty)
+    // fold trigger: chain has 3 code segments; maxSegments = 2 folds
+    val v4 = tmp("graft_pqdel_v4")
+    AnnSearch.appendToIvfPqIndexAt(spark, v3, shifted(90000, 0.03),
+      v4, 8, nk, maxSegments = 2)
+    // folded: one code segment, tombstones retired, masked codes gone
+    assert(AnnSearch.ivfPqLayout(spark, v4)._3.size == 1)
+    assert(AnnSearch.ivfTombSegments(spark, v4).isEmpty)
+    val codes = graft.sources.IndexStore
+      .readUnion(spark, AnnSearch.ivfPqLayout(spark, v4)._3)
+    assert(codes.count() == 4 * n - nDel)
+    assert(codes.join(delIds, Seq("vec_id"), "left_semi").count() == 0)
+  }
+
   test("hybrid ANN equals the exact hybrid at fixture scale; the IVF " +
       "leg holds a recall floor when the probe is NOT saturated") {
     import graft.operators.TfIdf
