@@ -249,6 +249,13 @@ object SparkEntry {
     // every surviving row rather than a zero-row contract
     "streaming_flat_delete" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingFlatDelete(s, d)),
+    // RETENTION, the last lifecycle event: prune superseded versions with
+    // manifest refcounting; zero rows = exactly v0 pruned, refcounted
+    // segments alive, latest search bit-identical, prune idempotent,
+    // surviving chain still serving
+    "index_retention_violations" ->
+      ((s, d) =>
+        graft.streaming.StreamingIndex.ivfRetentionViolations(s, d)),
     "streaming_sliding" ->
       ((s, d) => graft.streaming.StreamingOps.streamingSlidingWindows(s, d)),
     "streaming_quality_filter" ->
@@ -742,6 +749,14 @@ object SparkEntry {
     // the quantized chain's delete: ADC-search exclusion + live count +
     // recall over the live corpus, same zero-row contract
     "ivf_pq_delete_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // retention: version vacuum with manifest refcounting — one-shot
+    // outcomes persisted at prune time plus a live serving check, same
+    // zero-row contract
+    "index_retention_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

@@ -871,4 +871,98 @@ object StreamingIndex {
     val v = latestVersion(root).get
     loadMappingAt(spark, s"$root/v$v").orderBy("str_id")
   }
+
+  /** RETENTION as a gated query — the last lifecycle event
+    * (build → append → delete → compact → refit → RETENTION) surfaced in
+    * the graded contract. [[pruneVersions]] is the production surface (a
+    * long-running ingest otherwise accumulates every snapshot ever
+    * written); this gate proves the refcounting end-to-end on a real
+    * chain: three O(batch) appends over the fixture IVF base (versions
+    * v0 → v1 → v2, each manifest re-referencing its predecessor's
+    * segments IN PLACE — so v0's segment files are live data of v1 and
+    * v2), then one `keep = 2` vacuum. The prune must (a) remove exactly
+    * v0 and nothing else, (b) leave v0 unresolvable as a VERSION while
+    * every segment a surviving manifest references stays on disk —
+    * refcounting, not directory deletion, (c) leave the latest version's
+    * search bit-identical (top-k ties break on (dist, id), so equality
+    * is exact, not floor-gated), and (d) be idempotent — a second vacuum
+    * finds nothing. Outcomes are persisted once per data fingerprint
+    * (the prune is a destructive one-shot; a re-run in a fresh JVM must
+    * grade the SAME event, not a differently-shaped steady state), and
+    * the serving check is recomputed live on every invocation.
+    */
+  def ivfRetentionViolations(spark: SparkSession, sfDir: String,
+                             nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.operators.AnnSearch
+    val root = IndexStore.indexDir(sfDir, "ivf-ret-v1", "embeddings")
+    val outcome = s"$root/outcome"
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val probe = AnnSearch.defaultProbe(spark, sfDir)
+    if (!IndexStore.committed(outcome)) {
+      val base = AnnSearch.ensureIvfIndex(spark, sfDir)
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      // ids +60/70/80k: clear of every other fixture injection (+10000
+      // dedup, +20000 batch appends, +30000/+40000 streaming appends,
+      // +50000 delete-at-ingest)
+      def shifted(off: Long, delta: Double) =
+        emb.select((col("vec_id") + off).as("vec_id"),
+          transform(col("v"), x => x + lit(delta)).as("v"))
+      AnnSearch.appendToIvfIndexAt(spark, base,
+        shifted(60000L, 0.04), s"$root/v0")
+      AnnSearch.appendToIvfIndexAt(spark, s"$root/v0",
+        shifted(70000L, 0.05), s"$root/v1")
+      AnnSearch.appendToIvfIndexAt(spark, s"$root/v1",
+        shifted(80000L, 0.06), s"$root/v2")
+      val pre = AnnSearch.searchIndexAt(spark, s"$root/v2", queries, k,
+        probe, expectedQ = nQueries.toLong)
+        .select(col("query_id"), col("id")).localCheckpoint(true)
+      val fs = new Path(root).getFileSystem(IndexStore.hadoopConf)
+      def qualify(s: String): String =
+        fs.makeQualified(new Path(s)).toString
+      // what the SURVIVORS reference — captured before the prune so the
+      // liveness check is against the prune's own input, incl. v0's
+      // segment (re-referenced by v1/v2: must survive its version's
+      // death) and the base index's segments outside `root`
+      val live = Seq(1L, 2L)
+        .flatMap(v => IndexStore.readManifest(spark, s"$root/v$v"))
+        .map(e => qualify(e._2)).distinct
+      val doomed = pruneVersions(spark, root, keep = 2)
+      val post = AnnSearch.searchIndexAt(spark, s"$root/v2", queries, k,
+        probe, expectedQ = nQueries.toLong)
+        .select(col("query_id"), col("id"))
+      val drift = post.exceptAll(pre).count() + pre.exceptAll(post).count()
+      IndexStore.saveDataset(Seq(
+        ("pruned_exactly_v0", 1.0,
+          if (doomed == Seq(0L)) 1.0 else 0.0),
+        ("doomed_still_resolvable", 0.0,
+          (if (IndexStore.committed(s"$root/v0/manifest")) 1L else 0L)
+            .toDouble),
+        ("live_segment_missing", 0.0,
+          live.count(p => !fs.exists(new Path(p))).toDouble),
+        ("post_prune_drift", 0.0, drift.toDouble),
+        ("prune_idempotent", 0.0,
+          pruneVersions(spark, root, keep = 2).size.toDouble))
+        .toDF("invariant", "expected", "actual").coalesce(1), outcome)
+    }
+    // persisted one-shot outcomes + the recomputed serving check: the
+    // surviving chain must still answer the fixture queries in full
+    val persisted = spark.read.parquet(outcome)
+      .filter(col("expected") =!= col("actual"))
+    val vLast = latestVersion(root).getOrElse(-1L)
+    val nRes =
+      if (vLast < 0L) -1L
+      else AnnSearch.searchIndexAt(spark, s"$root/v$vLast", queries, k,
+        probe, expectedQ = nQueries.toLong).count()
+    val current = Seq(
+      Option.when(vLast != 2L)(
+        ("latest_version", 2.0, vLast.toDouble)),
+      Option.when(nRes != nQueries.toLong * k)(
+        ("serving_rows", nQueries.toDouble * k, nRes.toDouble))).flatten
+    persisted
+      .unionByName(current.toDF("invariant", "expected", "actual"))
+      .orderBy("invariant")
+  }
 }

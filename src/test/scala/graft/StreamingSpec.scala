@@ -490,6 +490,26 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root2/v0/mapping")))
   }
 
+  test("retention gate: vacuum prunes exactly v0, keeps refcounted " +
+      "segments, and the gate is re-runnable") {
+    import graft.sources.IndexStore
+    import graft.streaming.StreamingIndex
+    assert(StreamingIndex.ivfRetentionViolations(spark, sf)
+      .collect().isEmpty)
+    val root = IndexStore.indexDir(sf, "ivf-ret-v1", "embeddings")
+    // v0 died as a VERSION (manifest gone) but its segment survives:
+    // v1/v2's manifests refcount it — the chain serves from live data
+    assert(!IndexStore.committed(s"$root/v0/manifest"))
+    assert(IndexStore.committed(s"$root/v0/segment"))
+    Seq(1L, 2L).foreach { v =>
+      assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
+    }
+    // re-entrant: the persisted outcome grades the one-shot prune, the
+    // serving check recomputes — still zero rows on a second invocation
+    assert(StreamingIndex.ivfRetentionViolations(spark, sf)
+      .collect().isEmpty)
+  }
+
   test("index ingest refuses a fresh checkpoint over an older root") {
     import graft.sources.IndexStore
     import graft.streaming.StreamingIndex
