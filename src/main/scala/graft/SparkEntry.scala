@@ -21,6 +21,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_search" -> ((s, d) => VectorSearch.knnSearch(s, d)),
+    // MMR diversified re-ranking: greedy λ·relevance − (1−λ)·redundancy
+    // selection from the bounded top-C pool — per-query sequential,
+    // across-query distributed
+    "mmr_rerank" -> ((s, d) => VectorSearch.mmrRerank(s, d)),
     "quantized_knn" -> ((s, d) => Quantize.sqKnn(s, d)),
     // the flagship through the pure-SQL surface: the injected native
     // expressions (graft_*) inside an ANSI query — what a SQL-only
@@ -497,6 +501,83 @@ object SparkEntry {
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** The MMR greedy unrolled k steps for DuckDB: each step scores the
+    * not-yet-selected pool rows as `λ·qsim − (1.0−λ)·max-sim-to-selected`
+    * (the max coalesces to 0.0 on the empty first step, exactly the
+    * operator's maxSim initialization) and picks the (score DESC, id)
+    * winner per query. Every arithmetic step — the normalization, the
+    * (dist, id) pool ranking, index-order dot-product folds, the
+    * `(1.0 - 0.7)` weight written as the same IEEE subtraction the
+    * operator computes, HALF_UP output rounding — matches the Scala
+    * per-group loop, so the compare is exact.
+    */
+  private lazy val DuckMmrOracle: String = {
+    val (k, c, nq) = (10, 50, 10)
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT query_id, id, score FROM (
+         |    SELECT c.query_id, c.id,
+         |      0.7 * c.qsim - (1.0 - 0.7) * coalesce(m.msim, 0.0) AS score,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |        0.7 * c.qsim - (1.0 - 0.7) * coalesce(m.msim, 0.0) DESC,
+         |        c.id) AS rn
+         |    FROM pool c
+         |    LEFT JOIN (
+         |      SELECT p.query_id, p.ida AS id, max(p.sim) AS msim
+         |      FROM ps p JOIN sel${i - 1} s
+         |        ON s.query_id = p.query_id AND s.id = p.idb
+         |      GROUP BY 1, 2
+         |    ) m ON m.query_id = c.query_id AND m.id = c.id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |      WHERE s2.query_id = c.query_id AND s2.id = c.id)
+         |  ) WHERE rn = 1
+         |), sel$i AS MATERIALIZED (
+         |  SELECT query_id, id FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, id FROM p$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k).map(i =>
+      s"""SELECT query_id, id, CAST($i AS BIGINT) AS "rank",
+         |  round(score, 6) AS mmr_score FROM p$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH normed AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM normed WHERE vec_id < $nq
+       |), rawpool AS MATERIALIZED (
+       |  SELECT q.query_id, n.vec_id AS id, n.v, q.qv,
+       |    list_sum(list_transform(list_zip(q.qv, n.v),
+       |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM q JOIN normed n ON n.vec_id <> q.query_id
+       |), pool AS MATERIALIZED (
+       |  SELECT query_id, id, v,
+       |    list_sum(list_transform(list_zip(qv, v),
+       |      p -> p[1]*p[2])) AS qsim
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, id) AS rn
+       |    FROM rawpool
+       |  ) WHERE rn <= $c
+       |), ps AS MATERIALIZED (
+       |  SELECT a.query_id, a.id AS ida, b.id AS idb,
+       |    list_sum(list_transform(list_zip(a.v, b.v),
+       |      p -> p[1]*p[2])) AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.id <> b.id
+       |), sel0 AS MATERIALIZED (
+       |  SELECT CAST(NULL AS BIGINT) AS query_id,
+       |    CAST(NULL AS BIGINT) AS id
+       |  WHERE 1 = 0
+       |),
+       |$steps
+       |$finals
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** Connected components of the near-dup pair graph, shared by
     * `dup_groups` and its pure-SQL twin `sql_dup_groups`: DuckDB's
     * recursive CTE computes true reachability, so the min reachable
@@ -797,6 +878,9 @@ object SparkEntry {
         |)
         |SELECT str_id, faiss_id, text FROM fin ORDER BY str_id""".stripMargin,
     "knn_search" -> DuckKnnOracle,
+    // the greedy MMR selection unrolled k steps — arithmetic and
+    // tie-breaks written exactly as the operator's per-group loop
+    "mmr_rerank" -> DuckMmrOracle,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
     "sql_vector_knn" -> DuckKnnOracle,

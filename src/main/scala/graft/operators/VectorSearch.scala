@@ -156,6 +156,97 @@ object VectorSearch {
         squaredL2(col("qv"), col("v")).as("dist")), k)
   }
 
+  /** MMR (Maximal Marginal Relevance) diversified re-ranking — the
+    * standard second stage of a retrieval stack (Carbonell & Goldstein
+    * 1998): from a bounded top-`nCandidates` relevance pool, greedily
+    * pick k results maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` — relevance traded against
+    * redundancy with what is already selected, so near-duplicate
+    * neighbors (which a dedup-grade corpus is full of) stop crowding
+    * out distinct results. Cosine IS the dot product here (unit vectors
+    * from the one shared normalization).
+    *
+    * Shape: the pool comes from the SAME broadcast-queries candidate
+    * pass and (dist, id) ranking tail as [[knnSearch]] — at scale the
+    * pool stage swaps to the IVF probe exactly as
+    * [[AnnSearch.ivfFilteredKnn]]'s candidate stage does. The greedy
+    * selection is inherently sequential PER QUERY but independent
+    * ACROSS queries: `groupByKey(query_id).flatMapGroups` holds one
+    * Q-of-C-candidates group in memory at a time (C·dim doubles — KiB,
+    * never corpus-bound) and distributes over queries, the one shape
+    * `mapGroups` is genuinely for. Selection arithmetic (dot-product
+    * fold in index order, `λ·qsim − (1.0−λ)·msim`, ties on id) is
+    * written identically in the DuckDB oracle's unrolled greedy, so the
+    * compare is exact, not floor-gated.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String,
+                nQueries: Int = 10, k: Int = 10, nCandidates: Int = 50,
+                lambda: Double = 0.7): DataFrame =
+    mmrRerankOver(spark, normalized(spark, sfDir), nQueries, k,
+      nCandidates, lambda)
+
+  private[graft] def mmrRerankOver(spark: SparkSession, normed: DataFrame,
+                                   nQueries: Int, k: Int,
+                                   nCandidates: Int,
+                                   lambda: Double): DataFrame = {
+    import spark.implicits._
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    val pool = normed
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"), col("v"),
+        col("qv"), squaredL2(col("qv"), col("v")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCandidates)
+      .select(col("query_id"), col("id"), col("v"), col("qv"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val picked = pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray
+      val qv = cs.head._4
+      val qsim = cs.map(c => dot(c._3, qv))
+      val maxSim = Array.fill(cs.length)(0.0)
+      val taken = Array.fill(cs.length)(false)
+      val lam = lambda
+      (1 to math.min(k, cs.length)).iterator.map { r =>
+        var best = -1; var bestScore = 0.0
+        var i = 0
+        while (i < cs.length) {
+          if (!taken(i)) {
+            val score = lam * qsim(i) - (1.0 - lam) * maxSim(i)
+            if (best < 0 || score > bestScore ||
+                (score == bestScore && cs(i)._2 < cs(best)._2)) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        taken(best) = true
+        var j = 0
+        while (j < cs.length) {
+          if (!taken(j)) {
+            val s = dot(cs(j)._3, cs(best)._3)
+            // the first update ASSIGNS (a max over one selected vector,
+            // which may be negative — seeding with 0.0 would clamp it
+            // and diverge from the true max the oracle computes)
+            if (r == 1 || s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        (qid, cs(best)._2, r.toLong, bestScore)
+      }
+    }
+    picked.toDF("query_id", "id", "rank", "score")
+      .select(col("query_id"), col("id"), col("rank"),
+        round(col("score"), 6).as("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-vector L2 norm before normalization plus a post-normalization norm
     * check — standalone surface for the reference's `main.py:87` semantics.
     */

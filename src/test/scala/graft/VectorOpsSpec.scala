@@ -70,6 +70,42 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank on fixtures: k ranked picks per query, first pick is " +
+      "the nearest neighbor, no repeats") {
+    val res = VectorSearch.mmrRerank(spark, sf, nQueries = 3, k = 5)
+      .collect()
+    assert(res.length == 15)
+    val knn1 = VectorSearch.knnSearch(spark, sf, nQueries = 3, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to 5L))
+      // the empty-set step scores λ·qsim: pick 1 IS the top-1 neighbor
+      assert(rows.minBy(_.getLong(2)).getLong(1) == knn1(q))
+      assert(rows.map(_.getLong(1)).distinct.length == 5)
+    }
+  }
+
+  test("mmrRerank trades relevance for diversity: an exact duplicate of " +
+      "the first pick loses its slot to a distinct candidate") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)),            // the query
+      (1L, Array(0.98f, 0.199f)),     // most relevant
+      (2L, Array(0.98f, 0.199f)),     // its exact duplicate
+      (3L, Array(0.707f, -0.707f))    // less relevant, distinct
+    ).toDF("vec_id", "embedding")
+    val normed = emb.select(col("vec_id"),
+      l2Normalize(col("embedding")).as("v"))
+    def picks(lam: Double): Seq[Long] =
+      VectorSearch.mmrRerankOver(spark, normed, nQueries = 1, k = 2,
+        nCandidates = 3, lambda = lam)
+        .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    // relevance-only ranking keeps the duplicate; MMR at λ=0.5 pays
+    // (1−λ)·sim(dup, picked) = 0.5 for zero marginal relevance and
+    // swaps in the distinct candidate instead
+    assert(picks(1.0) == Seq(1L, 2L))
+    assert(picks(0.5) == Seq(1L, 3L))
+  }
+
   test("textEmbed scales past toy dims: O(1) plan width at dim=256") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(50)
