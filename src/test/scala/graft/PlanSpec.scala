@@ -22,6 +22,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("mmr_rerank's pool inherits the knn plan: broadcast queries, " +
+      "group-limited window, greedy confined to MapGroups") {
+    val p = plan("mmr_rerank")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // exactly one MapGroups — the Q-of-C greedy — and nothing upstream
+    // of it collects: the pool reaches it through the window limit
+    assert("MapGroups".r.findAllIn(p).length == 1, p.take(800))
+  }
+
   test("topk_global plans TakeOrdered, not a global sort") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
