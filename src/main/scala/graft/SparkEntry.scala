@@ -25,6 +25,69 @@ object SparkEntry {
     // selection from the bounded top-C pool — per-query sequential,
     // across-query distributed
     "mmr_rerank" -> ((s, d) => VectorSearch.mmrRerank(s, d)),
+    // the MMR greedy as ONE ANSI statement: a per-candidate STATE frame
+    // (msim/taken/rank) folded through k window rounds — each round
+    // references its predecessor exactly ONCE (the sql_dup_groups CTE
+    // inlining lesson: a second reference re-evaluates the chain), with
+    // first_value() broadcasting the picked row's vector inside the
+    // window so no round needs a second pass or a join; bit-identical
+    // to mmr_rerank, shares its oracle
+    "sql_mmr_rerank" -> ((s, d) => {
+      GraftFunctions.register(s)
+      graft.Tables.load(s, d, "embeddings")
+        .createOrReplaceTempView("emb_sql")
+      val score =
+        "0.7D * qsim - (1.0D - 0.7D) * coalesce(msim, 0.0D)"
+      val rounds = (1 to 10).map { i =>
+        s"""st$i AS (
+           |  SELECT query_id, id, v, qsim,
+           |    CASE WHEN taken OR rnk = 1 THEN msim
+           |         WHEN msim IS NULL THEN graft_dot(v, pv)
+           |         ELSE greatest(msim, graft_dot(v, pv)) END AS msim,
+           |    taken OR rnk = 1 AS taken,
+           |    CASE WHEN NOT taken AND rnk = 1
+           |         THEN CAST($i AS BIGINT) ELSE rk END AS rk,
+           |    CASE WHEN NOT taken AND rnk = 1 THEN score ELSE sc END
+           |      AS sc
+           |  FROM (
+           |    SELECT query_id, id, v, qsim, msim, taken, rk, sc,
+           |      $score AS score,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY taken, $score DESC, id) AS rnk,
+           |      first_value(v) OVER (PARTITION BY query_id
+           |        ORDER BY taken, $score DESC, id) AS pv
+           |    FROM st${i - 1}
+           |  )
+           |)""".stripMargin
+      }.mkString(",\n")
+      s.sql(
+        s"""WITH normed AS (
+           |  SELECT vec_id, graft_l2_normalize(
+           |    transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+           |  FROM emb_sql
+           |), rawpool AS (
+           |  SELECT /*+ BROADCAST(q) */
+           |    q.vec_id AS query_id, c.vec_id AS id, c.v,
+           |    graft_squared_l2(q.v, c.v) AS dist,
+           |    graft_dot(q.v, c.v) AS qsim
+           |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10
+           |), st0 AS (
+           |  SELECT query_id, id, v, qsim,
+           |    CAST(NULL AS DOUBLE) AS msim, false AS taken,
+           |    CAST(NULL AS BIGINT) AS rk, CAST(NULL AS DOUBLE) AS sc
+           |  FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist, id) AS rn
+           |    FROM rawpool
+           |  ) WHERE rn <= 50
+           |),
+           |$rounds
+           |SELECT query_id, id, rk AS `rank`,
+           |  round(sc, 6) AS mmr_score
+           |FROM st10 WHERE rk IS NOT NULL
+           |ORDER BY query_id, `rank`""".stripMargin)
+    }),
     "quantized_knn" -> ((s, d) => Quantize.sqKnn(s, d)),
     // the flagship through the pure-SQL surface: the injected native
     // expressions (graft_*) inside an ANSI query — what a SQL-only
@@ -881,6 +944,9 @@ object SparkEntry {
     // the greedy MMR selection unrolled k steps — arithmetic and
     // tie-breaks written exactly as the operator's per-group loop
     "mmr_rerank" -> DuckMmrOracle,
+    // the SQL twin is bit-identical to mmr_rerank (spec-asserted), so it
+    // shares the unrolled greedy oracle
+    "sql_mmr_rerank" -> DuckMmrOracle,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
     "sql_vector_knn" -> DuckKnnOracle,

@@ -106,6 +106,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(picks(0.5) == Seq(1L, 3L))
   }
 
+  test("sql_mmr_rerank is bit-identical to the mmr_rerank operator") {
+    val want = SparkEntry.queries("mmr_rerank")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = SparkEntry.queries("sql_mmr_rerank")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("textEmbed scales past toy dims: O(1) plan width at dim=256") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(50)
