@@ -121,6 +121,10 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Quantize.pqKnn(s, d)),
     "ann_ivf_pq" -> ((s, d) => AnnSearch.ivfPqKnn(s, d)),
     "normalize_vectors" -> ((s, d) => VectorSearch.normalizeVectors(s, d)),
+    // embedding-distribution drift: per-dimension PSI between snapshot
+    // slices — the input-side monitoring gauge (model swap / source-mix
+    // shift shows up here before recall gauges move)
+    "embedding_drift" -> ((s, d) => VectorSearch.embeddingDrift(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),
     "id_remap_join" -> ((s, d) => Ingest.idRemapJoin(s, d)),
@@ -947,6 +951,48 @@ object SparkEntry {
     // the SQL twin is bit-identical to mmr_rerank (spec-asserted), so it
     // shares the unrolled greedy oracle
     "sql_mmr_rerank" -> DuckMmrOracle,
+    // per-dimension PSI with the same bin edges ((hi−lo)/10 computed
+    // FIRST, then divided into), ε = 0.5 smoothing, full dim×bin grid
+    "embedding_drift" ->
+      """WITH cells AS (
+        |  SELECT e.vec_id % 2 AS side, d.i AS dim,
+        |    CAST(e.embedding[d.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings e, range(64) d(i)
+        |), stats AS (
+        |  SELECT dim, min(x) AS lo, max(x) AS hi
+        |  FROM cells WHERE side = 0 GROUP BY dim
+        |), binned AS (
+        |  SELECT c.side, c.dim,
+        |    CASE WHEN s.hi = s.lo THEN 0
+        |         ELSE CAST(greatest(0, least(9,
+        |           floor((c.x - s.lo) / ((s.hi - s.lo) / 10.0))))
+        |           AS BIGINT)
+        |    END AS bin
+        |  FROM cells c JOIN stats s ON s.dim = c.dim
+        |), counts AS (
+        |  SELECT dim, bin,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM binned GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT s.dim, g.i AS bin FROM stats s, range(10) g(i)
+        |), filled AS (
+        |  SELECT g.dim, g.bin,
+        |    CAST(coalesce(c.rc, 0) AS DOUBLE) AS rc,
+        |    CAST(coalesce(c.cc, 0) AS DOUBLE) AS cc
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.dim = g.dim AND c.bin = g.bin
+        |), tot AS (
+        |  SELECT dim, sum(rc) AS nr, sum(cc) AS ncur
+        |  FROM filled GROUP BY dim
+        |), pq AS (
+        |  SELECT f.dim,
+        |    (f.rc + 0.5) / (t.nr + 5.0) AS p,
+        |    (f.cc + 0.5) / (t.ncur + 5.0) AS q
+        |  FROM filled f JOIN tot t ON t.dim = f.dim
+        |)
+        |SELECT dim, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM pq GROUP BY dim ORDER BY dim""".stripMargin,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
     "sql_vector_knn" -> DuckKnnOracle,

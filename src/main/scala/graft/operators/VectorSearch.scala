@@ -247,6 +247,76 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-distribution DRIFT gauge — the monitoring query a
+    * production index runs between corpus snapshots: per-dimension
+    * Population Stability Index between a REFERENCE slice and a CURRENT
+    * slice (here the deterministic `vec_id % 2` halves — a real
+    * deployment keys the slices on snapshot/ingest date; the COMPUTATION
+    * is the deliverable). An embedding-model swap, an upstream
+    * normalization change, or a source-mix shift shows up as high-PSI
+    * dimensions long before recall gauges move, because PSI watches the
+    * inputs, not the search outputs.
+    *
+    * Per dimension: 10 fixed-width bins over the reference's [lo, hi]
+    * (out-of-range current values clamp into the edge bins; a constant
+    * reference dimension degenerates to bin 0), add-ε smoothing
+    * (ε = 0.5) so empty bins stay finite, and
+    * `PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)` — ≥ 0, 0 iff identical binned
+    * distributions. Every bin of the dim×bin grid is materialized
+    * (missing bins still contribute when slice sizes differ).
+    *
+    * Scale: one posexplode to (n·dim) cells that partial-aggregates to
+    * dim·bins groups map-side — the only shuffle carries ≤ 64·10 rows —
+    * and the per-dim stats join is a broadcast of 64 rows. No
+    * corpus-sized shuffle at any width.
+    */
+  def embeddingDrift(spark: SparkSession, sfDir: String,
+                     nBins: Int = 10, eps: Double = 0.5): DataFrame =
+    embeddingDriftOver(
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      nBins, eps)
+
+  private[graft] def embeddingDriftOver(raw: DataFrame, nBins: Int,
+                                        eps: Double): DataFrame = {
+    val cells = raw
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("side", col("vec_id") % 2)
+    val stats = cells.filter(col("side") === 0)
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+    val binned = cells.join(broadcast(stats), "dim")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          greatest(lit(0L), least(lit((nBins - 1).toLong),
+            floor((col("x") - col("lo")) /
+              ((col("hi") - col("lo")) / nBins.toDouble))))))
+    val counts = binned.groupBy("dim", "bin")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"))
+    // the FULL dim×bin grid: a bin empty on both sides still contributes
+    // to PSI when the slice sizes differ (the smoothing masses diverge)
+    val grid = stats.select(col("dim"))
+      .crossJoin(raw.sparkSession.range(0, nBins)
+        .select(col("id").as("bin")))
+    val filled = grid.join(counts, Seq("dim", "bin"), "left")
+      .select(col("dim"), col("bin"),
+        coalesce(col("rc"), lit(0L)).cast("double").as("rc"),
+        coalesce(col("cc"), lit(0L)).cast("double").as("cc"))
+    val tot = filled.groupBy("dim")
+      .agg(sum("rc").as("nr"), sum("cc").as("ncur"))
+    val se = nBins * eps
+    filled.join(broadcast(tot), "dim")
+      .select(col("dim"),
+        ((col("rc") + eps) / (col("nr") + se)).as("p"),
+        ((col("cc") + eps) / (col("ncur") + se)).as("q"))
+      .groupBy("dim")
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+        .as("psi"))
+      .select(col("dim").cast("long").as("dim"), col("psi"))
+      .orderBy("dim")
+  }
+
   /** Per-vector L2 norm before normalization plus a post-normalization norm
     * check — standalone surface for the reference's `main.py:87` semantics.
     */

@@ -114,6 +114,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("embeddingDrift on fixtures: one PSI per dimension, all finite " +
+      "and non-negative") {
+    val rows = VectorSearch.embeddingDrift(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 63L))
+    assert(rows.forall(r => !r.isNullAt(1) && r.getDouble(1) >= 0.0 &&
+      !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+  }
+
+  test("embeddingDrift flags the drifted dimension, not the stable one") {
+    // even ids = reference, odd ids = current; dim 0 of the current
+    // slice is shifted far out of the reference range (clamps into the
+    // edge bin), dim 1 has the identical distribution on both sides
+    val rows = (0L until 40L).map { i =>
+      val base = (i / 2) / 20.0
+      val shift = if (i % 2 == 1) 5.0 else 0.0
+      (i, Seq(base + shift, base))
+    }
+    val raw = rows.toDF("vec_id", "v")
+    val psi = VectorSearch.embeddingDriftOver(raw, nBins = 10, eps = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(psi(0L) > 1.0, s"drifted dim PSI ${psi(0L)}")
+    assert(psi(1L) < 0.05, s"stable dim PSI ${psi(1L)}")
+  }
+
   test("textEmbed scales past toy dims: O(1) plan width at dim=256") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(50)
