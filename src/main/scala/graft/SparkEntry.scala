@@ -125,6 +125,10 @@ object SparkEntry {
     // slices — the input-side monitoring gauge (model swap / source-mix
     // shift shows up here before recall gauges move)
     "embedding_drift" -> ((s, d) => VectorSearch.embeddingDrift(s, d)),
+    // the text-side sibling: categorical PSI summands over the reference
+    // slice's top-N vocabulary + '~other~' tail — culprit tokens are
+    // readable directly from the output
+    "token_drift" -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),
     "id_remap_join" -> ((s, d) => Ingest.idRemapJoin(s, d)),
@@ -993,6 +997,44 @@ object SparkEntry {
         |)
         |SELECT dim, round(sum((p - q) * ln(p / q)), 6) AS psi
         |FROM pq GROUP BY dim ORDER BY dim""".stripMargin,
+    // categorical PSI summands: same tokenizer as every text oracle
+    // (split on ' ', empties dropped), vocabulary = top-50 reference
+    // tokens (ties on token), 25.5 = (topN+1)·ε smoothing mass
+    "token_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS side, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS vc FROM toks WHERE side = 0
+        |    GROUP BY tok ORDER BY vc DESC, tok LIMIT 50)
+        |), cat AS (
+        |  SELECT CASE WHEN v.tok IS NOT NULL THEN t.tok
+        |              ELSE '~other~' END AS cat, t.side
+        |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        |), counts AS (
+        |  SELECT cat,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM cat GROUP BY cat
+        |), grid AS (
+        |  SELECT tok AS cat FROM vocab
+        |  UNION ALL SELECT '~other~' AS cat
+        |), filled AS (
+        |  SELECT g.cat, CAST(coalesce(c.rc, 0) AS DOUBLE) AS rc,
+        |    CAST(coalesce(c.cc, 0) AS DOUBLE) AS cc
+        |  FROM grid g LEFT JOIN counts c ON c.cat = g.cat
+        |), tot AS (
+        |  SELECT sum(rc) AS nr, sum(cc) AS ncur FROM filled
+        |), pq AS (
+        |  SELECT f.cat,
+        |    (f.rc + 0.5) / (t.nr + 25.5) AS p,
+        |    (f.cc + 0.5) / (t.ncur + 25.5) AS q
+        |  FROM filled f, tot t
+        |)
+        |SELECT cat, round((p - q) * ln(p / q), 6) AS drift
+        |FROM pq ORDER BY cat""".stripMargin,
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
     "sql_vector_knn" -> DuckKnnOracle,

@@ -35,6 +35,61 @@ object TextAnalysis {
         round(avg(length(col("tok"))), 4).as("avg_len"))
       .orderBy("doc_id")
 
+  /** Token-distribution DRIFT gauge — the text-side sibling of
+    * [[VectorSearch.embeddingDrift]]: categorical PSI between a
+    * REFERENCE document slice and a CURRENT one (the deterministic
+    * `doc_id % 2` halves — a real pipeline keys slices on crawl/ingest
+    * date) over the reference's top-`topN` vocabulary plus a `~other~`
+    * tail bucket. A source-mix shift, a scraper change, or a language
+    * drift shows up as high-|drift| categories before any downstream
+    * quality gauge moves. Per category:
+    * `(p − q)·ln(p/q)` with add-ε smoothing (the summands of PSI,
+    * emitted per category so the culprit tokens are readable directly).
+    *
+    * Scale: tokens partial-aggregate to the vocabulary size map-side;
+    * the vocabulary selection is a sort-limit (TakeOrdered — never a
+    * corpus-wide window), the category join broadcasts ≤ topN rows, and
+    * the totals row broadcasts back. No corpus-sized shuffle.
+    */
+  def tokenDrift(spark: SparkSession, sfDir: String, topN: Int = 50,
+                 eps: Double = 0.5): DataFrame =
+    tokenDriftOver(Tables.load(spark, sfDir, "documents"), topN, eps)
+
+  private[graft] def tokenDriftOver(docs: DataFrame, topN: Int,
+                                    eps: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = tokensPos(docs)
+      .select(col("tok"), (col("doc_id") % 2).as("side"))
+    val vocab = toks.filter(col("side") === 0).groupBy("tok")
+      .agg(count(lit(1)).as("vc"))
+      .orderBy(col("vc").desc, col("tok")).limit(topN)
+      .select(col("tok"), lit(true).as("inv"))
+    val cat = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(when(col("inv"), col("tok")).otherwise(lit("~other~"))
+        .as("cat"), col("side"))
+    val counts = cat.groupBy("cat")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"))
+    // full category grid: a vocab token absent from the current slice
+    // (or an empty tail bucket) still carries its smoothing mass
+    val grid = vocab.select(col("tok").as("cat"))
+      .unionByName(spark.range(1).select(lit("~other~").as("cat")))
+    val filled = grid.join(counts, Seq("cat"), "left")
+      .select(col("cat"),
+        coalesce(col("rc"), lit(0L)).cast("double").as("rc"),
+        coalesce(col("cc"), lit(0L)).cast("double").as("cc"))
+    val tot = filled.agg(sum("rc").as("nr"), sum("cc").as("ncur"))
+    val se = (topN + 1) * eps
+    filled.crossJoin(broadcast(tot))
+      .select(col("cat"),
+        ((col("rc") + eps) / (col("nr") + se)).as("p"),
+        ((col("cc") + eps) / (col("ncur") + se)).as("q"))
+      .select(col("cat"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .as("drift"))
+      .orderBy("cat")
+  }
+
   /** The (doc_id, w1, w2) word-bigram stream, built with pure array
     * expressions over the RAW split (empty tokens break adjacency rather
     * than bridging it) — THE one bigram definition shared by

@@ -11,6 +11,27 @@ import graft.operators.{Dedup, TextAnalysis, TextSearch, TfIdf,
   */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("tokenDrift flags a burst token in the current slice; stable " +
+    "vocabulary stays near zero") {
+    import spark.implicits._
+    // even doc_ids = reference, odd = current; both slices share the
+    // vocabulary (so the burst token is vocab, not tail) and the current
+    // slice bursts 'spamtok'
+    val docs = (0L until 40L).map { i =>
+      val base = "alpha beta gamma delta spamtok"
+      (i, if (i % 2 == 1) base + " spamtok spamtok spamtok" else base)
+    }.toDF("doc_id", "text")
+    val drift = TextAnalysis.tokenDriftOver(docs, topN = 50, eps = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // burst token: large positive PSI summand, and an order louder than
+    // the stable tokens' mix-share dilution
+    assert(drift("spamtok") > 0.1, s"spamtok ${drift("spamtok")}")
+    Seq("alpha", "beta", "gamma").foreach { t =>
+      assert(drift(t) < drift("spamtok") / 5.0, s"$t ${drift(t)}")
+    }
+    assert(drift.contains("~other~"))
+  }
+
   test("gopherRules: flags are 0/1, keep is their conjunction, " +
     "and the stats agree with an independent recount") {
     val rows = TextAnalysis.gopherRules(spark, sf).collect()
