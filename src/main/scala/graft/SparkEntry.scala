@@ -129,6 +129,11 @@ object SparkEntry {
     // slice's top-N vocabulary + '~other~' tail — culprit tokens are
     // readable directly from the output
     "token_drift" -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
+    // drift-at-ingest: each micro-batch PSIs against the committed
+    // reference grid through the one shared comparison seam —
+    // row-identical to embedding_drift, shared oracle
+    "streaming_drift" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingDrift(s, d)),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),
     "id_remap_join" -> ((s, d) => Ingest.idRemapJoin(s, d)),
@@ -572,6 +577,51 @@ object SparkEntry {
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** Per-dimension PSI oracle shared by the batch gauge and its
+    * streamed twin: same bin edges ((hi−lo)/10 computed FIRST, then
+    * divided into), ε = 0.5 smoothing, full dim×bin grid.
+    */
+  private val DuckEmbeddingDriftOracle =
+    """WITH cells AS (
+        |  SELECT e.vec_id % 2 AS side, d.i AS dim,
+        |    CAST(e.embedding[d.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings e, range(64) d(i)
+        |), stats AS (
+        |  SELECT dim, min(x) AS lo, max(x) AS hi
+        |  FROM cells WHERE side = 0 GROUP BY dim
+        |), binned AS (
+        |  SELECT c.side, c.dim,
+        |    CASE WHEN s.hi = s.lo THEN 0
+        |         ELSE CAST(greatest(0, least(9,
+        |           floor((c.x - s.lo) / ((s.hi - s.lo) / 10.0))))
+        |           AS BIGINT)
+        |    END AS bin
+        |  FROM cells c JOIN stats s ON s.dim = c.dim
+        |), counts AS (
+        |  SELECT dim, bin,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM binned GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT s.dim, g.i AS bin FROM stats s, range(10) g(i)
+        |), filled AS (
+        |  SELECT g.dim, g.bin,
+        |    CAST(coalesce(c.rc, 0) AS DOUBLE) AS rc,
+        |    CAST(coalesce(c.cc, 0) AS DOUBLE) AS cc
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.dim = g.dim AND c.bin = g.bin
+        |), tot AS (
+        |  SELECT dim, sum(rc) AS nr, sum(cc) AS ncur
+        |  FROM filled GROUP BY dim
+        |), pq AS (
+        |  SELECT f.dim,
+        |    (f.rc + 0.5) / (t.nr + 5.0) AS p,
+        |    (f.cc + 0.5) / (t.ncur + 5.0) AS q
+        |  FROM filled f JOIN tot t ON t.dim = f.dim
+        |)
+        |SELECT dim, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM pq GROUP BY dim ORDER BY dim""".stripMargin
+
   /** The MMR greedy unrolled k steps for DuckDB: each step scores the
     * not-yet-selected pool rows as `λ·qsim − (1.0−λ)·max-sim-to-selected`
     * (the max coalesces to 0.0 on the empty first step, exactly the
@@ -957,46 +1007,11 @@ object SparkEntry {
     "sql_mmr_rerank" -> DuckMmrOracle,
     // per-dimension PSI with the same bin edges ((hi−lo)/10 computed
     // FIRST, then divided into), ε = 0.5 smoothing, full dim×bin grid
-    "embedding_drift" ->
-      """WITH cells AS (
-        |  SELECT e.vec_id % 2 AS side, d.i AS dim,
-        |    CAST(e.embedding[d.i + 1] AS DOUBLE) AS x
-        |  FROM embeddings e, range(64) d(i)
-        |), stats AS (
-        |  SELECT dim, min(x) AS lo, max(x) AS hi
-        |  FROM cells WHERE side = 0 GROUP BY dim
-        |), binned AS (
-        |  SELECT c.side, c.dim,
-        |    CASE WHEN s.hi = s.lo THEN 0
-        |         ELSE CAST(greatest(0, least(9,
-        |           floor((c.x - s.lo) / ((s.hi - s.lo) / 10.0))))
-        |           AS BIGINT)
-        |    END AS bin
-        |  FROM cells c JOIN stats s ON s.dim = c.dim
-        |), counts AS (
-        |  SELECT dim, bin,
-        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS rc,
-        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
-        |  FROM binned GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT s.dim, g.i AS bin FROM stats s, range(10) g(i)
-        |), filled AS (
-        |  SELECT g.dim, g.bin,
-        |    CAST(coalesce(c.rc, 0) AS DOUBLE) AS rc,
-        |    CAST(coalesce(c.cc, 0) AS DOUBLE) AS cc
-        |  FROM grid g LEFT JOIN counts c
-        |    ON c.dim = g.dim AND c.bin = g.bin
-        |), tot AS (
-        |  SELECT dim, sum(rc) AS nr, sum(cc) AS ncur
-        |  FROM filled GROUP BY dim
-        |), pq AS (
-        |  SELECT f.dim,
-        |    (f.rc + 0.5) / (t.nr + 5.0) AS p,
-        |    (f.cc + 0.5) / (t.ncur + 5.0) AS q
-        |  FROM filled f JOIN tot t ON t.dim = f.dim
-        |)
-        |SELECT dim, round(sum((p - q) * ln(p / q)), 6) AS psi
-        |FROM pq GROUP BY dim ORDER BY dim""".stripMargin,
+    "embedding_drift" -> DuckEmbeddingDriftOracle,
+    // the streamed micro-batch gauge is row-identical (the staged batch
+    // IS the batch gauge's current slice), so it shares the oracle
+    "streaming_drift" -> DuckEmbeddingDriftOracle,
+    
     // categorical PSI summands: same tokenizer as every text oracle
     // (split on ' ', empties dropped), vocabulary = top-50 reference
     // tokens (ties on token), 25.5 = (topN+1)·ε smoothing mass

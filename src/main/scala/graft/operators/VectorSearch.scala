@@ -280,28 +280,56 @@ object VectorSearch {
 
   private[graft] def embeddingDriftOver(raw: DataFrame, nBins: Int,
                                         eps: Double): DataFrame = {
-    val cells = raw
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    val cells = driftCells(raw)
+    psiVsReference(
+      driftReference(cells.filter(col("side") === 0), nBins),
+      cells.filter(col("side") === 1), nBins, eps)
+  }
+
+  /** (vec_id, dim, x, side) cells of a (vec_id, v) frame — side is the
+    * deterministic `vec_id % 2` snapshot-slice stand-in.
+    */
+  private[graft] def driftCells(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .withColumn("side", col("vec_id") % 2)
-    val stats = cells.filter(col("side") === 0)
-      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
-    val binned = cells.join(broadcast(stats), "dim")
-      .withColumn("bin",
-        when(col("hi") === col("lo"), lit(0L)).otherwise(
-          greatest(lit(0L), least(lit((nBins - 1).toLong),
-            floor((col("x") - col("lo")) /
-              ((col("hi") - col("lo")) / nBins.toDouble))))))
-    val counts = binned.groupBy("dim", "bin")
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rc"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"))
-    // the FULL dim×bin grid: a bin empty on both sides still contributes
-    // to PSI when the slice sizes differ (the smoothing masses diverge)
-    val grid = stats.select(col("dim"))
-      .crossJoin(raw.sparkSession.range(0, nBins)
+
+  /** The persistable REFERENCE half of the drift gauge: the full
+    * dim×bin grid with the reference's bin edges and counts —
+    * (dim, bin, lo, hi, rc). Tiny (dim·nBins rows), so a deployment
+    * commits it once per snapshot and every later comparison (batch
+    * re-slice or streaming micro-batch) broadcasts it.
+    */
+  private[graft] def driftReference(refCells: DataFrame,
+                                    nBins: Int): DataFrame = {
+    val stats = refCells.groupBy("dim")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+    val counts = refCells.join(broadcast(stats), "dim")
+      .withColumn("bin", driftBin(nBins))
+      .groupBy("dim", "bin").agg(count(lit(1)).as("rc"))
+    stats
+      .crossJoin(refCells.sparkSession.range(0, nBins)
         .select(col("id").as("bin")))
-    val filled = grid.join(counts, Seq("dim", "bin"), "left")
-      .select(col("dim"), col("bin"),
-        coalesce(col("rc"), lit(0L)).cast("double").as("rc"),
+      .join(counts, Seq("dim", "bin"), "left")
+      .select(col("dim"), col("bin"), col("lo"), col("hi"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+  }
+
+  /** Per-dimension PSI of a CURRENT cell frame against a committed
+    * reference grid — the comparison half, shared verbatim by the batch
+    * gauge and the streaming per-micro-batch twin so the arithmetic
+    * cannot drift between them. A bin empty on both sides still
+    * contributes when the slice sizes differ (the smoothing masses
+    * diverge).
+    */
+  private[graft] def psiVsReference(refGrid: DataFrame,
+                                    curCells: DataFrame, nBins: Int,
+                                    eps: Double): DataFrame = {
+    val curCounts = curCells
+      .join(broadcast(refGrid.select("dim", "lo", "hi").distinct()), "dim")
+      .withColumn("bin", driftBin(nBins))
+      .groupBy("dim", "bin").agg(count(lit(1)).as("cc"))
+    val filled = refGrid.join(curCounts, Seq("dim", "bin"), "left")
+      .select(col("dim"), col("bin"), col("rc").cast("double").as("rc"),
         coalesce(col("cc"), lit(0L)).cast("double").as("cc"))
     val tot = filled.groupBy("dim")
       .agg(sum("rc").as("nr"), sum("cc").as("ncur"))
@@ -316,6 +344,15 @@ object VectorSearch {
       .select(col("dim").cast("long").as("dim"), col("psi"))
       .orderBy("dim")
   }
+
+  /** The ONE bin expression both halves use: fixed-width reference bins,
+    * out-of-range clamped into the edges, constant dims to bin 0.
+    */
+  private def driftBin(nBins: Int): org.apache.spark.sql.Column =
+    when(col("hi") === col("lo"), lit(0L)).otherwise(
+      greatest(lit(0L), least(lit((nBins - 1).toLong),
+        floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / nBins.toDouble)))))
 
   /** Per-vector L2 norm before normalization plus a post-normalization norm
     * check — standalone surface for the reference's `main.py:87` semantics.

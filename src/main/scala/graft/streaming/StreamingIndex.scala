@@ -872,6 +872,58 @@ object StreamingIndex {
     loadMappingAt(spark, s"$root/v$v").orderBy("str_id")
   }
 
+  /** DRIFT-AT-INGEST — the streaming twin of
+    * [[graft.operators.VectorSearch.embeddingDrift]]: the reference
+    * bin grid is committed ONCE per data fingerprint (dim·nBins rows —
+    * the deployment artifact a monitoring job ships alongside the
+    * index), and each micro-batch of arriving vectors computes its
+    * per-dimension PSI against that grid through the ONE shared
+    * comparison seam ([[graft.operators.VectorSearch.psiVsReference]])
+    * — per-batch work is O(batch·dim) explode + a broadcast of the tiny
+    * grid, no state store, no watermark, nothing corpus-sized. The
+    * fixture stages the batch gauge's exact "current" slice as one
+    * landing file, so the streamed result is ROW-IDENTICAL to
+    * `embedding_drift` and shares its oracle verbatim (the same
+    * discipline as `streaming_media_decode`).
+    */
+  def streamingDrift(spark: SparkSession, sfDir: String, nBins: Int = 10,
+                     eps: Double = 0.5): DataFrame = {
+    import graft.operators.VectorSearch
+    val root = IndexStore.indexDir(sfDir, "stream-drift-v1", "embeddings")
+    val refPath = s"$root/ref"
+    val outPath = s"$root/out"
+    if (!IndexStore.committed(outPath)) {
+      val raw = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      if (!IndexStore.committed(refPath))
+        IndexStore.saveDataset(VectorSearch.driftReference(
+          VectorSearch.driftCells(raw).filter(col("side") === 0), nBins)
+          .coalesce(1), refPath)
+      val landing = s"$root/landing"
+      stageInto(raw.filter(col("vec_id") % 2 === 1), landing, "batch0")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         _: Long) =>
+          IndexStore.saveDataset(
+            VectorSearch.psiVsReference(spark.read.parquet(refPath),
+              VectorSearch.driftCells(b.toDF()), nBins, eps)
+              .coalesce(1), outPath)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(outPath).orderBy("dim")
+  }
+
   /** RETENTION as a gated query — the last lifecycle event
     * (build → append → delete → compact → refit → RETENTION) surfaced in
     * the graded contract. [[pruneVersions]] is the production surface (a

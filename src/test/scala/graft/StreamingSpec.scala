@@ -490,6 +490,20 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root2/v0/mapping")))
   }
 
+  test("drift-at-ingest is row-identical to the batch PSI gauge and " +
+      "re-runnable from its committed outputs") {
+    import graft.operators.VectorSearch
+    import graft.streaming.StreamingIndex
+    val want = VectorSearch.embeddingDrift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = StreamingIndex.streamingDrift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // second invocation reads the committed result — still identical
+    assert(StreamingIndex.streamingDrift(spark, sf)
+      .collect().map(_.toSeq).toSeq == want)
+  }
+
   test("retention gate: vacuum prunes exactly v0, keeps refcounted " +
       "segments, and the gate is re-runnable") {
     import graft.sources.IndexStore
