@@ -38,7 +38,7 @@ object Scaling {
     "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups",
     "substring_runs", "bloom_decontaminate", "ann_filtered",
     "sql_dup_groups", "semantic_decontaminate", "ann_ivf_pq",
-    "hybrid_search_ann", "mmr_rerank")
+    "hybrid_search_ann", "mmr_rerank", "embedding_drift")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
