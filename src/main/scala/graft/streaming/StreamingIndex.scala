@@ -902,6 +902,15 @@ object StreamingIndex {
           .coalesce(1), refPath)
       val landing = s"$root/landing"
       stageInto(raw.filter(col("vec_id") % 2 === 1), landing, "batch0")
+      // a crashed prior attempt may have checkpointed the batch as
+      // consumed WITHOUT committing the result (the crash window between
+      // foreachBatch and the _SUCCESS marker) — AvailableNow would then
+      // complete without re-invoking the batch and strand the fixture.
+      // The result is a deterministic Overwrite of the same rows, so
+      // clearing the checkpoint and replaying is always safe here.
+      val ckptPath = new Path(s"$root/ckpt")
+      val fs = ckptPath.getFileSystem(IndexStore.hadoopConf)
+      if (fs.exists(ckptPath)) fs.delete(ckptPath, true)
       val q = spark.readStream
         .schema(StructType(Seq(StructField("vec_id", LongType),
           StructField("v", ArrayType(DoubleType)))))
