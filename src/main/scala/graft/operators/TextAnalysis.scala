@@ -49,7 +49,11 @@ object TextAnalysis {
     * Scale: tokens partial-aggregate to the vocabulary size map-side;
     * the vocabulary selection is a sort-limit (TakeOrdered — never a
     * corpus-wide window), the category join broadcasts ≤ topN rows, and
-    * the totals row broadcasts back. No corpus-sized shuffle.
+    * the totals row broadcasts back. No corpus-sized shuffle. Caveat:
+    * a corpus token literally spelled `~other~` would alias the tail
+    * bucket — acceptable for whitespace-token corpora; a deployment
+    * with adversarial vocabularies should key categories by (is_tail,
+    * token) instead.
     */
   def tokenDrift(spark: SparkSession, sfDir: String, topN: Int = 50,
                  eps: Double = 0.5): DataFrame =
@@ -60,10 +64,13 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val toks = tokensPos(docs)
       .select(col("tok"), (col("doc_id") % 2).as("side"))
+    // ≤ topN rows, but its lineage is a full corpus tokenize+aggregate —
+    // stage it so the cat join and the grid don't re-run that pass each
     val vocab = toks.filter(col("side") === 0).groupBy("tok")
       .agg(count(lit(1)).as("vc"))
       .orderBy(col("vc").desc, col("tok")).limit(topN)
       .select(col("tok"), lit(true).as("inv"))
+      .localCheckpoint(true)
     val cat = toks.join(broadcast(vocab), Seq("tok"), "left")
       .select(when(col("inv"), col("tok")).otherwise(lit("~other~"))
         .as("cat"), col("side"))

@@ -193,14 +193,19 @@ object VectorSearch {
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    // qsim is computed PRE-shuffle by the codegen ArrayDot (bit-identical
+    // to a fold-order JVM loop — the sql twin's parity spec pins it), so
+    // the query vector never rides the group exchange: each pool row
+    // ships (v, qsim), not (v, qv) — half the shuffled doubles
     val pool = normed
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("id"), col("v"),
-        col("qv"), squaredL2(col("qv"), col("v")).as("dist"))
+        squaredL2(col("qv"), col("v")).as("dist"),
+        graft.functions.VectorOps.dot(col("qv"), col("v")).as("qsim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nCandidates)
-      .select(col("query_id"), col("id"), col("v"), col("qv"))
-      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .select(col("query_id"), col("id"), col("v"), col("qsim"))
+      .as[(Long, Long, Seq[Double], Double)]
     def dot(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -208,8 +213,7 @@ object VectorSearch {
     }
     val picked = pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
       val cs = it.toArray
-      val qv = cs.head._4
-      val qsim = cs.map(c => dot(c._3, qv))
+      val qsim = cs.map(_._4)
       val maxSim = Array.fill(cs.length)(0.0)
       val taken = Array.fill(cs.length)(false)
       val lam = lambda
@@ -301,9 +305,13 @@ object VectorSearch {
     */
   private[graft] def driftReference(refCells: DataFrame,
                                     nBins: Int): DataFrame = {
-    val stats = refCells.groupBy("dim")
+    // two inherent passes (edges, then counts binned by those edges) —
+    // stage the exploded cells so the corpus explode runs ONCE, not per
+    // consumer (the recorded multi-consumer recompute pattern)
+    val staged = refCells.localCheckpoint(true)
+    val stats = staged.groupBy("dim")
       .agg(min("x").as("lo"), max("x").as("hi"))
-    val counts = refCells.join(broadcast(stats), "dim")
+    val counts = staged.join(broadcast(stats), "dim")
       .withColumn("bin", driftBin(nBins))
       .groupBy("dim", "bin").agg(count(lit(1)).as("rc"))
     stats

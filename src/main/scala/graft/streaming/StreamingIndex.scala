@@ -889,7 +889,11 @@ object StreamingIndex {
   def streamingDrift(spark: SparkSession, sfDir: String, nBins: Int = 10,
                      eps: Double = 0.5): DataFrame = {
     import graft.operators.VectorSearch
-    val root = IndexStore.indexDir(sfDir, "stream-drift-v1", "embeddings")
+    // parameters ride IN the fixture key (repo convention, e.g.
+    // "ivfdoc$nc-$dim-v1"): a non-default (nBins, eps) call must never
+    // be served a committed default-parameter result
+    val root = IndexStore.indexDir(sfDir,
+      s"stream-drift-$nBins-$eps-v1", "embeddings")
     val refPath = s"$root/ref"
     val outPath = s"$root/out"
     if (!IndexStore.committed(outPath)) {
@@ -956,7 +960,11 @@ object StreamingIndex {
                              nQueries: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._
     import graft.operators.AnnSearch
-    val root = IndexStore.indexDir(sfDir, "ivf-ret-v1", "embeddings")
+    // (nQueries, k) ride in the key: the persisted one-shot outcomes
+    // were graded at THESE parameters, and mixing them with a live
+    // serving check at different ones would blend two contracts
+    val root = IndexStore.indexDir(sfDir, s"ivf-ret-$nQueries-$k-v1",
+      "embeddings")
     val outcome = s"$root/outcome"
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val probe = AnnSearch.defaultProbe(spark, sfDir)

@@ -510,7 +510,7 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingIndex
     assert(StreamingIndex.ivfRetentionViolations(spark, sf)
       .collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "ivf-ret-v1", "embeddings")
+    val root = IndexStore.indexDir(sf, "ivf-ret-10-10-v1", "embeddings")
     // v0 died as a VERSION (manifest gone) but its segment survives:
     // v1/v2's manifests refcount it — the chain serves from live data
     assert(!IndexStore.committed(s"$root/v0/manifest"))

@@ -116,6 +116,11 @@ class VectorOpsSpec extends SparkSpec {
 
   test("embeddingDrift on fixtures: one PSI per dimension, all finite " +
       "and non-negative") {
+    // the DuckDB oracle hard-codes range(64); pin the fixture dim here
+    // so a regenerated fixture fails THIS assert, not the hash compare
+    assert(Tables.load(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0) == 64,
+      "embedding dim changed — update the drift oracles' range(64)")
     val rows = VectorSearch.embeddingDrift(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (0L to 63L))
     assert(rows.forall(r => !r.isNullAt(1) && r.getDouble(1) >= 0.0 &&
