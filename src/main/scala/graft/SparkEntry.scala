@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{abs, col, lit}
 
 import graft.operators._
 
@@ -134,6 +135,22 @@ object SparkEntry {
     // row-identical to embedding_drift, shared oracle
     "streaming_drift" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingDrift(s, d)),
+    // the drift family's HARD gate: both gauges filtered at their alarm
+    // thresholds (PSI > 0.25 per dimension, |summand| > 0.1 per token —
+    // the standard "population shifted" rules of thumb); zero rows on
+    // the fixture's null split, and a broken normalize/tokenize path
+    // trips it red through the oracle compare
+    "drift_violations" -> ((s, d) => {
+      val emb = VectorSearch.embeddingDrift(s, d)
+        .filter(col("psi") > 0.25)
+        .select(lit("embedding").as("gauge"),
+          col("dim").cast("string").as("key"), col("psi").as("value"))
+      val tok = TextAnalysis.tokenDrift(s, d)
+        .filter(abs(col("drift")) > 0.1)
+        .select(lit("token").as("gauge"), col("cat").as("key"),
+          col("drift").as("value"))
+      emb.unionByName(tok).orderBy("gauge", "key")
+    }),
     "id_assign" -> ((s, d) => Ingest.idAssign(s, d)),
     "upsert_mapping" -> ((s, d) => Ingest.upsertMapping(s, d)),
     "id_remap_join" -> ((s, d) => Ingest.idRemapJoin(s, d)),
@@ -622,6 +639,45 @@ object SparkEntry {
         |SELECT dim, round(sum((p - q) * ln(p / q)), 6) AS psi
         |FROM pq GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Categorical PSI summands oracle for token_drift (and the drift
+    * gate): same tokenizer as every text oracle.
+    */
+  private val DuckTokenDriftOracle =
+    """WITH toks AS (
+        |  SELECT doc_id % 2 AS side, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS vc FROM toks WHERE side = 0
+        |    GROUP BY tok ORDER BY vc DESC, tok LIMIT 50)
+        |), cat AS (
+        |  SELECT CASE WHEN v.tok IS NOT NULL THEN t.tok
+        |              ELSE '~other~' END AS cat, t.side
+        |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        |), counts AS (
+        |  SELECT cat,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS rc,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM cat GROUP BY cat
+        |), grid AS (
+        |  SELECT tok AS cat FROM vocab
+        |  UNION ALL SELECT '~other~' AS cat
+        |), filled AS (
+        |  SELECT g.cat, CAST(coalesce(c.rc, 0) AS DOUBLE) AS rc,
+        |    CAST(coalesce(c.cc, 0) AS DOUBLE) AS cc
+        |  FROM grid g LEFT JOIN counts c ON c.cat = g.cat
+        |), tot AS (
+        |  SELECT sum(rc) AS nr, sum(cc) AS ncur FROM filled
+        |), pq AS (
+        |  SELECT f.cat,
+        |    (f.rc + 0.5) / (t.nr + 25.5) AS p,
+        |    (f.cc + 0.5) / (t.ncur + 25.5) AS q
+        |  FROM filled f, tot t
+        |)
+        |SELECT cat, round((p - q) * ln(p / q), 6) AS drift
+        |FROM pq ORDER BY cat""".stripMargin
+
   /** The MMR greedy unrolled k steps for DuckDB: each step scores the
     * not-yet-selected pool rows as `λ·qsim − (1.0−λ)·max-sim-to-selected`
     * (the max coalesces to 0.0 on the empty first step, exactly the
@@ -1015,41 +1071,20 @@ object SparkEntry {
     // categorical PSI summands: same tokenizer as every text oracle
     // (split on ' ', empties dropped), vocabulary = top-50 reference
     // tokens (ties on token), 25.5 = (topN+1)·ε smoothing mass
-    "token_drift" ->
-      """WITH toks AS (
-        |  SELECT doc_id % 2 AS side, tok FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents) WHERE tok <> ''
-        |), vocab AS (
-        |  SELECT tok FROM (
-        |    SELECT tok, count(*) AS vc FROM toks WHERE side = 0
-        |    GROUP BY tok ORDER BY vc DESC, tok LIMIT 50)
-        |), cat AS (
-        |  SELECT CASE WHEN v.tok IS NOT NULL THEN t.tok
-        |              ELSE '~other~' END AS cat, t.side
-        |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
-        |), counts AS (
-        |  SELECT cat,
-        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS rc,
-        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
-        |  FROM cat GROUP BY cat
-        |), grid AS (
-        |  SELECT tok AS cat FROM vocab
-        |  UNION ALL SELECT '~other~' AS cat
-        |), filled AS (
-        |  SELECT g.cat, CAST(coalesce(c.rc, 0) AS DOUBLE) AS rc,
-        |    CAST(coalesce(c.cc, 0) AS DOUBLE) AS cc
-        |  FROM grid g LEFT JOIN counts c ON c.cat = g.cat
-        |), tot AS (
-        |  SELECT sum(rc) AS nr, sum(cc) AS ncur FROM filled
-        |), pq AS (
-        |  SELECT f.cat,
-        |    (f.rc + 0.5) / (t.nr + 25.5) AS p,
-        |    (f.cc + 0.5) / (t.ncur + 25.5) AS q
-        |  FROM filled f, tot t
-        |)
-        |SELECT cat, round((p - q) * ln(p / q), 6) AS drift
-        |FROM pq ORDER BY cat""".stripMargin,
+    "token_drift" -> DuckTokenDriftOracle,
+    // the drift family's HARD gate: both gauges filtered at their alarm
+    // thresholds — zero rows on the fixture's null split
+    "drift_violations" ->
+      (s"""SELECT 'embedding' AS gauge, CAST(dim AS VARCHAR) AS "key",
+         |  psi AS value
+         |FROM ($DuckEmbeddingDriftOracle
+         |) WHERE psi > 0.25
+         |UNION ALL
+         |SELECT 'token' AS gauge, cat AS "key", drift AS value
+         |FROM ($DuckTokenDriftOracle
+         |) WHERE abs(drift) > 0.1
+         |ORDER BY gauge, "key"""").stripMargin,
+    
     // same result contract as knn_search - the SQL-surface variant shares
     // its oracle formulation
     "sql_vector_knn" -> DuckKnnOracle,

@@ -106,6 +106,11 @@ class VectorOpsSpec extends SparkSpec {
     assert(picks(0.5) == Seq(1L, 3L))
   }
 
+  test("drift_violations gate is empty on the fixture's null split") {
+    assert(SparkEntry.queries("drift_violations")(spark, sf)
+      .collect().isEmpty)
+  }
+
   test("sql_mmr_rerank is bit-identical to the mmr_rerank operator") {
     val want = SparkEntry.queries("mmr_rerank")(spark, sf)
       .collect().map(_.toSeq).toSeq
