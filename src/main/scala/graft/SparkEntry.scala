@@ -177,6 +177,9 @@ object SparkEntry {
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "tokenize_stats" -> ((s, d) => TextAnalysis.tokenizeStats(s, d)),
     "ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
+    // one BPE training iteration over the frequency-weighted vocabulary:
+    // argmax adjacent pair → merge everywhere → post-merge pair table
+    "bpe_merge_step" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
     "langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -314,6 +317,13 @@ object SparkEntry {
     "text_rank" -> ((s, d) => TextAnalysis.textRank(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     "scd2_merge" -> ((s, d) => Ingest.scd2Merge(s, d)),
+    // CDC apply: ordered I/U/D changelog folded onto the snapshot —
+    // latest op per key wins, a trailing DELETE removes the key
+    "cdc_apply" -> ((s, d) => Ingest.cdcApply(s, d)),
+    // incremental view maintenance: committed snapshot PARTIALS + a
+    // delta-only aggregate merged by partial-state algebra — a refresh
+    // is O(delta + groups), never a corpus re-scan
+    "incremental_agg" -> ((s, d) => Ingest.incrementalAgg(s, d)),
     "filter_like" -> ((s, d) => Relational.filterLike(s, d)),
     "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
     "salted_top_terms" -> ((s, d) => TextAnalysis.saltedTopTerms(s, d)),

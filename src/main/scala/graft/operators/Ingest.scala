@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,48 @@ object Ingest {
       .orderBy("query_id", "rn")
   }
 
+  /** Incremental view maintenance of a grouped aggregate: the snapshot's
+    * PARTIAL states (count / sum / min / max per group) are a committed
+    * artifact; a refresh aggregates ONLY the delta batch and merges
+    * partials (counts and sums add, min/max fold, avg derives as
+    * sum/count at read time — the same partial-state algebra Spark's own
+    * map-side combine uses, lifted to the artifact level). Fixture split:
+    * orders before 1997 are the snapshot, 1997+ the delta.
+    *
+    * Scale shape: a refresh costs O(delta + groups), never O(corpus) —
+    * at 100 TB the snapshot's base rows are not re-scanned (here the
+    * partials artifact is built once per data fingerprint and the timed
+    * query reads it); the merge re-aggregates two group-sized frames.
+    * Only sum/count/min/max-algebra aggregates ride this path — medians
+    * and distinct counts need sketch states instead (§2's HLL entry).
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    val snapDir = IndexStore.indexDir(sfDir, "ivm-orders-v1", "orders")
+    if (!IndexStore.committed(snapDir))
+      IndexStore.saveDataset(
+        partials(orders.filter(col("o_orderdate") < cutoff)), snapDir)
+    val snap = spark.read.parquet(snapDir)
+    val delta = partials(orders.filter(col("o_orderdate") >= cutoff))
+    snap.unionByName(delta)
+      .groupBy(col("status"), col("yr"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        round(sum(col("sum_price")), 2).as("total_price"),
+        round(min(col("min_price")), 2).as("min_price"),
+        round(max(col("max_price")), 2).as("max_price"),
+        round(sum(col("sum_price")) / sum(col("cnt")), 6).as("avg_price"))
+      .orderBy("status", "yr")
+  }
+
   /** Type-2 slowly-changing-dimension merge — the interval-versioned
     * sibling of [[upsertMapping]]'s last-writer-wins: instead of
     * overwriting, a changed key CLOSES its current row (valid_to =
@@ -104,6 +146,54 @@ object Ingest {
     * the union writes a new snapshot version, [[graft.sources.IndexStore]]
     * pattern).
     */
+  /** Change-data-capture apply: materialize the current snapshot from a
+    * base table plus an ordered I/U/D changelog — the standard CDC
+    * consumer (Debezium-style log → table). Semantics: per key, the
+    * HIGHEST-seq change wins; a latest-op DELETE removes the key; an
+    * UPDATE after a DELETE re-creates it (the row image rides the log
+    * entry, so apply never needs the pre-image). Fixture log: seq 1
+    * credits every 4th account, seq 2 deletes every 10th key, seq 3
+    * inserts 200000-shifted new keys, seq 4 rewrites every 15th key —
+    * %15 ∩ %10 keys exercise the re-create-after-delete path.
+    *
+    * Scale shape: ONE shuffle on the key (the LWW window); the changelog
+    * side is O(delta). At 100 TB the snapshot is a manifested store
+    * version ([[graft.sources.IndexStore]]) and apply writes the next
+    * version — never a full-history rewrite; the window's per-key group
+    * is (1 snapshot row + that key's log rows), KiB regardless of corpus
+    * size.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    def shape(key: Column, name: Column, acct: Column, seg: Column,
+              op: String, seq: Long) =
+      Seq(key.as("key"), name.as("name"), acct.as("acctbal"),
+        seg.as("segment"), lit(op).as("op"), lit(seq).as("seq"))
+    val snap = cust.select(shape(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_mktsegment"), "I", 0L): _*)
+    val log = cust.filter(col("c_custkey") % 4 === 0)
+      .select(shape(col("c_custkey"), col("c_name"),
+        col("c_acctbal") + 100, col("c_mktsegment"), "U", 1L): _*)
+      .unionAll(cust.filter(col("c_custkey") % 10 === 0)
+        .select(shape(col("c_custkey"), lit(null).cast("string"),
+          lit(null).cast("double"), lit(null).cast("string"), "D", 2L): _*))
+      .unionAll(cust.filter(col("c_custkey") % 6 === 0)
+        .select(shape(col("c_custkey") + 200000,
+          concat(lit("CDC-"), col("c_name")), col("c_acctbal"),
+          col("c_mktsegment"), "I", 3L): _*))
+      .unionAll(cust.filter(col("c_custkey") % 15 === 0)
+        .select(shape(col("c_custkey"), col("c_name"),
+          col("c_acctbal") * 2, concat(lit("CDC-"), col("c_mktsegment")),
+          "U", 4L): _*))
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    snap.unionAll(log)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("name"),
+        round(col("acctbal"), 2).as("acctbal"), col("segment"))
+      .orderBy("key")
+  }
+
   def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey").as("key"),

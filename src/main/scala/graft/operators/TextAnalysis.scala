@@ -126,6 +126,56 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(30)
 
+  /** One BPE training iteration (Sennrich et al. 2016, public algorithm):
+    * count adjacent symbol pairs over the FREQUENCY-WEIGHTED vocabulary,
+    * merge the globally most frequent pair everywhere, and emit the
+    * post-merge pair table — the unit a full tokenizer fit loops (like
+    * [[VectorAnalytics]]'s one-Lloyd-step `kmeans_iterate`). Symbols
+    * start as single characters; the merge rewrites the space-delimited
+    * symbol string with left-to-right non-overlapping `replace`, the
+    * same fold order on both engines.
+    *
+    * Scale shape: THE reason BPE training scales is that it runs over
+    * the distinct-word table weighted by counts, never the corpus
+    * tokens — one corpus-scale tokenize → vocab-sized hash aggregate,
+    * then every later pass is O(vocab · word_len). The argmax pair is a
+    * sort-limit-1 that broadcasts back (a literal in the rewrite
+    * expression); pair counting partial-aggregates map-side to the
+    * alphabet² frame. Nothing after the first aggregate ever touches a
+    * corpus-sized row set.
+    */
+  def bpeMergeStep(spark: SparkSession, sfDir: String,
+                   topK: Int = 20): DataFrame = {
+    val vocab = tokensPos(Tables.load(spark, sfDir, "documents"))
+      .select(lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("sym"))
+    def pairCounts(df: DataFrame): DataFrame = df
+      .select(col("cnt"), split(col("sym"), " ").as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(parts) - 2), " +
+          "i -> struct(parts[i] AS lsym, parts[i + 1] AS rsym))"))
+        .as("p"))
+      .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
+      .agg(sum(col("cnt")).as("freq"))
+    val best = pairCounts(vocab)
+      .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(1)
+      .select(col("lsym").as("bl"), col("rsym").as("br"))
+    val merged = vocab.crossJoin(broadcast(best))
+      .select(col("cnt"), expr(
+        "replace(sym, bl || ' ' || br, bl || br)").as("sym"))
+    val ranked = pairCounts(merged)
+      .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(topK)
+    ranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("lsym"), col("rsym"))))
+      .select(col("rank").cast("long").as("rank"),
+        col("lsym"), col("rsym"), col("freq"))
+      .orderBy("rank")
+  }
+
   /** Token-profile language ID: score(doc, lang) = Σ over doc tokens of that
     * token's occurrence count in lang's corpus; prediction = argmax
     * (tie-break on lang name). Integer scoring keeps both engines exact.
