@@ -16,16 +16,46 @@ object Tables {
 
   /** `events` with `ts` as a proper TimestampType (µs).
     *
-    * The fixture stores TIMESTAMP(NANOS) which Spark 4 refuses by default;
-    * with `nanosAsLong` it reads as a LongType of epoch-nanos. Epoch-nanos
-    * (~1.7e18) exceed double precision, so the µs conversion must be integer
-    * division (`div`), never `/`.
+    * The fixture's physical `ts` encoding has drifted across regenerations
+    * (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)/NTZ), so the loader branches on
+    * the LOADED dtype rather than assuming one:
+    *
+    *  - `LongType` — the file stores TIMESTAMP(NANOS), which Spark 4
+    *    refuses by default; under `nanosAsLong` it reads as epoch-nanos.
+    *    Epoch-nanos (~1.7e18) exceed double precision, so the µs conversion
+    *    must be integer division (`ts div 1000`), never `/`.
+    *  - `TimestampNTZType` — TIMESTAMP(MICROS, tz=none). All repo sessions
+    *    pin `spark.sql.session.timeZone=UTC` (SparkSpec/Verify/Bench), so
+    *    the cast to TimestampType is identity on the epoch-µs value — the
+    *    same instant DuckDB's naive read sees.
+    *  - `TimestampType` — already the target type.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(spark, sfDir, "events")).drop("ts_us")
+  }
+
+  /** Normalize an events-shaped frame: `ts` → TimestampType(µs) plus a
+    * `ts_us` epoch-µs LongType twin (the streaming sessionizers key state
+    * on the integer form). ONE place for the encoding branch — both the
+    * batch loader above and the streaming source use it, so a fixture
+    * regeneration can never again break one path but not the other.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>           // nanos-as-long fixture variant
+        df.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType =>   // micros, no tz — UTC session ⇒ identity cast
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case TimestampType =>
+        df.withColumn("ts_us", unix_micros(col("ts")))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other " +
+          "(expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 }

@@ -38,16 +38,15 @@ object StreamingOps extends Serializable {
   }
 
   /** Micro-batch event stream over the staged landing dir, with `ts_us`
-    * (epoch-µs long) and `ts` (µs TimestampType) columns — the ONE place
-    * the fixture's TIMESTAMP(NANOS) handling lives on the streaming side
-    * (`nanosAsLong` + integer `div`, see [[graft.Tables.events]]).
+    * (epoch-µs long) and `ts` (µs TimestampType) columns. The fixture's
+    * physical ts encoding branch lives in [[graft.Tables.normalizeTs]] —
+    * shared with the batch loader, so the two paths cannot drift.
     */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(spark, sfDir, "events").schema
-    spark.readStream.schema(schema).parquet(stageEventsDir(sfDir))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stageEventsDir(sfDir)))
   }
 
   /** Run a streaming frame to completion against a memory sink and return
@@ -211,14 +210,25 @@ object StreamingOps extends Serializable {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.load(spark, sfDir, "events")
-    // raw ts is epoch-NANOS (LongType under nanosAsLong); +10 days puts
-    // the sentinel far past every real session end + the watermark delay
-    val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
+    // +10 days puts the sentinel far past every real session end + the
+    // watermark delay. The literal is built in the fixture's OWN physical
+    // ts encoding so the staged dir keeps a uniform schema.
+    val maxUs = Tables.normalizeTs(ev).agg(max(col("ts_us"))).head.getLong(0)
+    val sentUs = maxUs + 10L * 24 * 3600 * 1000000L
+    val sentinelTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentUs * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          sentUs / 1000000L, (sentUs % 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC))
+      case _ => lit(java.time.Instant.ofEpochSecond(
+        sentUs / 1000000L, (sentUs % 1000000L) * 1000L))
+    }
     val tmp = dir.resolve("sentinel-stage")
     ev.limit(1)
       .withColumn("user_id", lit(-1L))
       .withColumn("event_id", lit(-1L))
-      .withColumn("ts", lit(maxNs + 10L * 24 * 3600 * 1000000000L))
+      .withColumn("ts", sentinelTs)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = new java.io.File(tmp.toString).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -250,10 +260,9 @@ object StreamingOps extends Serializable {
     val dir = stageSessionDir(spark, sfDir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
     // gap + 1 µs: session_window treats windows as end-EXCLUSIVE, so an
     // event exactly gap after its predecessor would start a NEW session,
     // while the oracle's strict `us - prev_us > gapUs` (and the custom

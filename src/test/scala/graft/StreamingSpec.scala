@@ -15,8 +15,8 @@ class StreamingSpec extends SparkSpec {
   test("two-micro-batch sessionize: open sessions continue across batches") {
     // split events at the median timestamp into two files -> two batches
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.load(spark, sf, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val ev = Tables.normalizeTs(Tables.load(spark, sf, "events"))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
     val cut = ev.stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
     val dir = Files.createTempDirectory("graft_2batch")
     ev.filter(col("us") <= cut).coalesce(1).write
@@ -312,9 +312,9 @@ class StreamingSpec extends SparkSpec {
     // must EVICT finalized windows as the watermark advances, so the
     // state store never holds every window ever seen
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.load(spark, sf, "events")
+    val ev = Tables.normalizeTs(Tables.load(spark, sf, "events"))
       .select(col("event_id"), col("event_type"), col("value"),
-        expr("ts div 1000").as("us"))
+        col("ts_us").as("us"))
     val qs = ev.stat.approxQuantile("us", Array(0.25, 0.5, 0.75), 0.0)
       .map(_.toLong)
     val stage = Files.createTempDirectory("graft_state_evict")
