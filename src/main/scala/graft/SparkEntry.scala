@@ -1678,6 +1678,86 @@ object SparkEntry {
         |SELECT key, segment, DATE '1998-01-01', CAST(NULL AS DATE), true
         |FROM batch
         |ORDER BY key, valid_from""".stripMargin,
+    "cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+        |    c_mktsegment AS segment, 'I' AS op, 0 AS seq FROM customer
+        |), log AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100, c_mktsegment, 'U', 1
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), 'D', 2
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'CDC-' || c_name, c_acctbal,
+        |    c_mktsegment, 'I', 3
+        |  FROM customer WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal * 2, 'CDC-' || c_mktsegment,
+        |    'U', 4
+        |  FROM customer WHERE c_custkey % 15 = 0
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+        |    AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM log)
+        |)
+        |SELECT key, name, round(acctbal, 2) AS acctbal, segment
+        |FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin,
+    // mirrors the partial-merge structure: partials per (status, yr,
+    // before/after-cutoff) then a merge re-aggregate, so the double
+    // summation grouping matches the Spark plan's two-frame union
+    "incremental_agg" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    count(*) AS cnt, sum(o_totalprice) AS sum_price,
+        |    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |  FROM orders
+        |  GROUP BY 1, 2, (o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |)
+        |SELECT status, yr, CAST(sum(cnt) AS BIGINT) AS n_orders,
+        |  round(sum(sum_price), 2) AS total_price,
+        |  round(min(min_price), 2) AS min_price,
+        |  round(max(max_price), 2) AS max_price,
+        |  round(sum(sum_price) / sum(cnt), 6) AS avg_price
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "bpe_merge_step" ->
+      """WITH vocab AS (
+        |  SELECT count(*) AS cnt,
+        |    array_to_string(regexp_extract_all(w, '.'), ' ') AS sym
+        |  FROM (
+        |    SELECT lower(tok) AS w FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |    ) WHERE tok <> '' AND regexp_matches(lower(tok), '^[a-z]+$')
+        |      AND length(tok) >= 2
+        |  ) GROUP BY w
+        |), pc1 AS (
+        |  SELECT p[1] AS lsym, p[2] AS rsym, CAST(sum(cnt) AS BIGINT)
+        |    AS freq
+        |  FROM (
+        |    SELECT cnt, unnest(list_zip(parts, parts[2:])) AS p
+        |    FROM (SELECT cnt, string_split(sym, ' ') AS parts FROM vocab)
+        |    WHERE len(parts) >= 2
+        |  ) WHERE p[2] IS NOT NULL GROUP BY 1, 2
+        |), best AS (
+        |  SELECT lsym AS bl, rsym AS br FROM pc1
+        |  ORDER BY freq DESC, lsym, rsym LIMIT 1
+        |), merged AS (
+        |  SELECT cnt, replace(sym, bl || ' ' || br, bl || br) AS sym
+        |  FROM vocab CROSS JOIN best
+        |), pc2 AS (
+        |  SELECT p[1] AS lsym, p[2] AS rsym, CAST(sum(cnt) AS BIGINT)
+        |    AS freq
+        |  FROM (
+        |    SELECT cnt, unnest(list_zip(parts, parts[2:])) AS p
+        |    FROM (SELECT cnt, string_split(sym, ' ') AS parts FROM merged)
+        |    WHERE len(parts) >= 2
+        |  ) WHERE p[2] IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, lsym, rsym)
+        |    AS BIGINT) AS rank, lsym, rsym, freq
+        |FROM pc2 ORDER BY freq DESC, lsym, rsym LIMIT 20""".stripMargin,
     "incremental_dedup" -> IncrementalOracleSql,
     // the streamed fold of the same batch (two micro-batches through one
     // checkpoint) — per-doc verdicts are split-independent, so it shares

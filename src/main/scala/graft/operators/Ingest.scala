@@ -146,6 +146,35 @@ object Ingest {
     * the union writes a new snapshot version, [[graft.sources.IndexStore]]
     * pattern).
     */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("1995-01-01")).as("valid_from"))
+    val updates = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("key"),
+        concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
+    val inserts = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 100000).as("key"),
+        col("c_mktsegment").as("segment"))
+    val batch = updates.unionAll(inserts)
+    val eff = to_date(lit("1998-01-01"))
+    val changedKeys = batch.select(col("key"))
+    val closed = dim.join(changedKeys, Seq("key"), "left_semi")
+      .select(col("key"), col("segment"), col("valid_from"),
+        eff.as("valid_to"), lit(false).as("is_current"))
+    val untouched = dim.join(changedKeys, Seq("key"), "left_anti")
+      .select(col("key"), col("segment"), col("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val opened = batch
+      .select(col("key"), col("segment"), eff.as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    closed.unionAll(untouched).unionAll(opened)
+      .orderBy("key", "valid_from")
+  }
+
   /** Change-data-capture apply: materialize the current snapshot from a
     * base table plus an ordered I/U/D changelog — the standard CDC
     * consumer (Debezium-style log → table). Semantics: per key, the
@@ -153,8 +182,11 @@ object Ingest {
     * UPDATE after a DELETE re-creates it (the row image rides the log
     * entry, so apply never needs the pre-image). Fixture log: seq 1
     * credits every 4th account, seq 2 deletes every 10th key, seq 3
-    * inserts 200000-shifted new keys, seq 4 rewrites every 15th key —
-    * %15 ∩ %10 keys exercise the re-create-after-delete path.
+    * inserts 200000-shifted new keys (disjoint from real keys while
+    * max(c_custkey) < 200000, i.e. SF < 2 — fixture SFs top out at 0.1;
+    * at larger SFs the shift would need max(c_custkey)-derived offsets),
+    * seq 4 rewrites every 15th key — %15 ∩ %10 keys exercise the
+    * re-create-after-delete path.
     *
     * Scale shape: ONE shuffle on the key (the LWW window); the changelog
     * side is O(delta). At 100 TB the snapshot is a manifested store
@@ -192,34 +224,5 @@ object Ingest {
       .select(col("key"), col("name"),
         round(col("acctbal"), 2).as("acctbal"), col("segment"))
       .orderBy("key")
-  }
-
-  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
-    val dim = Tables.load(spark, sfDir, "customer")
-      .select(col("c_custkey").as("key"),
-        col("c_mktsegment").as("segment"),
-        to_date(lit("1995-01-01")).as("valid_from"))
-    val updates = Tables.load(spark, sfDir, "customer")
-      .filter(col("c_custkey") % 5 === 0)
-      .select(col("c_custkey").as("key"),
-        concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
-    val inserts = Tables.load(spark, sfDir, "customer")
-      .filter(col("c_custkey") % 7 === 0)
-      .select((col("c_custkey") + 100000).as("key"),
-        col("c_mktsegment").as("segment"))
-    val batch = updates.unionAll(inserts)
-    val eff = to_date(lit("1998-01-01"))
-    val changedKeys = batch.select(col("key"))
-    val closed = dim.join(changedKeys, Seq("key"), "left_semi")
-      .select(col("key"), col("segment"), col("valid_from"),
-        eff.as("valid_to"), lit(false).as("is_current"))
-    val untouched = dim.join(changedKeys, Seq("key"), "left_anti")
-      .select(col("key"), col("segment"), col("valid_from"),
-        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
-    val opened = batch
-      .select(col("key"), col("segment"), eff.as("valid_from"),
-        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
-    closed.unionAll(untouched).unionAll(opened)
-      .orderBy("key", "valid_from")
   }
 }

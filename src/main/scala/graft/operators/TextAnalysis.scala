@@ -135,6 +135,15 @@ object TextAnalysis {
     * symbol string with left-to-right non-overlapping `replace`, the
     * same fold order on both engines.
     *
+    * SINGLE-ITERATION ONLY: the string `replace` is exact precisely
+    * because every pre-merge symbol is one character, so the pattern
+    * `"bl br"` can never straddle a symbol boundary. From iteration 2 on
+    * (multi-char symbols) it could — e.g. symbols `[th, e]` with best
+    * pair `(h, e)`: `"th e"` contains `"h e"` and would wrongly merge. A
+    * looping tokenizer fit must rewrite over the split parts array (fold
+    * adjacent elements) instead; this entry deliberately stops at the
+    * first iteration, where replace and the array fold coincide.
+    *
     * Scale shape: THE reason BPE training scales is that it runs over
     * the distinct-word table weighted by counts, never the corpus
     * tokens — one corpus-scale tokenize → vocab-sized hash aggregate,
