@@ -849,10 +849,11 @@ object Dedup {
     * pure codegen — xxhash64 + bit arithmetic against a literal long
     * array, no UDF and no sketch object in the row path.
     *
-    * The filter is built once from the distinct eval hashes (a bounded
-    * driver collect of k set-bit positions per eval shingle — the same
-    * driver-side footprint `DataFrame.stat.bloomFilter` has, which also
-    * ships its sketch through the driver). The word array rides the plan
+    * The filter is built once from the distinct eval hashes, folded into
+    * 64-bit words DISTRIBUTED-side: positions group by word index and
+    * `bit_or` partial-aggregates map-side, so the driver collects at most
+    * m/64 word rows — never a row per set bit (a 10⁹-key filter collects
+    * its word array, not k·n positions). The word array rides the plan
     * as ONE complex-type literal — a serialized ArrayData reference, not
     * unrolled codegen constants, so generated-method size is flat in m;
     * for a multi-MB filter (eval suites past ~10⁶ distinct shingles at
@@ -882,11 +883,11 @@ object Dedup {
     evalHashes
       .select(explode(array((0 until k).map(i => bitPos(i, col("h2"))): _*))
         .as("p"))
-      .distinct().collect()
-      .foreach { r =>
-        val p = r.getLong(0)
-        words((p / 64).toInt) |= (1L << (p % 64).toInt)
-      }
+      .select(expr("cast(p div 64 as int)").as("w"),
+        expr("shiftleft(1L, cast(pmod(p, 64) as int))").as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     val wordsCol = typedLit(words.toSeq)
     // dynamic bit test without a dynamic shift (the DSL's shiftright takes
     // a static count): mask lookup from a 64-entry power-of-two literal

@@ -156,4 +156,79 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("fixture physical schemas match the documented contract") {
+    // The driver regenerates the fixtures between rounds and has already
+    // drifted a physical type once (events.ts TIMESTAMP(NANOS) →
+    // TIMESTAMP_MICROS/NTZ, round 9 — it silently zeroed the whole events
+    // family). This pin accepts each column's DOCUMENTED variants and
+    // fails NAMING the drifted column and type, so the next regeneration
+    // can never again break a family without a red test saying where.
+    import org.apache.spark.sql.types._
+    val tsVariants: Set[DataType] =
+      Set(LongType, TimestampType, TimestampNTZType) // nanos-long | µs
+    def exact(t: DataType): Set[DataType] = Set(t)
+    val contract: Map[String, Seq[(String, Set[DataType])]] = Map(
+      "region" -> Seq("r_regionkey" -> exact(IntegerType),
+        "r_name" -> exact(StringType)),
+      "nation" -> Seq("n_nationkey" -> exact(IntegerType),
+        "n_name" -> exact(StringType),
+        "n_regionkey" -> exact(IntegerType)),
+      "customer" -> Seq("c_custkey" -> exact(LongType),
+        "c_name" -> exact(StringType),
+        "c_nationkey" -> exact(IntegerType),
+        "c_acctbal" -> exact(DoubleType),
+        "c_mktsegment" -> exact(StringType)),
+      "supplier" -> Seq("s_suppkey" -> exact(LongType),
+        "s_name" -> exact(StringType),
+        "s_nationkey" -> exact(IntegerType),
+        "s_acctbal" -> exact(DoubleType)),
+      "part" -> Seq("p_partkey" -> exact(LongType),
+        "p_name" -> exact(StringType), "p_brand" -> exact(StringType),
+        "p_type" -> exact(StringType), "p_size" -> exact(IntegerType),
+        "p_retailprice" -> exact(DoubleType)),
+      "orders" -> Seq("o_orderkey" -> exact(LongType),
+        "o_custkey" -> exact(LongType),
+        "o_orderstatus" -> exact(StringType),
+        "o_totalprice" -> exact(DoubleType),
+        "o_orderdate" -> tsVariants,
+        "o_orderpriority" -> exact(StringType)),
+      "lineitem" -> Seq("l_orderkey" -> exact(LongType),
+        "l_partkey" -> exact(LongType), "l_suppkey" -> exact(LongType),
+        "l_linenumber" -> exact(IntegerType),
+        "l_quantity" -> exact(DoubleType),
+        "l_extendedprice" -> exact(DoubleType),
+        "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+        "l_returnflag" -> exact(StringType),
+        "l_linestatus" -> exact(StringType),
+        "l_shipdate" -> tsVariants),
+      "events" -> Seq("event_id" -> exact(LongType),
+        "ts" -> tsVariants, "user_id" -> exact(LongType),
+        "event_type" -> exact(StringType), "value" -> exact(DoubleType),
+        "props" -> exact(StringType)),
+      "documents" -> Seq("doc_id" -> exact(LongType),
+        "text" -> exact(StringType), "lang" -> exact(StringType),
+        "source" -> exact(StringType), "n_chars" -> exact(LongType)),
+      "embeddings" -> Seq("vec_id" -> exact(LongType),
+        "embedding" -> Set[DataType](ArrayType(FloatType, true),
+          ArrayType(FloatType, false), ArrayType(DoubleType, true),
+          ArrayType(DoubleType, false)),
+        "label" -> exact(IntegerType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val drift = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val actual = Tables.load(spark, sf, table).schema
+      val missing = cols.collect {
+        case (name, _) if !actual.fieldNames.contains(name) =>
+          s"$table.$name: MISSING (fixture has ${actual.fieldNames.mkString(",")})"
+      }
+      val mismatched = cols.collect {
+        case (name, allowed) if actual.fieldNames.contains(name) &&
+            !allowed.contains(actual(name).dataType) =>
+          s"$table.$name: fixture drifted to ${actual(name).dataType.simpleString} " +
+            s"(documented variants: ${allowed.map(_.simpleString).mkString(" | ")})"
+      }
+      missing ++ mismatched
+    }
+    assert(drift.isEmpty, "\nFIXTURE SCHEMA DRIFT:\n" + drift.mkString("\n"))
+  }
+
 }
