@@ -26,6 +26,10 @@ object SparkEntry {
     // selection from the bounded top-C pool — per-query sequential,
     // across-query distributed
     "mmr_rerank" -> ((s, d) => VectorSearch.mmrRerank(s, d)),
+    // the MMR pool riding the persisted IVF index (retrieve→diversify
+    // index-backed; probe saturated at fixture scale → bit-identical to
+    // mmr_rerank, shares its oracle; approximate at corpus scale)
+    "mmr_rerank_ann" -> ((s, d) => AnnSearch.mmrRerankAnn(s, d)),
     // the MMR greedy as ONE ANSI statement: a per-candidate STATE frame
     // (msim/taken/rank) folded through k window rounds — each round
     // references its predecessor exactly ONCE (the sql_dup_groups CTE
@@ -1068,6 +1072,9 @@ object SparkEntry {
     // the greedy MMR selection unrolled k steps — arithmetic and
     // tie-breaks written exactly as the operator's per-group loop
     "mmr_rerank" -> DuckMmrOracle,
+    // saturated probe ⇒ the IVF pool IS the exact top-C pool (AnnSpec
+    // pins bit-identity), so the index-backed entry shares the oracle
+    "mmr_rerank_ann" -> DuckMmrOracle,
     // the SQL twin is bit-identical to mmr_rerank (spec-asserted), so it
     // shares the unrolled greedy oracle
     "sql_mmr_rerank" -> DuckMmrOracle,

@@ -2084,4 +2084,42 @@ object AnnSearch {
                                     n: Long): Int =
     if (perLeg.toLong * HybridSatFactor >= n) nClusters
     else autoProbe(nClusters)
+
+  /** [[VectorSearch.mmrRerank]] with the candidate POOL riding the
+    * persisted IVF index instead of the exact broadcast scan — the
+    * retrieve→diversify stack index-backed end-to-end, completing the
+    * RAG triad next to [[TfIdf.hybridSearchAnn]] (retrieve→fuse). The
+    * pool stage is the probe-pruned partitioned scan of `ann_ivf`; the
+    * candidates then re-fetch their vectors via a broadcast equi-join
+    * (Q·C rows against the corpus — a semi-join-shaped narrow pass, at
+    * 100 TB the only corpus touch outside the probed partitions), qsim
+    * is re-derived with the SAME codegen ArrayDot as the exact entry,
+    * and the greedy runs the shared [[VectorSearch.mmrGreedy]] tail.
+    *
+    * Probe sizing rides [[hybridVecProbe]]: at fixture scale
+    * nCandidates=50 of ≤600 vectors saturates the probe, the pool is
+    * EXACTLY the top-C relevance pool, and the entry is bit-identical
+    * to `mmr_rerank` (spec-asserted) — so it shares the DuckDB oracle
+    * verbatim. At corpus scale the default probe fraction applies and
+    * the pool is genuinely approximate (recall rides AnnSpec's
+    * non-saturated floor, same regime as the hybrid leg).
+    */
+  def mmrRerankAnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                   k: Int = 10, nCandidates: Int = 50,
+                   lambda: Double = 0.7): DataFrame = {
+    val nc = resolveClusters(spark, sfDir, 0)
+    val np = hybridVecProbe(nc, nCandidates, embeddingCount(spark, sfDir))
+    val dir = loadOrBuildIvf(spark, sfDir, nc)
+    val queries = queryVectors(spark, sfDir, nQueries)
+    val cands = ivfSearchAt(spark, dir, queries, nCandidates, np,
+        expectedQ = nQueries.toLong)
+      .select(col("query_id"), col("id"))
+    val pool = VectorSearch.normalized(spark, sfDir)
+      .select(col("vec_id").as("id"), col("v"))
+      .join(broadcast(cands), "id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("id"), col("v"),
+        graft.functions.VectorOps.dot(col("qu"), col("v")).as("qsim"))
+    VectorSearch.mmrGreedy(spark, pool, k, lambda)
+  }
 }

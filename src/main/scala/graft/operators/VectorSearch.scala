@@ -205,6 +205,22 @@ object VectorSearch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nCandidates)
       .select(col("query_id"), col("id"), col("v"), col("qsim"))
+    mmrGreedy(spark, pool, k, lambda)
+  }
+
+  /** The greedy MMR selection tail over a `(query_id, id, v, qsim)`
+    * candidate pool — extracted so the exact pool ([[mmrRerankOver]])
+    * and the IVF-probed pool ([[AnnSearch.mmrRerankAnn]]) share ONE
+    * selection arithmetic: any drift between the two entries would be a
+    * pool difference, never a greedy difference. Per-query sequential,
+    * across-query distributed; one Q-of-C group (C·dim doubles, KiB) in
+    * memory at a time.
+    */
+  private[graft] def mmrGreedy(spark: SparkSession, poolDf: DataFrame,
+                               k: Int, lambda: Double): DataFrame = {
+    import spark.implicits._
+    val pool = poolDf
+      .select(col("query_id"), col("id"), col("v"), col("qsim"))
       .as[(Long, Long, Seq[Double], Double)]
     def dot(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0

@@ -400,6 +400,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"hybrid vec-leg recall@50 = $recall")
   }
 
+  test("MMR over the IVF pool equals the exact MMR at fixture scale") {
+    // saturated probe (C=50 of a 500-vector corpus) ⇒ the IVF candidate
+    // pool IS the exact top-C relevance pool, and the shared greedy tail
+    // makes the index-backed entry bit-identical to mmr_rerank — the
+    // property that lets mmr_rerank_ann share the DuckDB oracle verbatim
+    val want = graft.operators.VectorSearch.mmrRerank(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = AnnSearch.mmrRerankAnn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // saturation genuinely engaged at fixture scale, not at corpus scale
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nc = AnnSearch.autoClusters(n)
+    assert(AnnSearch.hybridVecProbe(nc, 50, n) == nc)
+    assert(AnnSearch.hybridVecProbe(nc, 50, n * 100) ==
+      AnnSearch.autoProbe(nc))
+  }
+
   test("IVF append auto-compacts once the segment chain passes the bound") {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
