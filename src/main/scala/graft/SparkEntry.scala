@@ -224,6 +224,10 @@ object SparkEntry {
     "corpus_prepare" -> ((s, d) => TextAnalysis.corpusPrepare(s, d)),
     "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "dataset_split" -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
+    // concat-and-chunk sample packing: global token offsets via the
+    // two-phase prefix sum (no 1-partition window), packs = budget-sized
+    // chunks of the doc_id-ordered token stream
+    "sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     "hybrid_search_rrf" -> ((s, d) => TfIdf.hybridSearchRrf(s, d)),
     // the vector leg riding the persisted doc-space IVF index (saturated
     // probe at fixture scale -> bit-identical to the exact entry)
@@ -2420,6 +2424,25 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT source) AS n_sources
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM t
+        |)
+        |SELECT CAST(start_tok // 512 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 4) AS fill_ratio
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "tfidf_search" ->
       s"""WITH $DuckToks,
          |terms AS (

@@ -830,4 +830,59 @@ object TextAnalysis {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("split", "lang")
   }
+
+  /** Sequence-packing manifest — the concat-and-chunk sample packing every
+    * pretraining pipeline runs: the corpus is one token stream in doc_id
+    * order, chunked every `budget` tokens into fixed-length training
+    * sequences; a document belongs to the pack where it STARTS (a doc
+    * spanning a boundary stays with its starting pack, which is why a
+    * pack's token sum may exceed the budget — the manifest records fill,
+    * it does not split rows). Per pack: doc count, token sum, [first,
+    * last] doc ids, fill ratio.
+    *
+    * Scale shape: the global running token offset is a TWO-PHASE PREFIX
+    * SUM, never a 1-partition window — range-partition on doc_id, one
+    * tiny job collects P per-partition token totals (control-plane: one
+    * long per partition), an exclusive scan of those seeds each
+    * partition's running base, and the second pass assigns offsets
+    * partition-locally ([[Ingest.idAssign]]'s zipWithIndex pattern,
+    * weighted). The same `rdd` instance backs both passes, so the range
+    * partitioner's sampled bounds are computed once and shared. The
+    * pack aggregation is an ordinary hash aggregate on `pack_id`.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String,
+                   budget: Long = 512L): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)")
+          .as("n_tokens"))
+    val rdd = toks
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val placed = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var run = bOff.value(i)
+        it.map { case (id, n) => val start = run; run += n; (id, n, start) }
+      }
+      .toDF("doc_id", "n_tokens", "start_tok")
+    placed
+      .groupBy(expr(s"start_tok div $budget").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        round(sum(col("n_tokens")).cast("double") / budget, 4)
+          .as("fill_ratio"))
+      .orderBy("pack_id")
+  }
 }

@@ -32,6 +32,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(drift.contains("~other~"))
   }
 
+  test("sequencePack conserves the corpus: every doc packed once, " +
+    "token total exact, packs ordered by doc ranges") {
+    val packs = TextAnalysis.sequencePack(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+    val nDocs = docs.count()
+    val totTokens = docs.select(
+      expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)")
+        .as("nt"))
+      .agg(sum("nt")).head.getLong(0)
+    // conservation: the manifest partitions the corpus exactly
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(packs.map(_.getAs[Long]("n_tokens")).sum == totTokens)
+    // the doc_id-ordered stream means pack doc-ranges are disjoint and
+    // increasing with pack_id (rows arrive ordered by pack_id)
+    packs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("pack_id") < b.getAs[Long]("pack_id"))
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // fill: every pack but possibly the last holds >= a budget of tokens
+    // only when docs are small; the recorded ratio must at least be
+    // positive and consistent with its own token sum
+    packs.foreach { p =>
+      assert(math.abs(p.getAs[Double]("fill_ratio") -
+        p.getAs[Long]("n_tokens").toDouble / 512.0) < 1e-3)
+    }
+  }
+
   test("gopherRules: flags are 0/1, keep is their conjunction, " +
     "and the stats agree with an independent recount") {
     val rows = TextAnalysis.gopherRules(spark, sf).collect()

@@ -46,6 +46,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan("id_assign").contains("Window"))
   }
 
+  test("sequence_pack has no window operator (two-phase prefix sum)") {
+    // the global token offset must come from the partition-total scan,
+    // never a 1-partition running-sum window over the corpus
+    assert(!plan("sequence_pack").contains("Window"))
+  }
+
   test("q5_join_chain broadcasts its dimension tables") {
     assert(plan("q5_join_chain").contains("BroadcastHashJoin"))
   }
