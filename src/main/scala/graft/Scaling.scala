@@ -38,14 +38,15 @@ object Scaling {
     "jaccard_dupes", "knn_search", "ann_ivf_persisted", "dup_groups",
     "substring_runs", "bloom_decontaminate", "ann_filtered",
     "sql_dup_groups", "semantic_decontaminate", "ann_ivf_pq",
-    "hybrid_search_ann", "mmr_rerank", "embedding_drift")
+    "hybrid_search_ann", "mmr_rerank", "embedding_drift",
+    "mmr_rerank_ann", "sequence_pack")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
     */
   private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted",
     "ann_filtered", "semantic_decontaminate", "ann_ivf_pq",
-    "hybrid_search_ann")
+    "hybrid_search_ann", "mmr_rerank_ann")
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {

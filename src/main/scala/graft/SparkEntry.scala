@@ -328,6 +328,11 @@ object SparkEntry {
     // CDC apply: ordered I/U/D changelog folded onto the snapshot —
     // latest op per key wins, a trailing DELETE removes the key
     "cdc_apply" -> ((s, d) => Ingest.cdcApply(s, d)),
+    // the changelog applied in seq-ordered micro-batches through the one
+    // shared LWW seam — live(n) = cdcLww(live(n-1) ∪ batch n); final
+    // live set row-identical to cdc_apply, shares its oracle
+    "streaming_cdc_apply" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingCdcApply(s, d)),
     // incremental view maintenance: committed snapshot PARTIALS + a
     // delta-only aggregate merged by partial-state algebra — a refresh
     // is O(delta + groups), never a corpus re-scan
@@ -706,6 +711,37 @@ object SparkEntry {
     * operator computes, HALF_UP output rounding — matches the Scala
     * per-group loop, so the compare is exact.
     */
+  /** LWW changelog application, shared by the batch `cdc_apply` and its
+    * streamed fold `streaming_cdc_apply` (the fold's fixed point is
+    * row-identical by construction — one shared LWW seam).
+    */
+  private val DuckCdcOracle: String =
+    """WITH snap AS (
+      |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+      |    c_mktsegment AS segment, 'I' AS op, 0 AS seq FROM customer
+      |), log AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100, c_mktsegment, 'U', 1
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+      |    CAST(NULL AS VARCHAR), 'D', 2
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 200000, 'CDC-' || c_name, c_acctbal,
+      |    c_mktsegment, 'I', 3
+      |  FROM customer WHERE c_custkey % 6 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal * 2, 'CDC-' || c_mktsegment,
+      |    'U', 4
+      |  FROM customer WHERE c_custkey % 15 = 0
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+      |    AS rn
+      |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM log)
+      |)
+      |SELECT key, name, round(acctbal, 2) AS acctbal, segment
+      |FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin
+
   private lazy val DuckMmrOracle: String = {
     val (k, c, nq) = (10, 50, 10)
     val steps = (1 to k).map { i =>
@@ -1689,32 +1725,10 @@ object SparkEntry {
         |SELECT key, segment, DATE '1998-01-01', CAST(NULL AS DATE), true
         |FROM batch
         |ORDER BY key, valid_from""".stripMargin,
-    "cdc_apply" ->
-      """WITH snap AS (
-        |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
-        |    c_mktsegment AS segment, 'I' AS op, 0 AS seq FROM customer
-        |), log AS (
-        |  SELECT c_custkey, c_name, c_acctbal + 100, c_mktsegment, 'U', 1
-        |  FROM customer WHERE c_custkey % 4 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
-        |    CAST(NULL AS VARCHAR), 'D', 2
-        |  FROM customer WHERE c_custkey % 10 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 200000, 'CDC-' || c_name, c_acctbal,
-        |    c_mktsegment, 'I', 3
-        |  FROM customer WHERE c_custkey % 6 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal * 2, 'CDC-' || c_mktsegment,
-        |    'U', 4
-        |  FROM customer WHERE c_custkey % 15 = 0
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
-        |    AS rn
-        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM log)
-        |)
-        |SELECT key, name, round(acctbal, 2) AS acctbal, segment
-        |FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin,
+    "cdc_apply" -> DuckCdcOracle,
+    // the streamed fold's fixed point is row-identical to the batch
+    // apply (StreamingSpec parity + the shared-seam construction)
+    "streaming_cdc_apply" -> DuckCdcOracle,
     // mirrors the partial-merge structure: partials per (status, yr,
     // before/after-cutoff) then a merge re-aggregate, so the double
     // summation grouping matches the Spark plan's two-frame union

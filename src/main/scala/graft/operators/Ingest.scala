@@ -195,34 +195,58 @@ object Ingest {
     * is (1 snapshot row + that key's log rows), KiB regardless of corpus
     * size.
     */
-  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.load(spark, sfDir, "customer")
-    def shape(key: Column, name: Column, acct: Column, seg: Column,
-              op: String, seq: Long) =
-      Seq(key.as("key"), name.as("name"), acct.as("acctbal"),
-        seg.as("segment"), lit(op).as("op"), lit(seq).as("seq"))
-    val snap = cust.select(shape(col("c_custkey"), col("c_name"),
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame =
+    cdcShape(cdcLww(
+      cdcSnapshot(Tables.load(spark, sfDir, "customer"))
+        .unionAll(cdcFixtureLog(Tables.load(spark, sfDir, "customer")))))
+
+  private def cdcCols(key: Column, name: Column, acct: Column,
+                      seg: Column, op: String, seq: Long) =
+    Seq(key.as("key"), name.as("name"), acct.as("acctbal"),
+      seg.as("segment"), lit(op).as("op"), lit(seq).as("seq"))
+
+  /** The base snapshot as (key, name, acctbal, segment, op='I', seq=0)
+    * rows — shared by the batch apply and the streamed fold. */
+  private[graft] def cdcSnapshot(cust: DataFrame): DataFrame =
+    cust.select(cdcCols(col("c_custkey"), col("c_name"),
       col("c_acctbal"), col("c_mktsegment"), "I", 0L): _*)
-    val log = cust.filter(col("c_custkey") % 4 === 0)
-      .select(shape(col("c_custkey"), col("c_name"),
+
+  /** The fixture changelog (seqs 1–4, see [[cdcApply]]'s doc) — ONE
+    * builder shared by the batch and streaming entries, so the two can
+    * never apply different logs. */
+  private[graft] def cdcFixtureLog(cust: DataFrame): DataFrame =
+    cust.filter(col("c_custkey") % 4 === 0)
+      .select(cdcCols(col("c_custkey"), col("c_name"),
         col("c_acctbal") + 100, col("c_mktsegment"), "U", 1L): _*)
       .unionAll(cust.filter(col("c_custkey") % 10 === 0)
-        .select(shape(col("c_custkey"), lit(null).cast("string"),
+        .select(cdcCols(col("c_custkey"), lit(null).cast("string"),
           lit(null).cast("double"), lit(null).cast("string"), "D", 2L): _*))
       .unionAll(cust.filter(col("c_custkey") % 6 === 0)
-        .select(shape(col("c_custkey") + 200000,
+        .select(cdcCols(col("c_custkey") + 200000,
           concat(lit("CDC-"), col("c_name")), col("c_acctbal"),
           col("c_mktsegment"), "I", 3L): _*))
       .unionAll(cust.filter(col("c_custkey") % 15 === 0)
-        .select(shape(col("c_custkey"), col("c_name"),
+        .select(cdcCols(col("c_custkey"), col("c_name"),
           col("c_acctbal") * 2, concat(lit("CDC-"), col("c_mktsegment")),
           "U", 4L): _*))
+
+  /** The LWW resolution step: highest-seq row wins per key, a winning
+    * DELETE removes the key. Keeps the (op, seq) columns so the LIVE set
+    * can seed a later fold round — applying the log in seq-ordered
+    * micro-batches (`cdcLww(live(n-1) ∪ batch n)`) reaches the same
+    * fixed point as one pass over everything, which is exactly how the
+    * streamed leg shares this code and the batch entry's oracle. */
+  private[graft] def cdcLww(rows: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
-    snap.unionAll(log)
-      .withColumn("rn", row_number().over(w))
+    rows.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")
-      .select(col("key"), col("name"),
-        round(col("acctbal"), 2).as("acctbal"), col("segment"))
-      .orderBy("key")
+      .drop("rn")
   }
+
+  /** The graded output contract shared by the batch and streamed CDC
+    * entries (and their one DuckDB oracle). */
+  private[graft] def cdcShape(live: DataFrame): DataFrame =
+    live.select(col("key"), col("name"),
+      round(col("acctbal"), 2).as("acctbal"), col("segment"))
+      .orderBy("key")
 }

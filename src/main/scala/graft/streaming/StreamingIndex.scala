@@ -872,6 +872,63 @@ object StreamingIndex {
     loadMappingAt(spark, s"$root/v$v").orderBy("str_id")
   }
 
+  /** CDC-AT-INGEST — the streaming twin of
+    * [[graft.operators.Ingest.cdcApply]]: the I/U/D changelog arrives in
+    * seq-ordered micro-batches (the delivery order a log broker
+    * guarantees per key) and each batch folds onto the previous LIVE
+    * snapshot version through the ONE shared LWW seam
+    * ([[graft.operators.Ingest.cdcLww]]) —
+    * `live(n) = cdcLww(live(n-1) ∪ batch n)` — written as a new version
+    * keyed by the checkpointed batch id, so a crash-and-replay rewrites
+    * the same version from the same predecessor (the
+    * [[ingestAvailable]] replay discipline). Live rows KEEP their
+    * winning (op, seq), which makes the fold a max-seq semilattice:
+    * within this fixture's split even out-of-order batch application
+    * reaches the same fixed point (a delete always outranks its own
+    * batch's losers; an already-applied higher seq outranks a late
+    * lower one). A truly unordered log would additionally need delete
+    * TOMBSTONE retention (a removed key's seq must survive to outrank
+    * late lower-seq rows) — the `~tomb-` pattern
+    * [[streamingFlatDelete]] demonstrates.
+    *
+    * Per-trigger cost is ONE key shuffle of (live ∪ batch); at 100 TB
+    * the live set is a manifested store version and the changelog side
+    * is O(delta). The fixture splits [[graft.operators.Ingest
+    * .cdcFixtureLog]] at seq 2/3, so the final live set is
+    * ROW-IDENTICAL to `cdc_apply` and shares its oracle verbatim.
+    */
+  def streamingCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ingest
+    val root = IndexStore.indexDir(sfDir, "stream-cdc-v1", "customer")
+    val landing = s"$root/landing"
+    val versions = s"$root/versions"
+    if (!IndexStore.committed(s"$versions/b1")) {
+      val cust = Tables.load(spark, sfDir, "customer")
+      IndexStore.saveDataset(Ingest.cdcSnapshot(cust), s"$versions/base")
+      val log = Ingest.cdcFixtureLog(cust)
+      stageInto(log.filter(col("seq") <= 2L), landing, "batch0")
+      stageInto(log.filter(col("seq") >= 3L), landing, "batch1")
+      val q = spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          val prevDir = if (batchId == 0L) s"$versions/base"
+                        else s"$versions/b${batchId - 1}"
+          Ingest.cdcLww(spark.read.parquet(prevDir).unionByName(b.toDF()))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Ingest.cdcShape(spark.read.parquet(s"$versions/b1"))
+  }
+
   /** DRIFT-AT-INGEST — the streaming twin of
     * [[graft.operators.VectorSearch.embeddingDrift]]: the reference
     * bin grid is committed ONCE per data fingerprint (dim·nBins rows —

@@ -78,6 +78,17 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming CDC fold reaches the batch apply's exact live set") {
+    // two seq-ordered micro-batches through the shared LWW seam must
+    // land on the same fixed point as the one-pass batch apply — the
+    // property that lets streaming_cdc_apply share cdc_apply's oracle
+    val want = graft.operators.Ingest.cdcApply(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.StreamingIndex.streamingCdcApply(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("checkpointed file-sink ingest is exactly-once across restarts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.load(spark, sf, "events")
