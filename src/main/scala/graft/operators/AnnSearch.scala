@@ -2114,10 +2114,17 @@ object AnnSearch {
     val cands = ivfSearchAt(spark, dir, queries, nCandidates, np,
         expectedQ = nQueries.toLong)
       .select(col("query_id"), col("id"))
+    // broadcast hints only while Q·C is broadcast-sized — a batch-query
+    // run past the probe threshold drops them and lets the equi-joins
+    // shuffle, mirroring ivfSearchAt's own joined-strategy switch
+    val (candSide, querySide) =
+      if (nQueries <= JoinProbeQueryThreshold)
+        (broadcast(cands), broadcast(queries))
+      else (cands, queries)
     val pool = VectorSearch.normalized(spark, sfDir)
       .select(col("vec_id").as("id"), col("v"))
-      .join(broadcast(cands), "id")
-      .join(broadcast(queries), "query_id")
+      .join(candSide, "id")
+      .join(querySide, "query_id")
       .select(col("query_id"), col("id"), col("v"),
         graft.functions.VectorOps.dot(col("qu"), col("v")).as("qsim"))
     VectorSearch.mmrGreedy(spark, pool, k, lambda)

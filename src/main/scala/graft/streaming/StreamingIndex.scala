@@ -891,10 +891,16 @@ object StreamingIndex {
     * late lower-seq rows) — the `~tomb-` pattern
     * [[streamingFlatDelete]] demonstrates.
     *
-    * Per-trigger cost is ONE key shuffle of (live ∪ batch); at 100 TB
-    * the live set is a manifested store version and the changelog side
-    * is O(delta). The fixture splits [[graft.operators.Ingest
-    * .cdcFixtureLog]] at seq 2/3, so the final live set is
+    * Per-trigger cost is ONE key shuffle of (live ∪ batch); the
+    * changelog side is O(delta), and each trigger MATERIALIZES the next
+    * full live snapshot (the textbook CDC-consumer contract — the
+    * snapshot is what downstream reads). At 100 TB a production apply
+    * makes the snapshot write copy-on-write — only the files holding
+    * touched keys rewrite, untouched files re-referenced by manifest
+    * (the [[IndexStore]] segment pattern; [[streamingFlatDelete]]
+    * demonstrates the delta-row variant) — while the LWW arithmetic
+    * stays exactly this seam. The fixture splits [[graft.operators
+    * .Ingest.cdcFixtureLog]] at seq 2/3, so the final live set is
     * ROW-IDENTICAL to `cdc_apply` and shares its oracle verbatim.
     */
   def streamingCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
