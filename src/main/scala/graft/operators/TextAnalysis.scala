@@ -851,9 +851,15 @@ object TextAnalysis {
     * pack aggregation is an ordinary hash aggregate on `pack_id`.
     */
   def sequencePack(spark: SparkSession, sfDir: String,
-                   budget: Long = 512L): DataFrame = {
+                   budget: Long = 512L): DataFrame =
+    sequencePackOver(spark, Tables.load(spark, sfDir, "documents"), budget)
+
+  /** [[sequencePack]] over an explicit (doc_id, text) frame — the seam
+    * toy-corpus specs drive (budget-spanning docs, boundary fills). */
+  private[graft] def sequencePackOver(spark: SparkSession, docs: DataFrame,
+                                      budget: Long): DataFrame = {
     import spark.implicits._
-    val toks = Tables.load(spark, sfDir, "documents")
+    val toks = docs
       .select(col("doc_id"),
         expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)")
           .as("n_tokens"))

@@ -61,6 +61,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequencePack: a budget-spanning doc stays with its starting " +
+    "pack; later packs shift, conservation holds") {
+    import spark.implicits._
+    // docs of 3 tokens each around one 12-token giant, budget 5:
+    // offsets 0,3 | 6(giant, spans packs 1-3) | 18,21 — pack ids 0,0,1,3,4
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"),
+      (3L, "g h i j k l m n o p q r"),
+      (4L, "s t u"), (5L, "v w x")).toDF("doc_id", "text")
+    val packs = TextAnalysis.sequencePackOver(spark, docs, 5L).collect()
+      .map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(packs.keySet == Set(0L, 1L, 3L, 4L)) // pack 2 is giant-interior
+    assert(packs(0L) == (2L, 6L))
+    assert(packs(1L) == (1L, 12L)) // the spanning doc: fill ratio > 1
+    assert(packs(3L) == (1L, 3L) && packs(4L) == (1L, 3L))
+    assert(packs.values.map(_._2).sum == 24L)
+  }
+
   test("gopherRules: flags are 0/1, keep is their conjunction, " +
     "and the stats agree with an independent recount") {
     val rows = TextAnalysis.gopherRules(spark, sf).collect()

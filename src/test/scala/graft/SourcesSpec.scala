@@ -156,6 +156,32 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("normalizeTs handles all three documented ts encodings identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val us = 1700000000123456L
+    def tsUs(df: org.apache.spark.sql.DataFrame): Long = {
+      val out = Tables.normalizeTs(df)
+      assert(out.schema("ts").dataType == TimestampType)
+      out.select("ts_us").head.getLong(0)
+    }
+    // nanos-long (the TIMESTAMP(NANOS) fixture vintage under nanosAsLong)
+    assert(tsUs(Seq((1L, us * 1000L + 789L)).toDF("event_id", "ts")) == us)
+    // TIMESTAMP_NTZ micros (the current vintage; UTC session ⇒ identity)
+    assert(tsUs(Seq((1L, java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC))).toDF("event_id", "ts")) == us)
+    // TimestampType micros
+    assert(tsUs(Seq((1L, java.sql.Timestamp.from(java.time.Instant
+      .ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))))
+      .toDF("event_id", "ts")) == us)
+    // anything else fails loudly, naming the type
+    val err = intercept[IllegalStateException] {
+      Tables.normalizeTs(Seq((1L, "not-a-ts")).toDF("event_id", "ts"))
+    }
+    assert(err.getMessage.contains("events.ts"))
+  }
+
   test("fixture physical schemas match the documented contract") {
     // The driver regenerates the fixtures between rounds and has already
     // drifted a physical type once (events.ts TIMESTAMP(NANOS) →
