@@ -228,6 +228,11 @@ object SparkEntry {
     // two-phase prefix sum (no 1-partition window), packs = budget-sized
     // chunks of the doc_id-ordered token stream
     "sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d)),
+    // packing-at-ingest: doc_id-ordered micro-batches thread ONE carried
+    // long (the running token offset) through the shared placement seam;
+    // manifest row-identical to sequence_pack, shares its oracle
+    "streaming_sequence_pack" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingSequencePack(s, d)),
     "hybrid_search_rrf" -> ((s, d) => TfIdf.hybridSearchRrf(s, d)),
     // the vector leg riding the persisted doc-space IVF index (saturated
     // probe at fixture scale -> bit-identical to the exact entry)
@@ -711,6 +716,30 @@ object SparkEntry {
     * operator computes, HALF_UP output rounding — matches the Scala
     * per-group loop, so the compare is exact.
     */
+  /** Concat-and-chunk packing manifest, shared by `sequence_pack` and
+    * its ingest-time fold `streaming_sequence_pack` (one carried offset
+    * through one shared placement seam — row-identical manifests).
+    */
+  private val DuckPackOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS start_tok
+      |  FROM t
+      |)
+      |SELECT CAST(start_tok // 512 AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 4) AS fill_ratio
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** LWW changelog application, shared by the batch `cdc_apply` and its
     * streamed fold `streaming_cdc_apply` (the fold's fixed point is
     * row-identical by construction — one shared LWW seam).
@@ -2438,25 +2467,11 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT source) AS n_sources
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "sequence_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_tok
-        |  FROM t
-        |)
-        |SELECT CAST(start_tok // 512 AS BIGINT) AS pack_id,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        |  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 4) AS fill_ratio
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sequence_pack" -> DuckPackOracle,
+    // the streamed fold threads one carried offset through the same
+    // placement arithmetic (StreamingSpec parity), so the manifest is
+    // row-identical and the oracle shared
+    "streaming_sequence_pack" -> DuckPackOracle,
     "tfidf_search" ->
       s"""WITH $DuckToks,
          |terms AS (

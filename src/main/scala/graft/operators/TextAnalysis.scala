@@ -857,7 +857,19 @@ object TextAnalysis {
   /** [[sequencePack]] over an explicit (doc_id, text) frame — the seam
     * toy-corpus specs drive (budget-spanning docs, boundary fills). */
   private[graft] def sequencePackOver(spark: SparkSession, docs: DataFrame,
-                                      budget: Long): DataFrame = {
+                                      budget: Long): DataFrame =
+    packAggregate(packPlace(spark, docs, base = 0L)._1, budget)
+
+  /** The placement half of sequence packing: each doc's global token
+    * START offset in the doc_id-ordered stream, beginning at `base` —
+    * the two-phase prefix sum (per-partition totals → exclusive scan
+    * seeds each partition's running base). Returns (placed rows eagerly
+    * offset-resolved, the offset AFTER this frame) so a streamed fold
+    * can thread `base` across micro-batches: the carried state is ONE
+    * long ([[graft.streaming.StreamingIndex.streamingSequencePack]]).
+    */
+  private[graft] def packPlace(spark: SparkSession, docs: DataFrame,
+                               base: Long): (DataFrame, Long) = {
     import spark.implicits._
     val toks = docs
       .select(col("doc_id"),
@@ -873,7 +885,7 @@ object TextAnalysis {
         var s = 0L; it.foreach(s += _._2); Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix
+    val offsets = partTotals.scanLeft(base)(_ + _) // exclusive prefix
     val bOff = spark.sparkContext.broadcast(offsets)
     val placed = rdd
       .mapPartitionsWithIndex { (i, it) =>
@@ -881,6 +893,12 @@ object TextAnalysis {
         it.map { case (id, n) => val start = run; run += n; (id, n, start) }
       }
       .toDF("doc_id", "n_tokens", "start_tok")
+    (placed, base + partTotals.sum)
+  }
+
+  /** The aggregation half: placed rows → the per-pack manifest. */
+  private[graft] def packAggregate(placed: DataFrame,
+                                   budget: Long): DataFrame =
     placed
       .groupBy(expr(s"start_tok div $budget").as("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -890,5 +908,4 @@ object TextAnalysis {
         round(sum(col("n_tokens")).cast("double") / budget, 4)
           .as("fill_ratio"))
       .orderBy("pack_id")
-  }
 }

@@ -935,6 +935,62 @@ object StreamingIndex {
     Ingest.cdcShape(spark.read.parquet(s"$versions/b1"))
   }
 
+  /** PACKING-AT-INGEST — the streaming twin of
+    * [[graft.operators.TextAnalysis.sequencePack]]: documents arrive in
+    * doc_id-ordered micro-batches and each batch resolves its global
+    * token offsets through the shared placement seam
+    * ([[graft.operators.TextAnalysis.packPlace]]) seeded with the
+    * offset the PREVIOUS batch ended at — the carried state is ONE long
+    * (written as a tiny per-version state file), the smallest state a
+    * stateful streaming fold can have: no state store, no watermark,
+    * per-trigger cost O(batch). Versions are keyed by the checkpointed
+    * batch id with the standard replay discipline (a replayed batch
+    * re-reads its predecessor's offset and rewrites its own rows —
+    * idempotent). The final manifest aggregates ALL versions' placed
+    * rows through the shared aggregation half, so it is ROW-IDENTICAL
+    * to the batch entry and shares its oracle verbatim.
+    */
+  def streamingSequencePack(spark: SparkSession, sfDir: String,
+                            budget: Long = 512L): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val root = IndexStore.indexDir(sfDir, "stream-pack-v1", "documents")
+    val landing = s"$root/landing"
+    val versions = s"$root/versions"
+    if (!IndexStore.committed(s"$versions/b1/state")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      stageInto(docs.filter(col("doc_id") <= cut), landing, "batch0")
+      stageInto(docs.filter(col("doc_id") > cut), landing, "batch1")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          val base = if (batchId == 0L) 0L
+            else spark.read.parquet(s"$versions/b${batchId - 1}/state")
+              .head.getLong(0)
+          val (placed, next) = TextAnalysis.packPlace(spark, b.toDF(), base)
+          placed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/rows")
+          Seq(next).toDF("next_offset")
+            .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/state")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    TextAnalysis.packAggregate(
+      spark.read.parquet(s"$versions/b*/rows"), budget)
+  }
+
   /** DRIFT-AT-INGEST — the streaming twin of
     * [[graft.operators.VectorSearch.embeddingDrift]]: the reference
     * bin grid is committed ONCE per data fingerprint (dim·nBins rows —

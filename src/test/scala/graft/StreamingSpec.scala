@@ -89,6 +89,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming sequence packing threads the carried offset to the " +
+    "batch manifest exactly") {
+    // two doc_id-ordered micro-batches, one carried long of state: the
+    // final manifest must be row-identical to the one-pass batch packing
+    val want = graft.operators.TextAnalysis.sequencePack(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.StreamingIndex
+      .streamingSequencePack(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("checkpointed file-sink ingest is exactly-once across restarts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.load(spark, sf, "events")
