@@ -255,6 +255,9 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "event_pivot" -> ((s, d) => Events.eventPivot(s, d)),
+    // UNPIVOT (melt): wide metric columns -> (metric, value) long form
+    // via a narrow Expand, then one aggregate — pivot's inverse
+    "metrics_unpivot" -> ((s, d) => Relational.metricsUnpivot(s, d)),
     "collect_sorted" -> ((s, d) => Events.collectSorted(s, d)),
     "hash_sample" -> ((s, d) => TextAnalysis.hashSample(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
@@ -2010,6 +2013,20 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "metrics_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric,
+        |    l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |)
+        |SELECT l_returnflag, metric, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "collect_sorted" ->
       """WITH tc AS (
         |  SELECT user_id, event_type || ':' || count(*) AS pair

@@ -391,4 +391,29 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
+  /** UNPIVOT (melt) — the inverse of [[graft.operators.Events]]'
+    * `event_pivot`: the wide per-row metric columns become (metric,
+    * value) pairs, then a long-form aggregate. Plans as a narrow
+    * `Expand` (k output rows per input row, no join, no shuffle before
+    * the one aggregate) — the wide→long reshape a feature-store export
+    * or metrics warehouse runs at corpus scale, where the Expand's
+    * k-fold row growth stays inside the scan stage's pipeline and only
+    * group-count rows reach the exchange.
+    */
+  def metricsUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("l_returnflag", "metric")
 }

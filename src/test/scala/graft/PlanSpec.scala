@@ -52,6 +52,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan("sequence_pack").contains("Window"))
   }
 
+  test("metrics_unpivot melts via Expand, not a self-union of scans") {
+    val p = plan("metrics_unpivot")
+    assert(p.contains("Expand"))
+    // one scan feeding the Expand — a UNION-of-scans shape would read
+    // the fact table once per metric
+    assert(!p.contains("Union"))
+  }
+
   test("q5_join_chain broadcasts its dimension tables") {
     assert(plan("q5_join_chain").contains("BroadcastHashJoin"))
   }
