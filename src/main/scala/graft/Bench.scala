@@ -59,7 +59,11 @@ object Bench {
         // the shared recall-gauge frame (recallFrame/exactKnnPairs) is
         // itself a build-once-per-fingerprint artifact: construct it
         // here so the timed gauge entries measure steady-state reads
-        "ann_recall")
+        "ann_recall",
+        // round 10: the streamed CDC fold chain, the streamed packing
+        // chain, and the MMR-ANN index (one build per data fingerprint)
+        "streaming_cdc_apply", "streaming_sequence_pack",
+        "mmr_rerank_ann")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

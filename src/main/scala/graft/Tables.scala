@@ -58,4 +58,30 @@ object Tables {
           "(expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
+
+  /** The INVERSE of [[normalizeTs]]: an epoch-µs instant as a literal in
+    * the given physical ts encoding. Kept beside the forward branch so
+    * BOTH directions of the encoding knowledge live in one file —
+    * staging code that must write fixture-shaped rows (the streaming
+    * session sentinel) uses this instead of re-enumerating the variants,
+    * and a new fixture vintage added to one branch fails loudly here
+    * rather than silently staging a mismatched literal.
+    */
+  def tsLiteral(dt: org.apache.spark.sql.types.DataType,
+                us: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => lit(us * 1000L) // nanos-long vintage
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC))
+      case TimestampType =>
+        lit(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other for a ts literal")
+    }
+  }
 }

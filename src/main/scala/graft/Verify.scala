@@ -23,22 +23,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // A query that THROWS must still leave a record — in round 9 the whole
-    // events family errored and simply vanished from CORRECTNESS (absence
-    // reads as "not implemented", not "broken"). errors.json always has one
-    // entry per failed query for the driver to merge.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(3).mkString(" | ").take(500)
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,13 +35,34 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A query that THROWS must still leave a record — in round 9 the whole
+    // events family errored and simply vanished from CORRECTNESS (absence
+    // reads as "not implemented", not "broken"). errors.json is written
+    // BEFORE the loop and REWRITTEN after every failure, so even a driver
+    // death mid-run (OOM, SIGKILL) leaves the failures recorded so far —
+    // a single end-of-run write would recreate the vanishing-family gap
+    // for every query after the crash point.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def flushErrors(): Unit = Files.writeString(
+      Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: {${q("err")}: ${q(v)}}" }
+        .mkString("{", ",", "}"))
+    flushErrors()
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ").take(500)
+        flushErrors()
+      }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: {${q("err")}: ${q(v)}}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -949,6 +949,17 @@ object StreamingIndex {
     * idempotent). The final manifest aggregates ALL versions' placed
     * rows through the shared aggregation half, so it is ROW-IDENTICAL
     * to the batch entry and shares its oracle verbatim.
+    *
+    * ORDER MATTERS here, unlike every other stageInto consumer (the
+    * dedup verdicts are split-independent, the CDC fold is a max-seq
+    * semilattice): offsets are a prefix sum in doc_id order, so the
+    * file source must deliver batch0 before batch1. The staging sets
+    * explicit mtimes (the file source orders by modification time,
+    * with no path tie-break), and the fold additionally carries the
+    * placed doc_id high-water mark in its state file and REFUSES an
+    * out-of-order batch (min doc_id ≤ predecessor's max) — a transient
+    * misorder fails the query loudly with nothing committed, instead
+    * of a committed-forever wrong manifest.
     */
   def streamingSequencePack(spark: SparkSession, sfDir: String,
                             budget: Long = 512L): DataFrame = {
@@ -963,6 +974,12 @@ object StreamingIndex {
       val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
       stageInto(docs.filter(col("doc_id") <= cut), landing, "batch0")
       stageInto(docs.filter(col("doc_id") > cut), landing, "batch1")
+      // deterministic delivery order: the file source sorts by mtime
+      val now = System.currentTimeMillis()
+      new java.io.File(landing).listFiles().foreach { f =>
+        if (f.getName.startsWith("batch0")) f.setLastModified(now - 10000L)
+        else if (f.getName.startsWith("batch1")) f.setLastModified(now)
+      }
       val q = spark.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType))))
@@ -973,13 +990,25 @@ object StreamingIndex {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
                          batchId: Long) =>
-          val base = if (batchId == 0L) 0L
-            else spark.read.parquet(s"$versions/b${batchId - 1}/state")
-              .head.getLong(0)
+          val (base, prevMaxDoc) =
+            if (batchId == 0L) (0L, Long.MinValue)
+            else {
+              val r = spark.read
+                .parquet(s"$versions/b${batchId - 1}/state").head
+              (r.getLong(0), r.getLong(1))
+            }
+          val stats = b.agg(min(col("doc_id")), max(col("doc_id"))).head
+          val batchMaxDoc = if (stats.isNullAt(1)) prevMaxDoc
+            else stats.getLong(1)
+          if (!stats.isNullAt(0) && stats.getLong(0) <= prevMaxDoc)
+            throw new IllegalStateException(
+              s"packing batch $batchId out of order: min doc_id " +
+                s"${stats.getLong(0)} <= placed high-water $prevMaxDoc — " +
+                "refusing to commit a wrong-offset manifest")
           val (placed, next) = TextAnalysis.packPlace(spark, b.toDF(), base)
           placed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$versions/b$batchId/rows")
-          Seq(next).toDF("next_offset")
+          Seq((next, batchMaxDoc)).toDF("next_offset", "max_doc")
             .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$versions/b$batchId/state")
           ()

@@ -212,18 +212,11 @@ object StreamingOps extends Serializable {
     val ev = Tables.load(spark, sfDir, "events")
     // +10 days puts the sentinel far past every real session end + the
     // watermark delay. The literal is built in the fixture's OWN physical
-    // ts encoding so the staged dir keeps a uniform schema.
+    // ts encoding ([[Tables.tsLiteral]] — the inverse of the one shared
+    // normalizeTs branch) so the staged dir keeps a uniform schema.
     val maxUs = Tables.normalizeTs(ev).agg(max(col("ts_us"))).head.getLong(0)
     val sentUs = maxUs + 10L * 24 * 3600 * 1000000L
-    val sentinelTs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => lit(sentUs * 1000L)
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        lit(java.time.LocalDateTime.ofEpochSecond(
-          sentUs / 1000000L, (sentUs % 1000000L).toInt * 1000,
-          java.time.ZoneOffset.UTC))
-      case _ => lit(java.time.Instant.ofEpochSecond(
-        sentUs / 1000000L, (sentUs % 1000000L) * 1000L))
-    }
+    val sentinelTs = Tables.tsLiteral(ev.schema("ts").dataType, sentUs)
     val tmp = dir.resolve("sentinel-stage")
     ev.limit(1)
       .withColumn("user_id", lit(-1L))
