@@ -327,9 +327,13 @@ object Scaling {
     // streaming tier: FIXED batch per trigger at both corpus scales —
     // exponent ~0 = per-trigger cost independent of the base corpus, and
     // written bytes must stay flat (the manifest-version guarantee).
-    // Skipped in targeted (ONLY) mode: its four trigger names are not
-    // SparkEntry queries, and a targeted run wants one tier's datapoint.
-    val streamRows = if (only.isDefined) Seq.empty else {
+    // Skipped in targeted (ONLY) mode — its four trigger names are not
+    // SparkEntry queries — unless SPARK_GRAFT_SCALING_STREAM=1 forces it
+    // (the targeted high-factor datapoint wants one trigger measured
+    // without paying for the whole batch tier).
+    val wantStream = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_SCALING_STREAM").contains("1")
+    val streamRows = if (!wantStream) Seq.empty else {
       val bn = math.min(1000L,
         Tables.load(spark, base, "embeddings").count()).toInt
       val s1 = streamingTier(spark, base, s"$work/stream_x1", bn)

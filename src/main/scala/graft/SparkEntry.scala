@@ -184,6 +184,7 @@ object SparkEntry {
     // one BPE training iteration over the frequency-weighted vocabulary:
     // argmax adjacent pair → merge everywhere → post-merge pair table
     "bpe_merge_step" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
+    "bpe_fit" -> ((s, d) => TextAnalysis.bpeFit(s, d)),
     "langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -723,25 +724,28 @@ object SparkEntry {
     * its ingest-time fold `streaming_sequence_pack` (one carried offset
     * through one shared placement seam — row-identical manifests).
     */
-  private val DuckPackOracle: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-      |      AS BIGINT) AS n_tokens
-      |  FROM documents
-      |), c AS (
-      |  SELECT doc_id, n_tokens,
-      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |      AS start_tok
-      |  FROM t
-      |)
-      |SELECT CAST(start_tok // 512 AS BIGINT) AS pack_id,
-      |  count(*) AS n_docs,
-      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-      |  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 4) AS fill_ratio
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  private val DuckPackOracle: String = {
+    // the SAME constant the operators default to — never a second literal
+    val budget = graft.operators.TextAnalysis.DefaultPackBudget
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS start_tok
+       |  FROM t
+       |)
+       |SELECT CAST(start_tok // $budget AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  round(CAST(sum(n_tokens) AS DOUBLE) / $budget, 4) AS fill_ratio
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** LWW changelog application, shared by the batch `cdc_apply` and its
     * streamed fold `streaming_cdc_apply` (the fold's fixed point is
@@ -759,8 +763,8 @@ object SparkEntry {
       |    CAST(NULL AS VARCHAR), 'D', 2
       |  FROM customer WHERE c_custkey % 10 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 200000, 'CDC-' || c_name, c_acctbal,
-      |    c_mktsegment, 'I', 3
+      |  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+      |    'CDC-' || c_name, c_acctbal, c_mktsegment, 'I', 3
       |  FROM customer WHERE c_custkey % 6 = 0
       |  UNION ALL
       |  SELECT c_custkey, c_name, c_acctbal * 2, 'CDC-' || c_mktsegment,
@@ -773,6 +777,58 @@ object SparkEntry {
       |)
       |SELECT key, name, round(acctbal, 2) AS acctbal, segment
       |FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin
+
+  /** The BPE fit unrolled for DuckDB (the `text_rank`/`sql_dup_groups`
+    * loop-unrolling pattern): per round, a pair-count CTE over the prior
+    * vocab, the (freq DESC, lsym, rsym) argmax, and the boundary-safe
+    * merge — the SAME double-space/framed-`replace` rewrite the operator
+    * computes ([[graft.operators.TextAnalysis.bpeMergeExpr]]), so merge
+    * order and boundary handling are bit-identical across engines.
+    */
+  private lazy val DuckBpeFitOracle: String = {
+    val iters = 3
+    val vocab =
+      """v0 AS (
+        |  SELECT count(*) AS cnt,
+        |    array_to_string(regexp_extract_all(w, '.'), ' ') AS sym
+        |  FROM (
+        |    SELECT lower(tok) AS w FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |    ) WHERE tok <> '' AND regexp_matches(lower(tok), '^[a-z]+$')
+        |      AND length(tok) >= 2
+        |  ) GROUP BY w
+        |)""".stripMargin
+    def pick(i: Int) =
+      s"""pc$i AS (
+         |  SELECT p[1] AS lsym, p[2] AS rsym, CAST(sum(cnt) AS BIGINT)
+         |    AS freq
+         |  FROM (
+         |    SELECT cnt, unnest(list_zip(parts, parts[2:])) AS p
+         |    FROM (SELECT cnt, string_split(sym, ' ') AS parts
+         |          FROM v${i - 1})
+         |    WHERE len(parts) >= 2
+         |  ) WHERE p[2] IS NOT NULL GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT lsym, rsym, freq FROM pc$i
+         |  ORDER BY freq DESC, lsym, rsym LIMIT 1
+         |)""".stripMargin
+    def merge(i: Int) =
+      s"""v$i AS (
+         |  SELECT cnt, trim(replace(replace(
+         |      ' ' || replace(sym, ' ', '  ') || ' ',
+         |      ' ' || bl || '  ' || br || ' ',
+         |      ' ' || bl || br || ' '), '  ', ' ')) AS sym
+         |  FROM v${i - 1} CROSS JOIN
+         |    (SELECT lsym AS bl, rsym AS br FROM b$i)
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      if (i < iters) pick(i) + ",\n" + merge(i) else pick(i)
+    }.mkString(",\n")
+    val finals = (1 to iters).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, lsym, rsym, freq
+         |FROM b$i""".stripMargin).mkString("\nUNION ALL\n")
+    s"WITH $vocab,\n$rounds\nSELECT * FROM (\n$finals\n) ORDER BY step"
+  }
 
   private lazy val DuckMmrOracle: String = {
     val (k, c, nq) = (10, 50, 10)
@@ -1743,7 +1799,8 @@ object SparkEntry {
         |  SELECT c_custkey AS key, 'NEW-' || c_mktsegment AS segment
         |  FROM customer WHERE c_custkey % 5 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 100000, c_mktsegment
+        |  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+        |    c_mktsegment
         |  FROM customer WHERE c_custkey % 7 = 0
         |)
         |SELECT d.key, d.segment, d.valid_from,
@@ -1801,7 +1858,10 @@ object SparkEntry {
         |  SELECT lsym AS bl, rsym AS br FROM pc1
         |  ORDER BY freq DESC, lsym, rsym LIMIT 1
         |), merged AS (
-        |  SELECT cnt, replace(sym, bl || ' ' || br, bl || br) AS sym
+        |  SELECT cnt, trim(replace(replace(
+        |      ' ' || replace(sym, ' ', '  ') || ' ',
+        |      ' ' || bl || '  ' || br || ' ',
+        |      ' ' || bl || br || ' '), '  ', ' ')) AS sym
         |  FROM vocab CROSS JOIN best
         |), pc2 AS (
         |  SELECT p[1] AS lsym, p[2] AS rsym, CAST(sum(cnt) AS BIGINT)
@@ -1815,6 +1875,7 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, lsym, rsym)
         |    AS BIGINT) AS rank, lsym, rsym, freq
         |FROM pc2 ORDER BY freq DESC, lsym, rsym LIMIT 20""".stripMargin,
+    "bpe_fit" -> DuckBpeFitOracle,
     "incremental_dedup" -> IncrementalOracleSql,
     // the streamed fold of the same batch (two micro-batches through one
     // checkpoint) — per-doc verdicts are split-independent, so it shares

@@ -30,10 +30,25 @@ object Tables {
     *    same instant DuckDB's naive read sees.
     *  - `TimestampType` — already the target type.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(load(spark, sfDir, "events")).drop("ts_us")
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(eventsRaw(spark, sfDir)).drop("ts_us")
+
+  /** `events` in its raw physical encoding — THE one place the
+    * `nanosAsLong` escape hatch lives. A TIMESTAMP(NANOS) vintage is
+    * refused at schema inference, so the conf cannot wait for
+    * [[normalizeTs]]'s LongType branch (by then the load has already
+    * thrown); instead the load is attempted plain and the conf is set —
+    * session-wide, so later streaming scans of the same files also read
+    * nanos-as-long — ONLY when the refusal identifies the nanos vintage.
+    * Micros/NTZ vintages never see the legacy flag at all.
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    try load(spark, sfDir, "events") catch {
+      case e: Throwable
+          if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(spark, sfDir, "events")
+    }
 
   /** Normalize an events-shaped frame: `ts` → TimestampType(µs) plus a
     * `ts_us` epoch-µs LongType twin (the streaming sessionizers key state

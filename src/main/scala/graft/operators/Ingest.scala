@@ -136,8 +136,11 @@ object Ingest {
     * overwriting, a changed key CLOSES its current row (valid_to =
     * effective date, is_current = false) and opens a new one, so history
     * stays queryable as-of any date. Fixture batch: every 5th customer's
-    * segment changes, every 7th arrives as a brand-new 100000-shifted
-    * key.
+    * segment changes, every 7th arrives as a brand-new key shifted by
+    * the dimension's own max key (`max(c_custkey) + 1 + c_custkey` —
+    * disjoint from every real key at ANY scale factor, keys 0-based, so
+    * the +1 keeps even key 0's image above max; a fixed literal shift
+    * would collide once the SF outgrew it).
     *
     * Scale shape: one equi-join of the dimension against the (small)
     * change batch decides closed vs untouched rows; new versions are a
@@ -157,7 +160,9 @@ object Ingest {
         concat(lit("NEW-"), col("c_mktsegment")).as("segment"))
     val inserts = Tables.load(spark, sfDir, "customer")
       .filter(col("c_custkey") % 7 === 0)
-      .select((col("c_custkey") + 100000).as("key"),
+      .crossJoin(broadcast(Tables.load(spark, sfDir, "customer")
+        .agg(max(col("c_custkey")).as("max_key"))))
+      .select((col("c_custkey") + col("max_key") + 1).as("key"),
         col("c_mktsegment").as("segment"))
     val batch = updates.unionAll(inserts)
     val eff = to_date(lit("1998-01-01"))
@@ -182,11 +187,13 @@ object Ingest {
     * UPDATE after a DELETE re-creates it (the row image rides the log
     * entry, so apply never needs the pre-image). Fixture log: seq 1
     * credits every 4th account, seq 2 deletes every 10th key, seq 3
-    * inserts 200000-shifted new keys (disjoint from real keys while
-    * max(c_custkey) < 200000, i.e. SF < 2 — fixture SFs top out at 0.1;
-    * at larger SFs the shift would need max(c_custkey)-derived offsets),
-    * seq 4 rewrites every 15th key — %15 ∩ %10 keys exercise the
-    * re-create-after-delete path.
+    * inserts new keys shifted by the snapshot's own max key
+    * (`max(c_custkey) + 1 + c_custkey` — disjoint from every real key
+    * at ANY scale factor; keys are 0-based, so the +1 keeps even key
+    * 0's image above max, where a fixed literal shift would collide
+    * once the SF outgrew it and silently turn inserts into
+    * overwrites), seq 4 rewrites every 15th key — %15 ∩ %10 keys
+    * exercise the re-create-after-delete path.
     *
     * Scale shape: ONE shuffle on the key (the LWW window); the changelog
     * side is O(delta). At 100 TB the snapshot is a manifested store
@@ -214,7 +221,10 @@ object Ingest {
   /** The fixture changelog (seqs 1–4, see [[cdcApply]]'s doc) — ONE
     * builder shared by the batch and streaming entries, so the two can
     * never apply different logs. */
-  private[graft] def cdcFixtureLog(cust: DataFrame): DataFrame =
+  private[graft] def cdcFixtureLog(cust: DataFrame): DataFrame = {
+    // one tiny broadcast row — the max-key shift that keeps seq-3 insert
+    // keys disjoint from the snapshot at any SF (see [[cdcApply]]'s doc)
+    val maxKey = broadcast(cust.agg(max(col("c_custkey")).as("max_key")))
     cust.filter(col("c_custkey") % 4 === 0)
       .select(cdcCols(col("c_custkey"), col("c_name"),
         col("c_acctbal") + 100, col("c_mktsegment"), "U", 1L): _*)
@@ -222,13 +232,15 @@ object Ingest {
         .select(cdcCols(col("c_custkey"), lit(null).cast("string"),
           lit(null).cast("double"), lit(null).cast("string"), "D", 2L): _*))
       .unionAll(cust.filter(col("c_custkey") % 6 === 0)
-        .select(cdcCols(col("c_custkey") + 200000,
+        .crossJoin(maxKey)
+        .select(cdcCols(col("c_custkey") + col("max_key") + 1,
           concat(lit("CDC-"), col("c_name")), col("c_acctbal"),
           col("c_mktsegment"), "I", 3L): _*))
       .unionAll(cust.filter(col("c_custkey") % 15 === 0)
         .select(cdcCols(col("c_custkey"), col("c_name"),
           col("c_acctbal") * 2, concat(lit("CDC-"), col("c_mktsegment")),
           "U", 4L): _*))
+  }
 
   /** The LWW resolution step: highest-seq row wins per key, a winning
     * DELETE removes the key. Keeps the (op, seq) columns so the LIVE set

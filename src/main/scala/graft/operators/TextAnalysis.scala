@@ -126,23 +126,69 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(30)
 
+  /** The frequency-weighted character-symbol vocabulary BPE trains over:
+    * one corpus-scale tokenize → distinct-word hash aggregate → (cnt,
+    * space-delimited symbol string). Shared by [[bpeMergeStep]] and
+    * [[bpeFit]] so the two can never tokenize differently.
+    */
+  private def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    tokensPos(Tables.load(spark, sfDir, "documents"))
+      .select(lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("sym"))
+
+  /** Adjacent-pair frequency table over a (cnt, sym) vocabulary —
+    * partial-aggregates map-side down to the symbol-pair frame. */
+  private def bpePairCounts(df: DataFrame): DataFrame = df
+    .select(col("cnt"), split(col("sym"), " ").as("parts"))
+    .filter(size(col("parts")) >= 2)
+    .select(col("cnt"), explode(expr(
+      "transform(sequence(0, size(parts) - 2), " +
+        "i -> struct(parts[i] AS lsym, parts[i + 1] AS rsym))"))
+      .as("p"))
+    .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
+    .agg(sum(col("cnt")).as("freq"))
+
+  /** Boundary-safe left-to-right non-overlapping merge of the pair
+    * (`bl`, `br`) in a space-delimited symbol string — the loopable BPE
+    * merge, exact for MULTI-character symbols too. A naive
+    * `replace(sym, bl||' '||br, bl||br)` matches across symbol
+    * boundaries once symbols grow (symbols `[th, e]`, pair `(h, e)`:
+    * `"th e"` contains `"h e"`); this rewrite frames every symbol with
+    * spaces so that cannot happen, while staying a plain `replace` —
+    * identical builtin, identical scan order, in Spark and the DuckDB
+    * oracle:
+    *
+    *  1. double the separators and pad the ends: `" a  b  c "` — every
+    *     symbol now has a private flanking space on each side;
+    *  2. replace `" bl  br "` with `" blbr "` — the pattern only matches
+    *     token-aligned occurrences (symbols contain no spaces), and each
+    *     match consumes ONE space from each flanking 2-space gap,
+    *     leaving the other for an adjacent match, so consecutive merges
+    *     chain exactly like the sequential fold (e.g. `a a a a` with
+    *     pair (a,a) → `aa aa`, and `a a a` → `aa a`);
+    *  3. collapse double spaces and trim back to canonical form.
+    *
+    * Equivalence to the reference fold is property-tested against a
+    * Scala left-to-right scanner (PipelineOpsSpec).
+    */
+  private[graft] def bpeMergeExpr(sym: Column, bl: Column,
+                                  br: Column): Column = {
+    val expanded =
+      concat(lit(" "), replace(sym, lit(" "), lit("  ")), lit(" "))
+    val pat = concat(lit(" "), bl, lit("  "), br, lit(" "))
+    val rep = concat(lit(" "), bl, br, lit(" "))
+    trim(replace(replace(expanded, pat, rep), lit("  "), lit(" ")))
+  }
+
   /** One BPE training iteration (Sennrich et al. 2016, public algorithm):
     * count adjacent symbol pairs over the FREQUENCY-WEIGHTED vocabulary,
-    * merge the globally most frequent pair everywhere, and emit the
-    * post-merge pair table — the unit a full tokenizer fit loops (like
+    * merge the globally most frequent pair everywhere
+    * ([[bpeMergeExpr]] — boundary-safe, loopable), and emit the
+    * post-merge pair table — the unit [[bpeFit]] loops (like
     * [[VectorAnalytics]]'s one-Lloyd-step `kmeans_iterate`). Symbols
-    * start as single characters; the merge rewrites the space-delimited
-    * symbol string with left-to-right non-overlapping `replace`, the
-    * same fold order on both engines.
-    *
-    * SINGLE-ITERATION ONLY: the string `replace` is exact precisely
-    * because every pre-merge symbol is one character, so the pattern
-    * `"bl br"` can never straddle a symbol boundary. From iteration 2 on
-    * (multi-char symbols) it could — e.g. symbols `[th, e]` with best
-    * pair `(h, e)`: `"th e"` contains `"h e"` and would wrongly merge. A
-    * looping tokenizer fit must rewrite over the split parts array (fold
-    * adjacent elements) instead; this entry deliberately stops at the
-    * first iteration, where replace and the array fold coincide.
+    * start as single characters.
     *
     * Scale shape: THE reason BPE training scales is that it runs over
     * the distinct-word table weighted by counts, never the corpus
@@ -155,27 +201,14 @@ object TextAnalysis {
     */
   def bpeMergeStep(spark: SparkSession, sfDir: String,
                    topK: Int = 20): DataFrame = {
-    val vocab = tokensPos(Tables.load(spark, sfDir, "documents"))
-      .select(lower(col("tok")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("sym"))
-    def pairCounts(df: DataFrame): DataFrame = df
-      .select(col("cnt"), split(col("sym"), " ").as("parts"))
-      .filter(size(col("parts")) >= 2)
-      .select(col("cnt"), explode(expr(
-        "transform(sequence(0, size(parts) - 2), " +
-          "i -> struct(parts[i] AS lsym, parts[i + 1] AS rsym))"))
-        .as("p"))
-      .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
-      .agg(sum(col("cnt")).as("freq"))
-    val best = pairCounts(vocab)
+    val vocab = bpeVocab(spark, sfDir)
+    val best = bpePairCounts(vocab)
       .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(1)
       .select(col("lsym").as("bl"), col("rsym").as("br"))
     val merged = vocab.crossJoin(broadcast(best))
-      .select(col("cnt"), expr(
-        "replace(sym, bl || ' ' || br, bl || br)").as("sym"))
-    val ranked = pairCounts(merged)
+      .select(col("cnt"),
+        bpeMergeExpr(col("sym"), col("bl"), col("br")).as("sym"))
+    val ranked = bpePairCounts(merged)
       .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(topK)
     ranked
       .withColumn("rank", row_number().over(
@@ -183,6 +216,39 @@ object TextAnalysis {
       .select(col("rank").cast("long").as("rank"),
         col("lsym"), col("rsym"), col("freq"))
       .orderBy("rank")
+  }
+
+  /** The looped tokenizer fit [[bpeMergeStep]] is one unit of: `iters`
+    * rounds of count-pairs → pick the (freq DESC, lsym, rsym) argmax →
+    * merge it everywhere ([[bpeMergeExpr]], exact for the multi-char
+    * symbols later rounds produce). Emits the learned merge table —
+    * (step, lsym, rsym, freq) per round — the artifact a BPE tokenizer
+    * ships.
+    *
+    * Scale shape: every round runs over the VOCAB frame (distinct words
+    * × counts), never the corpus; the chosen pair joins back as a
+    * broadcast 1-row frame. The vocab is `localCheckpoint`ed each round
+    * so round i's plan does not re-derive rounds 1..i-1 (the lineage cap
+    * any iterative Spark fit needs — same device as `kmeans_iterate`);
+    * per-round cost is O(vocab · word_len) regardless of `iters`.
+    */
+  def bpeFit(spark: SparkSession, sfDir: String,
+             iters: Int = 3): DataFrame = {
+    var vocab = bpeVocab(spark, sfDir).localCheckpoint()
+    val steps = (1 to iters).map { i =>
+      val best = bpePairCounts(vocab)
+        .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(1)
+        .localCheckpoint()
+      vocab = vocab
+        .crossJoin(broadcast(
+          best.select(col("lsym").as("bl"), col("rsym").as("br"))))
+        .select(col("cnt"),
+          bpeMergeExpr(col("sym"), col("bl"), col("br")).as("sym"))
+        .localCheckpoint()
+      best.select(lit(i.toLong).as("step"),
+        col("lsym"), col("rsym"), col("freq"))
+    }
+    steps.reduce(_ unionAll _).orderBy("step")
   }
 
   /** Token-profile language ID: score(doc, lang) = Σ over doc tokens of that
@@ -850,8 +916,15 @@ object TextAnalysis {
     * partitioner's sampled bounds are computed once and shared. The
     * pack aggregation is an ordinary hash aggregate on `pack_id`.
     */
+  /** The default packing budget (tokens per training sequence) — THE one
+    * literal the operators, their streamed twin, the DuckDB oracle and the
+    * specs all derive from, so a future non-default call can never be
+    * verified against a stale hardcoded 512.
+    */
+  val DefaultPackBudget: Long = 512L
+
   def sequencePack(spark: SparkSession, sfDir: String,
-                   budget: Long = 512L): DataFrame =
+                   budget: Long = DefaultPackBudget): DataFrame =
     sequencePackOver(spark, Tables.load(spark, sfDir, "documents"), budget)
 
   /** [[sequencePack]] over an explicit (doc_id, text) frame — the seam

@@ -484,6 +484,25 @@ object StreamingIndex {
     fs.delete(new Path(tmp), true)
   }
 
+  /** Deterministic micro-batch delivery order for a staged landing dir:
+    * the file source orders batches by modification time (no path
+    * tie-break), and filesystem mtime resolution is not guaranteed to
+    * separate two stageInto calls — so every order-sensitive (and, for
+    * robustness, order-insensitive) consumer staggers the staged files'
+    * mtimes explicitly, 10 s apart in `prefixes` order.
+    */
+  private def staggerBatches(landing: String,
+                             prefixes: Seq[String]): Unit = {
+    val now = System.currentTimeMillis()
+    val files = new java.io.File(landing).listFiles()
+    if (files != null) files.foreach { f =>
+      prefixes.zipWithIndex.foreach { case (p, i) =>
+        if (f.getName.startsWith(p))
+          f.setLastModified(now - 10000L * (prefixes.size - 1 - i))
+      }
+    }
+  }
+
   /** 7-digit pad: Spark and DuckDB `lpad` both TRUNCATE strings longer
     * than the pad length, so a 5-digit pad would cut doc_id+10000 ≥ 100000
     * to 5 chars and silently collide new adds into updates. 7 digits keeps
@@ -905,7 +924,8 @@ object StreamingIndex {
     */
   def streamingCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Ingest
-    val root = IndexStore.indexDir(sfDir, "stream-cdc-v1", "customer")
+    // v2: the fixture log's insert-key shift became max-key-derived
+    val root = IndexStore.indexDir(sfDir, "stream-cdc-v2", "customer")
     val landing = s"$root/landing"
     val versions = s"$root/versions"
     if (!IndexStore.committed(s"$versions/b1")) {
@@ -914,6 +934,11 @@ object StreamingIndex {
       val log = Ingest.cdcFixtureLog(cust)
       stageInto(log.filter(col("seq") <= 2L), landing, "batch0")
       stageInto(log.filter(col("seq") >= 3L), landing, "batch1")
+      // the fold converges under either delivery order for THIS fixture
+      // (max-seq semilattice, see above), but seq-ordered delivery is the
+      // documented contract — make it deterministic rather than leaning
+      // on filesystem mtime resolution
+      staggerBatches(landing, Seq("batch0", "batch1"))
       val q = spark.readStream.schema(log.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
@@ -957,12 +982,18 @@ object StreamingIndex {
     * explicit mtimes (the file source orders by modification time,
     * with no path tie-break), and the fold additionally carries the
     * placed doc_id high-water mark in its state file and REFUSES an
-    * out-of-order batch (min doc_id ≤ predecessor's max) — a transient
-    * misorder fails the query loudly with nothing committed, instead
-    * of a committed-forever wrong manifest.
+    * out-of-order batch (min doc_id ≤ predecessor's max). By the time
+    * the refusal fires, the misordered PREDECESSOR batch's version and
+    * checkpoint entry are already durable — so the failure path wipes
+    * the run's staged state entirely (landing + checkpoint + versions)
+    * before rethrowing: the query fails loudly, and a RETRY re-stages
+    * from the fixture and recovers, instead of replaying the same
+    * misorder from the checkpoint forever or committing a wrong-offset
+    * manifest.
     */
   def streamingSequencePack(spark: SparkSession, sfDir: String,
-                            budget: Long = 512L): DataFrame = {
+      budget: Long = graft.operators.TextAnalysis.DefaultPackBudget)
+      : DataFrame = {
     import spark.implicits._
     import graft.operators.TextAnalysis
     val root = IndexStore.indexDir(sfDir, "stream-pack-v1", "documents")
@@ -975,11 +1006,7 @@ object StreamingIndex {
       stageInto(docs.filter(col("doc_id") <= cut), landing, "batch0")
       stageInto(docs.filter(col("doc_id") > cut), landing, "batch1")
       // deterministic delivery order: the file source sorts by mtime
-      val now = System.currentTimeMillis()
-      new java.io.File(landing).listFiles().foreach { f =>
-        if (f.getName.startsWith("batch0")) f.setLastModified(now - 10000L)
-        else if (f.getName.startsWith("batch1")) f.setLastModified(now)
-      }
+      staggerBatches(landing, Seq("batch0", "batch1"))
       val q = spark.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType))))
@@ -1014,7 +1041,20 @@ object StreamingIndex {
           ()
         }
         .start()
-      q.awaitTermination()
+      try q.awaitTermination() catch {
+        case e: Throwable =>
+          // by the time the refusal (or any mid-run failure) surfaces
+          // here, the PRIOR batches' versions and their checkpoint
+          // entries are already durable — a bare retry would replay the
+          // same misordered sequence from the checkpoint and throw
+          // forever (the committed-guard above would even skip
+          // re-staging). Wipe the run's whole derived state so the next
+          // call re-stages with fresh mtimes and starts clean; landing,
+          // checkpoint and versions are all rebuilt from the fixture.
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(root))
+          throw e
+      }
     }
     TextAnalysis.packAggregate(
       spark.read.parquet(s"$versions/b*/rows"), budget)

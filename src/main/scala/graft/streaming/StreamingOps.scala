@@ -43,8 +43,7 @@ object StreamingOps extends Serializable {
     * shared with the batch loader, so the two paths cannot drift.
     */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
+    val schema = Tables.eventsRaw(spark, sfDir).schema
     Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(stageEventsDir(sfDir)))
   }
@@ -208,8 +207,7 @@ object StreamingOps extends Serializable {
     if (!java.nio.file.Files.exists(b0))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"), b0)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.eventsRaw(spark, sfDir)
     // +10 days puts the sentinel far past every real session end + the
     // watermark delay. The literal is built in the fixture's OWN physical
     // ts encoding ([[Tables.tsLiteral]] — the inverse of the one shared
@@ -251,8 +249,7 @@ object StreamingOps extends Serializable {
                               gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dir = stageSessionDir(spark, sfDir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
+    val schema = Tables.eventsRaw(spark, sfDir).schema
     val stream = Tables.normalizeTs(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))

@@ -339,11 +339,17 @@ class DedupSpec extends SparkSpec {
 
   test("scd2Merge closes changed rows and keeps one current row per key") {
     import graft.operators.Ingest
+    val maxKey = Tables.load(spark, sf, "customer")
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).head.getLong(0)
     val rows = Ingest.scd2Merge(spark, sf).collect()
     val byKey = rows.groupBy(_.getAs[Long]("key"))
     byKey.foreach { case (key, vs) =>
       assert(vs.count(_.getAs[Boolean]("is_current")) == 1, s"key $key")
-      if (key < 100000 && key % 5 == 0) {
+      if (key > maxKey) {
+        // inserted brand-new key (max-shifted): one open current row
+        assert(vs.length == 1)
+        assert(vs.head.getAs[java.sql.Date]("valid_to") == null)
+      } else if (key % 5 == 0) {
         // changed: closed original + open NEW- row
         assert(vs.length == 2)
         val closed = vs.find(!_.getAs[Boolean]("is_current")).get

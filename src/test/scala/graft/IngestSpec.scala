@@ -33,6 +33,27 @@ class IngestSpec extends SparkSpec {
     assert(res.forall(_.getAs[Long]("id") % 5 != 0))
   }
 
+  test("cdcFixtureLog insert keys stay disjoint from the snapshot at any " +
+    "key range (max-derived shift, not a literal)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // keys straddle the historical 200000 literal: a fixed shift would
+    // collide (6 + 200000 = 200006 is a real key below) and silently turn
+    // the seq-3 insert into an overwrite; the max-derived shift cannot
+    val keys = Seq(6L, 12L, 30L, 199998L, 200006L, 234567L)
+    val cust = keys.map(k => (k, s"c$k", 1.0, "SEG")).toDF(
+      "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val inserted = Ingest.cdcFixtureLog(cust)
+      .filter(col("seq") === 3L).select("key").as[Long].collect().toSet
+    assert(inserted.nonEmpty)
+    assert(inserted.intersect(keys.toSet).isEmpty)
+    // every insert must therefore survive into the applied live set
+    val live = graft.operators.Ingest.cdcShape(Ingest.cdcLww(
+      Ingest.cdcSnapshot(cust).unionAll(Ingest.cdcFixtureLog(cust))))
+      .select("key").as[Long].collect().toSet
+    assert(inserted.subsetOf(live))
+  }
+
   test("text search returns at most topK docs with positive scores, desc") {
     val res = TextSearch.searchExact(spark, sf, topK = 20).collect()
     assert(res.nonEmpty && res.length <= 20)

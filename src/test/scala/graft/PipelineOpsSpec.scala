@@ -57,7 +57,8 @@ class PipelineOpsSpec extends SparkSpec {
     // positive and consistent with its own token sum
     packs.foreach { p =>
       assert(math.abs(p.getAs[Double]("fill_ratio") -
-        p.getAs[Long]("n_tokens").toDouble / 512.0) < 1e-3)
+        p.getAs[Long]("n_tokens").toDouble /
+          TextAnalysis.DefaultPackBudget.toDouble) < 1e-3)
     }
   }
 
@@ -293,6 +294,53 @@ class PipelineOpsSpec extends SparkSpec {
     }.toSet
     assert(flagged.keySet == want)
     flagged.values.foreach(z => assert(z >= 2.0))
+  }
+
+  test("bpeMergeExpr equals the left-to-right non-overlapping fold on " +
+    "multi-char symbols, runs and straddle-prone sequences") {
+    import spark.implicits._
+    // the reference semantics: scan left to right, merge each adjacent
+    // (bl, br) occurrence exactly once, never re-using a consumed symbol
+    def refMerge(parts: Seq[String], bl: String, br: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < parts.length) {
+        if (i + 1 < parts.length && parts(i) == bl && parts(i + 1) == br) {
+          out += (bl + br); i += 2
+        } else { out += parts(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val syms = Vector("a", "b", "ab", "th", "e", "aa")
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 300).map { _ =>
+      Seq.fill(1 + rnd.nextInt(8))(syms(rnd.nextInt(syms.length)))
+    } ++ Seq(
+      Seq("th", "e"),                  // the straddle that breaks naive replace
+      Seq("a", "a", "a"),              // odd run: merge, leftover
+      Seq("a", "a", "a", "a"),         // even run: two chained merges
+      Seq("b", "a", "a", "a", "c"))
+    val df = cases.map(_.mkString(" ")).toDF("sym")
+    for ((bl, br) <- Seq(("a", "a"), ("a", "b"), ("th", "e"), ("a", "ab"),
+        ("ab", "b"), ("e", "th"), ("aa", "a"))) {
+      val got = df.select(TextAnalysis.bpeMergeExpr(col("sym"), lit(bl),
+        lit(br)).as("m")).as[String].collect().toSeq
+      val want = cases.map(c => refMerge(c, bl, br).mkString(" "))
+      assert(got == want, s"pair ($bl,$br)")
+    }
+  }
+
+  test("bpeFit learns `iters` distinct merges; round 1 is bpeMergeStep's " +
+    "argmax") {
+    val rows = TextAnalysis.bpeFit(spark, sf, iters = 3).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getAs[Long]("freq") > 0L))
+    // a merged pair's adjacency is fully consumed, so no round can
+    // re-learn an earlier round's pair
+    val pairs = rows.map(r =>
+      (r.getAs[String]("lsym"), r.getAs[String]("rsym"))).toSeq
+    assert(pairs.distinct.length == 3)
   }
 
   test("kmeansIterate: every seed anchors a non-empty cluster, members " +

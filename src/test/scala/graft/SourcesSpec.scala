@@ -239,9 +239,9 @@ class SourcesSpec extends SparkSpec {
           ArrayType(FloatType, false), ArrayType(DoubleType, true),
           ArrayType(DoubleType, false)),
         "label" -> exact(IntegerType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val drift = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
-      val actual = Tables.load(spark, sf, table).schema
+      val actual = (if (table == "events") Tables.eventsRaw(spark, sf)
+                    else Tables.load(spark, sf, table)).schema
       val missing = cols.collect {
         case (name, _) if !actual.fieldNames.contains(name) =>
           s"$table.$name: MISSING (fixture has ${actual.fieldNames.mkString(",")})"

@@ -14,8 +14,7 @@ class StreamingSpec extends SparkSpec {
 
   test("two-micro-batch sessionize: open sessions continue across batches") {
     // split events at the median timestamp into two files -> two batches
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.normalizeTs(Tables.load(spark, sf, "events"))
+    val ev = Tables.normalizeTs(Tables.eventsRaw(spark, sf))
       .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
     val cut = ev.stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
     val dir = Files.createTempDirectory("graft_2batch")
@@ -102,8 +101,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("checkpointed file-sink ingest is exactly-once across restarts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.load(spark, sf, "events")
+    val ev = Tables.eventsRaw(spark, sf)
       .select(col("event_id"), col("user_id"))
     val cut = ev.count() / 2
     val src = Files.createTempDirectory("graft_ingest_src")
@@ -334,8 +332,7 @@ class StreamingSpec extends SparkSpec {
     // append-mode windowed aggregation over ≥3 time-ordered micro-batches
     // must EVICT finalized windows as the watermark advances, so the
     // state store never holds every window ever seen
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.normalizeTs(Tables.load(spark, sf, "events"))
+    val ev = Tables.normalizeTs(Tables.eventsRaw(spark, sf))
       .select(col("event_id"), col("event_type"), col("value"),
         col("ts_us").as("us"))
     val qs = ev.stat.approxQuantile("us", Array(0.25, 0.5, 0.75), 0.0)
