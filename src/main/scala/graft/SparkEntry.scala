@@ -185,6 +185,15 @@ object SparkEntry {
     // argmax adjacent pair → merge everywhere → post-merge pair table
     "bpe_merge_step" -> ((s, d) => TextAnalysis.bpeMergeStep(s, d)),
     "bpe_fit" -> ((s, d) => TextAnalysis.bpeFit(s, d)),
+    // tokenizer application: encode the corpus with the fitted merges,
+    // per-source word→piece compression
+    "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // Misra–Gries two-pass heavy hitters: sketch → recount → exact
+    // "share > 1/m" set (kilobyte shuffle instead of the full vocab)
+    "heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
+    // closed-form standardized ridge fit of the quality blend on doc
+    // features — sufficient statistics in one pass, Cramer solve in-plan
+    "quality_regression" -> ((s, d) => Regression.qualityRegression(s, d)),
     "langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -261,6 +270,13 @@ object SparkEntry {
     "metrics_unpivot" -> ((s, d) => Relational.metricsUnpivot(s, d)),
     "collect_sorted" -> ((s, d) => Events.collectSorted(s, d)),
     "hash_sample" -> ((s, d) => TextAnalysis.hashSample(s, d)),
+    // deterministic epoch shuffle: seeded-hash order, per-shard positions
+    "epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
+    // A-ES weighted sampling without replacement via max-of-w integer
+    // hash keys — engine-portable, no pow/log
+    "weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    // weekly cohort-retention triangle over first-event cohorts
+    "cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "streaming_windows" ->
       ((s, d) => graft.streaming.StreamingOps.streamingEventWindows(s, d)),
@@ -785,11 +801,16 @@ object SparkEntry {
     * computes ([[graft.operators.TextAnalysis.bpeMergeExpr]]), so merge
     * order and boundary handling are bit-identical across engines.
     */
-  private lazy val DuckBpeFitOracle: String = {
-    val iters = 3
+  /** The fit's CTE chain — v0 (word, count, char-split sym) through
+    * pc_i/b_i (pair counts, argmax) and v_i (post-merge vocab) for every
+    * round. `w` rides through the merges so the encode oracle can join
+    * the final segmentation back to the corpus; the fit oracle ignores
+    * it. Shared by `bpe_fit` and `bpe_encode`.
+    */
+  private def duckBpeChain(iters: Int): String = {
     val vocab =
       """v0 AS (
-        |  SELECT count(*) AS cnt,
+        |  SELECT w, count(*) AS cnt,
         |    array_to_string(regexp_extract_all(w, '.'), ' ') AS sym
         |  FROM (
         |    SELECT lower(tok) AS w FROM (
@@ -814,20 +835,53 @@ object SparkEntry {
          |)""".stripMargin
     def merge(i: Int) =
       s"""v$i AS (
-         |  SELECT cnt, trim(replace(replace(
+         |  SELECT w, cnt, trim(replace(replace(
          |      ' ' || replace(sym, ' ', '  ') || ' ',
          |      ' ' || bl || '  ' || br || ' ',
          |      ' ' || bl || br || ' '), '  ', ' ')) AS sym
          |  FROM v${i - 1} CROSS JOIN
          |    (SELECT lsym AS bl, rsym AS br FROM b$i)
          |)""".stripMargin
-    val rounds = (1 to iters).map { i =>
-      if (i < iters) pick(i) + ",\n" + merge(i) else pick(i)
-    }.mkString(",\n")
+    vocab + ",\n" +
+      (1 to iters).map(i => pick(i) + ",\n" + merge(i)).mkString(",\n")
+  }
+
+  private lazy val DuckBpeFitOracle: String = {
+    val iters = 3
     val finals = (1 to iters).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS step, lsym, rsym, freq
          |FROM b$i""".stripMargin).mkString("\nUNION ALL\n")
-    s"WITH $vocab,\n$rounds\nSELECT * FROM (\n$finals\n) ORDER BY step"
+    s"WITH ${duckBpeChain(iters)}\n" +
+      s"SELECT * FROM (\n$finals\n) ORDER BY step"
+  }
+
+  /** Tokenizer application — the final vocab's per-word piece count
+    * joined back to the token stream, aggregated per source. Mirrors
+    * [[graft.operators.TextAnalysis.bpeEncode]]: eligible words hit the
+    * vocab (LEFT JOIN), everything else counts as one piece.
+    */
+  private lazy val DuckBpeEncodeOracle: String = {
+    val iters = 3
+    s"""WITH ${duckBpeChain(iters)},
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+       |  FROM v$iters
+       |), t AS (
+       |  SELECT source, lower(tok) AS w FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents
+       |  ) WHERE tok <> ''
+       |), j AS (
+       |  SELECT t.source, coalesce(e.n_sym, 1) AS n_bpe
+       |  FROM t LEFT JOIN enc e USING (w)
+       |), d AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+       |)
+       |SELECT j.source, d.n_docs, count(*) AS word_tokens,
+       |  CAST(sum(j.n_bpe) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(count(*) AS DOUBLE) / sum(j.n_bpe), 4) AS compression
+       |FROM j JOIN d USING (source)
+       |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
   }
 
   private lazy val DuckMmrOracle: String = {
@@ -1876,6 +1930,7 @@ object SparkEntry {
         |    AS BIGINT) AS rank, lsym, rsym, freq
         |FROM pc2 ORDER BY freq DESC, lsym, rsym LIMIT 20""".stripMargin,
     "bpe_fit" -> DuckBpeFitOracle,
+    "bpe_encode" -> DuckBpeEncodeOracle,
     "incremental_dedup" -> IncrementalOracleSql,
     // the streamed fold of the same batch (two micro-batches through one
     // checkpoint) — per-doc verdicts are split-independent, so it shares
@@ -2118,6 +2173,140 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, r.source
         |FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
         |ORDER BY doc_id""".stripMargin,
+    // seeded-hash epoch order: shard = h mod 8, position = rank within
+    // the shard — pure integer md5 arithmetic in both engines
+    "epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('ep1#' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    // A-ES weighted sampling without replacement: key = max of wt
+    // replica hashes (P(key<u) = u^wt, the integer-weight A-ES key) —
+    // int64 md5 arithmetic, no pow/log, so ranks are bit-identical
+    "weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+        |      WHEN 'es' THEN 3 ELSE 4 END AS wt,
+        |    list_max(list_transform(generate_series(1,
+        |      CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+        |        WHEN 'es' THEN 3 ELSE 4 END),
+        |      j -> ('0x' || substr(md5(text || '#' || CAST(j AS VARCHAR)),
+        |        1, 8))::BIGINT)) AS sel_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, wt, sel_key
+        |FROM k ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    // weekly cohort-retention triangle; weeks are epoch_us // 1-week-µs
+    // so bucketing has no week-start/locale semantics
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, week FROM e
+        |), s AS (
+        |  SELECT cohort_week, count(*) AS cohort_n FROM c GROUP BY 1
+        |)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |  count(*) AS n_active, s.cohort_n,
+        |  round(CAST(count(*) AS DOUBLE) / s.cohort_n, 4) AS retention
+        |FROM a JOIN c USING (user_id)
+        |JOIN s ON s.cohort_week = c.cohort_week
+        |GROUP BY c.cohort_week, week_offset, s.cohort_n
+        |ORDER BY 1, 2""".stripMargin,
+    // the two-pass Misra–Gries result is EXACTLY "tokens with share
+    // > 1/m" (sketch guarantees candidates ⊇ that set; the recount is
+    // exact), so the oracle is a plain frequency filter
+    "heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT lower(tok) AS tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |  ) WHERE tok <> ''
+        |), n AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY 1)
+        |SELECT c.tok, c.freq, round(CAST(c.freq AS DOUBLE) / n.n, 6)
+        |  AS share
+        |FROM c, n WHERE c.freq * 29 > n.n
+        |ORDER BY c.freq DESC, c.tok""".stripMargin,
+    // the sufficient-statistics ridge fit, formula-for-formula the same
+    // arithmetic as the operator (covariances → correlations → Cramer on
+    // R + λI with λ = 0.5); rounding at 4dp absorbs summation-order ulps
+    "quality_regression" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lower(tok) AS tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents
+        |  ) WHERE tok <> ''
+        |), pt AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    count(DISTINCT tok) AS n_distinct,
+        |    sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it')
+        |        THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok GROUP BY 1
+        |), f AS (
+        |  SELECT ln(1.0 + length(d.text)) AS x1,
+        |    CAST(length(d.text) AS DOUBLE) / pt.n_tokens AS x2,
+        |    CAST(pt.n_distinct AS DOUBLE) / pt.n_tokens AS x3,
+        |    (CAST(pt.n_stop AS DOUBLE) / pt.n_tokens) * 0.5 +
+        |      (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g'))
+        |        AS DOUBLE) / length(d.text)) * 0.5 AS y
+        |  FROM documents d JOIN pt USING (doc_id)
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
+        |    sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x3*x3) AS s33,
+        |    sum(y*y) AS syy, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+        |    sum(x2*x3) AS s23, sum(x1*y) AS sy1, sum(x2*y) AS sy2,
+        |    sum(x3*y) AS sy3
+        |  FROM f
+        |), c AS (
+        |  SELECT n,
+        |    s11/n - (s1/n)*(s1/n) AS v1,
+        |    s22/n - (s2/n)*(s2/n) AS v2,
+        |    s33/n - (s3/n)*(s3/n) AS v3,
+        |    syy/n - (sy/n)*(sy/n) AS vy,
+        |    s12/n - (s1/n)*(s2/n) AS c12,
+        |    s13/n - (s1/n)*(s3/n) AS c13,
+        |    s23/n - (s2/n)*(s3/n) AS c23,
+        |    sy1/n - (s1/n)*(sy/n) AS c1y,
+        |    sy2/n - (s2/n)*(sy/n) AS c2y,
+        |    sy3/n - (s3/n)*(sy/n) AS c3y
+        |  FROM s
+        |), r AS (
+        |  SELECT n, 1.5 AS d,
+        |    c12 / sqrt(v1*v2) AS r12, c13 / sqrt(v1*v3) AS r13,
+        |    c23 / sqrt(v2*v3) AS r23, c1y / sqrt(v1*vy) AS ry1,
+        |    c2y / sqrt(v2*vy) AS ry2, c3y / sqrt(v3*vy) AS ry3
+        |  FROM c
+        |), a AS (
+        |  SELECT n, ry1, ry2, ry3,
+        |    (ry1*(d*d - r23*r23) - r12*(ry2*d - r23*ry3)
+        |      + r13*(ry2*r23 - d*ry3)) /
+        |    (d*(d*d - r23*r23) - r12*(r12*d - r23*r13)
+        |      + r13*(r12*r23 - d*r13)) AS a1,
+        |    (d*(ry2*d - r23*ry3) - ry1*(r12*d - r23*r13)
+        |      + r13*(r12*ry3 - ry2*r13)) /
+        |    (d*(d*d - r23*r23) - r12*(r12*d - r23*r13)
+        |      + r13*(r12*r23 - d*r13)) AS a2,
+        |    (d*(d*ry3 - ry2*r23) - r12*(r12*ry3 - ry2*r13)
+        |      + ry1*(r12*r23 - d*r13)) /
+        |    (d*(d*d - r23*r23) - r12*(r12*d - r23*r13)
+        |      + r13*(r12*r23 - d*r13)) AS a3
+        |  FROM r
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  round(a1, 4) AS w_len,
+        |  round(a2, 4) AS w_chars_per_tok,
+        |  round(a3, 4) AS w_distinct_ratio,
+        |  round(a1*ry1 + a2*ry2 + a3*ry3, 4) AS r2_explained
+        |FROM a""".stripMargin,
     "percentiles" ->
       """SELECT c_mktsegment,
         |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,

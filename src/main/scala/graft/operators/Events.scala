@@ -128,6 +128,40 @@ object Events {
           .as("click_to_purchase"))
   }
 
+  /** Weekly cohort-retention matrix: users bucketed by their FIRST
+    * event's week (the cohort), then counted in every later week they
+    * return — the classic retention triangle, plus the rate against the
+    * cohort's size. Weeks are integer `epoch_micros div 1-week-µs` so
+    * both engines bucket identically (no locale/week-start semantics).
+    *
+    * Scale shape: one per-user min-aggregate (the cohort assignment),
+    * joined back to a per-(user, week) distinct frame — both sides are
+    * aggregates keyed on user_id, so the join is ≤ one row per user per
+    * active week, never raw-events × raw-events; the final matrix is
+    * cohorts × offsets (tiny). At 100 TB the only event-scale stage is
+    * the two initial hash aggregates, both map-side partial.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = e.distinct()
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_n"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_n"),
+        round(col("n_active").cast("double") / col("cohort_n"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = ev(spark, sfDir)
       .filter(col("event_type").isin("purchase", "signup"))

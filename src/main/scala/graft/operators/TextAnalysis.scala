@@ -131,12 +131,18 @@ object TextAnalysis {
     * space-delimited symbol string). Shared by [[bpeMergeStep]] and
     * [[bpeFit]] so the two can never tokenize differently.
     */
+  /** (w, cnt, sym): the distinct eligible words with corpus counts and
+    * their space-delimited single-character symbol split — the frame the
+    * BPE fit iterates over; `w` rides along so [[bpeEncode]] can join the
+    * final segmentation back to the corpus tokens.
+    */
   private def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
     tokensPos(Tables.load(spark, sfDir, "documents"))
       .select(lower(col("tok")).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), array_join(split(col("w"), ""), " ").as("sym"))
+      .select(col("w"), col("cnt"),
+        array_join(split(col("w"), ""), " ").as("sym"))
 
   /** Adjacent-pair frequency table over a (cnt, sym) vocabulary —
     * partial-aggregates map-side down to the symbol-pair frame. */
@@ -233,8 +239,18 @@ object TextAnalysis {
     * per-round cost is O(vocab · word_len) regardless of `iters`.
     */
   def bpeFit(spark: SparkSession, sfDir: String,
-             iters: Int = 3): DataFrame = {
-    var vocab = bpeVocab(spark, sfDir).localCheckpoint()
+             iters: Int = 3): DataFrame =
+    bpeMergeRounds(bpeVocab(spark, sfDir), iters)._1
+      .reduce(_ unionAll _).orderBy("step")
+
+  /** The shared fit loop: `iters` rounds of pick-argmax-pair → merge it
+    * everywhere, carrying ALL of `vocab0`'s columns through each round so
+    * callers can keep the word key alongside the evolving segmentation.
+    * Returns (one merge-table frame per round, the post-merge vocab).
+    */
+  private def bpeMergeRounds(vocab0: DataFrame,
+                             iters: Int): (Seq[DataFrame], DataFrame) = {
+    var vocab = vocab0.localCheckpoint()
     val steps = (1 to iters).map { i =>
       val best = bpePairCounts(vocab)
         .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(1)
@@ -242,13 +258,55 @@ object TextAnalysis {
       vocab = vocab
         .crossJoin(broadcast(
           best.select(col("lsym").as("bl"), col("rsym").as("br"))))
-        .select(col("cnt"),
-          bpeMergeExpr(col("sym"), col("bl"), col("br")).as("sym"))
+        .withColumn("sym", bpeMergeExpr(col("sym"), col("bl"), col("br")))
+        .drop("bl", "br")
         .localCheckpoint()
       best.select(lit(i.toLong).as("step"),
         col("lsym"), col("rsym"), col("freq"))
     }
-    steps.reduce(_ unionAll _).orderBy("step")
+    (steps, vocab)
+  }
+
+  /** Tokenizer APPLICATION — encode the corpus with the vocabulary
+    * [[bpeFit]] learned and report the per-source compression: each
+    * eligible word's token count is the symbol count of its post-merge
+    * segmentation; ineligible tokens (digits, punctuation, CJK) count as
+    * one piece each. The output is the table a tokenizer change is judged
+    * by: words vs BPE pieces per source, and the compression ratio.
+    *
+    * Scale shape: the fit runs over the vocab frame (never the corpus);
+    * the application is ONE corpus-scale equi-join from the token stream
+    * to the ≤ vocab-sized (word → piece-count) table — the standard
+    * "tokenize by lookup" layout, broadcastable when the vocab is small
+    * and a plain hash join when it is not — followed by a per-source
+    * partial aggregate. No per-round corpus passes, no driver loops over
+    * data (the merge table stays distributed; only round COUNT is fixed).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String,
+                iters: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val enc = bpeMergeRounds(bpeVocab(spark, sfDir), iters)._2
+      .select(col("w"),
+        size(split(col("sym"), " ")).cast("long").as("n_sym"))
+    // source rides THROUGH the explode — no corpus-scale join back to
+    // documents just to re-fetch a scan column
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), lower(col("tok")).as("w"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    toks.join(enc, Seq("w"), "left")
+      .select(col("source"),
+        coalesce(col("n_sym"), lit(1L)).as("n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("word_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"))
+      .join(nDocs, "source")
+      .select(col("source"), col("n_docs"), col("word_tokens"),
+        col("bpe_tokens"),
+        round(col("word_tokens").cast("double") / col("bpe_tokens"), 4)
+          .as("compression"))
+      .orderBy("source")
   }
 
   /** Token-profile language ID: score(doc, lang) = Σ over doc tokens of that
@@ -405,6 +463,65 @@ object TextAnalysis {
       .filter(hash32(col("text")) % mod === 0)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
+
+  /** Deterministic epoch shuffle + shard assignment — the "global
+    * shuffle" a training run needs, as a sort by a seeded content-
+    * independent hash: shard = h mod nShards, position = rank of
+    * (h, doc_id) within the shard. Reproducible across runs (the seed is
+    * in the key), uniform across shards, and changing the seed string
+    * re-deals the entire order — epoch 2 is `ep2#`.
+    *
+    * Scale shape: one hash-partition shuffle on the shard key, then a
+    * per-shard sort for the position rank — with nShards sized to the
+    * cluster (thousands at 100 TB) each shard sorts in parallel and no
+    * global total-order sort ever runs. This is exactly how a 100 TB
+    * corpus gets its training order: shard-local positions, not one
+    * row_number over everything.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String,
+                   nShards: Int = 8, seed: String = "ep1"): DataFrame = {
+    val h = hash32(concat(lit(s"$seed#"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Weighted sampling WITHOUT replacement via the max-of-w-hashes key:
+    * a doc with integer weight w gets key = max of w independent
+    * engine-portable hashes (md5 of text + replica tag), and the sample
+    * is the global top-k by key. P(key < u) = u^w, which is exactly the
+    * Efraimidis–Spirakis A-ES key u^(1/w) for integer weights — but in
+    * pure int64 arithmetic: no pow/log, so Spark and the DuckDB oracle
+    * rank bit-identically. Weights here upweight rare languages (the
+    * training-mixture knob); any integer weight column works.
+    *
+    * Scale shape: the keys are one narrow map pass (w ≤ 4 md5 calls per
+    * row) and the sample is a TakeOrderedAndProject top-k — per-partition
+    * heaps, k rows to the driver, no global sort. At 100 TB that is a
+    * scan plus a k-row reduce.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     k: Int = 100): DataFrame = {
+    val wt = expr(
+      "CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2 " +
+        "WHEN 'es' THEN 3 ELSE 4 END")
+    val selKey = expr(
+      "array_max(transform(sequence(1, wt), j -> " +
+        "cast(conv(substring(md5(concat(text, '#', cast(j as string))), " +
+        "1, 8), 16, 10) as bigint)))")
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("wt", wt)
+      .select(col("doc_id"), col("lang"), col("source"), col("wt"),
+        selKey.as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(k)
+      .orderBy("doc_id")
+  }
 
   /** Balanced-mixture sampling — equalize a skewed corpus across groups
     * (the "domain mixing" step of training-data prep): every language
