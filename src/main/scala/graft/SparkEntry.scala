@@ -283,6 +283,11 @@ object SparkEntry {
     "vector_centroids" -> ((s, d) => VectorAnalytics.centroids(s, d)),
     "pairwise_sim_hist" -> ((s, d) => VectorAnalytics.pairwiseSimHist(s, d)),
     "vector_stats" -> ((s, d) => VectorAnalytics.vectorStats(s, d)),
+    // top principal component via power iteration — one map pass per
+    // round, O(d) driver state, Rayleigh eigenvalue alongside
+    "pca_power" -> ((s, d) => VectorAnalytics.pcaPowerIteration(s, d)),
+    // rolling per-user z-score anomaly flags over a trailing ROWS frame
+    "event_anomalies" -> ((s, d) => Events.eventAnomalies(s, d)),
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
     "ann_ivf_persisted" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     // the scale path for SQL-only consumers; rows-only here because it is
@@ -882,6 +887,61 @@ object SparkEntry {
        |  round(CAST(count(*) AS DOUBLE) / sum(j.n_bpe), 4) AS compression
        |FROM j JOIN d USING (source)
        |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
+  }
+
+  /** Power iteration unrolled for DuckDB — the same centered map-reduce
+    * per round as [[graft.operators.VectorAnalytics.pcaPowerIteration]]
+    * (dot in element order, per-dim sums, normalize by √Σw²), so the
+    * 5dp/4dp-rounded outputs agree across engines.
+    */
+  private lazy val DuckPcaOracle: String = {
+    val iters = 3
+    val head =
+      """emb AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM emb),
+        |dim AS (SELECT CAST(len(v) AS DOUBLE) AS d FROM emb LIMIT 1),
+        |mu AS (
+        |  SELECT list(m ORDER BY pos) AS ml FROM (
+        |    SELECT pos, avg(x) AS m FROM (
+        |      SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+        |      FROM emb) GROUP BY pos)
+        |), c AS (
+        |  -- scalars CROSS JOINed in (1-row frames): DuckDB rejects
+        |  -- subqueries inside lambda bodies
+        |  SELECT list_transform(list_zip(v, ml), p -> p[1] - p[2]) AS x
+        |  FROM emb, mu
+        |), v0 AS (
+        |  SELECT list_transform(ml, q -> 1.0 / sqrt(d)) AS v
+        |  FROM mu, dim
+        |)""".stripMargin
+    def round_(i: Int) =
+      s"""w$i AS (
+         |  SELECT pos, sum(xx * s) AS wv FROM (
+         |    SELECT unnest(x) AS xx, generate_subscripts(x, 1) AS pos,
+         |      list_sum(list_transform(list_zip(x, v),
+         |        p -> p[1] * p[2])) AS s
+         |    FROM c, v${i - 1}) GROUP BY pos
+         |), v$i AS (
+         |  SELECT list(wv / sqrt((SELECT sum(wv * wv) FROM w$i))
+         |    ORDER BY pos) AS v
+         |  FROM w$i
+         |)""".stripMargin
+    val rounds = (1 to iters).map(round_).mkString(",\n")
+    s"""WITH $head,
+       |$rounds,
+       |wl AS (SELECT list(wv ORDER BY pos) AS w FROM w$iters),
+       |ray AS (
+       |  SELECT round(list_sum(list_transform(
+       |    list_zip((SELECT v FROM v${iters - 1}), (SELECT w FROM wl)),
+       |    p -> p[1] * p[2])) / (SELECT n FROM nn), 4) AS ev
+       |)
+       |SELECT CAST(pos AS BIGINT) AS idx, round(vv, 5) AS loading,
+       |  (SELECT ev FROM ray) AS eigenvalue
+       |FROM (SELECT unnest(v) AS vv, generate_subscripts(v, 1) AS pos
+       |      FROM v$iters)
+       |ORDER BY idx""".stripMargin
   }
 
   private lazy val DuckMmrOracle: String = {
@@ -1931,6 +1991,28 @@ object SparkEntry {
         |FROM pc2 ORDER BY freq DESC, lsym, rsym LIMIT 20""".stripMargin,
     "bpe_fit" -> DuckBpeFitOracle,
     "bpe_encode" -> DuckBpeEncodeOracle,
+    "pca_power" -> DuckPcaOracle,
+    // rolling z-score anomalies; mu/sd on the 6dp grid before the gate
+    "event_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, event_type, us, value,
+        |    round(avg(value) OVER win, 6) AS mu,
+        |    round(stddev_samp(value) OVER win, 6) AS sd,
+        |    count(value) OVER win AS n_prev
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, event_type, us,
+        |  round(value, 4) AS value, round(mu, 4) AS baseline_mean,
+        |  round((value - mu) / sd, 4) AS zscore
+        |FROM w
+        |WHERE n_prev >= 10 AND sd > 0
+        |  AND abs(round((value - mu) / sd, 4)) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "incremental_dedup" -> IncrementalOracleSql,
     // the streamed fold of the same batch (two micro-batches through one
     // checkpoint) — per-doc verdicts are split-independent, so it shares

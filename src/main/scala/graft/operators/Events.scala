@@ -162,6 +162,42 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Rolling z-score anomaly detection: each event scored against the
+    * SAME user's trailing `w`-event window (mean/stddev over ROWS
+    * [-w, -1] — strictly before the current row, so the anomaly can't
+    * dilute its own baseline); flagged when |z| > `z` with at least
+    * `minN` prior events. The batch face of a monitoring alert.
+    *
+    * Scale shape: one shuffle on user_id then a single-pass bounded
+    * ROWS frame — O(w) state per row, no self-join, and the partition
+    * key is the high-cardinality user dimension (millions of users →
+    * full parallelism; a per-TYPE baseline would need a time-bucketed
+    * key to avoid 5-partition skew at 100 TB).
+    */
+  def eventAnomalies(spark: SparkSession, sfDir: String, w: Int = 20,
+                     minN: Int = 10, z: Double = 3.0): DataFrame = {
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-w, -1)
+    ev(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      // mu/sd rounded at 6dp BEFORE the z gate (the embeddingOutliers
+      // device): the windowed moments are the engine-order-sensitive
+      // terms, and the threshold must compare the same grid value in
+      // both engines
+      .withColumn("mu", round(avg(col("value")).over(win), 6))
+      .withColumn("sd", round(stddev_samp(col("value")).over(win), 6))
+      .withColumn("n_prev", count(col("value")).over(win))
+      .withColumn("z",
+        round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(col("n_prev") >= minN && col("sd") > 0 && abs(col("z")) > z)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("us"), round(col("value"), 4).as("value"),
+        round(col("mu"), 4).as("baseline_mean"), col("z").as("zscore"))
+      .orderBy("event_id")
+  }
+
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = ev(spark, sfDir)
       .filter(col("event_type").isin("purchase", "signup"))

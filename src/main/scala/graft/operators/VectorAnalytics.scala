@@ -96,6 +96,60 @@ object VectorAnalytics {
       .orderBy("label", "vec_id")
   }
 
+  /** Top principal component by POWER ITERATION — the auditable
+    * distributed-linear-algebra step under PCA whitening / spectral
+    * outlier screens: `iters` rounds of w ← Σᵢ x̃ᵢ (x̃ᵢ·v), v ← w/‖w‖
+    * over the CENTERED embeddings, starting from the deterministic
+    * uniform unit vector. Emits the component loadings plus the
+    * Rayleigh-quotient eigenvalue estimate v⁽ᵗ⁻¹⁾·w⁽ᵗ⁾/n (the top
+    * covariance eigenvalue, i.e. variance explained by the component).
+    *
+    * Scale shape: each round is ONE map pass over the corpus — the
+    * current v rides in as a d-literal array (no join), the per-row work
+    * is a dot product + scaled copy, and the reduction is the (pos)
+    * skinny-row partial aggregate ([[centroids]]' layout) down to d
+    * values. Driver state is O(d) per round (the iterate), exactly like
+    * [[kmeansIterate]]'s seed handling; nothing data-sized is ever
+    * collected. At 100 TB: `iters` scans, each embarrassingly parallel.
+    */
+  def pcaPowerIteration(spark: SparkSession, sfDir: String,
+                        iters: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val n = emb.count()
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val muRows = emb.select(posexplode(col("v"))).toDF("pos", "x")
+      .groupBy("pos").agg(avg(col("x")).as("m")).collect()
+    val mu = Array.ofDim[Double](dim)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    def litArr(a: Array[Double]) = array(a.map(lit(_)).toIndexedSeq: _*)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var rayleigh = 0.0
+    (1 to iters).foreach { _ =>
+      val centered = zip_with(col("v"), litArr(mu), (a, b) => a - b)
+      val wRows = emb
+        .select(centered.as("c"))
+        .select(posexplode(col("c")), dot(col("c"), litArr(v)).as("s"))
+        .toDF("pos", "x", "s")
+        .select(col("pos"), (col("x") * col("s")).as("xs"))
+        .groupBy("pos").agg(sum(col("xs")).as("w")).collect()
+      val w = Array.ofDim[Double](dim)
+      wRows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      rayleigh = v.zip(w).map { case (a, b) => a * b }.sum / n
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    import spark.implicits._
+    // half-away-from-zero, the same rule Spark's round() and DuckDB's
+    // round() apply — rint would round half-even and could diverge
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => ((i + 1).toLong, r(x, 5), r(rayleigh, 4)) }
+      .toDF("idx", "loading", "eigenvalue")
+      .orderBy("idx")
+  }
+
   /** One full Lloyd (k-means) iteration with deterministic seeds, surfaced
     * as an auditable relation: seed centroids = the first `k` vectors by
     * vec_id, assignment = arg-min squared L2 (ties to the smaller

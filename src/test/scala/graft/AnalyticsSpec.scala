@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, VectorAnalytics}
+
+/** Round-11 analytics: power-iteration PCA and rolling z-score
+  * anomalies, each checked against an independent local
+  * reimplementation.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("pcaPowerIteration matches a local dense power iteration and " +
+    "returns a unit top component with positive eigenvalue") {
+    val got = VectorAnalytics.pcaPowerIteration(spark, sf).collect()
+    val loadings = got.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val eig = got.head.getDouble(2)
+    // unit norm (post-rounding tolerance)
+    val nrm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-3, s"norm $nrm")
+    assert(eig > 0.0, s"eigenvalue $eig")
+    // independent local reimplementation on the collected matrix
+    val x = Tables.load(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = x.length
+    val d = x.head.length
+    val mu = Array.tabulate(d)(j => x.map(_(j)).sum / n)
+    val c = x.map(r => r.zip(mu).map { case (a, b) => a - b })
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var ray = 0.0
+    (1 to 3).foreach { _ =>
+      val w = Array.ofDim[Double](d)
+      c.foreach { r =>
+        val s = r.zip(v).map { case (a, b) => a * b }.sum
+        var j = 0; while (j < d) { w(j) += r(j) * s; j += 1 }
+      }
+      ray = v.zip(w).map { case (a, b) => a * b }.sum / n
+      val wn = math.sqrt(w.map(y => y * y).sum)
+      v = w.map(_ / wn)
+    }
+    loadings.zip(v).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, s"loading $a vs local $b")
+    }
+    assert(math.abs(eig - ray) < 1e-3, s"eig $eig vs local $ray")
+  }
+
+  test("eventAnomalies rows reproduce from a local trailing-window " +
+    "recomputation and respect the minN/z gates") {
+    val got = Events.eventAnomalies(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val local = scala.collection.mutable.Map.empty[Long, Double]
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(t => (t._3, t._1))
+      ordered.indices.foreach { i =>
+        val win = ordered.slice(math.max(0, i - 20), i).map(_._4)
+        if (win.length >= 10) {
+          val mu = r6(win.sum / win.length)
+          val sd = r6(math.sqrt(
+            win.map(x => (x - win.sum / win.length) *
+              (x - win.sum / win.length)).sum / (win.length - 1)))
+          if (sd > 0) {
+            val z = r4((ordered(i)._4 - mu) / sd)
+            if (math.abs(z) > 3.0) local(ordered(i)._1) = z
+          }
+        }
+      }
+    }
+    assert(got.keySet === local.keySet,
+      s"flag sets differ: extra=${got.keySet -- local.keySet} " +
+        s"missing=${local.keySet -- got.keySet}")
+    got.foreach { case (id, z) =>
+      assert(math.abs(z - local(id)) < 1e-9, s"event $id z $z vs ${local(id)}")
+    }
+    assert(got.nonEmpty, "fixture should flag at least one anomaly")
+  }
+}
