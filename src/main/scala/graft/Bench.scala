@@ -63,7 +63,10 @@ object Bench {
         // round 10: the streamed CDC fold chain, the streamed packing
         // chain, and the MMR-ANN index (one build per data fingerprint)
         "streaming_cdc_apply", "streaming_sequence_pack",
-        "mmr_rerank_ann")
+        "mmr_rerank_ann",
+        // round 11: the streamed MG sketch fold (one build per data
+        // fingerprint; timed reps recount from the committed fold)
+        "streaming_heavy_hitters")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

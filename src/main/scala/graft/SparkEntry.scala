@@ -191,6 +191,11 @@ object SparkEntry {
     // Misra–Gries two-pass heavy hitters: sketch → recount → exact
     // "share > 1/m" set (kilobyte shuffle instead of the full vocab)
     "heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
+    // the same sketch folded at ingest: per-trigger MG merge of <=m
+    // counters through the one shared merge seam, then the exact
+    // recount — row-identical to heavy_hitters, shared oracle
+    "streaming_heavy_hitters" -> ((s, d) =>
+      graft.streaming.StreamingIndex.streamingHeavyHitters(s, d)),
     // closed-form standardized ridge fit of the quality blend on doc
     // features — sufficient statistics in one pass, Cramer solve in-plan
     "quality_regression" -> ((s, d) => Regression.qualityRegression(s, d)),
@@ -888,6 +893,18 @@ object SparkEntry {
        |FROM j JOIN d USING (source)
        |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
   }
+
+  private val DuckHeavyHittersOracle: String =
+    """WITH t AS (
+      |  SELECT lower(tok) AS tok FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |  ) WHERE tok <> ''
+      |), n AS (SELECT count(*) AS n FROM t),
+      |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY 1)
+      |SELECT c.tok, c.freq, round(CAST(c.freq AS DOUBLE) / n.n, 6)
+      |  AS share
+      |FROM c, n WHERE c.freq * 29 > n.n
+      |ORDER BY c.freq DESC, c.tok""".stripMargin
 
   /** Power iteration unrolled for DuckDB — the same centered map-reduce
     * per round as [[graft.operators.VectorAnalytics.pcaPowerIteration]]
@@ -2305,18 +2322,11 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // the two-pass Misra–Gries result is EXACTLY "tokens with share
     // > 1/m" (sketch guarantees candidates ⊇ that set; the recount is
-    // exact), so the oracle is a plain frequency filter
-    "heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT lower(tok) AS tok FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-        |  ) WHERE tok <> ''
-        |), n AS (SELECT count(*) AS n FROM t),
-        |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY 1)
-        |SELECT c.tok, c.freq, round(CAST(c.freq AS DOUBLE) / n.n, 6)
-        |  AS share
-        |FROM c, n WHERE c.freq * 29 > n.n
-        |ORDER BY c.freq DESC, c.tok""".stripMargin,
+    // exact), so the oracle is a plain frequency filter; the streamed
+    // fold's result is delivery-order-independent and row-identical,
+    // so it shares the oracle verbatim
+    "heavy_hitters" -> DuckHeavyHittersOracle,
+    "streaming_heavy_hitters" -> DuckHeavyHittersOracle,
     // the sufficient-statistics ridge fit, formula-for-formula the same
     // arithmetic as the operator (covariances → correlations → Cramer on
     // R + λI with λ = 0.5); rounding at 4dp absorbs summation-order ulps

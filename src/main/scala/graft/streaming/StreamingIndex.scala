@@ -1060,6 +1060,94 @@ object StreamingIndex {
       spark.read.parquet(s"$versions/b*/rows"), budget)
   }
 
+  /** HEAVY-HITTERS-AT-INGEST — the streaming twin of
+    * [[graft.operators.Sketches.heavyHitters]]: each document
+    * micro-batch folds its capacity-m Misra–Gries summary into the
+    * persisted sketch state through the SAME mergeable-summaries merge
+    * the batch aggregator uses (one shared seam,
+    * `MisraGriesAgg.merge`), so the carried state is ≤ m counters plus
+    * the stream length — kilobytes per trigger, no state store, no
+    * watermark, O(batch + m) per trigger. The MG guarantee survives ANY
+    * merge order (the fold is commutative/associative), so after the
+    * last trigger the exact recount of the surviving candidates
+    * filtered at freq·m > n is STILL precisely the share > 1/m set —
+    * the streamed result is row-identical to `heavy_hitters` and shares
+    * its oracle verbatim.
+    *
+    * Replay discipline: per-batch state versions are overwrite-
+    * idempotent; a mid-run failure resumes from the checkpoint and
+    * rebuilds b(i)/state from b(i-1)/state + the replayed batch. No
+    * order refusal is needed — unlike the packing fold, the merged
+    * sketch's DOWNSTREAM result is delivery-order-independent.
+    */
+  def streamingHeavyHitters(spark: SparkSession, sfDir: String,
+                            m: Int = 29): DataFrame = {
+    import spark.implicits._
+    import graft.functions.SketchAggregators.{MgBuf, MisraGriesAgg}
+    val root = IndexStore.indexDir(sfDir, "stream-hh-v1", "documents")
+    val landing = s"$root/landing"
+    val versions = s"$root/versions"
+    if (!IndexStore.committed(s"$versions/b1/state")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      stageInto(docs.filter(col("doc_id") <= cut), landing, "batch0")
+      stageInto(docs.filter(col("doc_id") > cut), landing, "batch1")
+      staggerBatches(landing, Seq("batch0", "batch1"))
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          val agg = new MisraGriesAgg(m)
+          val prev: MgBuf =
+            if (batchId == 0L) agg.zero
+            else {
+              val rows = spark.read
+                .parquet(s"$versions/b${batchId - 1}/state").collect()
+              (rows.filter(!_.isNullAt(0))
+                 .map(r => r.getString(0) -> r.getLong(1)).toMap,
+               rows.head.getLong(2))
+            }
+          val batchSketch: MgBuf = b
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .filter(col("tok") =!= "")
+            .select(lower(col("tok")).as("tok"))
+            .as[String]
+            .select(agg.toColumn).head()
+          val (cnt, n) = agg.merge(prev, batchSketch)
+          val out =
+            if (cnt.isEmpty) Seq((null: String, 0L, n))
+            else cnt.toSeq.map { case (t, c) => (t, c, n) }
+          out.toDF("tok", "cnt", "n")
+            .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/state")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val st = spark.read.parquet(s"$versions/b1/state")
+    val cands = st.filter(col("tok").isNotNull).select(col("tok"))
+    val n = st.agg(max(col("n"))).head.getLong(0)
+    spark.read.parquet(landing)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(lower(col("tok")).as("tok"))
+      .join(broadcast(cands), "tok")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * m > lit(n))
+      .select(col("tok"), col("freq"),
+        round(col("freq").cast("double") / n, 6).as("share"))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
   /** DRIFT-AT-INGEST — the streaming twin of
     * [[graft.operators.VectorSearch.embeddingDrift]]: the reference
     * bin grid is committed ONCE per data fingerprint (dim·nBins rows —

@@ -524,6 +524,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == want)
   }
 
+  test("heavy-hitters-at-ingest is row-identical to the batch two-pass " +
+      "result and carries bounded per-trigger state") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingIndex
+    val m = 29
+    val want = Sketches.heavyHitters(spark, sf, m)
+      .collect().map(_.toSeq).toSeq
+    val got = StreamingIndex.streamingHeavyHitters(spark, sf, m)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // the carried state is the sketch: <= m counters per version
+    val root = graft.sources.IndexStore.indexDir(sf, "stream-hh-v1",
+      "documents")
+    Seq(0, 1).foreach { b =>
+      val st = spark.read.parquet(s"$root/versions/b$b/state")
+      assert(st.count() <= m, s"b$b state ${st.count()} > m")
+    }
+    // replay-idempotent: second invocation reads the committed fold
+    assert(StreamingIndex.streamingHeavyHitters(spark, sf, m)
+      .collect().map(_.toSeq).toSeq == want)
+  }
+
   test("retention gate: vacuum prunes exactly v0, keeps refcounted " +
       "segments, and the gate is re-runnable") {
     import graft.sources.IndexStore
