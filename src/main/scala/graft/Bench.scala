@@ -64,9 +64,10 @@ object Bench {
         // chain, and the MMR-ANN index (one build per data fingerprint)
         "streaming_cdc_apply", "streaming_sequence_pack",
         "mmr_rerank_ann",
-        // round 11: the streamed MG sketch fold (one build per data
-        // fingerprint; timed reps recount from the committed fold)
-        "streaming_heavy_hitters")
+        // round 11: the streamed MG sketch fold and the streamed
+        // anomaly fold (one build per data fingerprint; timed reps
+        // read the committed results)
+        "streaming_heavy_hitters", "streaming_event_anomalies")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

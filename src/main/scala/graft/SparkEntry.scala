@@ -293,6 +293,11 @@ object SparkEntry {
     "pca_power" -> ((s, d) => VectorAnalytics.pcaPowerIteration(s, d)),
     // rolling per-user z-score anomaly flags over a trailing ROWS frame
     "event_anomalies" -> ((s, d) => Events.eventAnomalies(s, d)),
+    // the same gate folded at ingest: per-trigger scoring against the
+    // persisted last-w per-user tail through the one shared window
+    // seam — row-identical to event_anomalies, shared oracle
+    "streaming_event_anomalies" -> ((s, d) =>
+      graft.streaming.StreamingIndex.streamingEventAnomalies(s, d)),
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
     "ann_ivf_persisted" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
     // the scale path for SQL-only consumers; rows-only here because it is
@@ -893,6 +898,27 @@ object SparkEntry {
        |FROM j JOIN d USING (source)
        |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
   }
+
+  private val DuckAnomaliesOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+      |  FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, us, value,
+      |    round(avg(value) OVER win, 6) AS mu,
+      |    round(stddev_samp(value) OVER win, 6) AS sd,
+      |    count(value) OVER win AS n_prev
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, event_type, us,
+      |  round(value, 4) AS value, round(mu, 4) AS baseline_mean,
+      |  round((value - mu) / sd, 4) AS zscore
+      |FROM w
+      |WHERE n_prev >= 10 AND sd > 0
+      |  AND abs(round((value - mu) / sd, 4)) > 3.0
+      |ORDER BY event_id""".stripMargin
 
   private val DuckHeavyHittersOracle: String =
     """WITH t AS (
@@ -2009,27 +2035,11 @@ object SparkEntry {
     "bpe_fit" -> DuckBpeFitOracle,
     "bpe_encode" -> DuckBpeEncodeOracle,
     "pca_power" -> DuckPcaOracle,
-    // rolling z-score anomalies; mu/sd on the 6dp grid before the gate
-    "event_anomalies" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
-        |  FROM events
-        |), w AS (
-        |  SELECT event_id, user_id, event_type, us, value,
-        |    round(avg(value) OVER win, 6) AS mu,
-        |    round(stddev_samp(value) OVER win, 6) AS sd,
-        |    count(value) OVER win AS n_prev
-        |  FROM e
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
-        |)
-        |SELECT event_id, user_id, event_type, us,
-        |  round(value, 4) AS value, round(mu, 4) AS baseline_mean,
-        |  round((value - mu) / sd, 4) AS zscore
-        |FROM w
-        |WHERE n_prev >= 10 AND sd > 0
-        |  AND abs(round((value - mu) / sd, 4)) > 3.0
-        |ORDER BY event_id""".stripMargin,
+    // rolling z-score anomalies; mu/sd on the 6dp grid before the
+    // gate; the streamed fold scores through the same seam against the
+    // per-user tail, so it shares the oracle verbatim
+    "event_anomalies" -> DuckAnomaliesOracle,
+    "streaming_event_anomalies" -> DuckAnomaliesOracle,
     "incremental_dedup" -> IncrementalOracleSql,
     // the streamed fold of the same batch (two micro-batches through one
     // checkpoint) — per-doc verdicts are split-independent, so it shares

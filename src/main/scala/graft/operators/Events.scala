@@ -175,13 +175,26 @@ object Events {
     * key to avoid 5-partition skew at 100 TB).
     */
   def eventAnomalies(spark: SparkSession, sfDir: String, w: Int = 20,
-                     minN: Int = 10, z: Double = 3.0): DataFrame = {
+                     minN: Int = 10, z: Double = 3.0): DataFrame =
+    anomaliesOver(ev(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")), w, minN, z)
+      .orderBy("event_id")
+
+  /** The gate itself over an explicit (event_id, user_id, event_type,
+    * us, value) frame — the ONE seam the batch entry and the streamed
+    * anomalies-at-ingest fold share, so their flags can never silently
+    * fork. A row's flag depends only on its ≤ `w` predecessors within
+    * its user, which is what makes the streamed bounded-tail state
+    * sufficient.
+    */
+  private[graft] def anomaliesOver(e: DataFrame, w: Int = 20,
+                                   minN: Int = 10,
+                                   z: Double = 3.0): DataFrame = {
     val win = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(-w, -1)
-    ev(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
+    e
       // mu/sd rounded at 6dp BEFORE the z gate (the embeddingOutliers
       // device): the windowed moments are the engine-order-sensitive
       // terms, and the threshold must compare the same grid value in
@@ -189,13 +202,12 @@ object Events {
       .withColumn("mu", round(avg(col("value")).over(win), 6))
       .withColumn("sd", round(stddev_samp(col("value")).over(win), 6))
       .withColumn("n_prev", count(col("value")).over(win))
-      .withColumn("z",
+      .withColumn("z2",
         round((col("value") - col("mu")) / col("sd"), 4))
-      .filter(col("n_prev") >= minN && col("sd") > 0 && abs(col("z")) > z)
+      .filter(col("n_prev") >= minN && col("sd") > 0 && abs(col("z2")) > z)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("us"), round(col("value"), 4).as("value"),
-        round(col("mu"), 4).as("baseline_mean"), col("z").as("zscore"))
-      .orderBy("event_id")
+        round(col("mu"), 4).as("baseline_mean"), col("z2").as("zscore"))
   }
 
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1060,6 +1060,96 @@ object StreamingIndex {
       spark.read.parquet(s"$versions/b*/rows"), budget)
   }
 
+  /** ANOMALIES-AT-INGEST — the streaming twin of
+    * [[graft.operators.Events.eventAnomalies]]: each time-ordered event
+    * micro-batch is scored through the ONE shared window-gate seam
+    * ([[graft.operators.Events.anomaliesOver]]) against the union of
+    * the batch and the persisted per-user TAIL state (the last ≤ w
+    * events per user — all a trailing ROWS [-w,-1] frame can ever see),
+    * then the state advances to the new last-w tail. Carried state is
+    * O(users · w) rows, per-trigger work O(batch + users·w), no state
+    * store, no watermark; flags are ROW-IDENTICAL to the batch gate
+    * (shared oracle) because a row's flag depends only on its ≤ w
+    * predecessors, which the tail preserves exactly.
+    *
+    * Order discipline (the packing twin's): batches must arrive in
+    * event-time order — a batch overlapping the committed high-water
+    * would score against a wrong tail, so the fold REFUSES it and wipes
+    * the run's derived state before rethrowing (a bare retry would
+    * replay the same misorder from the checkpoint forever).
+    */
+  def streamingEventAnomalies(spark: SparkSession, sfDir: String,
+                              w: Int = 20): DataFrame = {
+    import spark.implicits._
+    val root = IndexStore.indexDir(sfDir, "stream-anom-v1", "events")
+    val landing = s"$root/landing"
+    val versions = s"$root/versions"
+    if (!IndexStore.committed(s"$versions/b1/state")) {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val cut = e.agg(expr("percentile_approx(us, 0.5)").cast("long"))
+        .head.getLong(0)
+      stageInto(e.filter(col("us") <= cut), landing, "batch0")
+      stageInto(e.filter(col("us") > cut), landing, "batch1")
+      staggerBatches(landing, Seq("batch0", "batch1"))
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("us", LongType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          val (prevTail, prevHigh) =
+            if (batchId == 0L)
+              (spark.createDataFrame(
+                 spark.sparkContext.emptyRDD[Row], b.schema),
+               Long.MinValue)
+            else {
+              val st = spark.read.parquet(s"$versions/b${batchId - 1}/state")
+              (st.drop("high_us"),
+               st.agg(max(col("high_us"))).head.getLong(0))
+            }
+          val stats = b.agg(min(col("us")), max(col("us"))).head
+          if (!stats.isNullAt(0) && stats.getLong(0) <= prevHigh)
+            throw new IllegalStateException(
+              s"anomaly batch $batchId out of order: min us " +
+                s"${stats.getLong(0)} <= scored high-water $prevHigh — " +
+                "refusing to score against a wrong tail")
+          val high = if (stats.isNullAt(1)) prevHigh else stats.getLong(1)
+          val ctx = prevTail.unionByName(b.toDF())
+          val batchIds = b.select(col("event_id").as("bid"))
+          graft.operators.Events.anomaliesOver(ctx, w)
+            .join(batchIds, col("event_id") === col("bid"), "left_semi")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/flags")
+          val tw = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)
+          ctx.withColumn("rn", row_number().over(tw))
+            .filter(col("rn") <= w).drop("rn")
+            .withColumn("high_us", lit(high))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/state")
+          ()
+        }
+        .start()
+      try q.awaitTermination() catch {
+        case e: Throwable =>
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(root))
+          throw e
+      }
+    }
+    spark.read.parquet(s"$versions/b*/flags").orderBy("event_id")
+  }
+
   /** HEAVY-HITTERS-AT-INGEST — the streaming twin of
     * [[graft.operators.Sketches.heavyHitters]]: each document
     * micro-batch folds its capacity-m Misra–Gries summary into the

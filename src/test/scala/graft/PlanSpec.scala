@@ -91,4 +91,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("weighted_sample is a scan + narrow map into TakeOrdered — no " +
+      "shuffle before the top-k") {
+    val p = plan("weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext, p.take(800))
+  }
+
+  test("epoch_shuffle prunes the scan to doc_id and shuffles once on " +
+      "the shard key") {
+    val p = plan("epoch_shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(1200))
+  }
+
+  test("heavy_hitters pass 2 broadcast-joins the candidate set and " +
+      "aggregates partial+final") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // one hash exchange: the <=m-key recount aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(1200))
+  }
+
+  test("event_anomalies is one user_id shuffle + a bounded ROWS frame, " +
+      "no self-join") {
+    val p = plan("event_anomalies")
+    assert(!p.contains("Join"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(1200))
+    assert(p.contains("specifiedwindowframe(RowFrame, -20, -1)"),
+      p.take(1200))
+  }
 }

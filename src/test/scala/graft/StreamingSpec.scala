@@ -546,6 +546,29 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == want)
   }
 
+  test("anomalies-at-ingest is row-identical to the batch gate and " +
+      "carries only the last-w per-user tail") {
+    import graft.operators.Events
+    import graft.streaming.StreamingIndex
+    val want = Events.eventAnomalies(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = StreamingIndex.streamingEventAnomalies(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // bounded state: <= w rows per user in every committed version
+    val root = graft.sources.IndexStore.indexDir(sf, "stream-anom-v1",
+      "events")
+    Seq(0, 1).foreach { b =>
+      val perUser = spark.read.parquet(s"$root/versions/b$b/state")
+        .groupBy("user_id").count().agg(org.apache.spark.sql.functions
+          .max("count")).head.getLong(0)
+      assert(perUser <= 20, s"b$b tail $perUser > w")
+    }
+    // replay-idempotent second read
+    assert(StreamingIndex.streamingEventAnomalies(spark, sf)
+      .collect().map(_.toSeq).toSeq == want)
+  }
+
   test("retention gate: vacuum prunes exactly v0, keeps refcounted " +
       "segments, and the gate is re-runnable") {
     import graft.sources.IndexStore
