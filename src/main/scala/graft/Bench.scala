@@ -67,7 +67,8 @@ object Bench {
         // round 11: the streamed MG sketch fold and the streamed
         // anomaly fold (one build per data fingerprint; timed reps
         // read the committed results)
-        "streaming_heavy_hitters", "streaming_event_anomalies")
+        "streaming_heavy_hitters", "streaming_event_anomalies",
+        "streaming_weighted_sample")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -280,6 +280,15 @@ object SparkEntry {
     // A-ES weighted sampling without replacement via max-of-w integer
     // hash keys — engine-portable, no pow/log
     "weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    // the same draw folded at ingest: per-trigger top-k merge of the
+    // k-row reservoir through the shared key/ranking seam —
+    // row-identical under any batch split, shared oracle
+    "streaming_weighted_sample" -> ((s, d) =>
+      graft.streaming.StreamingIndex.streamingWeightedSample(s, d)),
+    // HARD gate behind approx_distinct: HLL++ within 4σ·rsd of exact
+    // on a six-column battery; zero rows, typed-empty oracle
+    "approx_distinct_violations" ->
+      ((s, d) => Relational.approxDistinctViolations(s, d)),
     // weekly cohort-retention triangle over first-event cohorts
     "cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
@@ -898,6 +907,21 @@ object SparkEntry {
        |FROM j JOIN d USING (source)
        |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
   }
+
+  private val DuckWeightedSampleOracle: String =
+    """WITH k AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+      |      WHEN 'es' THEN 3 ELSE 4 END AS wt,
+      |    list_max(list_transform(generate_series(1,
+      |      CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+      |        WHEN 'es' THEN 3 ELSE 4 END),
+      |      j -> ('0x' || substr(md5(text || '#' || CAST(j AS VARCHAR)),
+      |        1, 8))::BIGINT)) AS sel_key
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, wt, sel_key
+      |FROM k ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin
 
   private val DuckAnomaliesOracle: String =
     """WITH e AS (
@@ -2297,20 +2321,17 @@ object SparkEntry {
     // A-ES weighted sampling without replacement: key = max of wt
     // replica hashes (P(key<u) = u^wt, the integer-weight A-ES key) —
     // int64 md5 arithmetic, no pow/log, so ranks are bit-identical
-    "weighted_sample" ->
-      """WITH k AS (
-        |  SELECT doc_id, lang, source,
-        |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
-        |      WHEN 'es' THEN 3 ELSE 4 END AS wt,
-        |    list_max(list_transform(generate_series(1,
-        |      CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
-        |        WHEN 'es' THEN 3 ELSE 4 END),
-        |      j -> ('0x' || substr(md5(text || '#' || CAST(j AS VARCHAR)),
-        |        1, 8))::BIGINT)) AS sel_key
-        |  FROM documents
-        |)
-        |SELECT doc_id, lang, source, wt, sel_key
-        |FROM k ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    "weighted_sample" -> DuckWeightedSampleOracle,
+    // the streamed reservoir fold is split/order-independent and
+    // row-identical — shared oracle
+    "streaming_weighted_sample" -> DuckWeightedSampleOracle,
+    "approx_distinct_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS tbl,
+        |  CAST(NULL AS VARCHAR) AS col_name,
+        |  CAST(NULL AS BIGINT) AS exact,
+        |  CAST(NULL AS BIGINT) AS est,
+        |  CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE 1 = 0""".stripMargin,
     // weekly cohort-retention triangle; weeks are epoch_us // 1-week-µs
     // so bucketing has no week-start/locale semantics
     "cohort_retention" ->

@@ -392,6 +392,44 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  /** The HARD gate behind [[approxDistinct]]'s rows-only status: for a
+    * battery of (table, column) pairs, the HLL++ estimate at relative
+    * standard deviation `rsd` must land within `sigmas`·rsd of the
+    * exact distinct count — emits the violating rows (expected EMPTY;
+    * the oracle types the empty contract, so an estimator regression
+    * flips rows_match red). HLL++'s error is a random variable, but at
+    * 4σ against a FIXED dataset + fixed hash the check is
+    * deterministic: either this build's estimator passes or it doesn't.
+    *
+    * Scale shape: each check is one partial-aggregated scan (HLL sketch
+    * + exact distinct reduce) — at 100 TB the exact side is the
+    * expensive leg, which is exactly why the pipeline runs the sketch
+    * and this gate exists to certify it.
+    */
+  def approxDistinctViolations(spark: SparkSession, sfDir: String,
+                               rsd: Double = 0.02,
+                               sigmas: Double = 4.0): DataFrame = {
+    val checks = Seq(
+      ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+      ("orders", "o_custkey"), ("customer", "c_mktsegment"),
+      ("events", "user_id"), ("documents", "source"))
+    checks.map { case (t, c) =>
+      val src = if (t == "events") Tables.events(spark, sfDir)
+                else Tables.load(spark, sfDir, t)
+      src.agg(
+          countDistinct(col(c)).as("exact"),
+          approx_count_distinct(col(c), rsd).as("est"))
+        .select(lit(t).as("tbl"), lit(c).as("col_name"),
+          col("exact"), col("est"),
+          (abs(col("est") - col("exact")).cast("double") / col("exact"))
+            .as("rel_err"))
+    }.reduce(_ unionAll _)
+      .filter(col("rel_err") > rsd * sigmas)
+      .select(col("tbl"), col("col_name"), col("exact"), col("est"),
+        round(col("rel_err"), 6).as("rel_err"))
+      .orderBy("tbl", "col_name")
+  }
+
   /** UNPIVOT (melt) — the inverse of [[graft.operators.Events]]'
     * `event_pivot`: the wide per-row metric columns become (metric,
     * value) pairs, then a long-form aggregate. Plans as a narrow

@@ -506,7 +506,16 @@ object TextAnalysis {
     * scan plus a k-row reduce.
     */
   def weightedSample(spark: SparkSession, sfDir: String,
-                     k: Int = 100): DataFrame = {
+                     k: Int = 100): DataFrame =
+    weightedTopK(weightedKeys(
+      Tables.load(spark, sfDir, "documents")), k)
+      .orderBy("doc_id")
+
+  /** The A-ES key assignment over an explicit documents frame — the
+    * seam the batch sample and the streamed sampling-at-ingest fold
+    * share (one key definition, one ranking rule).
+    */
+  private[graft] def weightedKeys(docs: DataFrame): DataFrame = {
     val wt = expr(
       "CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2 " +
         "WHEN 'es' THEN 3 ELSE 4 END")
@@ -514,14 +523,17 @@ object TextAnalysis {
       "array_max(transform(sequence(1, wt), j -> " +
         "cast(conv(substring(md5(concat(text, '#', cast(j as string))), " +
         "1, 8), 16, 10) as bigint)))")
-    Tables.load(spark, sfDir, "documents")
-      .withColumn("wt", wt)
+    docs.withColumn("wt", wt)
       .select(col("doc_id"), col("lang"), col("source"), col("wt"),
         selKey.as("sel_key"))
-      .orderBy(col("sel_key").desc, col("doc_id"))
-      .limit(k)
-      .orderBy("doc_id")
   }
+
+  /** Global top-k by (sel_key DESC, doc_id) — the without-replacement
+    * draw; associative, so folding it batch-by-batch over a stream
+    * reaches the same k rows as one batch pass.
+    */
+  private[graft] def weightedTopK(keys: DataFrame, k: Int): DataFrame =
+    keys.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
 
   /** Balanced-mixture sampling — equalize a skewed corpus across groups
     * (the "domain mixing" step of training-data prep): every language

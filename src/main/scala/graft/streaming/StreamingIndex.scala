@@ -1060,6 +1060,59 @@ object StreamingIndex {
       spark.read.parquet(s"$versions/b*/rows"), budget)
   }
 
+  /** SAMPLING-AT-INGEST — the streaming twin of
+    * [[graft.operators.TextAnalysis.weightedSample]]: the A-ES
+    * without-replacement draw is a global top-k by the integer
+    * max-of-w-hashes key, and top-k is an ASSOCIATIVE, COMMUTATIVE
+    * fold — so each document micro-batch's keyed rows merge with the
+    * persisted k-row reservoir through the ONE shared key/ranking seam
+    * (`weightedKeys`/`weightedTopK`) and the final reservoir is
+    * row-identical to the batch draw under ANY batch split or order
+    * (shared oracle). Carried state is exactly k rows; per-trigger work
+    * is O(batch + k): the streaming face of weighted reservoir
+    * sampling.
+    */
+  def streamingWeightedSample(spark: SparkSession, sfDir: String,
+                              k: Int = 100): DataFrame = {
+    import graft.operators.TextAnalysis.{weightedKeys, weightedTopK}
+    val root = IndexStore.indexDir(sfDir, "stream-wsample-v1", "documents")
+    val landing = s"$root/landing"
+    val versions = s"$root/versions"
+    if (!IndexStore.committed(s"$versions/b1/state")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      stageInto(docs.filter(col("doc_id") <= cut), landing, "batch0")
+      stageInto(docs.filter(col("doc_id") > cut), landing, "batch1")
+      staggerBatches(landing, Seq("batch0", "batch1"))
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          val batchKeys = weightedKeys(b.toDF())
+          val pool =
+            if (batchId == 0L) batchKeys
+            else batchKeys.unionByName(
+              spark.read.parquet(s"$versions/b${batchId - 1}/state"))
+          weightedTopK(pool, k)
+            .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/state")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$versions/b1/state").orderBy("doc_id")
+  }
+
   /** ANOMALIES-AT-INGEST — the streaming twin of
     * [[graft.operators.Events.eventAnomalies]]: each time-ordered event
     * micro-batch is scored through the ONE shared window-gate seam

@@ -51,4 +51,14 @@ class RelationalSpec extends SparkSpec {
     assert(daily.nonEmpty)
     assert(daily.forall(_.getAs[Long]("next7_orders") > 0))
   }
+
+  test("approx-distinct gate: the six-column battery is clean, and a " +
+      "degenerate bound makes every row violate") {
+    assert(Relational.approxDistinctViolations(spark, sf).count() === 0L)
+    // sanity that the gate CAN fire: an impossible 0-sigma bound flags
+    // every column whose estimate isn't exactly the true count
+    val strict = Relational
+      .approxDistinctViolations(spark, sf, sigmas = 0.0).collect()
+    strict.foreach(r => assert(r.getAs[Double]("rel_err") > 0.0))
+  }
 }

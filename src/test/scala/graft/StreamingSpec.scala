@@ -546,6 +546,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == want)
   }
 
+  test("sampling-at-ingest reservoir equals the batch A-ES draw with " +
+      "k-row carried state") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamingIndex
+    val want = TextAnalysis.weightedSample(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = StreamingIndex.streamingWeightedSample(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    val root = graft.sources.IndexStore.indexDir(sf, "stream-wsample-v1",
+      "documents")
+    Seq(0, 1).foreach { b =>
+      assert(spark.read.parquet(s"$root/versions/b$b/state").count() <= 100)
+    }
+    assert(StreamingIndex.streamingWeightedSample(spark, sf)
+      .collect().map(_.toSeq).toSeq == want)
+  }
+
   test("anomalies-at-ingest is row-identical to the batch gate and " +
       "carries only the last-w per-user tail") {
     import graft.operators.Events
