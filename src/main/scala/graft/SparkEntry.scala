@@ -289,6 +289,10 @@ object SparkEntry {
     // on a six-column battery; zero rows, typed-empty oracle
     "approx_distinct_violations" ->
       ((s, d) => Relational.approxDistinctViolations(s, d)),
+    // HARD gate on percentile_approx's GK rank guarantee: exact rank
+    // interval of every estimate within n/accuracy of phi*n
+    "quantile_sketch_violations" ->
+      ((s, d) => Relational.quantileSketchViolations(s, d)),
     // weekly cohort-retention triangle over first-event cohorts
     "cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
@@ -2331,6 +2335,15 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS exact,
         |  CAST(NULL AS BIGINT) AS est,
         |  CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE 1 = 0""".stripMargin,
+    "quantile_sketch_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS tbl,
+        |  CAST(NULL AS VARCHAR) AS col_name,
+        |  CAST(NULL AS DOUBLE) AS phi,
+        |  CAST(NULL AS DOUBLE) AS est,
+        |  CAST(NULL AS BIGINT) AS rank_lo,
+        |  CAST(NULL AS BIGINT) AS rank_hi,
+        |  CAST(NULL AS BIGINT) AS n
         |WHERE 1 = 0""".stripMargin,
     // weekly cohort-retention triangle; weeks are epoch_us // 1-week-µs
     // so bucketing has no week-start/locale semantics

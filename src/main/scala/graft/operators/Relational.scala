@@ -430,6 +430,60 @@ object Relational {
       .orderBy("tbl", "col_name")
   }
 
+  /** The quantile twin of [[approxDistinctViolations]]: Spark's
+    * `percentile_approx` (a Greenwald–Khanna-family mergeable sketch)
+    * carries a RANK-error guarantee — the estimate's rank is within
+    * n/accuracy of φ·n. This gate recomputes the exact rank interval
+    * [count(< est), count(≤ est)] of every estimate over a battery of
+    * (table, column) × φ points and emits the rows whose interval
+    * misses [φ·n − n/acc, φ·n + n/acc] (±1 for rank convention) —
+    * expected EMPTY against a typed-empty oracle, so a sketch
+    * regression flips rows_match red.
+    *
+    * Scale shape: per column one sketch pass (partial-aggregated,
+    * O(acc·log n) state) plus one exact-rank pass (a handful of
+    * conditional counts, map-side partial) — the exact pass exists only
+    * to certify the sketch, which is the one you run at 100 TB.
+    */
+  def quantileSketchViolations(spark: SparkSession, sfDir: String,
+                               accuracy: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val phis = Seq(0.1, 0.5, 0.9, 0.99)
+    val checks = Seq(
+      ("lineitem", "l_extendedprice"), ("orders", "o_totalprice"),
+      ("events", "value"))
+    checks.map { case (t, c) =>
+      val src = (if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t))
+        .select(col(c).cast("double").as("x"))
+      val est = src.agg(
+        expr(s"percentile_approx(x, array(${phis.mkString(",")}), " +
+          s"$accuracy)").as("est"),
+        count(lit(1)).as("n")).head
+      val ests = est.getSeq[Double](0)
+      val n = est.getLong(1)
+      val rankCols = phis.indices.flatMap { i =>
+        Seq(sum(when(col("x") < ests(i), 1L).otherwise(0L))
+              .as(s"lo$i"),
+            sum(when(col("x") <= ests(i), 1L).otherwise(0L))
+              .as(s"hi$i"))
+      }
+      val ranks = src.agg(rankCols.head, rankCols.tail: _*).head
+      phis.zipWithIndex.map { case (phi, i) =>
+        (t, c, phi, ests(i), ranks.getLong(2 * i),
+          ranks.getLong(2 * i + 1), n)
+      }.toDF("tbl", "col_name", "phi", "est", "rank_lo", "rank_hi", "n")
+    }.reduce(_ unionAll _)
+      .withColumn("target", col("phi") * col("n"))
+      .withColumn("slack", col("n").cast("double") / accuracy + 1.0)
+      .filter(col("rank_hi") < col("target") - col("slack") ||
+        col("rank_lo") > col("target") + col("slack"))
+      .select(col("tbl"), col("col_name"), col("phi"),
+        round(col("est"), 4).as("est"), col("rank_lo"), col("rank_hi"),
+        col("n"))
+      .orderBy("tbl", "col_name", "phi")
+  }
+
   /** UNPIVOT (melt) — the inverse of [[graft.operators.Events]]'
     * `event_pivot`: the wide per-row metric columns become (metric,
     * value) pairs, then a long-form aggregate. Plans as a narrow

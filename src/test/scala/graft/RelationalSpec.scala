@@ -61,4 +61,13 @@ class RelationalSpec extends SparkSpec {
       .approxDistinctViolations(spark, sf, sigmas = 0.0).collect()
     strict.foreach(r => assert(r.getAs[Double]("rel_err") > 0.0))
   }
+
+  test("quantile gate: the GK rank guarantee holds across the battery " +
+      "at both loose and exact-mode accuracies") {
+    assert(Relational.quantileSketchViolations(spark, sf).count() === 0L)
+    // accuracy beyond n forces percentile_approx into exact mode — the
+    // gate must still hold (slack shrinks below one rank)
+    assert(Relational.quantileSketchViolations(spark, sf,
+      accuracy = 1000000).count() === 0L)
+  }
 }
