@@ -372,6 +372,9 @@ object SparkEntry {
     "tfidf_search" -> ((s, d) => TfIdf.tfidfSearch(s, d)),
     "bm25_search" -> ((s, d) => TfIdf.bm25Search(s, d)),
     "chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    // RAG chunk retrieval: overlapping chunk windows embedded through
+    // the shared textEmbed path, queried by whole-doc embeddings
+    "chunk_embed_search" -> ((s, d) => VectorSearch.chunkEmbedSearch(s, d)),
     "fuzzy_token_join" -> ((s, d) => TextAnalysis.fuzzyTokenJoin(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -910,6 +913,71 @@ object SparkEntry {
        |  round(CAST(count(*) AS DOUBLE) / sum(j.n_bpe), 4) AS compression
        |FROM j JOIN d USING (source)
        |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
+  }
+
+  /** Chunk-granularity retrieval: the chunk_docs reshape feeding the
+    * text_embed hashing/normalize chain on both sides, then the same
+    * exclude-own-doc k-NN rank as `text_embed_search`.
+    */
+  private lazy val DuckChunkEmbedOracle: String = {
+    // the hashed-BoW + L2-normalize chain over a (doc_id, tok) CTE named
+    // `src` — instantiated once for chunks, once for query docs
+    def bow(p: String, src: String): String =
+      s"""${p}hb AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16
+         |    AS j
+         |  FROM $src WHERE tok <> ''
+         |), ${p}cnt AS (
+         |  SELECT doc_id, j, CAST(count(*) AS DOUBLE) AS c
+         |  FROM ${p}hb GROUP BY 1, 2
+         |), ${p}dense AS (
+         |  SELECT d.doc_id, g.j, COALESCE(c.c, 0.0) AS c
+         |  FROM (SELECT DISTINCT doc_id FROM ${p}hb) d
+         |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+         |  LEFT JOIN ${p}cnt c ON c.doc_id = d.doc_id AND c.j = g.j
+         |), ${p}vec AS (
+         |  SELECT doc_id, list(c ORDER BY j) AS raw
+         |  FROM ${p}dense GROUP BY doc_id
+         |), ${p}normed AS (
+         |  SELECT doc_id, list_transform(raw, x -> x /
+         |    sqrt(list_sum(list_transform(raw, y -> y*y)))) AS v
+         |  FROM ${p}vec
+         |)""".stripMargin
+    s"""WITH tp AS (
+       |  SELECT doc_id, unnest(l) AS tok,
+       |    generate_subscripts(l, 1) - 1 AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |), tc AS (
+       |  SELECT doc_id, tok, pos,
+       |    unnest(range(greatest(pos - 64 + 48, 0) // 48,
+       |                 pos // 48 + 1)) AS k
+       |  FROM tp WHERE tok <> ''
+       |), ch AS (
+       |  SELECT doc_id * 1000000 + k AS doc_id,
+       |    string_agg(tok, ' ' ORDER BY pos) AS text
+       |  FROM tc GROUP BY doc_id, k
+       |), ctoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ch
+       |), qtoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 10
+       |),
+       |${bow("c", "ctoks")},
+       |${bow("q", "qtoks")},
+       |pairs AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS id,
+       |    list_sum(list_transform(list_zip(q.v, c.v),
+       |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM qnormed q JOIN cnormed c ON c.doc_id // 1000000 <> q.doc_id
+       |), ranked AS (
+       |  SELECT query_id, id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+       |      AS rn
+       |  FROM pairs
+       |)
+       |SELECT query_id, id // 1000000 AS doc_id, id % 1000000 AS chunk_ix,
+       |  round(dist, 6) AS distance, rn
+       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
   private val DuckWeightedSampleOracle: String =
@@ -1475,6 +1543,7 @@ object SparkEntry {
         |)
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    "chunk_embed_search" -> DuckChunkEmbedOracle,
     "text_embed_search" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -156,6 +156,42 @@ object VectorSearch {
         squaredL2(col("qv"), col("v")).as("dist")), k)
   }
 
+  /** RAG retrieval at CHUNK granularity — the composition a retrieval
+    * stack actually serves: [[graft.operators.TextAnalysis.chunkTokens]]'
+    * overlapping token windows become the indexed units, each embedded
+    * through the SAME [[textEmbed]] hashing-trick path as the whole-doc
+    * entry, and the query doc's embedding retrieves the top-k chunks
+    * corpus-wide (own-document chunks excluded). Chunk identity rides as
+    * doc_id·10⁶ + chunk_ix — exact while chunks-per-doc < 10⁶, i.e. docs
+    * under ~48M tokens at the default 48-token stride.
+    *
+    * Scale shape: chunking is a narrow explode + one keyed aggregate;
+    * embedding is the textEmbed skinny-row pipeline over chunk keys; the
+    * search is [[knnSearch]]'s broadcast-queries map pass with the
+    * per-query WindowGroupLimit top-k. Nothing new shuffles beyond the
+    * chunk aggregate — at 100 TB the chunk table replaces the doc table
+    * as the scan side, everything else is the flagship plan.
+    */
+  def chunkEmbedSearch(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 10,
+                       dim: Int = 16): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cEmb = textEmbed(
+      TextAnalysis.chunkTokens(docs, 64, 48)
+        .select((col("doc_id") * 1000000L + col("chunk_ix")).as("doc_id"),
+          col("chunk_text").as("text")), dim)
+    val qEmb = textEmbed(docs.filter(col("doc_id") < nQueries), dim)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"))
+    topK(cEmb.join(broadcast(qEmb),
+        expr("doc_id div 1000000") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("id"),
+        squaredL2(col("qv"), col("v")).as("dist")), k)
+      .select(col("query_id"), expr("id div 1000000").as("doc_id"),
+        (col("id") % 1000000L).as("chunk_ix"), col("distance"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** MMR (Maximal Marginal Relevance) diversified re-ranking — the
     * standard second stage of a retrieval stack (Carbonell & Goldstein
     * 1998): from a bounded top-`nCandidates` relevance pool, greedily

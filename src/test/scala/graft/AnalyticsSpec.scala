@@ -45,6 +45,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(eig - ray) < 1e-3, s"eig $eig vs local $ray")
   }
 
+  test("chunkEmbedSearch returns k foreign chunks per query with " +
+    "contiguous ranks and real chunk indices") {
+    import graft.operators.VectorSearch
+    val rows = VectorSearch.chunkEmbedSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq === (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        assert(r.getLong(1) != q, s"query $q retrieved its own chunk")
+        assert(r.getLong(2) >= 0L)
+      }
+    }
+    // every retrieved (doc, chunk) exists in the chunk inventory
+    val chunks = graft.operators.TextAnalysis.chunkDocs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach(r =>
+      assert(chunks.contains((r.getLong(1), r.getLong(2)))))
+  }
+
   test("eventAnomalies rows reproduce from a local trailing-window " +
     "recomputation and respect the minN/z gates") {
     val got = Events.eventAnomalies(spark, sf).collect()
