@@ -980,8 +980,8 @@ object SparkEntry {
        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
-  private val DuckWeightedSampleOracle: String =
-    """WITH k AS (
+  private lazy val DuckWeightedSampleOracle: String =
+    s"""WITH k AS (
       |  SELECT doc_id, lang, source,
       |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
       |      WHEN 'es' THEN 3 ELSE 4 END AS wt,
@@ -993,10 +993,11 @@ object SparkEntry {
       |  FROM documents
       |)
       |SELECT doc_id, lang, source, wt, sel_key
-      |FROM k ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin
+      |FROM k ORDER BY sel_key DESC, doc_id
+      |LIMIT ${operators.TextAnalysis.DefaultSampleK}""".stripMargin
 
-  private val DuckAnomaliesOracle: String =
-    """WITH e AS (
+  private lazy val DuckAnomaliesOracle: String =
+    s"""WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
       |  FROM events
       |), w AS (
@@ -1006,18 +1007,20 @@ object SparkEntry {
       |    count(value) OVER win AS n_prev
       |  FROM e
       |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
-      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |    ROWS BETWEEN ${operators.Events.DefaultAnomalyWindow} PRECEDING
+      |      AND 1 PRECEDING)
       |)
       |SELECT event_id, user_id, event_type, us,
       |  round(value, 4) AS value, round(mu, 4) AS baseline_mean,
       |  round((value - mu) / sd, 4) AS zscore
       |FROM w
-      |WHERE n_prev >= 10 AND sd > 0
-      |  AND abs(round((value - mu) / sd, 4)) > 3.0
+      |WHERE n_prev >= ${operators.Events.DefaultAnomalyMinN} AND sd > 0
+      |  AND abs(round((value - mu) / sd, 4))
+      |    > ${operators.Events.DefaultAnomalyZ}
       |ORDER BY event_id""".stripMargin
 
-  private val DuckHeavyHittersOracle: String =
-    """WITH t AS (
+  private lazy val DuckHeavyHittersOracle: String =
+    s"""WITH t AS (
       |  SELECT lower(tok) AS tok FROM (
       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
       |  ) WHERE tok <> ''
@@ -1025,7 +1028,7 @@ object SparkEntry {
       |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY 1)
       |SELECT c.tok, c.freq, round(CAST(c.freq AS DOUBLE) / n.n, 6)
       |  AS share
-      |FROM c, n WHERE c.freq * 29 > n.n
+      |FROM c, n WHERE c.freq * ${operators.Sketches.DefaultCapacity} > n.n
       |ORDER BY c.freq DESC, c.tok""".stripMargin
 
   /** Power iteration unrolled for DuckDB — the same centered map-reduce
@@ -2444,7 +2447,7 @@ object SparkEntry {
     // arithmetic as the operator (covariances → correlations → Cramer on
     // R + λI with λ = 0.5); rounding at 4dp absorbs summation-order ulps
     "quality_regression" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, lower(tok) AS tok FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |    FROM documents
@@ -2485,7 +2488,7 @@ object SparkEntry {
         |    sy3/n - (s3/n)*(sy/n) AS c3y
         |  FROM s
         |), r AS (
-        |  SELECT n, 1.5 AS d,
+        |  SELECT n, ${1.0 + operators.Regression.DefaultLambda} AS d,
         |    c12 / sqrt(v1*v2) AS r12, c13 / sqrt(v1*v3) AS r13,
         |    c23 / sqrt(v2*v3) AS r23, c1y / sqrt(v1*vy) AS ry1,
         |    c2y / sqrt(v2*vy) AS ry2, c3y / sqrt(v3*vy) AS ry3

@@ -174,8 +174,17 @@ object Events {
     * full parallelism; a per-TYPE baseline would need a time-bucketed
     * key to avoid 5-partition skew at 100 TB).
     */
-  def eventAnomalies(spark: SparkSession, sfDir: String, w: Int = 20,
-                     minN: Int = 10, z: Double = 3.0): DataFrame =
+  /** Anomaly-gate defaults — interpolated into the DuckDB oracle so the
+    * operator and its oracle can never gate at different parameters.
+    */
+  val DefaultAnomalyWindow = 20
+  val DefaultAnomalyMinN = 10
+  val DefaultAnomalyZ = 3.0
+
+  def eventAnomalies(spark: SparkSession, sfDir: String,
+                     w: Int = DefaultAnomalyWindow,
+                     minN: Int = DefaultAnomalyMinN,
+                     z: Double = DefaultAnomalyZ): DataFrame =
     anomaliesOver(ev(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"), col("value")), w, minN, z)
@@ -188,9 +197,11 @@ object Events {
     * its user, which is what makes the streamed bounded-tail state
     * sufficient.
     */
-  private[graft] def anomaliesOver(e: DataFrame, w: Int = 20,
-                                   minN: Int = 10,
-                                   z: Double = 3.0): DataFrame = {
+  private[graft] def anomaliesOver(e: DataFrame,
+                                   w: Int = DefaultAnomalyWindow,
+                                   minN: Int = DefaultAnomalyMinN,
+                                   z: Double = DefaultAnomalyZ)
+      : DataFrame = {
     val win = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(-w, -1)

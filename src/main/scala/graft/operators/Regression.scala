@@ -22,8 +22,14 @@ import graft.Tables
   */
 object Regression {
 
+  /** Default ridge strength — the oracle's diagonal (1 + lambda) is
+    * interpolated from THIS constant, so operator and oracle always
+    * solve the same system.
+    */
+  val DefaultLambda = 0.5
+
   def qualityRegression(spark: SparkSession, sfDir: String,
-                        lambda: Double = 0.5): DataFrame = {
+                        lambda: Double = DefaultLambda): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val perTok = TextAnalysis.tokensPos(docs)
       .select(col("doc_id"), lower(col("tok")).as("tok"))

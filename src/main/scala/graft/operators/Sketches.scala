@@ -26,8 +26,15 @@ import graft.functions.SketchAggregators.MisraGriesAgg
   */
 object Sketches {
 
+  /** Default MG capacity — BELOW the fixture's ~31-token vocabulary so
+    * the sketch genuinely decrements/merges under test. The DuckDB
+    * oracle's share threshold interpolates THIS constant, so operator
+    * and oracle can never gate at different capacities.
+    */
+  val DefaultCapacity = 29
+
   def heavyHitters(spark: SparkSession, sfDir: String,
-                   m: Int = 29): DataFrame = {
+                   m: Int = DefaultCapacity): DataFrame = {
     import spark.implicits._
     val toks = TextAnalysis.tokensPos(Tables.load(spark, sfDir, "documents"))
       .select(lower(col("tok")).as("tok"))

@@ -505,8 +505,13 @@ object TextAnalysis {
     * heaps, k rows to the driver, no global sort. At 100 TB that is a
     * scan plus a k-row reduce.
     */
+  /** Default reservoir size — interpolated into the DuckDB oracle's
+    * LIMIT so operator and oracle can never draw different k.
+    */
+  val DefaultSampleK = 100
+
   def weightedSample(spark: SparkSession, sfDir: String,
-                     k: Int = 100): DataFrame =
+                     k: Int = DefaultSampleK): DataFrame =
     weightedTopK(weightedKeys(
       Tables.load(spark, sfDir, "documents")), k)
       .orderBy("doc_id")

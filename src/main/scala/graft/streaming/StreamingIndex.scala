@@ -1073,7 +1073,8 @@ object StreamingIndex {
     * sampling.
     */
   def streamingWeightedSample(spark: SparkSession, sfDir: String,
-                              k: Int = 100): DataFrame = {
+      k: Int = graft.operators.TextAnalysis.DefaultSampleK)
+      : DataFrame = {
     import graft.operators.TextAnalysis.{weightedKeys, weightedTopK}
     val root = IndexStore.indexDir(sfDir, "stream-wsample-v1", "documents")
     val landing = s"$root/landing"
@@ -1224,7 +1225,8 @@ object StreamingIndex {
     * sketch's DOWNSTREAM result is delivery-order-independent.
     */
   def streamingHeavyHitters(spark: SparkSession, sfDir: String,
-                            m: Int = 29): DataFrame = {
+      m: Int = graft.operators.Sketches.DefaultCapacity)
+      : DataFrame = {
     import spark.implicits._
     import graft.functions.SketchAggregators.{MgBuf, MisraGriesAgg}
     val root = IndexStore.indexDir(sfDir, "stream-hh-v1", "documents")
