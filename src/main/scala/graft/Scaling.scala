@@ -39,7 +39,11 @@ object Scaling {
     "substring_runs", "bloom_decontaminate", "ann_filtered",
     "sql_dup_groups", "semantic_decontaminate", "ann_ivf_pq",
     "hybrid_search_ann", "mmr_rerank", "embedding_drift",
-    "mmr_rerank_ann", "sequence_pack")
+    "mmr_rerank_ann", "sequence_pack",
+    // round 11: the sketch pass, the chunk-granularity retrieval, the
+    // A-ES draw, the BPE corpus application, and the power iteration
+    "heavy_hitters", "chunk_embed_search", "weighted_sample",
+    "bpe_encode", "pca_power")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
