@@ -298,4 +298,46 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(full.values.forall(_ == 0L))
   }
+
+  test("Misra–Gries: for random streams and ARBITRARY partition splits, " +
+    "the merged sketch keeps every item above n/(m+1) and the recount " +
+    "filter equals the exact share > 1/m set") {
+    import graft.functions.SketchAggregators.{MgBuf, MisraGriesAgg}
+    // skewed alphabet: a few hot items + a long tail, so some runs have
+    // true heavy hitters and some don't
+    val itemGen = Gen.frequency(
+      (5, Gen.const("hot1")), (3, Gen.const("hot2")),
+      (2, Gen.const("hot3")),
+      (10, Gen.choose(0, 200).map(i => s"tail$i")))
+    val caseGen = Gen.zip(
+      Gen.chooseNum(50, 400).flatMap(n => Gen.listOfN(n, itemGen)),
+      Gen.chooseNum(2, 8),   // m (capacity)
+      Gen.chooseNum(1, 6))   // number of partitions to split into
+    samples(caseGen, 40).foreach { case (stream, m, nSplits) =>
+      val agg = new MisraGriesAgg(m)
+      // fold each contiguous split independently, then merge — the
+      // distributed execution shape, for EVERY split arity
+      val parts = stream.grouped(
+        math.max(1, stream.size / nSplits)).toSeq
+      val sketch = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val (cands, n) = sketch
+      assert(n === stream.size.toLong)
+      assert(cands.size <= m, s"capacity: ${cands.size} > $m")
+      val exact = stream.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong }
+      // guarantee: anything with freq > n/(m+1) is a candidate
+      exact.foreach { case (k, f) =>
+        if (f * (m + 1) > n)
+          assert(cands.contains(k), s"lost $k (f=$f, n=$n, m=$m)")
+      }
+      // the operator's downstream contract: recount candidates, keep
+      // freq·m > n — must equal the exact share > 1/m set
+      val got = cands.keySet.map(k => k -> exact(k))
+        .filter { case (_, f) => f * m > n }.toMap
+      val want = exact.filter { case (_, f) => f * m > n }
+      assert(got === want, s"m=$m n=$n splits=$nSplits")
+    }
+  }
 }
