@@ -915,6 +915,14 @@ object SparkEntry {
        |GROUP BY j.source, d.n_docs ORDER BY j.source""".stripMargin
   }
 
+  // the chunk-geometry fragments both chunk oracles interpolate:
+  // "size - stride" (the window-overlap rewind) and the stride itself
+  private def ChunkWindowExpr: String =
+    s"(${operators.TextAnalysis.DefaultChunkSize} - " +
+      s"${operators.TextAnalysis.DefaultChunkStride})"
+  private def ChunkStrideLit: String =
+    operators.TextAnalysis.DefaultChunkStride.toString
+
   /** Chunk-granularity retrieval: the chunk_docs reshape feeding the
     * text_embed hashing/normalize chain on both sides, then the same
     * exclude-own-doc k-NN rank as `text_embed_search`.
@@ -949,8 +957,8 @@ object SparkEntry {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
        |), tc AS (
        |  SELECT doc_id, tok, pos,
-       |    unnest(range(greatest(pos - 64 + 48, 0) // 48,
-       |                 pos // 48 + 1)) AS k
+       |    unnest(range(greatest(pos - $ChunkWindowExpr, 0) // $ChunkStrideLit,
+       |                 pos // $ChunkStrideLit + 1)) AS k
        |  FROM tp WHERE tok <> ''
        |), ch AS (
        |  SELECT doc_id * 1000000 + k AS doc_id,
@@ -3090,15 +3098,15 @@ object SparkEntry {
     // chunking: lo is clamped non-negative BEFORE the division, so
     // DuckDB's floor-// and Spark's truncating div agree
     "chunk_docs" ->
-      """WITH tp AS (
+      s"""WITH tp AS (
         |  SELECT doc_id, unnest(l) AS tok,
         |    generate_subscripts(l, 1) - 1 AS pos
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
         |),
         |tc AS (
         |  SELECT doc_id, tok, pos,
-        |    unnest(range(greatest(pos - 64 + 48, 0) // 48,
-        |                 pos // 48 + 1)) AS k
+        |    unnest(range(greatest(pos - $ChunkWindowExpr, 0) // $ChunkStrideLit,
+        |                 pos // $ChunkStrideLit + 1)) AS k
         |  FROM tp WHERE tok <> ''
         |)
         |SELECT doc_id, k AS chunk_ix, count(*) AS n_tokens,

@@ -126,15 +126,12 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(30)
 
-  /** The frequency-weighted character-symbol vocabulary BPE trains over:
-    * one corpus-scale tokenize → distinct-word hash aggregate → (cnt,
-    * space-delimited symbol string). Shared by [[bpeMergeStep]] and
-    * [[bpeFit]] so the two can never tokenize differently.
-    */
-  /** (w, cnt, sym): the distinct eligible words with corpus counts and
-    * their space-delimited single-character symbol split — the frame the
-    * BPE fit iterates over; `w` rides along so [[bpeEncode]] can join the
-    * final segmentation back to the corpus tokens.
+  /** (w, cnt, sym): the frequency-weighted character-symbol vocabulary
+    * BPE trains over — one corpus-scale tokenize → distinct-word hash
+    * aggregate; `w` rides along so [[bpeEncode]] can join the final
+    * segmentation back to the corpus tokens. Shared by [[bpeMergeStep]],
+    * [[bpeFit]] and [[bpeEncode]] so they can never tokenize
+    * differently.
     */
   private def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
     tokensPos(Tables.load(spark, sfDir, "documents"))
@@ -807,8 +804,17 @@ object TextAnalysis {
     * 0) div stride — clamped BEFORE the division so truncating and floor
     * division agree).
     */
-  def chunkDocs(spark: SparkSession, sfDir: String, size: Int = 64,
-                stride: Int = 48): DataFrame =
+  /** Chunk geometry defaults — shared by [[chunkDocs]] and
+    * [[graft.operators.VectorSearch.chunkEmbedSearch]] and interpolated
+    * into BOTH DuckDB oracles, so a geometry change cannot silently
+    * leave an oracle chunking differently.
+    */
+  val DefaultChunkSize = 64
+  val DefaultChunkStride = 48
+
+  def chunkDocs(spark: SparkSession, sfDir: String,
+                size: Int = DefaultChunkSize,
+                stride: Int = DefaultChunkStride): DataFrame =
     chunkTokens(Tables.load(spark, sfDir, "documents"), size, stride)
 
   /** [[chunkDocs]] over an arbitrary (doc_id, text) frame. */

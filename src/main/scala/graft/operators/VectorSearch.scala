@@ -178,7 +178,8 @@ object VectorSearch {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val cEmb = textEmbed(
-      TextAnalysis.chunkTokens(docs, 64, 48)
+      TextAnalysis.chunkTokens(docs, TextAnalysis.DefaultChunkSize,
+        TextAnalysis.DefaultChunkStride)
         .select((col("doc_id") * 1000000L + col("chunk_ix")).as("doc_id"),
           col("chunk_text").as("text")), dim)
     val qEmb = textEmbed(docs.filter(col("doc_id") < nQueries), dim)
