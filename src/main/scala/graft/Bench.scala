@@ -68,7 +68,7 @@ object Bench {
         // anomaly fold (one build per data fingerprint; timed reps
         // read the committed results)
         "streaming_heavy_hitters", "streaming_event_anomalies",
-        "streaming_weighted_sample")
+        "streaming_weighted_sample", "streaming_chunk_embed")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

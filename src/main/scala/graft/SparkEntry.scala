@@ -375,6 +375,11 @@ object SparkEntry {
     // RAG chunk retrieval: overlapping chunk windows embedded through
     // the shared textEmbed path, queried by whole-doc embeddings
     "chunk_embed_search" -> ((s, d) => VectorSearch.chunkEmbedSearch(s, d)),
+    // chunk-indexing-at-ingest: per-trigger chunk+embed through the
+    // shared geometry/embed seams, O(batch) appended versions; final
+    // search row-identical to chunk_embed_search, shared oracle
+    "streaming_chunk_embed" -> ((s, d) =>
+      graft.streaming.StreamingIndex.streamingChunkEmbed(s, d)),
     "fuzzy_token_join" -> ((s, d) => TextAnalysis.fuzzyTokenJoin(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -1555,6 +1560,7 @@ object SparkEntry {
         |SELECT query_id, id, round(dist, 6) AS distance, rn
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
     "chunk_embed_search" -> DuckChunkEmbedOracle,
+    "streaming_chunk_embed" -> DuckChunkEmbedOracle,
     "text_embed_search" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

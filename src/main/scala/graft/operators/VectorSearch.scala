@@ -184,6 +184,16 @@ object VectorSearch {
           col("chunk_text").as("text")), dim)
     val qEmb = textEmbed(docs.filter(col("doc_id") < nQueries), dim)
       .select(col("doc_id").as("query_id"), col("v").as("qv"))
+    chunkTopK(cEmb, qEmb, k)
+  }
+
+  /** The chunk-search tail — broadcast-queries k-NN over a (chunk-keyed
+    * doc_id, v) embedding frame plus the composite-key decomposition;
+    * the ONE seam the batch entry and the streamed chunk-indexing twin
+    * share, so ranking/exclusion/rounding cannot drift between them.
+    */
+  private[graft] def chunkTopK(cEmb: DataFrame, qEmb: DataFrame,
+                               k: Int): DataFrame =
     topK(cEmb.join(broadcast(qEmb),
         expr("doc_id div 1000000") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("id"),
@@ -191,7 +201,6 @@ object VectorSearch {
       .select(col("query_id"), expr("id div 1000000").as("doc_id"),
         (col("id") % 1000000L).as("chunk_ix"), col("distance"), col("rn"))
       .orderBy("query_id", "rn")
-  }
 
   /** MMR (Maximal Marginal Relevance) diversified re-ranking — the
     * standard second stage of a retrieval stack (Carbonell & Goldstein

@@ -1060,6 +1060,65 @@ object StreamingIndex {
       spark.read.parquet(s"$versions/b*/rows"), budget)
   }
 
+  /** CHUNK-INDEXING-AT-INGEST — the streaming twin of
+    * [[graft.operators.VectorSearch.chunkEmbedSearch]]'s index side:
+    * each document micro-batch is chunked and embedded through the SAME
+    * chunk-geometry + textEmbed seams as the batch entry, and the
+    * chunk-embedding rows append as one O(batch) version per trigger —
+    * the "index the corpus for RAG as it lands" flow. Chunks never span
+    * documents, so any doc-partitioned batching yields exactly the
+    * batch operator's chunk set; the final search over the accumulated
+    * versions is row-identical to `chunk_embed_search` (shared oracle).
+    * Per-trigger state on disk only (no state store, no carried fold —
+    * embedding is per-doc deterministic); replay overwrites its own
+    * version dir idempotently.
+    */
+  def streamingChunkEmbed(spark: SparkSession, sfDir: String,
+                          nQueries: Int = 10, k: Int = 10,
+                          dim: Int = 16): DataFrame = {
+    import graft.operators.{TextAnalysis, VectorSearch}
+    val root = IndexStore.indexDir(sfDir, "stream-chunkemb-v1", "documents")
+    val landing = s"$root/landing"
+    val versions = s"$root/versions"
+    if (!IndexStore.committed(s"$versions/b1/rows")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      stageInto(docs.filter(col("doc_id") <= cut), landing, "batch0")
+      stageInto(docs.filter(col("doc_id") > cut), landing, "batch1")
+      staggerBatches(landing, Seq("batch0", "batch1"))
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          VectorSearch.textEmbed(
+              TextAnalysis.chunkTokens(b.toDF(),
+                  TextAnalysis.DefaultChunkSize,
+                  TextAnalysis.DefaultChunkStride)
+                .select((col("doc_id") * 1000000L + col("chunk_ix"))
+                  .as("doc_id"), col("chunk_text").as("text")), dim)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$versions/b$batchId/rows")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val cEmb = spark.read.parquet(s"$versions/b*/rows")
+    val qEmb = VectorSearch.textEmbed(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < nQueries), dim)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"))
+    VectorSearch.chunkTopK(cEmb, qEmb, k)
+  }
+
   /** SAMPLING-AT-INGEST — the streaming twin of
     * [[graft.operators.TextAnalysis.weightedSample]]: the A-ES
     * without-replacement draw is a global top-k by the integer

@@ -546,6 +546,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == want)
   }
 
+  test("chunk-indexing-at-ingest searches row-identical to the batch " +
+      "chunk retrieval from O(batch) appended versions") {
+    import graft.operators.VectorSearch
+    import graft.streaming.StreamingIndex
+    val want = VectorSearch.chunkEmbedSearch(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = StreamingIndex.streamingChunkEmbed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // each version holds only its batch's chunks (no rewrite of the
+    // accumulated index), and together they cover the full chunk set
+    val root = graft.sources.IndexStore.indexDir(sf, "stream-chunkemb-v1",
+      "documents")
+    val n0 = spark.read.parquet(s"$root/versions/b0/rows").count()
+    val n1 = spark.read.parquet(s"$root/versions/b1/rows").count()
+    val total = graft.operators.TextAnalysis.chunkDocs(spark, sf).count()
+    assert(n0 > 0 && n1 > 0 && n0 + n1 === total)
+    assert(StreamingIndex.streamingChunkEmbed(spark, sf)
+      .collect().map(_.toSeq).toSeq == want)
+  }
+
   test("sampling-at-ingest reservoir equals the batch A-ES draw with " +
       "k-row carried state") {
     import graft.operators.TextAnalysis
