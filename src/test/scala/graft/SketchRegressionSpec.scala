@@ -122,6 +122,30 @@ class SketchRegressionSpec extends SparkSpec {
     assert(sizes === users)
   }
 
+  test("degenerate inputs: empty frames and oversized k fall through " +
+    "without crashing the new seams") {
+    import spark.implicits._
+    import graft.functions.SketchAggregators.MisraGriesAgg
+    val agg = new MisraGriesAgg(4)
+    // empty stream → empty sketch, zero length; merge identity holds
+    val (c0, n0) = Seq.empty[String].toDS().select(agg.toColumn).head()
+    assert(c0.isEmpty && n0 === 0L)
+    assert(agg.merge(agg.zero, agg.zero) === agg.zero)
+    // anomaly gate over an empty event frame → empty, not a crash
+    val emptyEvents = Seq.empty[(Long, Long, String, Long, Double)]
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+    assert(graft.operators.Events.anomaliesOver(emptyEvents).count() === 0L)
+    // A-ES top-k with k far beyond n returns every row, ranked
+    val keys = TextAnalysis.weightedKeys(
+      Tables.load(spark, sf, "documents"))
+    val nDocs = keys.count()
+    assert(TextAnalysis.weightedTopK(keys, 1000000).count() === nDocs)
+    // chunking an empty doc frame → no chunks
+    assert(TextAnalysis.chunkTokens(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 64, 48)
+      .count() === 0L)
+  }
+
   test("qualityRegression solves a bounded, well-conditioned system " +
     "with positive explained variance") {
     val r = Regression.qualityRegression(spark, sf).head()
