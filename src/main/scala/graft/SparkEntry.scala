@@ -966,7 +966,8 @@ object SparkEntry {
        |                 pos // $ChunkStrideLit + 1)) AS k
        |  FROM tp WHERE tok <> ''
        |), ch AS (
-       |  SELECT doc_id * 1000000 + k AS doc_id,
+       |  SELECT doc_id * ${operators.VectorSearch.ChunkKeyBase} + k
+       |    AS doc_id,
        |    string_agg(tok, ' ' ORDER BY pos) AS text
        |  FROM tc GROUP BY doc_id, k
        |), ctoks AS (
@@ -981,14 +982,17 @@ object SparkEntry {
        |  SELECT q.doc_id AS query_id, c.doc_id AS id,
        |    list_sum(list_transform(list_zip(q.v, c.v),
        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-       |  FROM qnormed q JOIN cnormed c ON c.doc_id // 1000000 <> q.doc_id
+       |  FROM qnormed q JOIN cnormed c
+       |    ON c.doc_id // ${operators.VectorSearch.ChunkKeyBase} <> q.doc_id
        |), ranked AS (
        |  SELECT query_id, id, dist,
        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
        |      AS rn
        |  FROM pairs
        |)
-       |SELECT query_id, id // 1000000 AS doc_id, id % 1000000 AS chunk_ix,
+       |SELECT query_id,
+       |  id // ${operators.VectorSearch.ChunkKeyBase} AS doc_id,
+       |  id % ${operators.VectorSearch.ChunkKeyBase} AS chunk_ix,
        |  round(dist, 6) AS distance, rn
        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }

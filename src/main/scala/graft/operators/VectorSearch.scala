@@ -172,6 +172,12 @@ object VectorSearch {
     * chunk aggregate — at 100 TB the chunk table replaces the doc table
     * as the scan side, everything else is the flagship plan.
     */
+  /** Composite chunk key base: chunk id = doc_id·base + chunk_ix.
+    * Shared by the batch entry, the streamed ingest twin and the
+    * interpolated oracle — exact while chunks-per-doc < base.
+    */
+  val ChunkKeyBase = 1000000L
+
   def chunkEmbedSearch(spark: SparkSession, sfDir: String,
                        nQueries: Int = 10, k: Int = 10,
                        dim: Int = 16): DataFrame = {
@@ -180,8 +186,8 @@ object VectorSearch {
     val cEmb = textEmbed(
       TextAnalysis.chunkTokens(docs, TextAnalysis.DefaultChunkSize,
         TextAnalysis.DefaultChunkStride)
-        .select((col("doc_id") * 1000000L + col("chunk_ix")).as("doc_id"),
-          col("chunk_text").as("text")), dim)
+        .select((col("doc_id") * ChunkKeyBase + col("chunk_ix"))
+          .as("doc_id"), col("chunk_text").as("text")), dim)
     val qEmb = textEmbed(docs.filter(col("doc_id") < nQueries), dim)
       .select(col("doc_id").as("query_id"), col("v").as("qv"))
     chunkTopK(cEmb, qEmb, k)
@@ -195,11 +201,12 @@ object VectorSearch {
   private[graft] def chunkTopK(cEmb: DataFrame, qEmb: DataFrame,
                                k: Int): DataFrame =
     topK(cEmb.join(broadcast(qEmb),
-        expr("doc_id div 1000000") =!= col("query_id"))
+        expr(s"doc_id div $ChunkKeyBase") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("id"),
         squaredL2(col("qv"), col("v")).as("dist")), k)
-      .select(col("query_id"), expr("id div 1000000").as("doc_id"),
-        (col("id") % 1000000L).as("chunk_ix"), col("distance"), col("rn"))
+      .select(col("query_id"), expr(s"id div $ChunkKeyBase").as("doc_id"),
+        (col("id") % ChunkKeyBase).as("chunk_ix"), col("distance"),
+        col("rn"))
       .orderBy("query_id", "rn")
 
   /** MMR (Maximal Marginal Relevance) diversified re-ranking — the

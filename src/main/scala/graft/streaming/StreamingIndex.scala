@@ -1101,7 +1101,8 @@ object StreamingIndex {
               TextAnalysis.chunkTokens(b.toDF(),
                   TextAnalysis.DefaultChunkSize,
                   TextAnalysis.DefaultChunkStride)
-                .select((col("doc_id") * 1000000L + col("chunk_ix"))
+                .select((col("doc_id") * VectorSearch.ChunkKeyBase +
+                    col("chunk_ix"))
                   .as("doc_id"), col("chunk_text").as("text")), dim)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$versions/b$batchId/rows")
