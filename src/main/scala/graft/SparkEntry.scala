@@ -277,6 +277,9 @@ object SparkEntry {
     "hash_sample" -> ((s, d) => TextAnalysis.hashSample(s, d)),
     // deterministic epoch shuffle: seeded-hash order, per-shard positions
     "epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
+    // stratified round-robin mixture order; per-language ranks via the
+    // grouped two-phase prefix sum, never a per-language window
+    "dataset_interleave" -> ((s, d) => TextAnalysis.datasetInterleave(s, d)),
     // A-ES weighted sampling without replacement via max-of-w integer
     // hash keys — engine-portable, no pow/log
     "weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
@@ -2412,6 +2415,24 @@ object SparkEntry {
         |SELECT doc_id, h % 8 AS shard,
         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // stratified round-robin: per-language seeded-hash rank dealt into
+    // position = (rank-1)*nLangs + slot
+    "dataset_interleave" ->
+      """WITH l AS (
+        |  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS slot
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |), nl AS (SELECT count(*) AS n FROM l),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('il1#' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, l.slot,
+        |  (r.rn - 1) * nl.n + l.slot AS position
+        |FROM r JOIN l USING (lang), nl
+        |ORDER BY position""".stripMargin,
     // A-ES weighted sampling without replacement: key = max of wt
     // replica hashes (P(key<u) = u^wt, the integer-weight A-ES key) —
     // int64 md5 arithmetic, no pow/log, so ranks are bit-identical

@@ -537,6 +537,84 @@ object TextAnalysis {
   private[graft] def weightedTopK(keys: DataFrame, k: Int): DataFrame =
     keys.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
 
+  /** Scale-correct per-group dense rank: rank of each row WITHIN its
+    * group, ordered by (h, doc_id) — the grouped generalization of
+    * [[packPlace]]'s two-phase prefix sum. A `Window.partitionBy(group)`
+    * would put one group in one partition — with a handful of groups
+    * (languages, sources) that is a 5-way parallelism ceiling and a
+    * straight skew hazard at 100 TB. Instead: range-partition by
+    * (group, h, doc_id) so groups are contiguous but SPLIT across many
+    * partitions, count each partition's per-group rows (a control-plane
+    * P×G map), seed every (partition, group) with its exclusive prefix,
+    * and assign ranks in one sorted pass.
+    */
+  private[graft] def groupedRanks(spark: SparkSession,
+                                  rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rdd = rows
+      .select(col("lang"), col("h"), col("doc_id"))
+      .repartitionByRange(col("lang"), col("h"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("h"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .rdd
+    val partCounts = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _, _) => m(g) = m.getOrElse(g, 0L) + 1L }
+        Iterator((i, m.toSeq))
+      }
+      .collect().sortBy(_._1)
+    // exclusive prefix per (partition, group)
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val bases: Map[(Int, String), Long] = partCounts.flatMap {
+      case (i, gs) => gs.map { case (g, c) =>
+        val b = running.getOrElse(g, 0L)
+        running(g) = b + c
+        ((i, g), b)
+      }
+    }.toMap
+    val bBases = spark.sparkContext.broadcast(bases)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      val run = scala.collection.mutable.Map.empty[String, Long]
+      it.map { case (g, h, id) =>
+        val r = run.getOrElse(g, bBases.value.getOrElse((i, g), 0L)) + 1L
+        run(g) = r
+        (id, g, r)
+      }
+    }.toDF("doc_id", "lang", "rn")
+  }
+
+  /** Stratified round-robin INTERLEAVE — the deterministic training
+    * order a mixture actually consumes: within each language the docs
+    * are dealt in seeded-hash order, and the streams round-robin
+    * position-wise (position = (rank−1)·nLangs + language slot), so any
+    * contiguous read window carries every language at its corpus
+    * proportion cap. Complements [[epochShuffle]] (global random order)
+    * and [[domainMix]] (subsampling): this REORDERS, keeping everything.
+    *
+    * Scale shape: the per-language rank comes from [[groupedRanks]]'
+    * two-phase prefix sum (never a one-partition-per-language window);
+    * the slot table and the language count are broadcast 1-row/G-row
+    * frames. One range shuffle, one sorted pass, control-plane P×G
+    * state.
+    */
+  def datasetInterleave(spark: SparkSession, sfDir: String,
+                        seed: String = "il1"): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val slots = docs.select(col("lang")).distinct()
+      .withColumn("slot",
+        (row_number().over(Window.orderBy("lang")) - 1).cast("long"))
+    val nl = slots.agg(count(lit(1)).as("nl"))
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      hash32(concat(lit(s"$seed#"), col("doc_id").cast("string"))).as("h"))
+    groupedRanks(spark, keyed)
+      .join(broadcast(slots), "lang")
+      .crossJoin(broadcast(nl))
+      .select(col("doc_id"), col("lang"), col("slot"),
+        ((col("rn") - 1) * col("nl") + col("slot")).as("position"))
+      .orderBy("position")
+  }
+
   /** Balanced-mixture sampling — equalize a skewed corpus across groups
     * (the "domain mixing" step of training-data prep): every language
     * keeps exactly min-group-size docs, selected in content-hash order so

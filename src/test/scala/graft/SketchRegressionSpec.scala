@@ -122,6 +122,39 @@ class SketchRegressionSpec extends SparkSpec {
     assert(sizes === users)
   }
 
+  test("datasetInterleave deals every language arithmetically (step = " +
+    "nLangs from its slot) and the grouped prefix-sum rank matches a " +
+    "window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = TextAnalysis.datasetInterleave(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.length.toLong === docs.count())
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    val nl = rows.map(_.getString(1)).distinct.length.toLong
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val slot = rs.head.getLong(2)
+      val ps = rs.map(_.getLong(3)).sorted
+      ps.zipWithIndex.foreach { case (p, i) =>
+        assert(p === slot + i.toLong * nl, s"$lang position $p at $i")
+      }
+    }
+    // the scale primitive vs the straightforward window formulation
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      graft.functions.TextHash.hash32(
+        concat(lit("il1#"), col("doc_id").cast("string"))).as("h"))
+    val viaWindow = keyed.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val viaPrefix = graft.operators.TextAnalysis
+      .groupedRanks(spark, keyed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(viaPrefix === viaWindow)
+  }
+
   test("degenerate inputs: empty frames and oversized k fall through " +
     "without crashing the new seams") {
     import spark.implicits._
