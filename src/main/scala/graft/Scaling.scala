@@ -43,7 +43,7 @@ object Scaling {
     // round 11: the sketch pass, the chunk-granularity retrieval, the
     // A-ES draw, the BPE corpus application, and the power iteration
     "heavy_hitters", "chunk_embed_search", "weighted_sample",
-    "bpe_encode", "pca_power")
+    "bpe_encode", "pca_power", "dataset_interleave")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
