@@ -142,9 +142,14 @@ object Events {
     * the two initial hash aggregates, both map-side partial.
     */
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    // Exact integer FLOOR division (Spark `div` truncates toward zero,
+    // DuckDB `//` floors) — the correction term keeps both engines
+    // bucketing pre-1970 timestamps identically.
     val e = ev(spark, sfDir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 604800000000").as("week"))
+        expr("unix_micros(ts) div 604800000000 - " +
+          "(case when unix_micros(ts) % 604800000000 < 0 " +
+          "then 1 else 0 end)").as("week"))
     val cohort = e.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
     val active = e.distinct()

@@ -503,6 +503,27 @@ object StreamingIndex {
     }
   }
 
+  /** Terminal handler for the order-disciplined folds (sequence pack,
+    * event anomalies): wipe the run's derived state ONLY for the
+    * out-of-order refusal — that is a poison state a bare checkpoint
+    * retry would replay forever, so landing/checkpoint/versions must be
+    * rebuilt from the fixture. Any OTHER failure (disk, OOM, an
+    * interrupted query) keeps the checkpoint intact so the stream can
+    * resume exactly where it left off — that recoverability is the
+    * whole point of the replay discipline. The misorder surfaces here
+    * wrapped in a StreamingQueryException, so we walk the cause chain.
+    */
+  private def wipeIfMisordered(root: String, e: Throwable): Nothing = {
+    val misordered = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).take(16)
+      .exists(t => t.isInstanceOf[IllegalStateException] &&
+        t.getMessage != null && t.getMessage.contains("out of order"))
+    if (misordered)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+    throw e
+  }
+
   /** 7-digit pad: Spark and DuckDB `lpad` both TRUNCATE strings longer
     * than the pad length, so a 5-digit pad would cut doc_id+10000 ≥ 100000
     * to 5 chars and silently collide new adds into updates. 7 digits keeps
@@ -1042,18 +1063,7 @@ object StreamingIndex {
         }
         .start()
       try q.awaitTermination() catch {
-        case e: Throwable =>
-          // by the time the refusal (or any mid-run failure) surfaces
-          // here, the PRIOR batches' versions and their checkpoint
-          // entries are already durable — a bare retry would replay the
-          // same misordered sequence from the checkpoint and throw
-          // forever (the committed-guard above would even skip
-          // re-staging). Wipe the run's whole derived state so the next
-          // call re-stages with fresh mtimes and starts clean; landing,
-          // checkpoint and versions are all rebuilt from the fixture.
-          org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(root))
-          throw e
+        case e: Throwable => wipeIfMisordered(root, e)
       }
     }
     TextAnalysis.packAggregate(
@@ -1193,7 +1203,7 @@ object StreamingIndex {
     * replay the same misorder from the checkpoint forever).
     */
   def streamingEventAnomalies(spark: SparkSession, sfDir: String,
-                              w: Int = 20): DataFrame = {
+      w: Int = graft.operators.Events.DefaultAnomalyWindow): DataFrame = {
     import spark.implicits._
     val root = IndexStore.indexDir(sfDir, "stream-anom-v1", "events")
     val landing = s"$root/landing"
@@ -1255,10 +1265,7 @@ object StreamingIndex {
         }
         .start()
       try q.awaitTermination() catch {
-        case e: Throwable =>
-          org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(root))
-          throw e
+        case e: Throwable => wipeIfMisordered(root, e)
       }
     }
     spark.read.parquet(s"$versions/b*/flags").orderBy("event_id")
