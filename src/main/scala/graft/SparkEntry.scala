@@ -316,6 +316,17 @@ object SparkEntry {
       graft.streaming.StreamingIndex.streamingEventAnomalies(s, d)),
     "ann_lsh" -> ((s, d) => AnnSearch.lshKnn(s, d)),
     "ann_ivf_persisted" -> ((s, d) => AnnSearch.ivfKnn(s, d)),
+    // the reference's ACTUAL index family (IndexHNSWFlat, main.py:60-62)
+    // restated as dataflow: NN-descent bounded-degree neighbor table +
+    // batched beam search; recall HARD-gated by the knn_graph floor in
+    // ann_recall_violations
+    "ann_knn_graph" -> ((s, d) => GraphAnn.graphKnn(s, d)),
+    // the graph index's O(batch) append lifecycle: forward edges from a
+    // beam search of the existing graph, reverse repair of touched
+    // nodes, manifest-referenced base segments; zero rows = complete,
+    // covered, degree-bounded, searchable
+    "graph_append_violations" ->
+      ((s, d) => GraphAnn.graphAppendViolations(s, d)),
     // the scale path for SQL-only consumers; rows-only here because it is
     // spec-asserted BIT-IDENTICAL to ann_ivf_persisted (AnnSpec), so it
     // inherits the ivf recall gates transitively
@@ -1371,6 +1382,13 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS query_id,
         |  CAST(NULL AS DOUBLE) AS recall,
         |  CAST(NULL AS DOUBLE) AS floor
+        |WHERE 1 = 0""".stripMargin,
+    // same zero-row contract for the graph-index append: completeness,
+    // coverage, degree bound, and recall of the appended version
+    "graph_append_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     // same zero-row contract for the IVF append path: any completeness or
     // recall violation of the appended index version becomes a row

@@ -1349,7 +1349,11 @@ object AnnSearch {
 
   private[graft] val DefaultRecallFloors: Map[String, Double] =
     Map("lsh" -> 0.8, "ivf" -> 0.6, "ivf_sq" -> 0.6,
-      "pq" -> 0.4, "ivf_filtered" -> 0.6, "ivf_pq" -> 0.4)
+      "pq" -> 0.4, "ivf_filtered" -> 0.6, "ivf_pq" -> 0.4,
+      // the graph leg navigates to the exact neighborhood at fixture
+      // scale (measured 1.0 avg on every fixture) — floor set at the
+      // LSH tier, the family's high-recall end
+      "knn_graph" -> 0.8)
 
   /** The gauge tier's shared (method, query) recall frame — computed ONCE
     * per (data fingerprint, nQueries, k, floors) per JVM and
@@ -1437,6 +1441,8 @@ object AnnSearch {
       .unionAll(recallOf("pq",
         Quantize.pqKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallOf("ivf_pq", ivfPqKnn(spark, sfDir, nQueries, k)))
+      .unionAll(recallOf("knn_graph",
+        GraphAnn.graphKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallAgainst(filteredExact, "ivf_filtered",
         ivfFilteredKnn(spark, sfDir, nQueries = nQueries, k = k)))
       .select(col("method"), col("query_id"), col("recall"),
@@ -1467,7 +1473,8 @@ object AnnSearch {
                             Map("lsh" -> 0.5, "ivf" -> 0.25,
                               "ivf_sq" -> 0.25, "pq" -> 0.15,
                               "ivf_filtered" -> 0.25,
-                              "ivf_pq" -> 0.15)): DataFrame = {
+                              "ivf_pq" -> 0.15,
+                              "knn_graph" -> 0.5)): DataFrame = {
     // the SHARED checkpointed gauge frame ([[recallFrame]]): both
     // violation branches — and the `ann_recall` entry itself — read one
     // materialization, so the exact denominator and the six per-method
@@ -1580,8 +1587,28 @@ object AnnSearch {
       .localCheckpoint(true)
     val pqCand = Quantize.pqAdist(spark, sfDir, nQueries)
       .localCheckpoint(true)
+    // the graph leg sweeps search DEPTH (hops): visited(h) ⊆
+    // visited(h+1) by construction, so the whole sweep derives from ONE
+    // checkpointed trace at max depth — an operating point is a
+    // `hop <= h` filter + the ranking tail, and its measured price is
+    // the point's own visited-set size (the distance evals that depth
+    // actually pays). This is the efSearch knob of `main.py:31` in its
+    // distributed reading: deeper beam = more accurate = more evals.
+    val gDir = GraphAnn.ensureGraphIndex(spark, sfDir)
+    val gHops = GraphAnn.autoHops(n, GraphAnn.autoDegree(n))
+    val gTrace = GraphAnn.searchTraceAt(spark, gDir, queries,
+      GraphAnn.DefaultEf, gHops).localCheckpoint(true)
+    val hopPoints = (Seq(1, 2) ++ Seq(gHops)).distinct.filter(_ <= gHops)
     val normed = VectorSearch.normalized(spark, sfDir)
     val rows =
+      hopPoints.map { h =>
+        val sub = gTrace.filter(col("hop") <= h)
+        ("graph", h.toLong,
+          recallOf(VectorSearch.topK(
+            sub.filter(col("id") =!= col("query_id"))
+              .select(col("query_id"), col("id"), col("dist")), k)),
+          sub.count())
+      } ++
       probePoints.map { p =>
         ("ivf", p.toLong,
           recallOf(VectorSearch.topK(ivfCand.filter(col("cr") <= p), k)),
@@ -1607,7 +1634,8 @@ object AnnSearch {
   /** The deterministic growth batch both lifecycle gates append: every
     * fixture embedding shifted to id + 20000 with +0.01 per element.
     */
-  private def appendBatch(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def appendBatch(spark: SparkSession,
+                                 sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings")
       .select((col("vec_id") + 20000).as("vec_id"),
         transform(col("embedding"),
@@ -2005,8 +2033,9 @@ object AnnSearch {
     * shared truth set of every append-gate recall measurement, so the
     * flat and PQ gates can never drift in their exact baseline.
     */
-  private def unionExactTopK(union: DataFrame, queries: DataFrame,
-                             k: Int): DataFrame =
+  private[graft] def unionExactTopK(union: DataFrame,
+                                    queries: DataFrame,
+                                    k: Int): DataFrame =
     VectorSearch.topK(
       union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),

@@ -1,0 +1,426 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+import graft.sources.IndexStore
+
+/** Graph-based approximate nearest-neighbor search — the Spark-native
+  * analog of the reference's actual index, `faiss.IndexHNSWFlat(2048, 32)`
+  * (reference `main.py:60-62`) with its `efSearch = 300` accuracy knob
+  * (`main.py:31`).
+  *
+  * HNSW itself is a pointer-chasing, single-machine structure; the
+  * distributed restatement keeps its two halves but re-expresses each as
+  * dataflow (both published techniques — Dong et al., "Efficient K-Nearest
+  * Neighbor Graph Construction for Generic Similarity Measures", WWW'11,
+  * and the standard batched best-first graph search):
+  *
+  *  - '''Build — NN-descent''': a bounded-degree (M, the reference's HNSW
+  *    `M = 32`) neighbor table converges by local iteration: each round,
+  *    every node offers its (capped) neighborhood as candidate neighbors
+  *    to each OTHER member of that neighborhood — "a neighbor of my
+  *    neighbor is probably my neighbor". One round is two self-joins and a
+  *    per-node top-M: O(n·M²) candidate edges, no all-pairs anywhere, and
+  *    every stage is a shuffle on node id — embarrassingly horizontal at
+  *    1000 executors. Init is cluster-free random blocking (hash groups),
+  *    exactly the published algorithm's random start.
+  *  - '''Query — batched beam search''': seeds (the S corpus points
+  *    nearest the global centroid — the flat stand-in for HNSW's upper
+  *    layers, which exist only to find a good entry point) expand hop by
+  *    hop: the current best `ef` visited nodes per query (efSearch ≅ beam
+  *    width) pull their adjacency rows in via one equi-join on the graph
+  *    table, new nodes get scored, and after `hops` rounds the shared
+  *    ranking tail ([[VectorSearch.topK]]) emits the contract rows. Every
+  *    hop is one join of a Q·ef·M-bounded frame against the id-bucketed
+  *    vector store — at 100 TB the per-hop work is proportional to the
+  *    beam, never the corpus.
+  *
+  * Persistence mirrors the IVF family: a manifested version
+  * ([[IndexStore.writeManifest]]) whose immutable segments hold the vector
+  * table and the neighbor table, both hive-partitioned by `bucket =
+  * vec_id mod B` so the hop join's probe side can prune at the file
+  * source (the same DPP pattern as the IVF probe join). Appends are
+  * O(batch): new nodes beam-search the EXISTING graph for their forward
+  * edges, reverse edges repair only the touched nodes, and the new
+  * version's manifest re-references the base segments — no corpus copy
+  * (the add semantics of `main.py:134`).
+  *
+  * Not SQL-expressible → no DuckDB oracle; the method is HARD-gated by
+  * its recall floor in [[AnnSearch.annRecallViolations]] (zero-row,
+  * oracle-checked) and its lifecycle by [[graphAppendViolations]].
+  */
+object GraphAnn {
+
+  /** Neighbor-table degree: the reference's HNSW `M = 32`
+    * (`main.py:60-62`). Constant degree is the scale contract — the graph
+    * is n·M edges, linear in the corpus.
+    */
+  private[graft] def autoDegree(n: Long): Int =
+    math.min(32L, math.max(1L, n - 1)).toInt
+
+  /** Bucket count for the id-partitioned segment layout: enough dirs
+    * that a beam's probe prunes most files, few enough that listing
+    * stays cheap (same reasoning as the IVF 65,536-partition clamp).
+    */
+  private[graft] def autoBuckets(n: Long): Int =
+    math.max(4L, math.min(1024L, n / 4096L)).toInt
+
+  /** Search depth: the graph's diameter is ~log_M(n) for an NN-descent
+    * graph, so hops beyond that only re-expand already-visited nodes.
+    */
+  private[graft] def autoHops(n: Long, m: Int): Int = {
+    val h = math.ceil(math.log(math.max(2L, n).toDouble) /
+      math.log(math.max(2, m).toDouble)).toInt + 1
+    math.max(2, math.min(6, h))
+  }
+
+  /** Entry-point count (the flat analog of HNSW's top layer). */
+  val DefaultSeeds = 16
+
+  /** Beam width — the reference's `efSearch` accuracy knob
+    * (`main.py:31`; higher = more accurate, more distance evals).
+    */
+  val DefaultEf = 64
+
+  /** NN-descent rounds; converges in a handful on real data (WWW'11). */
+  val DefaultIters = 3
+
+  private def topM(edges: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
+    edges.withColumn("_r", row_number().over(w)).filter(col("_r") <= m)
+      .drop("_r")
+  }
+
+  /** The S corpus points nearest the dimension-wise centroid — a
+    * deterministic, central entry set every query can reach the bulk of
+    * the graph from. The centroid is a d-sized driver value (like
+    * [[VectorAnalytics.pcaPowerIteration]]'s state), never data.
+    */
+  private def seedFrame(spark: SparkSession, corpus: DataFrame,
+                        s: Int): DataFrame = {
+    val d = corpus.select(size(col("v"))).head.getInt(0)
+    val centroid = corpus
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x")).as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(centroid.length == d)
+    val cLit = array(centroid.map(lit(_)): _*)
+    corpus.select(col("vec_id"), col("v"),
+        squaredL2(col("v"), cLit).as("cd"))
+      .orderBy(col("cd"), col("vec_id")).limit(s)
+      .select(col("vec_id"), col("v"))
+  }
+
+  /** One NN-descent round over the current neighbor table: cap each
+    * node's undirected neighborhood (forward ∪ reverse) at `m` members
+    * by hash rank (the published sampling that keeps a round at O(n·m²)
+    * even for high-in-degree hubs), generate all ordered pairs within
+    * each neighborhood, score the new ones, and keep each node's best m.
+    */
+  private def descentRound(graph: DataFrame, corpus: DataFrame,
+                           m: Int, round: Int): DataFrame = {
+    val und = graph.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(graph.select(col("dst").as("v"), col("src").as("u")))
+      .dropDuplicates("v", "u")
+    val wc = Window.partitionBy("v")
+      .orderBy(xxhash64(col("u"), lit(round)), col("u"))
+    val capped = und.withColumn("_r", row_number().over(wc))
+      .filter(col("_r") <= m).drop("_r")
+    val pairs = capped.select(col("v"), col("u").as("src"))
+      .join(capped.select(col("v"), col("u").as("dst")), "v")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val scored = pairs
+      .join(corpus.select(col("vec_id").as("src"), col("v").as("sv")),
+        "src")
+      .join(corpus.select(col("vec_id").as("dst"), col("v").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"), squaredL2(col("sv"), col("dv"))
+        .as("dist"))
+    topM(graph.unionAll(scored).dropDuplicates("src", "dst"), m)
+  }
+
+  /** Build (once) the persisted k-NN-graph index. Layout under `dir`:
+    *
+    *  - `meta` — one row (degree, buckets): append must bucket and cap
+    *    with the SAME constants the build used;
+    *  - `seeds` — the S entry points (vec_id, v);
+    *  - `seg/base/vectors`, `seg/base/graph` — immutable segments,
+    *    hive-partitioned by `bucket`;
+    *  - `manifest` — written LAST, the whole-version commit marker
+    *    (crash before it reads as "never built").
+    */
+  def buildGraphIndex(spark: SparkSession, sfDir: String,
+                      m: Int = 0, iters: Int = DefaultIters): String = {
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val deg = if (m > 0) m else autoDegree(n)
+    val dir = IndexStore.indexDir(sfDir, s"knngraph$deg-v1", "embeddings")
+    if (IndexStore.committed(s"$dir/manifest")) return dir
+    val corpus = AnnSearch.normalizedCorpus(spark, sfDir)
+      .localCheckpoint(true)
+    val b = autoBuckets(n)
+    // random-blocking init (the published algorithm's random start, made
+    // distributed): T independent hash groupings into ~64-node blocks,
+    // all-pairs WITHIN each block — every node starts with its own
+    // ~T·63 random candidates (a per-node random sample, NOT a shared
+    // hub set: a degenerate shared start leaves nothing for the descent
+    // rounds to propagate). Cost is n·64·T distance evals — linear in n.
+    val blocks = math.max(1L, (n + 63L) / 64L)
+    val init = (0 until 3).map { t =>
+      val nodes = corpus.withColumn("grp",
+        pmod(xxhash64(col("vec_id"), lit(1000L + t)), lit(blocks)))
+      nodes.select(col("grp"), col("vec_id").as("src"),
+          col("v").as("sv"))
+        .join(nodes.select(col("grp"), col("vec_id").as("dst"),
+          col("v").as("dv")), "grp")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          squaredL2(col("sv"), col("dv")).as("dist"))
+    }.reduce(_ unionAll _).dropDuplicates("src", "dst")
+    var graph = topM(init, deg).localCheckpoint(true)
+    // fixed-round driver loop — control-plane only, like text_rank's;
+    // each round's frame is n·deg rows, checkpointed to cut lineage
+    for (r <- 1 to iters)
+      graph = descentRound(graph, corpus, deg, r).localCheckpoint(true)
+    import spark.implicits._
+    Seq((deg, b)).toDF("degree", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    seedFrame(spark, corpus, math.min(DefaultSeeds.toLong, n).toInt)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
+    corpus.withColumn("bucket", pmod(col("vec_id"), lit(b)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/seg/base/vectors")
+    graph.withColumn("bucket", pmod(col("src"), lit(b)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/seg/base/graph")
+    IndexStore.writeManifest(spark, dir, Seq(
+      ("vectors", s"$dir/seg/base/vectors", 0L),
+      ("graph", s"$dir/seg/base/graph", 0L),
+      ("seeds", s"$dir/seeds", 0L)))
+    dir
+  }
+
+  private[graft] def ensureGraphIndex(spark: SparkSession,
+                                      sfDir: String): String =
+    buildGraphIndex(spark, sfDir)
+
+  private def meta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head
+    (r.getAs[Int]("degree"), r.getAs[Int]("buckets"))
+  }
+
+  private def artifact(spark: SparkSession, dir: String,
+                       name: String): DataFrame =
+    IndexStore.loadSegments(spark, dir, name)
+
+  /** The version's logical neighbor table: segments unioned, duplicate
+    * edges collapsed, each node's adjacency resolved to its best
+    * `degree` rows — merge-on-read, exactly the manifested stores'
+    * resolution discipline. Search reads the RAW union instead (a
+    * bounded superset — extra append-era edges only widen the beam), so
+    * the per-hop join never pays a corpus-wide window.
+    */
+  private[graft] def resolvedGraph(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val (deg, _) = meta(spark, dir)
+    topM(artifact(spark, dir, "graph")
+      .select(col("src"), col("dst"), col("dist"))
+      .dropDuplicates("src", "dst"), deg)
+  }
+
+  /** Batched best-first search trace against a version dir: every
+    * visited node with its distance and the hop at which it was first
+    * scored. `visited(h) ⊆ visited(h+1)` by construction — the curve's
+    * nested operating points ([[AnnSearch.annRecallCurve]]) filter this
+    * one frame by hop instead of re-searching per point.
+    */
+  private[graft] def searchTraceAt(spark: SparkSession, dir: String,
+                                   queries: DataFrame, ef: Int,
+                                   hops: Int): DataFrame = {
+    val (_, b) = meta(spark, dir)
+    val graphView = artifact(spark, dir, "graph")
+      .select(col("bucket"), col("src"), col("dst"))
+    val vectors = artifact(spark, dir, "vectors")
+    val seeds = artifact(spark, dir, "seeds")
+      .select(col("vec_id").as("id"), col("v").as("sv"))
+    val q = broadcast(queries.select(col("query_id"), col("qu")))
+    var visited = q.join(broadcast(seeds))
+      .select(col("query_id"), col("id"),
+        squaredL2(col("qu"), col("sv")).as("dist"),
+        lit(0).as("hop"))
+      .localCheckpoint(true)
+    for (h <- 1 to hops) {
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("dist"), col("id"))
+      val frontier = visited.withColumn("_r", row_number().over(wf))
+        .filter(col("_r") <= ef)
+        .select(col("query_id"), col("id"),
+          pmod(col("id"), lit(b)).as("fbucket"))
+      // expansion: beam × adjacency — the broadcast side is Q·ef rows,
+      // the graph scan prunes on the bucket partition column
+      val exp = graphView
+        .join(broadcast(frontier),
+          graphView("bucket") === frontier("fbucket") &&
+            graphView("src") === frontier("id"))
+        .select(col("query_id"), col("dst").as("id")).distinct()
+      val fresh = exp.join(visited.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      val probeSide = fresh.join(q, "query_id")
+        .withColumn("fbucket", pmod(col("id"), lit(b)))
+      val scored = vectors
+        .join(broadcast(probeSide),
+          vectors("bucket") === probeSide("fbucket") &&
+            vectors("vec_id") === probeSide("id"))
+        .select(col("query_id"), probeSide("id"),
+          squaredL2(col("qu"), col("v")).as("dist"),
+          lit(h).as("hop"))
+      visited = visited.unionAll(scored).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Top-k per query from a version dir through the shared ranking tail
+    * (self excluded — FAISS would return the query row at distance 0).
+    */
+  def graphSearchAt(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, ef: Int, hops: Int): DataFrame =
+    VectorSearch.topK(
+      searchTraceAt(spark, dir, queries, ef, hops)
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), col("dist")), k)
+
+  /** Approximate top-k via the persisted k-NN graph (load-or-build) —
+    * the `ann_knn_graph` entry. Contract rows match every other search
+    * variant: (query_id, id, distance, rn).
+    */
+  def graphKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+               k: Int = 10, ef: Int = DefaultEf, hops: Int = 0): DataFrame = {
+    val dir = ensureGraphIndex(spark, sfDir)
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val h = if (hops > 0) hops else autoHops(n, autoDegree(n))
+    graphSearchAt(spark, dir,
+      AnnSearch.fixtureQueries(spark, sfDir, nQueries), k, ef, h)
+  }
+
+  /** O(batch) append: batch nodes beam-search the EXISTING graph for
+    * their forward edges; reverse edges repair only the touched base
+    * nodes; batch-internal edges come from one local candidate round
+    * (new nodes sharing a base neighbor). The new version at `out`
+    * re-references the base segments by manifest — no corpus copy.
+    */
+  def appendToGraphIndex(spark: SparkSession, sfDir: String,
+                         batch: DataFrame, out: String,
+                         m: Int = 0): Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    val base = buildGraphIndex(spark, sfDir, m)
+    val (deg, b) = meta(spark, base)
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val batchN = batch
+      .select(col("vec_id"), l2Normalize(col("v")).as("v"))
+      .localCheckpoint(true)
+    // forward edges: each new node's top-deg among its beam's visited
+    val asQueries = batchN
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
+    val fwd = VectorSearch.topK(
+        searchTraceAt(spark, base, asQueries, DefaultEf,
+          autoHops(n, deg))
+          .select(col("query_id"), col("id"), col("dist")), deg)
+      .select(col("query_id").as("src"), col("id").as("dst"),
+        col("distance").as("dist"))
+      .localCheckpoint(true)
+    // reverse repair: only base nodes a new node linked to are touched —
+    // O(batch·deg) rows; merge-on-read resolves them against the base
+    // adjacency by distance
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"),
+      col("dist"))
+    // batch-internal candidates: new nodes sharing a base neighbor
+    // (O(batch·deg²) bounded, the NN-descent step localized to the delta)
+    val viaBase = fwd.select(col("src").as("a"), col("dst").as("via"))
+      .join(fwd.select(col("src").as("c"), col("dst").as("via")), "via")
+      .filter(col("a") =!= col("c"))
+      .select(col("a").as("src"), col("c").as("dst")).distinct()
+    val internal = viaBase
+      .join(batchN.select(col("vec_id").as("src"), col("v").as("sv")),
+        "src")
+      .join(batchN.select(col("vec_id").as("dst"), col("v").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"),
+        squaredL2(col("sv"), col("dv")).as("dist"))
+    val delta = topM(fwd.unionAll(rev).unionAll(internal)
+      .dropDuplicates("src", "dst"), deg)
+    import spark.implicits._
+    Seq((deg, b)).toDF("degree", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/meta")
+    batchN.withColumn("bucket", pmod(col("vec_id"), lit(b)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/seg/app/vectors")
+    delta.withColumn("bucket", pmod(col("src"), lit(b)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/seg/app/graph")
+    val baseMan = IndexStore.readManifest(spark, base)
+    IndexStore.writeManifest(spark, out,
+      baseMan ++ Seq(
+        ("vectors", s"$out/seg/app/vectors", 1L),
+        ("graph", s"$out/seg/app/graph", 1L)))
+  }
+
+  /** HARD gate for the graph append (zero rows = passing, typed zero-row
+    * oracle, the [[AnnSearch.ivfAppendViolations]] contract): fold the
+    * shared deterministic growth batch into a new version, then emit a
+    * violation row if any invariant breaks:
+    *
+    *  - completeness: the appended version must hold base + batch
+    *    vectors;
+    *  - coverage: every appended node must have adjacency rows (an
+    *    orphan node is unreachable and silently invisible to search);
+    *  - degree: the resolved adjacency must respect the build's bound
+    *    (merge-on-read resolution failing to cap trips this);
+    *  - quality: beam search on the appended version must reach
+    *    `recallFloor` average recall@k against the exact k-NN over the
+    *    appended corpus.
+    */
+  def graphAppendViolations(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, k: Int = 10,
+                            recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val deg = autoDegree(n)
+    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v1",
+      "embeddings")
+    val batch = AnnSearch.appendBatch(spark, sfDir)
+    appendToGraphIndex(spark, sfDir, batch, out)
+    val nOut = artifact(spark, out, "vectors")
+      .select("vec_id").distinct().count()
+    val orphans = artifact(spark, out, "vectors")
+      .select(col("vec_id").as("src")).distinct()
+      .join(artifact(spark, out, "graph").select("src").distinct(),
+        Seq("src"), "left_anti").count()
+    val maxDeg = resolvedGraph(spark, out)
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head.getLong(0)
+    val union = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(batch.select(col("vec_id"),
+        l2Normalize(col("v")).as("v")))
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    val approx = graphSearchAt(spark, out, queries, k, DefaultEf,
+      autoHops(2 * n, deg))
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    val viols = Seq(
+      Option.when(nOut != 2 * n)(
+        ("vector_count", 2.0 * n, nOut.toDouble)),
+      Option.when(orphans != 0L)(
+        ("orphan_nodes", 0.0, orphans.toDouble)),
+      Option.when(maxDeg > deg)(
+        ("max_degree", deg.toDouble, maxDeg.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+}

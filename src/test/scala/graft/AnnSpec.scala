@@ -29,6 +29,11 @@ class AnnSpec extends SparkSpec {
       s"ivf_pq recall ${byMethod("ivf_pq")}")
     assert(byMethod("ivf_pq") <= byMethod("pq") + 1e-9,
       s"ivf_pq ${byMethod("ivf_pq")} > pq ${byMethod("pq")}")
+    // the graph leg (the reference's actual index family, HNSW at
+    // main.py:60-62) sits at the family's high-recall end: measured 1.0
+    // on every fixture, gated at the LSH tier
+    assert(byMethod("knn_graph") >= 0.8,
+      s"knn_graph recall ${byMethod("knn_graph")}")
   }
 
   test("IVF+PQ at full probe is bit-identical to flat PQ") {
@@ -186,7 +191,7 @@ class AnnSpec extends SparkSpec {
   test("recall curve is monotone in cost and exact at full probe") {
     val rows = AnnSearch.annRecallCurve(spark, sf).collect()
     val byMethod = rows.groupBy(_.getString(0))
-    assert(byMethod.keySet == Set("ivf", "ivf_sq", "pq"))
+    assert(byMethod.keySet == Set("ivf", "ivf_sq", "pq", "graph"))
     // expected point counts DERIVED from the same formulas the operator
     // uses — on a tiny corpus the probe points can legitimately collapse
     // (autoProbe(nc) can equal nc/8), and the spec must degrade with them
@@ -195,13 +200,21 @@ class AnnSpec extends SparkSpec {
     val expIvf =
       Seq(math.max(1, nc / 8), AnnSearch.autoProbe(nc), nc).distinct.size
     val expPq = Seq(10, 40, 120).distinct.size
+    val gHops = graft.operators.GraphAnn.autoHops(n,
+      graft.operators.GraphAnn.autoDegree(n))
+    val expGraph = (Seq(1, 2) ++ Seq(gHops)).distinct.count(_ <= gHops)
     // monotone BY CONSTRUCTION (superset candidates), so exact >= holds
     // deterministically, not just in expectation — in recall AND in the
     // measured row cost
     byMethod.foreach { case (m, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
       val recalls = sorted.map(_.getDouble(2))
-      assert(recalls.length == (if (m == "pq") expPq else expIvf), m)
+      val expPts = m match {
+        case "pq" => expPq
+        case "graph" => expGraph
+        case _ => expIvf
+      }
+      assert(recalls.length == expPts, m)
       assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
         s"$m recall not monotone: ${recalls.mkString(",")}")
       val costs = sorted.map(_.getLong(3))
@@ -216,6 +229,61 @@ class AnnSpec extends SparkSpec {
       assert(full.getDouble(2) == 1.0, m)
       assert(full.getLong(3) == 10L * n, m)
     }
+  }
+
+  test("knn-graph build persists a bucketed, manifested, degree-bounded " +
+      "version") {
+    import graft.operators.GraphAnn
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val deg = GraphAnn.autoDegree(n)
+    val dir = GraphAnn.buildGraphIndex(spark, sf)
+    assert(dir == IndexStore.indexDir(sf, s"knngraph$deg-v1", "embeddings"))
+    // the manifest is written LAST — it is the whole-version commit marker
+    assert(IndexStore.committed(s"$dir/manifest"))
+    // segments are hive-partitioned by bucket so the hop join's probe
+    // side can prune at the file source (the IVF DPP pattern)
+    val bucketDirs = new java.io.File(s"$dir/seg/base/vectors")
+      .listFiles().count(_.getName.startsWith("bucket="))
+    assert(bucketDirs >= 1)
+    // bounded degree (the HNSW M contract) and full node coverage
+    val g = GraphAnn.resolvedGraph(spark, dir)
+    val stats = g.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")), countDistinct(col("src"))).head
+    assert(stats.getLong(0) <= deg,
+      s"degree ${stats.getLong(0)} > $deg")
+    assert(stats.getLong(1) == n, s"coverage ${stats.getLong(1)} != $n")
+  }
+
+  test("knn-graph append is O(batch) by manifest reference and " +
+      "replay-idempotent") {
+    import graft.operators.{AnnSearch, GraphAnn}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_graph_append").toString
+    val batch = AnnSearch.appendBatch(spark, sf)
+    GraphAnn.appendToGraphIndex(spark, sf, batch, out)
+    assert(IndexStore.committed(s"$out/manifest"))
+    // O(batch) I/O: the version's OWN vector segment holds only the
+    // batch; the base corpus and base graph enter by manifest reference,
+    // never by copy
+    assert(spark.read.parquet(s"$out/seg/app/vectors").count() ==
+      batch.count())
+    val man = IndexStore.readManifest(spark, out)
+    assert(man.exists(e => e._1 == "vectors" && !e._2.startsWith(out)))
+    assert(man.exists(e => e._1 == "graph" && !e._2.startsWith(out)))
+    // every appended node got forward edges in the delta segment
+    val delta = spark.read.parquet(s"$out/seg/app/graph")
+    val newCovered = delta.select(col("src")).distinct()
+      .filter(col("src") >= 20000).count()
+    assert(newCovered == batch.count())
+    val edges = delta.count()
+    // replayed invocation on a committed version is a no-op
+    GraphAnn.appendToGraphIndex(spark, sf, batch, out)
+    assert(spark.read.parquet(s"$out/seg/app/graph").count() == edges)
+  }
+
+  test("knn-graph append yields a complete, searchable next version") {
+    assert(graft.operators.GraphAnn.graphAppendViolations(spark, sf)
+      .collect().isEmpty)
   }
 
   test("IVF append yields a complete, searchable next version") {
