@@ -344,6 +344,12 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),
+    // the flagships' NON-SATURATED operating point: both index legs at
+    // the default probe fraction (the corpus-scale regime), recall
+    // pinned against their own saturated probes; zero rows = the
+    // approximate path itself holds its floor
+    "hybrid_ann_probe_violations" ->
+      ((s, d) => AnnSearch.hybridProbeViolations(s, d)),
     "ann_recall_curve" -> ((s, d) => AnnSearch.annRecallCurve(s, d)),
     "ivf_append_violations" ->
       ((s, d) => AnnSearch.ivfAppendViolations(s, d)),
@@ -1382,6 +1388,13 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS query_id,
         |  CAST(NULL AS DOUBLE) AS recall,
         |  CAST(NULL AS DOUBLE) AS floor
+        |WHERE 1 = 0""".stripMargin,
+    // the non-saturated flagship operating point: probed-vs-saturated
+    // recall floors for the hybrid vector leg and the MMR pool
+    "hybrid_ann_probe_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     // same zero-row contract for the graph-index append: completeness,
     // coverage, degree bound, and recall of the appended version

@@ -2158,4 +2158,59 @@ object AnnSearch {
         graft.functions.VectorOps.dot(col("qu"), col("v")).as("qsim"))
     VectorSearch.mmrGreedy(spark, pool, k, lambda)
   }
+
+  /** HARD gate for the flagships' GENUINELY APPROXIMATE operating point
+    * (zero rows = passing, typed zero-row oracle): `hybrid_search_ann`
+    * and `mmr_rerank_ann` saturate their probes at fixture scale
+    * ([[hybridVecProbe]]) — bit-identical to exact, which is what lets
+    * them share the exact entries' DuckDB oracles, but it means the
+    * approximate regime they run at corpus scale had no CORRECTNESS row
+    * of its own. This gate drives BOTH index legs at the default probe
+    * fraction (the regime `hybridVecProbe` selects once perLeg ≪ n),
+    * asserts the point is genuinely below saturation, and pins each
+    * leg's recall@perLeg against its own saturated (exact) probe:
+    *
+    *  - `hybrid_probe_saturated` / `mmr_probe_saturated`: the swept
+    *    point must sit strictly below the full probe, or the gate is
+    *    vacuous (trips only if a fixture shrinks past the autoProbe
+    *    collapse);
+    *  - `hybrid_leg_recall` / `mmr_pool_recall`: recall of the probed
+    *    candidate set against the saturated set, floored — the measured
+    *    promise the saturation switch rests on at 100 TB.
+    */
+  def hybridProbeViolations(spark: SparkSession, sfDir: String,
+                            perLeg: Int = 50,
+                            recallFloor: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    def legRecall(dir: String, queries: DataFrame, nc: Int,
+                  expectedQ: Long): (Int, Double) = {
+      val np = autoProbe(nc)
+      val exact = ivfSearchAt(spark, dir, queries, perLeg, nc, expectedQ)
+        .select(col("query_id"), col("id")).localCheckpoint(true)
+      val probed = ivfSearchAt(spark, dir, queries, perLeg, np, expectedQ)
+        .select(col("query_id"), col("id"))
+      val hits = exact.join(probed, Seq("query_id", "id"), "left_semi")
+        .count()
+      (np, hits.toDouble / exact.count())
+    }
+    val docNc = autoClusters(tableCount(spark, sfDir, "documents"))
+    val (docNp, hybridRecall) = legRecall(
+      loadOrBuildDocIvf(spark, sfDir),
+      TfIdf.hybridQueryVec(spark, sfDir), docNc, expectedQ = 1L)
+    val embNc = resolveClusters(spark, sfDir, 0)
+    val (embNp, mmrRecall) = legRecall(
+      loadOrBuildIvf(spark, sfDir, embNc),
+      queryVectors(spark, sfDir, 10), embNc, expectedQ = 10L)
+    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    val viols = Seq(
+      Option.when(docNp >= docNc)(
+        ("hybrid_probe_saturated", (docNc - 1).toDouble, docNp.toDouble)),
+      Option.when(embNp >= embNc)(
+        ("mmr_probe_saturated", (embNc - 1).toDouble, embNp.toDouble)),
+      Option.when(hybridRecall < recallFloor)(
+        ("hybrid_leg_recall", recallFloor, r4(hybridRecall))),
+      Option.when(mmrRecall < recallFloor)(
+        ("mmr_pool_recall", recallFloor, r4(mmrRecall)))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
 }

@@ -231,6 +231,11 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("non-saturated probe gate: both flagship legs hold their recall " +
+      "floors below saturation") {
+    assert(AnnSearch.hybridProbeViolations(spark, sf).collect().isEmpty)
+  }
+
   test("knn-graph build persists a bucketed, manifested, degree-bounded " +
       "version") {
     import graft.operators.GraphAnn
