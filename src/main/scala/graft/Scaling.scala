@@ -232,6 +232,75 @@ object Scaling {
       ("quality_filter_trigger", tQual, 0L, 0L))
   }
 
+  /** Skew-stress tier: a deliberately zipfian-keyed shuffle join (90% of
+    * probe rows on ONE key, the rest spread over 999) measured three
+    * ways at each corpus scale — the salted-plan claim
+    * ([[graft.operators.Relational.saltedJoin]]) as a ladder datapoint
+    * instead of an argument:
+    *
+    *  - `skew_plain_aqe`: what Spark gives you — AQE's runtime skew-join
+    *    split (OptimizeSkewedJoin) on the sort-merge join;
+    *  - `skew_plain_noaqe`: the same join with the skew optimizer OFF —
+    *    the single hot partition is the whole job's critical path, the
+    *    failure mode salting exists for;
+    *  - `skew_salted`: the explicit write-once pattern — build side
+    *    replicated per salt, probe side salted deterministically, hot
+    *    key spread over nSalts reducers regardless of what the runtime
+    *    can see.
+    *
+    * The dim side stays 1,000 rows, broadcast DISABLED for all three —
+    * a broadcast join has no shuffle to skew and would measure nothing
+    * (at 100 TB the build side of a skewed join is often far past
+    * broadcast size; that regime is what this tier models). Row volume
+    * scales with the ladder factor, so the exponents say how each
+    * strategy's wall-clock grows as the hot key grows 10×/100×.
+    */
+  def skewTier(spark: SparkSession, rows: Long,
+               nSalts: Int = 16): Seq[(String, Double)] = {
+    val probe = spark.range(rows).select(
+      when(pmod(col("id"), lit(10L)) < 9, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      pmod(col("id"), lit(97L)).cast("double").as("w"))
+    val dim = spark.range(1000L).select(col("id").as("k"),
+      pmod(col("id") * lit(7L), lit(13L)).as("m"))
+    def timed(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def withConf(kvs: (String, String)*)(f: => Double): Double = {
+      val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    def plainJoin(): Unit = {
+      probe.join(dim, "k").groupBy("m")
+        .agg(sum(col("w")).as("s")).count()
+      ()
+    }
+    def saltedJoin(): Unit = {
+      val d = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(nSalts - 1))))
+      val p = probe.withColumn("salt",
+        pmod(xxhash64(col("w")), lit(nSalts)).cast("int"))
+      p.join(d, Seq("k", "salt")).groupBy("m")
+        .agg(sum(col("w")).as("s")).count()
+      ()
+    }
+    val noBcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val tAqe = withConf(noBcast)(timed(plainJoin()))
+    val tNoAqe = withConf(noBcast,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")(
+      timed(plainJoin()))
+    val tSalted = withConf(noBcast,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")(
+      timed(saltedJoin()))
+    Seq(("skew_plain_aqe", tAqe), ("skew_plain_noaqe", tNoAqe),
+      ("skew_salted", tSalted))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -350,7 +419,24 @@ object Scaling {
             f""""segs1":$g1,"segsN":$gN}"""
       }
     }
-    val json = (rows ++ mmRows ++ streamRows).mkString("[", ",", "]")
+    // skew tier: synthetic zipfian volume scaled by the ladder factor
+    // (5M rows at 1× — the fixture tables are too small to stress a
+    // shuffle). Run in full mode, or targeted via
+    // SPARK_GRAFT_SCALING_SKEW=1.
+    val wantSkew = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_SCALING_SKEW").contains("1")
+    val skewRows = if (!wantSkew) Seq.empty else {
+      val baseRows = 5000000L
+      val s1 = skewTier(spark, baseRows)
+      val sN = skewTier(spark, baseRows * factor)
+      s1.zip(sN).map { case ((n, a), (_, b)) =>
+        val exp = math.log(b / a) / math.log(factor.toDouble)
+        f"""{"query":"$n","t1":$a%.2f,"tN":$b%.2f,""" +
+          f""""factor":$factor,"exponent":$exp%.2f}"""
+      }
+    }
+    val json = (rows ++ mmRows ++ streamRows ++ skewRows)
+      .mkString("[", ",", "]")
     println(json)
     // a targeted run never clobbers the committed full-run record
     if (only.isEmpty) {
