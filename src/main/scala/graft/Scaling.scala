@@ -43,14 +43,17 @@ object Scaling {
     // round 11: the sketch pass, the chunk-granularity retrieval, the
     // A-ES draw, the BPE corpus application, and the power iteration
     "heavy_hitters", "chunk_embed_search", "weighted_sample",
-    "bpe_encode", "pca_power", "dataset_interleave")
+    "bpe_encode", "pca_power", "dataset_interleave",
+    // round 12: the graph-ANN leg (NN-descent build is warmed/untimed —
+    // build-once like every index; the timed pass is the beam search)
+    "ann_knn_graph")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
     */
   private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted",
     "ann_filtered", "semantic_decontaminate", "ann_ivf_pq",
-    "hybrid_search_ann", "mmr_rerank_ann")
+    "hybrid_search_ann", "mmr_rerank_ann", "ann_knn_graph")
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {
