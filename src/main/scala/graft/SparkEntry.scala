@@ -248,6 +248,12 @@ object SparkEntry {
     // covered, degree-bounded, searchable
     "graph_append_violations" ->
       ((s, d) => GraphAnn.graphAppendViolations(s, d)),
+    // the graph DELETE leg: O(batch) tombstone version (nodes stay
+    // traversable for navigation, excluded from ranking), then physical
+    // compaction with bridge repair (u->d->w re-stitched as u->w); zero
+    // rows = exclusion, live count, no dead edges, recall all held
+    "graph_delete_violations" ->
+      ((s, d) => GraphAnn.graphDeleteViolations(s, d)),
     // the scale path for SQL-only consumers; rows-only here because it is
     // spec-asserted BIT-IDENTICAL to ann_ivf_persisted (AnnSpec), so it
     // inherits the ivf recall gates transitively

@@ -284,13 +284,20 @@ object GraphAnn {
 
   /** Top-k per query from a version dir through the shared ranking tail
     * (self excluded — FAISS would return the query row at distance 0).
+    * Tombstoned nodes are excluded HERE, after the trace: the beam
+    * still traverses them (masked-delete navigability), they just
+    * cannot be ranked.
     */
   def graphSearchAt(spark: SparkSession, dir: String, queries: DataFrame,
-                    k: Int, ef: Int, hops: Int): DataFrame =
-    VectorSearch.topK(
-      searchTraceAt(spark, dir, queries, ef, hops)
-        .filter(col("id") =!= col("query_id"))
-        .select(col("query_id"), col("id"), col("dist")), k)
+                    k: Int, ef: Int, hops: Int): DataFrame = {
+    val trace = searchTraceAt(spark, dir, queries, ef, hops)
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("dist"))
+    val masked = tombstones(spark, dir).fold(trace)(t =>
+      trace.join(broadcast(t.select(col("vec_id").as("id"))),
+        Seq("id"), "left_anti"))
+    VectorSearch.topK(masked, k)
+  }
 
   /** Approximate top-k via the persisted k-NN graph (load-or-build) —
     * the `ann_knn_graph` entry. Contract rows match every other search
@@ -365,6 +372,175 @@ object GraphAnn {
       baseMan ++ Seq(
         ("vectors", s"$out/seg/app/vectors", 1L),
         ("graph", s"$out/seg/app/graph", 1L)))
+  }
+
+  /** O(batch) DELETE: one tombstone segment (the deleted ids) plus a
+    * manifest re-referencing every predecessor segment — no corpus or
+    * graph data touched (the IVF delete leg's contract). Search keeps
+    * TRAVERSING tombstoned nodes — the standard graph-index masked
+    * delete: dropping them from the adjacency would punch holes in the
+    * navigation paths — and excludes them only from the final ranking
+    * ([[graphSearchAt]]'s anti-join).
+    */
+  def deleteFromGraphIndex(spark: SparkSession, base: String,
+                           delIds: DataFrame, out: String): Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    spark.read.parquet(s"$base/meta")
+      .write.mode("overwrite").parquet(s"$out/meta")
+    delIds.select(col("vec_id")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/seg/del/tombstones")
+    val baseMan = IndexStore.readManifest(spark, base)
+    val seq = baseMan.filter(_._1 == "tombstones")
+      .map(_._3).maxOption.getOrElse(-1L) + 1L
+    IndexStore.writeManifest(spark, out,
+      baseMan :+ (("tombstones", s"$out/seg/del/tombstones", seq)))
+  }
+
+  /** The version's deleted-id set, or None for an undeleted version so
+    * the search plan stays join-free there.
+    */
+  private def tombstones(spark: SparkSession,
+                         dir: String): Option[DataFrame] = {
+    val segs = IndexStore.manifestSegments(
+      IndexStore.readManifest(spark, dir), "tombstones")
+    if (segs.isEmpty) None
+    else Some(IndexStore.readUnion(spark, segs)
+      .select(col("vec_id")).distinct())
+  }
+
+  /** Physical compaction: drop tombstoned vectors, drop their adjacency
+    * rows in BOTH directions, and BRIDGE the holes — for each deleted
+    * node d, its surviving in-neighbors u and out-neighbors w become
+    * repair candidates (u, w) with their true distance (the standard
+    * delete repair: the paths that ran through d are re-stitched so
+    * navigability does not decay as deletes accumulate). O(live +
+    * deleted·M²) work; the result is a fresh single-segment version at
+    * `out` with no tombstones.
+    */
+  def compactGraphTo(spark: SparkSession, dir: String,
+                     out: String): Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    val (deg, b) = meta(spark, dir)
+    val dead = tombstones(spark, dir)
+      .getOrElse(spark.range(0).select(col("id").as("vec_id")))
+      .localCheckpoint(true)
+    val liveVec = artifact(spark, dir, "vectors")
+      .select(col("vec_id"), col("v"))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val g = artifact(spark, dir, "graph")
+      .select(col("src"), col("dst"), col("dist"))
+    val deadSrc = dead.select(col("vec_id").as("src"))
+    val deadDst = dead.select(col("vec_id").as("dst"))
+    val live = g.join(deadSrc, Seq("src"), "left_anti")
+      .join(deadDst, Seq("dst"), "left_anti")
+    // bridge: u -> d -> w becomes candidate u -> w (both survivors)
+    val intoDead = g.join(dead.select(col("vec_id").as("dst")), Seq("dst"))
+      .join(deadSrc, Seq("src"), "left_anti")
+      .select(col("src").as("u"), col("dst").as("d"))
+    val outOfDead = g.join(dead.select(col("vec_id").as("src")), Seq("src"))
+      .join(deadDst, Seq("dst"), "left_anti")
+      .select(col("src").as("d"), col("dst").as("w"))
+    val bridges = intoDead.join(outOfDead, "d")
+      .filter(col("u") =!= col("w"))
+      .select(col("u").as("src"), col("w").as("dst")).distinct()
+      .join(liveVec.select(col("vec_id").as("src"), col("v").as("sv")),
+        "src")
+      .join(liveVec.select(col("vec_id").as("dst"), col("v").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"),
+        squaredL2(col("sv"), col("dv")).as("dist"))
+    val repaired = topM(live.unionAll(bridges)
+      .dropDuplicates("src", "dst"), deg)
+    import spark.implicits._
+    Seq((deg, b)).toDF("degree", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/meta")
+    // seeds may contain deleted nodes — refresh from the live corpus
+    seedFrame(spark, liveVec,
+      math.min(DefaultSeeds.toLong, liveVec.count()).toInt)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/seeds")
+    liveVec.withColumn("bucket", pmod(col("vec_id"), lit(b)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/seg/base/vectors")
+    repaired.withColumn("bucket", pmod(col("src"), lit(b)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/seg/base/graph")
+    IndexStore.writeManifest(spark, out, Seq(
+      ("vectors", s"$out/seg/base/vectors", 0L),
+      ("graph", s"$out/seg/base/graph", 0L),
+      ("seeds", s"$out/seeds", 0L)))
+  }
+
+  /** HARD gate for the graph DELETE lifecycle (zero rows = passing,
+    * typed zero-row oracle — the [[AnnSearch.ivfDeleteViolations]]
+    * contract): tombstone a deterministic fifth of the corpus, then
+    * emit a violation row if any invariant breaks:
+    *
+    *  - exclusion: search on the tombstoned version must return no
+    *    deleted id (they are traversed for navigation, never ranked);
+    *  - live_count: the compacted version must hold exactly the
+    *    surviving vectors;
+    *  - dead_edges: the compacted adjacency must reference no deleted
+    *    node on either side;
+    *  - recall: beam search on the COMPACTED version must reach
+    *    `recallFloor` against the exact k-NN over the live corpus —
+    *    the bridge repair's whole point (holes left unstitched decay
+    *    navigability and trip this).
+    */
+  def graphDeleteViolations(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, k: Int = 10,
+                            recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val deg = autoDegree(n)
+    val base = buildGraphIndex(spark, sfDir)
+    val delOut = IndexStore.indexDir(sfDir, s"knngraph$deg-del-v1",
+      "embeddings")
+    val cmpOut = IndexStore.indexDir(sfDir, s"knngraph$deg-cmp-v1",
+      "embeddings")
+    // deterministic delete set, disjoint from the query ids so every
+    // query keeps a live exact top-k to be measured against
+    val dead = AnnSearch.normalizedCorpus(spark, sfDir)
+      .filter(col("vec_id") % 5 === 3 && col("vec_id") >= nQueries)
+      .select(col("vec_id"))
+    deleteFromGraphIndex(spark, base, dead, delOut)
+    compactGraphTo(spark, delOut, cmpOut)
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val hops = autoHops(n, deg)
+    val excluded = graphSearchAt(spark, delOut, queries, k, DefaultEf,
+      hops)
+      .join(dead.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .count()
+    val nDead = dead.count()
+    val liveN = artifact(spark, cmpOut, "vectors")
+      .select("vec_id").distinct().count()
+    val deadEdges = artifact(spark, cmpOut, "graph")
+      .select(col("src"), col("dst"))
+      .join(dead.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .count() +
+      artifact(spark, cmpOut, "graph")
+        .select(col("src"), col("dst"))
+        .join(dead.select(col("vec_id").as("dst")), Seq("dst"),
+          "left_semi")
+        .count()
+    val live = AnnSearch.normalizedCorpus(spark, sfDir)
+      .join(dead, Seq("vec_id"), "left_anti")
+    val exact = AnnSearch.unionExactTopK(live, queries, k)
+    val approx = graphSearchAt(spark, cmpOut, queries, k, DefaultEf, hops)
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    val viols = Seq(
+      Option.when(excluded != 0L)(
+        ("excluded_in_results", 0.0, excluded.toDouble)),
+      Option.when(liveN != n - nDead)(
+        ("live_count", (n - nDead).toDouble, liveN.toDouble)),
+      Option.when(deadEdges != 0L)(
+        ("dead_edges", 0.0, deadEdges.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
   /** HARD gate for the graph append (zero rows = passing, typed zero-row

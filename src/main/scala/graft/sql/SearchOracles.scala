@@ -34,6 +34,13 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the graph DELETE lifecycle: masked-node exclusion, compacted live
+    // count, no dead edges, bridge-repaired recall — same zero-row shape
+    "graph_delete_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // same zero-row contract for the IVF append path: any completeness or
     // recall violation of the appended index version becomes a row
     "ivf_append_violations" ->

@@ -291,6 +291,12 @@ class AnnSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("knn-graph delete gate: masked exclusion, compacted live set, " +
+      "bridge-repaired recall all hold") {
+    assert(graft.operators.GraphAnn.graphDeleteViolations(spark, sf)
+      .collect().isEmpty)
+  }
+
   test("IVF append yields a complete, searchable next version") {
     assert(AnnSearch.ivfAppendViolations(spark, sf).collect().isEmpty)
   }
