@@ -366,6 +366,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingIndex.streamingCorpusDedup(s, d)),
     "streaming_ivf_append" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingIvfAppend(s, d)),
+    // the graph-family chain: each micro-batch beam-searches the
+    // PREDECESSOR version for its forward edges and folds an O(batch)
+    // graph delta; zero rows = chain, count and final-version recall
+    "streaming_graph_append" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingGraphAppend(s, d)),
     // delete-at-ingest: add/delete requests in one checkpointed stream,
     // each micro-batch an O(batch) index version (tombstones for the
     // delete leg); zero rows = chain complete, deletes excluded, recall

@@ -322,9 +322,21 @@ object GraphAnn {
                          batch: DataFrame, out: String,
                          m: Int = 0): Unit = {
     if (IndexStore.committed(s"$out/manifest")) return
-    val base = buildGraphIndex(spark, sfDir, m)
+    appendToGraphIndexAt(spark, buildGraphIndex(spark, sfDir, m),
+      batch, out)
+  }
+
+  /** [[appendToGraphIndex]] against an EXPLICIT predecessor version —
+    * the chaining form the streaming twin folds through
+    * (v(n) = append(v(n-1), batch n)); replay-idempotent behind the
+    * manifest commit gate.
+    */
+  def appendToGraphIndexAt(spark: SparkSession, base: String,
+                           batch: DataFrame, out: String): Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
     val (deg, b) = meta(spark, base)
-    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val n = artifact(spark, base, "vectors")
+      .select("vec_id").distinct().count()
     val batchN = batch
       .select(col("vec_id"), l2Normalize(col("v")).as("v"))
       .localCheckpoint(true)
@@ -368,10 +380,12 @@ object GraphAnn {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$out/seg/app/graph")
     val baseMan = IndexStore.readManifest(spark, base)
+    val nextSeq = baseMan.filter(e =>
+      e._1 == "vectors" || e._1 == "graph").map(_._3).max + 1L
     IndexStore.writeManifest(spark, out,
       baseMan ++ Seq(
-        ("vectors", s"$out/seg/app/vectors", 1L),
-        ("graph", s"$out/seg/app/graph", 1L)))
+        ("vectors", s"$out/seg/app/vectors", nextSeq),
+        ("graph", s"$out/seg/app/graph", nextSeq)))
   }
 
   /** O(batch) DELETE: one tombstone segment (the deleted ids) plus a

@@ -17,6 +17,13 @@ private[graft] object StreamingOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the graph-family chain of appends: version chain, final count,
+    // final-version beam-search recall — same zero-row contract
+    "streaming_graph_append" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // its streaming twin: delete-at-ingest through the checkpointed
     // micro-batch version chain
     "streaming_index_delete" ->

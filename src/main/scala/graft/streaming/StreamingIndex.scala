@@ -677,6 +677,100 @@ object StreamingIndex {
     * batches, or probing the final version misses the recall floor
     * against the exact k-NN over the full appended corpus.
     */
+  /** Streaming O(batch) GRAPH index growth — the graph-family twin of
+    * [[streamingIvfAppend]]: micro-batches of NEW vectors chain into
+    * versioned k-NN-graph snapshots,
+    * v(n) = [[graft.operators.GraphAnn.appendToGraphIndexAt]](v(n-1),
+    * batch n), under one checkpoint with the same replay discipline
+    * (predecessor resolved below the batch id; a committed version
+    * above the batch id is a lost checkpoint and fails loudly; a
+    * replayed batch rewrites its own version from the same
+    * predecessor). Each version costs O(batch): the batch beam-searches
+    * the PREDECESSOR graph for its forward edges, reverse edges repair
+    * only touched nodes, and the manifest re-references every base
+    * segment — the chained form of `main.py:134`'s `add_with_ids` for
+    * the graph layout.
+    *
+    * Returns the zero-row violations contract (`graph_append_violations`
+    * shape): version chain complete, final vector count = base + both
+    * batches, beam-search recall on the final version ≥ floor against
+    * the exact k-NN over the grown corpus.
+    */
+  def streamingGraphAppend(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 10,
+                           recallFloor: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.l2Normalize
+    import graft.operators.{AnnSearch, GraphAnn}
+    val root = IndexStore.indexDir(sfDir, "stream-graph-v1", "embeddings")
+    val landing = s"$root/landing"
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // id offsets clear of every other fixture injection (+10000 dedup,
+    // +20000 append gates, +30000/+40000 the IVF streaming chain)
+    def shifted(off: Long, delta: Double) =
+      emb.select((col("vec_id") + off).as("vec_id"),
+        transform(col("v"), x => x + lit(delta)).as("v"))
+    if (!latestVersion(root).exists(_ >= 1L)) {
+      val base = GraphAnn.buildGraphIndex(spark, sfDir)
+      stageInto(shifted(50000L, 0.01), landing, "batch0")
+      stageInto(shifted(60000L, 0.02), landing, "batch1")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          latestVersion(root).filter(_ > batchId)
+            .foreach { v =>
+              throw new IllegalStateException(
+                s"graph root $root has committed version v$v > batch " +
+                  s"$batchId: checkpoint/root mismatch — refusing to " +
+                  "rewrite history")
+            }
+          val baseDir = latestVersion(root, limit = batchId)
+            .map(v => s"$root/v$v").getOrElse(base)
+          GraphAnn.appendToGraphIndexAt(spark, baseDir, b.toDF(),
+            s"$root/v$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val vLast = latestVersion(root).getOrElse(-1L)
+    val finalDir = s"$root/v$vLast"
+    val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val nOut = IndexStore.loadSegments(spark, finalDir, "vectors")
+      .select("vec_id").distinct().count()
+    val union = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(shifted(50000L, 0.01)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .unionAll(shifted(60000L, 0.02)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    val approx = GraphAnn.graphSearchAt(spark, finalDir, queries, k,
+      GraphAnn.DefaultEf,
+      GraphAnn.autoHops(3 * nBase, GraphAnn.autoDegree(nBase)))
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    val viols = Seq(
+      Option.when(vLast != 1L)(
+        ("version_chain", 1.0, vLast.toDouble)),
+      Option.when(nOut != 3 * nBase)(
+        ("vector_count", 3.0 * nBase, nOut.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
   def streamingIvfAppend(spark: SparkSession, sfDir: String,
                          nQueries: Int = 10, k: Int = 10,
                          recallFloor: Double = 0.5): DataFrame = {

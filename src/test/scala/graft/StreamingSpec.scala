@@ -246,6 +246,24 @@ class StreamingSpec extends SparkSpec {
     assert(AnnSearch.ivfTombSegments(spark, s"$root/v1").nonEmpty)
   }
 
+  test("streamed GRAPH appends chain versions with zero violations") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    assert(StreamingIndex.streamingGraphAppend(spark, sf)
+      .collect().isEmpty)
+    val root = IndexStore.indexDir(sf, "stream-graph-v1", "embeddings")
+    Seq(0L, 1L).foreach { v =>
+      assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
+    }
+    // O(batch) I/O per version: each version's OWN vector segment holds
+    // one batch; predecessors enter by manifest reference, never copy
+    val n = Tables.load(spark, sf, "embeddings").count()
+    Seq(0L, 1L).foreach { v =>
+      assert(spark.read.parquet(s"$root/v$v/seg/app/vectors")
+        .count() == n, s"v$v segment not batch-sized")
+    }
+  }
+
   test("streamed IVF appends chain versions with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
