@@ -114,13 +114,74 @@ object GraphAnn {
       .select(col("vec_id"), col("v"))
   }
 
+  /** All ordered pairs within each `g`-group of quantized neighbors,
+    * scored with the SQ8 approximate distance INSIDE one higher-order
+    * expression — the build's whole shuffle is the n·m neighbor rows
+    * (each carrying a 64-BYTE qv, not a 512-byte double vector), never
+    * the n·m² candidate pairs: pair generation and scoring happen
+    * post-shuffle inside the group's collected ≤ m·72 B struct list.
+    * This is what made the 100× ladder build feasible — the first cut
+    * joined full vectors onto every candidate pair and shuffled ~100 GB
+    * per round at 200k nodes. Scoring on SQ8 for CONSTRUCTION only is
+    * the standard graph-build trade (FAISS builds HNSW over quantized
+    * storage the same way); the persisted edges are exact-rescored.
+    */
+  /** Encoder target for the group-local kernel — must be public:
+    * the generated SafeProjection instantiates it from codegen'd Java. */
+  case class QNbr(u: Long, qv: Seq[Byte], s: Double)
+
+  private def scoreWithinGroups(groups: DataFrame): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    // the m² pair kernel runs as a typed flatMap, not a higher-order
+    // array expression: Spark's HOFs (transform/zip_with/aggregate) are
+    // CodegenFallback — measured ~10 µs/pair interpreted, which at
+    // n·m² pairs would dominate the whole build — while the JIT'd byte
+    // loop below is ~100× faster. This is the narrow per-partition
+    // imperative case the guidelines reserve typed plans for.
+    groups.groupBy(col("g"))
+      .agg(collect_list(struct(col("u"), col("qv"), col("s"))).as("ns"))
+      .select(col("ns")).as[Seq[QNbr]]
+      .flatMap { ns =>
+        // materialize each neighbor's code vector once per group: the
+        // Seq[Byte] encoder view would pay boxing per element access
+        val arr = ns.iterator
+          .map(q => (q.u, q.qv.toArray, q.s)).toArray
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          val (xu, xq, xs) = arr(i)
+          var j = 0
+          while (j < arr.length) {
+            if (i != j) {
+              val (yu, yq, ys) = arr(j)
+              var d = 0.0
+              var k = 0
+              val n = math.min(xq.length, yq.length)
+              while (k < n) {
+                val e = xq(k) / xs - yq(k) / ys
+                d += e * e
+                k += 1
+              }
+              out += ((xu, yu, d))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("src", "dst", "dist")
+  }
+
   /** One NN-descent round over the current neighbor table: cap each
     * node's undirected neighborhood (forward ∪ reverse) at `m` members
     * by hash rank (the published sampling that keeps a round at O(n·m²)
-    * even for high-in-degree hubs), generate all ordered pairs within
-    * each neighborhood, score the new ones, and keep each node's best m.
+    * even for high-in-degree hubs), then group-local pair scoring
+    * ([[scoreWithinGroups]]) and each node's best m.
     */
-  private def descentRound(graph: DataFrame, corpus: DataFrame,
+  private def descentRound(graph: DataFrame, quantized: DataFrame,
                            m: Int, round: Int): DataFrame = {
     val und = graph.select(col("src").as("v"), col("dst").as("u"))
       .unionAll(graph.select(col("dst").as("v"), col("src").as("u")))
@@ -129,18 +190,11 @@ object GraphAnn {
       .orderBy(xxhash64(col("u"), lit(round)), col("u"))
     val capped = und.withColumn("_r", row_number().over(wc))
       .filter(col("_r") <= m).drop("_r")
-    val pairs = capped.select(col("v"), col("u").as("src"))
-      .join(capped.select(col("v"), col("u").as("dst")), "v")
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    val scored = pairs
-      .join(corpus.select(col("vec_id").as("src"), col("v").as("sv")),
-        "src")
-      .join(corpus.select(col("vec_id").as("dst"), col("v").as("dv")),
-        "dst")
-      .select(col("src"), col("dst"), squaredL2(col("sv"), col("dv"))
-        .as("dist"))
-    topM(graph.unionAll(scored).dropDuplicates("src", "dst"), m)
+    val nbrs = capped
+      .join(quantized, capped("u") === quantized("vec_id"))
+      .select(col("v").as("g"), col("u"), col("qv"), col("s"))
+    topM(graph.unionAll(scoreWithinGroups(nbrs))
+      .dropDuplicates("src", "dst"), m)
   }
 
   /** Build (once) the persisted k-NN-graph index. Layout under `dir`:
@@ -157,11 +211,20 @@ object GraphAnn {
                       m: Int = 0, iters: Int = DefaultIters): String = {
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = if (m > 0) m else autoDegree(n)
-    val dir = IndexStore.indexDir(sfDir, s"knngraph$deg-v1", "embeddings")
+    val dir = IndexStore.indexDir(sfDir, s"knngraph$deg-v2", "embeddings")
     if (IndexStore.committed(s"$dir/manifest")) return dir
     val corpus = AnnSearch.normalizedCorpus(spark, sfDir)
       .localCheckpoint(true)
     val b = autoBuckets(n)
+    // the whole construction scores on SQ8-quantized vectors (64 B per
+    // node in flight instead of 512 B of doubles — [[scoreWithinGroups]]
+    // explains why that is the difference between a feasible and an
+    // infeasible 100× build); degenerate zero-norm vectors (NULL scale)
+    // are unsearchable anyway and sit the construction out
+    val quantized = Quantize.quantize(corpus)
+      .select(col("vec_id"), col("qv"), col("scale").as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint(true)
     // random-blocking init (the published algorithm's random start, made
     // distributed): T independent hash groupings into ~64-node blocks,
     // all-pairs WITHIN each block — every node starts with its own
@@ -170,21 +233,29 @@ object GraphAnn {
     // rounds to propagate). Cost is n·64·T distance evals — linear in n.
     val blocks = math.max(1L, (n + 63L) / 64L)
     val init = (0 until 3).map { t =>
-      val nodes = corpus.withColumn("grp",
-        pmod(xxhash64(col("vec_id"), lit(1000L + t)), lit(blocks)))
-      nodes.select(col("grp"), col("vec_id").as("src"),
-          col("v").as("sv"))
-        .join(nodes.select(col("grp"), col("vec_id").as("dst"),
-          col("v").as("dv")), "grp")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          squaredL2(col("sv"), col("dv")).as("dist"))
-    }.reduce(_ unionAll _).dropDuplicates("src", "dst")
-    var graph = topM(init, deg).localCheckpoint(true)
+      quantized.select(
+        concat_ws("_", lit(t),
+          pmod(xxhash64(col("vec_id"), lit(1000L + t)), lit(blocks)))
+          .as("g"),
+        col("vec_id").as("u"), col("qv"), col("s"))
+    }.reduce(_ unionAll _)
+    var graph = topM(scoreWithinGroups(init)
+      .dropDuplicates("src", "dst"), deg).localCheckpoint(true)
     // fixed-round driver loop — control-plane only, like text_rank's;
     // each round's frame is n·deg rows, checkpointed to cut lineage
     for (r <- 1 to iters)
-      graph = descentRound(graph, corpus, deg, r).localCheckpoint(true)
+      graph = descentRound(graph, quantized, deg, r).localCheckpoint(true)
+    // persisted edges carry EXACT distances: one n·deg re-join against
+    // the full-precision corpus (membership is the quantized build's;
+    // the stored ranking is true squared-L2, the same metric the beam
+    // search and the gates measure in)
+    graph = graph.select(col("src"), col("dst"))
+      .join(corpus.select(col("vec_id").as("src"), col("v").as("sv")),
+        "src")
+      .join(corpus.select(col("vec_id").as("dst"), col("v").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"),
+        squaredL2(col("sv"), col("dv")).as("dist"))
     import spark.implicits._
     Seq((deg, b)).toDF("degree", "buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -508,9 +579,9 @@ object GraphAnn {
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
     val base = buildGraphIndex(spark, sfDir)
-    val delOut = IndexStore.indexDir(sfDir, s"knngraph$deg-del-v1",
+    val delOut = IndexStore.indexDir(sfDir, s"knngraph$deg-del-v2",
       "embeddings")
-    val cmpOut = IndexStore.indexDir(sfDir, s"knngraph$deg-cmp-v1",
+    val cmpOut = IndexStore.indexDir(sfDir, s"knngraph$deg-cmp-v2",
       "embeddings")
     // deterministic delete set, disjoint from the query ids so every
     // query keeps a live exact top-k to be measured against
@@ -578,7 +649,7 @@ object GraphAnn {
     import spark.implicits._
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
-    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v1",
+    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v2",
       "embeddings")
     val batch = AnnSearch.appendBatch(spark, sfDir)
     appendToGraphIndex(spark, sfDir, batch, out)
