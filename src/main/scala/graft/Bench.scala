@@ -68,7 +68,13 @@ object Bench {
         // anomaly fold (one build per data fingerprint; timed reps
         // read the committed results)
         "streaming_heavy_hitters", "streaming_event_anomalies",
-        "streaming_weighted_sample", "streaming_chunk_embed")
+        "streaming_weighted_sample", "streaming_chunk_embed",
+        // round 12: the NN-descent graph build, its append/delete
+        // versions, the streamed graph chain, and the doc-IVF the
+        // non-saturated probe gate reads (one build per fingerprint)
+        "ann_knn_graph", "graph_append_violations",
+        "graph_delete_violations", "streaming_graph_append",
+        "hybrid_ann_probe_violations")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
