@@ -73,8 +73,8 @@ object Bench {
         // versions, the streamed graph chain, and the doc-IVF the
         // non-saturated probe gate reads (one build per fingerprint)
         "ann_knn_graph", "graph_append_violations",
-        "graph_delete_violations", "streaming_graph_append",
-        "hybrid_ann_probe_violations")
+        "graph_delete_violations", "graph_refit_violations",
+        "streaming_graph_append", "hybrid_ann_probe_violations")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -254,6 +254,11 @@ object SparkEntry {
     // rows = exclusion, live count, no dead edges, recall all held
     "graph_delete_violations" ->
       ((s, d) => GraphAnn.graphDeleteViolations(s, d)),
+    // the graph REFIT leg: re-run the ONE NN-descent build path over
+    // the appended corpus; zero rows = completeness, coverage, and
+    // recall no worse than the incrementally-appended version
+    "graph_refit_violations" ->
+      ((s, d) => GraphAnn.graphRefitViolations(s, d)),
     // the scale path for SQL-only consumers; rows-only here because it is
     // spec-asserted BIT-IDENTICAL to ann_ivf_persisted (AnnSpec), so it
     // inherits the ivf recall gates transitively

@@ -213,8 +213,23 @@ object GraphAnn {
     val deg = if (m > 0) m else autoDegree(n)
     val dir = IndexStore.indexDir(sfDir, s"knngraph$deg-v2", "embeddings")
     if (IndexStore.committed(s"$dir/manifest")) return dir
-    val corpus = AnnSearch.normalizedCorpus(spark, sfDir)
-      .localCheckpoint(true)
+    buildGraphOver(spark,
+      AnnSearch.normalizedCorpus(spark, sfDir), dir, deg, iters)
+    dir
+  }
+
+  /** The ONE NN-descent build path over an explicit normalized corpus —
+    * [[buildGraphIndex]] and the refit gate both run THIS, so a refit
+    * can never drift from the original construction (the
+    * `buildIvfOver` discipline applied to the graph family).
+    */
+  private[graft] def buildGraphOver(spark: SparkSession,
+                                    normalizedCorpus: DataFrame,
+                                    dir: String, deg: Int,
+                                    iters: Int = DefaultIters): Unit = {
+    if (IndexStore.committed(s"$dir/manifest")) return
+    val corpus = normalizedCorpus.localCheckpoint(true)
+    val n = corpus.count()
     val b = autoBuckets(n)
     // the whole construction scores on SQ8-quantized vectors (64 B per
     // node in flight instead of 512 B of doubles — [[scoreWithinGroups]]
@@ -271,7 +286,6 @@ object GraphAnn {
       ("vectors", s"$dir/seg/base/vectors", 0L),
       ("graph", s"$dir/seg/base/graph", 0L),
       ("seeds", s"$dir/seeds", 0L)))
-    dir
   }
 
   private[graft] def ensureGraphIndex(spark: SparkSession,
@@ -554,6 +568,69 @@ object GraphAnn {
       ("vectors", s"$out/seg/base/vectors", 0L),
       ("graph", s"$out/seg/base/graph", 0L),
       ("seeds", s"$out/seeds", 0L)))
+  }
+
+  /** HARD gate for graph REFIT — the lifecycle step after appends (the
+    * [[AnnSearch.ivfRefitViolations]] contract, zero rows = passing,
+    * typed zero-row oracle): an appended version wires new nodes into a
+    * graph whose long-range structure was descended over the ORIGINAL
+    * corpus only (forward edges + local repairs — exactly how graph
+    * indexes add), so after enough growth a full re-descent is due. The
+    * refit re-runs the SAME NN-descent build ([[buildGraphOver]] — one
+    * build path, refit can't drift) over the appended corpus, and the
+    * gate emits a violation row if any invariant breaks:
+    *
+    *  - completeness: the refit graph must hold exactly the appended
+    *    corpus's nodes (vectors AND adjacency coverage);
+    *  - quality: beam search on the refit index must reach at least the
+    *    APPENDED version's recall minus `eps` — re-descending must
+    *    never cost recall (it typically gains: every node's
+    *    neighborhood is re-converged over the full grown corpus).
+    */
+  def graphRefitViolations(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 10,
+                           eps: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val deg = autoDegree(n)
+    val appended = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v2",
+      "embeddings")
+    val batch = AnnSearch.appendBatch(spark, sfDir)
+    appendToGraphIndex(spark, sfDir, batch, appended)
+    val union = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(batch.select(col("vec_id"),
+        l2Normalize(col("v")).as("v")))
+    val refitDeg = autoDegree(2 * n)
+    val refit = IndexStore.indexDir(sfDir,
+      s"knngraph$refitDeg-refit-v1", "embeddings")
+    buildGraphOver(spark, union, refit, refitDeg)
+    val nRefit = artifact(spark, refit, "vectors")
+      .select("vec_id").distinct().count()
+    val orphans = artifact(spark, refit, "vectors")
+      .select(col("vec_id").as("src")).distinct()
+      .join(artifact(spark, refit, "graph").select("src").distinct(),
+        Seq("src"), "left_anti").count()
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    val hops = autoHops(2 * n, deg)
+    def recallOf(dir: String): Double = {
+      val approx = graphSearchAt(spark, dir, queries, k, DefaultEf, hops)
+      exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").count().toDouble /
+        exact.count()
+    }
+    val appendedRecall = recallOf(appended)
+    val refitRecall = recallOf(refit)
+    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    val viols = Seq(
+      Option.when(nRefit != 2 * n)(
+        ("vector_count", 2.0 * n, nRefit.toDouble)),
+      Option.when(orphans != 0L)(
+        ("orphan_nodes", 0.0, orphans.toDouble)),
+      Option.when(refitRecall < appendedRecall - eps)(
+        ("refit_recall", r4(appendedRecall - eps),
+          r4(refitRecall)))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
   /** HARD gate for the graph DELETE lifecycle (zero rows = passing,

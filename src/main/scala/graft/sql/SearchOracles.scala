@@ -34,6 +34,13 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the graph REFIT leg: full re-descent over the appended corpus
+    // must keep completeness, coverage and recall — same zero-row shape
+    "graph_refit_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // the graph DELETE lifecycle: masked-node exclusion, compacted live
     // count, no dead edges, bridge-repaired recall — same zero-row shape
     "graph_delete_violations" ->

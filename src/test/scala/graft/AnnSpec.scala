@@ -291,6 +291,12 @@ class AnnSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("knn-graph refit gate: the re-descended grown corpus keeps " +
+      "completeness, coverage and recall") {
+    assert(graft.operators.GraphAnn.graphRefitViolations(spark, sf)
+      .collect().isEmpty)
+  }
+
   test("knn-graph delete gate: masked exclusion, compacted live set, " +
       "bridge-repaired recall all hold") {
     assert(graft.operators.GraphAnn.graphDeleteViolations(spark, sf)
