@@ -242,6 +242,11 @@ object SparkEntry {
     // batched beam search; recall HARD-gated by the knn_graph floor in
     // ann_recall_violations
     "ann_knn_graph" -> ((s, d) => GraphAnn.graphKnn(s, d)),
+    // standard IR metrics of the flagship ranking against label-based
+    // relevance (the labeled-ANN-benchmark protocol): per-query MRR,
+    // precision@k, recall@k, nDCG@k — the semantic-quality gauge next
+    // to the approximate-vs-exact recall gauges
+    "retrieval_metrics" -> ((s, d) => Evaluation.retrievalMetrics(s, d)),
     // the graph index's O(batch) append lifecycle: forward edges from a
     // beam search of the existing graph, reverse repair of touched
     // nodes, manifest-referenced base segments; zero rows = complete,

@@ -362,7 +362,15 @@ object GraphAnn {
         .select(col("query_id"), probeSide("id"),
           squaredL2(col("qu"), col("v")).as("dist"),
           lit(h).as("hop"))
-      visited = visited.unionAll(scored).localCheckpoint(true)
+      val next = visited.unionAll(scored).localCheckpoint(true)
+      // early exit: a hop that scored nothing fresh means the beam's
+      // closed neighborhood is fully explored — every later hop would
+      // re-expand the same frontier. The count is control-plane (the
+      // frame is already materialized by the eager checkpoint), and it
+      // saves the deepest hops' ~10 small stages on converged searches.
+      val converged = next.count() == visited.count()
+      visited = next
+      if (converged) return visited
     }
     visited
   }

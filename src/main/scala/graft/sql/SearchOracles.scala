@@ -100,6 +100,52 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     "knn_search" -> DuckKnnOracle,
+    // IR metrics over the knn oracle's ranked rows: binary label
+    // relevance, 1/log2(rank+1) discounts, ideal DCG over the first
+    // min(|truth|, k) ranks — every formula the same double expression
+    // as the Spark side, 6dp rounding
+    "retrieval_metrics" ->
+      (s"""WITH res AS ($DuckKnnOracle
+         |),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |scored AS (
+         |  SELECT r.query_id, r.rn,
+         |    CASE WHEN ql.label = rl.label THEN 1 ELSE 0 END AS rel
+         |  FROM res r
+         |  JOIN lab ql ON ql.vec_id = r.query_id
+         |  JOIN lab rl ON rl.vec_id = r.id
+         |),
+         |nrel AS (
+         |  SELECT q.vec_id AS query_id, count(*) AS n_rel
+         |  FROM lab q JOIN lab c
+         |    ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10 GROUP BY 1
+         |),
+         |agg AS (
+         |  SELECT query_id,
+         |    min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+         |    sum(rel) AS hits,
+         |    sum(CASE WHEN rel = 1 THEN 1.0 / log2(rn + 1)
+         |        ELSE 0 END) AS dcg
+         |  FROM scored GROUP BY 1
+         |),
+         |idcg AS (
+         |  SELECT n.query_id,
+         |    (SELECT sum(1.0 / log2(i + 1))
+         |     FROM UNNEST(range(1, CAST(least(n.n_rel, 10) AS BIGINT)
+         |       + 1)) t(i)) AS idcg
+         |  FROM nrel n
+         |)
+         |SELECT a.query_id, n.n_rel,
+         |  round(coalesce(1.0 / first_rel, 0), 6) AS mrr,
+         |  round(hits / 10.0, 6) AS p_at_k,
+         |  round(CASE WHEN n.n_rel = 0 THEN 1.0
+         |    ELSE hits / CAST(n.n_rel AS DOUBLE) END, 6) AS recall_at_k,
+         |  round(CASE WHEN n.n_rel = 0 THEN 1.0
+         |    ELSE a.dcg / i.idcg END, 6) AS ndcg_at_k
+         |FROM agg a JOIN nrel n USING (query_id)
+         |JOIN idcg i USING (query_id)
+         |ORDER BY query_id""").stripMargin,
     // the greedy MMR selection unrolled k steps — arithmetic and
     // tie-breaks written exactly as the operator's per-group loop
     "mmr_rerank" -> DuckMmrOracle,

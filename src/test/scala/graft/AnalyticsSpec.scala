@@ -10,6 +10,34 @@ import graft.operators.{Events, VectorAnalytics}
   */
 class AnalyticsSpec extends SparkSpec {
 
+  test("retrieval metrics are bounded and consistent with the " +
+      "flagship ranking") {
+    import graft.operators.{Evaluation, VectorSearch}
+    val rows = Evaluation.retrievalMetrics(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      Seq("mrr", "p_at_k", "recall_at_k", "ndcg_at_k").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0 + 1e-9, s"$c=$v")
+      }
+      // a query found a relevant doc iff it has a reciprocal rank
+      assert((r.getAs[Double]("p_at_k") > 0) ==
+        (r.getAs[Double]("mrr") > 0))
+    }
+    // precision@k recomputed independently from the ranking + labels
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQ = VectorSearch.knnSearch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = byQ(q).count(x =>
+        labels(x.getAs[Long]("id")) == labels(q))
+      assert(math.abs(r.getAs[Double]("p_at_k") - hits / 10.0) < 1e-9, q)
+    }
+  }
+
   test("pcaPowerIteration matches a local dense power iteration and " +
     "returns a unit top component with positive eigenvalue") {
     val got = VectorAnalytics.pcaPowerIteration(spark, sf).collect()
