@@ -92,6 +92,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NN-descent over a random corpus recovers true neighbor " +
+      "structure with bounded degree") {
+    import graft.operators.GraphAnn
+    val rnd = new scala.util.Random(4242)
+    val n = 600; val d = 8; val deg = 8
+    val data = (0 until n).map(i =>
+      (i.toLong, Seq.fill(d)(rnd.nextGaussian())))
+    val corpus = data.toDF("vec_id", "v0")
+      .select(col("vec_id"), l2Normalize(col("v0")).as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_graph_prop").toString
+    GraphAnn.buildGraphOver(spark, corpus, dir, deg)
+    val edges = GraphAnn.resolvedGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // structural invariants on ARBITRARY data: no self edges, degree
+    // bound, every node covered
+    assert(edges.forall { case (a, b) => a != b })
+    val bySrc = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(bySrc.size == n)
+    assert(bySrc.values.forall(_.size <= deg))
+    // construction QUALITY: each node's edge set must contain most of
+    // its true nearest neighbors (exact top-(deg/2) computed locally —
+    // the random-block init sees only ~1/3 of the corpus per node, so
+    // this is the descent rounds' work, not the init's)
+    val unit = data.map { case (id, v0) =>
+      val nrm = math.sqrt(v0.map(x => x * x).sum)
+      id -> v0.map(_ / nrm).toArray
+    }.toMap
+    val want = deg / 2
+    val recalls = (0L until n.toLong).map { i =>
+      val vi = unit(i)
+      val top = unit.iterator.filter(_._1 != i)
+        .map { case (j, vj) =>
+          (j, vi.zip(vj).map(p => (p._1 - p._2) * (p._1 - p._2)).sum)
+        }.toArray.sortBy(p => (p._2, p._1)).take(want).map(_._1).toSet
+      top.count(bySrc(i)).toDouble / want
+    }
+    val avg = recalls.sum / n
+    assert(avg >= 0.85, f"graph construction recall $avg%.3f")
+  }
+
   test("dedup idempotence: exactDedup of an already-unique corpus is empty") {
     val docs = Tables.load(spark, sf, "documents")
     val dups = docs.select(md5(lower(trim(col("text")))).as("k"))
