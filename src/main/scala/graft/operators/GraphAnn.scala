@@ -578,6 +578,23 @@ object GraphAnn {
       ("seeds", s"$out/seeds", 0L)))
   }
 
+  /** The appended-corpus exact top-k truth, checkpointed and shared per
+    * (fingerprint, nQueries, k): the append and refit gates measure
+    * against the SAME grown corpus, so the brute-force truth scan runs
+    * once per JVM instead of once per gate (the
+    * [[AnnSearch.exactKnnPairs]] discipline applied here).
+    */
+  private val appendExactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def appendUnionExact(spark: SparkSession, sfDir: String,
+                               union: DataFrame, nQueries: Int,
+                               k: Int): DataFrame = {
+    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
+    appendExactCache.computeIfAbsent(s"$sfDir#$fp#$nQueries#$k", _ =>
+      AnnSearch.unionExactTopK(union,
+        AnnSearch.fixtureQueries(spark, sfDir, nQueries), k))
+  }
+
   /** HARD gate for graph REFIT — the lifecycle step after appends (the
     * [[AnnSearch.ivfRefitViolations]] contract, zero rows = passing,
     * typed zero-row oracle): an appended version wires new nodes into a
@@ -619,7 +636,7 @@ object GraphAnn {
       .join(artifact(spark, refit, "graph").select("src").distinct(),
         Seq("src"), "left_anti").count()
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    val exact = appendUnionExact(spark, sfDir, union, nQueries, k)
     val hops = autoHops(2 * n, deg)
     def recallOf(dir: String): Double = {
       val approx = graphSearchAt(spark, dir, queries, k, DefaultEf, hops)
@@ -751,7 +768,7 @@ object GraphAnn {
       .unionAll(batch.select(col("vec_id"),
         l2Normalize(col("v")).as("v")))
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    val exact = appendUnionExact(spark, sfDir, union, nQueries, k)
     val approx = graphSearchAt(spark, out, queries, k, DefaultEf,
       autoHops(2 * n, deg))
     val hits = exact.join(approx.select(col("query_id"), col("id")),
