@@ -342,6 +342,10 @@ object SparkEntry {
     "funnel" -> ((s, d) => Events.funnel(s, d)),
     "text_rank" -> ((s, d) => TextAnalysis.textRank(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
+    // the leakage-proof split: near-dup components assigned to
+    // train/val/test as units (hash of the canonical member's text), so
+    // no component ever spans splits
+    "dedup_aware_split" -> ((s, d) => Dedup.dedupAwareSplit(s, d)),
     "scd2_merge" -> ((s, d) => Ingest.scd2Merge(s, d)),
     // CDC apply: ordered I/U/D changelog folded onto the snapshot —
     // latest op per key wins, a trailing DELETE removes the key

@@ -648,6 +648,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup-AWARE train/val/test split — the leakage-proof form of
+    * [[graft.operators.TextAnalysis.datasetSplit]]: a naive per-doc
+    * content-hash split places a document and its near-duplicate in
+    * DIFFERENT splits whenever their (different) texts hash apart,
+    * quietly leaking training data into eval. Here every near-dup
+    * COMPONENT ([[dupGroups]]' closure over the banded MinHash pairs;
+    * unpaired docs are their own singleton component) is assigned as a
+    * unit: the split hash is taken over the CANONICAL member's text, so
+    * by construction no component ever spans splits (spec-contrasted
+    * against the naive split, which leaks on this corpus). Output: per
+    * split, document and component counts.
+    *
+    * Scale shape: the components come from the banded pair graph (never
+    * all-pairs); the assignment is one left join + one canonical-text
+    * join + a hash — all equi-joins on doc ids.
+    */
+  def dedupAwareSplit(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.5): DataFrame =
+    dedupAwareAssignment(spark, sfDir, threshold)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_components"))
+      .orderBy("split")
+
+  /** The per-document (doc_id, canon, split) assignment behind
+    * [[dedupAwareSplit]] — exposed so the spec can prove the leakage
+    * contrast directly on the pair graph.
+    */
+  private[graft] def dedupAwareAssignment(spark: SparkSession,
+                                          sfDir: String,
+                                          threshold: Double): DataFrame = {
+    val corpus = nearDupCorpus(spark, sfDir)
+    val comps = dupGroups(spark, sfDir, threshold)
+    val assigned = corpus.join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canon"))
+    val canonText = corpus
+      .select(col("doc_id").as("canon"), col("text").as("ctext"))
+    val b = hash32(col("ctext")) % 10
+    assigned.join(canonText, "canon")
+      .withColumn("split",
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("canon"), col("split"))
+  }
+
   /** The final step of the incremental loop: fold the current batch's
     * materialized signatures into a NEW index version at `out` — a
     * MANIFEST referencing the corpus's immutable artifacts plus the

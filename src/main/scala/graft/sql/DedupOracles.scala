@@ -51,6 +51,40 @@ private[graft] object DedupOracles {
     // spec-asserted bit-identical to dup_groups, so it shares the
     // recursive oracle verbatim
     "sql_dup_groups" -> DuckDupGroupsOracle,
+    // component-as-unit split: the dup-groups closure, singletons as
+    // their own component, split hash over the CANONICAL member's text
+    // (the same md5-prefix hash as dataset_split)
+    "dedup_aware_split" ->
+      (s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |$MinhashOracleSql
+         |  )
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+         |), comp AS (
+         |  SELECT id AS doc_id, min(label) AS component
+         |  FROM reach GROUP BY id
+         |), $DuckCorpus,
+         |assigned AS (
+         |  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS canon
+         |  FROM corpus c LEFT JOIN comp k USING (doc_id)
+         |), ct AS (
+         |  SELECT doc_id AS canon,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 AS b
+         |  FROM corpus
+         |)
+         |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT canon) AS n_components
+         |FROM assigned JOIN ct USING (canon)
+         |GROUP BY 1 ORDER BY 1""").stripMargin,
     // the deletion step: per duplicate component keep the best-quality
     // member (ties -> lowest id); corpus copies (id >= 10000) score via
     // their base doc

@@ -108,6 +108,36 @@ class DedupSpec extends SparkSpec {
     assert(injected >= 390)
   }
 
+  test("dedup-aware split keeps every near-dup pair in one split; the " +
+      "naive per-doc split leaks") {
+    val pairs = Dedup.minhashDedup(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    def leaks(assign: org.apache.spark.sql.DataFrame): Long =
+      pairs
+        .join(assign.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(assign.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+    val aware = Dedup.dedupAwareAssignment(spark, sf, 0.5)
+    assert(leaks(aware) == 0L)
+    // the MOTIVATION: a naive per-doc content-hash split on the same
+    // corpus leaks near-dup pairs across splits (a doc and its copy
+    // hash independently) — the failure mode the component split closes
+    import graft.functions.TextHash.hash32
+    val b = hash32(col("text")) % 10
+    val naive = Dedup.nearDupCorpus(spark, sf)
+      .withColumn("split",
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"))
+    assert(leaks(naive) > 0L)
+    // and the component counts reconcile: docs >= components per split
+    Dedup.dedupAwareSplit(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_components"))
+    }
+  }
+
   test("embedNearDup finds exactly the offset copies above 0.9 cosine") {
     val rows = Dedup.embedNearDup(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "embeddings").count())
