@@ -21,7 +21,9 @@ class ScalingSmokeSpec extends SparkSpec {
   private val smoke = Seq(
     "minhash_dedup" -> 1.5, "jaccard_dupes" -> 1.5,
     "simhash_dedup" -> 1.5, "knn_search" -> 1.5,
-    "dataset_interleave" -> 1.5)
+    "dataset_interleave" -> 1.5,
+    // round 12: the graph leg — beam search must stay beam-bounded
+    "ann_knn_graph" -> 1.5)
 
   test("10x blowup exponents stay sub-superlinear " +
       "(SPARK_GRAFT_SCALING_SMOKE=1 to enable)") {
