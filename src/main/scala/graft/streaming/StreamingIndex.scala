@@ -513,7 +513,8 @@ object StreamingIndex {
     * whole point of the replay discipline. The misorder surfaces here
     * wrapped in a StreamingQueryException, so we walk the cause chain.
     */
-  private def wipeIfMisordered(root: String, e: Throwable): Nothing = {
+  private[graft] def wipeIfMisordered(root: String,
+                                      e: Throwable): Nothing = {
     val misordered = Iterator.iterate(e)(_.getCause)
       .takeWhile(_ != null).take(16)
       .exists(t => t.isInstanceOf[IllegalStateException] &&

@@ -246,6 +246,38 @@ class StreamingSpec extends SparkSpec {
     assert(AnnSearch.ivfTombSegments(spark, s"$root/v1").nonEmpty)
   }
 
+  test("stream-failure wipe is scoped to the out-of-order refusal") {
+    import graft.streaming.StreamingIndex
+    def mkRoot(): java.io.File = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_wipe").toFile
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "state").toPath, "derived")
+      d
+    }
+    // the poison state: a misorder refusal (wrapped, as the streaming
+    // runtime delivers it) wipes the derived state so the next call
+    // re-stages instead of replaying the refusal forever
+    val r1 = mkRoot()
+    val mis = new RuntimeException("query terminated",
+      new IllegalStateException("anomaly batch 1 out of order: refusing"))
+    intercept[RuntimeException] {
+      StreamingIndex.wipeIfMisordered(r1.getPath, mis)
+    }
+    assert(!r1.exists, "misorder refusal must wipe the root")
+    // ANY OTHER failure (disk, OOM, interrupted query) keeps the
+    // checkpointed state so the stream can RESUME — the recoverability
+    // the replay discipline exists for (ADVICE r11)
+    val r2 = mkRoot()
+    val transient = new RuntimeException("query terminated",
+      new java.io.IOException("disk full"))
+    intercept[RuntimeException] {
+      StreamingIndex.wipeIfMisordered(r2.getPath, transient)
+    }
+    assert(r2.exists && new java.io.File(r2, "state").exists,
+      "a transient failure must keep the resumable state")
+  }
+
   test("streamed GRAPH appends chain versions with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
