@@ -22,11 +22,15 @@ import graft.sources.IndexStore
   *    `M = 32`) neighbor table converges by local iteration: each round,
   *    every node offers its (capped) neighborhood as candidate neighbors
   *    to each OTHER member of that neighborhood — "a neighbor of my
-  *    neighbor is probably my neighbor". One round is two self-joins and a
-  *    per-node top-M: O(n·M²) candidate edges, no all-pairs anywhere, and
-  *    every stage is a shuffle on node id — embarrassingly horizontal at
-  *    1000 executors. Init is cluster-free random blocking (hash groups),
-  *    exactly the published algorithm's random start.
+  *    neighbor is probably my neighbor". A round shuffles only the n·M
+  *    neighbor rows (SQ8-quantized, 64 B per node in flight); the M²
+  *    pair generation and scoring run group-locally in a JIT'd typed
+  *    kernel ([[scoreWithinGroups]]), so the O(n·M²) candidate work
+  *    never becomes O(n·M²) shuffle — no all-pairs anywhere, every
+  *    stage keyed on node id, embarrassingly horizontal at 1000
+  *    executors. Init is cluster-free random blocking (hash groups),
+  *    exactly the published algorithm's random start; persisted edges
+  *    are exact-rescored against the full-precision corpus.
   *  - '''Query — batched beam search''': seeds (the S corpus points
   *    nearest the global centroid — the flat stand-in for HNSW's upper
   *    layers, which exist only to find a good entry point) expand hop by
@@ -50,7 +54,12 @@ import graft.sources.IndexStore
   *
   * Not SQL-expressible → no DuckDB oracle; the method is HARD-gated by
   * its recall floor in [[AnnSearch.annRecallViolations]] (zero-row,
-  * oracle-checked) and its lifecycle by [[graphAppendViolations]].
+  * oracle-checked) and its full lifecycle by [[graphAppendViolations]]
+  * (O(batch) append), [[graphRefitViolations]] (re-descent over the
+  * grown corpus through the ONE [[buildGraphOver]] path),
+  * [[graphDeleteViolations]] (masked tombstones + bridge-repair
+  * compaction) and the streamed chain
+  * ([[graft.streaming.StreamingIndex.streamingGraphAppend]]).
   */
 object GraphAnn {
 
