@@ -1533,8 +1533,26 @@ object AnnSearch {
     * iteration loop); per-point recall is a count aggregate, never a
     * row collect.
     */
+  /** The curve is a GAUGE, so it rides the gauge tier's caching
+    * discipline ([[recallFrame]]/[[exactKnnPairs]]): the full sweep —
+    * all twelve operating points and the trace/candidate frames they
+    * derive from — is computed ONCE per (fingerprint, nQueries, k) per
+    * JVM and the checkpointed result re-read after that. Fingerprint
+    * keying keeps a regenerated fixture from serving a stale curve.
+    */
+  private val curveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def annRecallCurve(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
+    curveCache.computeIfAbsent(s"$sfDir#$fp#$nQueries#$k", _ =>
+      computeRecallCurve(spark, sfDir, nQueries, k)
+        .localCheckpoint(true))
+      .orderBy("method", "cost")
+  }
+
+  private def computeRecallCurve(spark: SparkSession, sfDir: String,
+                                 nQueries: Int, k: Int): DataFrame = {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
     // the same checkpointed truth pairs the recall frame reads — the
