@@ -385,6 +385,11 @@ object SparkEntry {
     // graph delta; zero rows = chain, count and final-version recall
     "streaming_graph_append" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingGraphAppend(s, d)),
+    // retention on the graph chain: the layout-agnostic refcounting
+    // vacuum proven on graph versions — doomed exactly v0, survivors'
+    // segments live, serving identical pre/post, prune idempotent
+    "graph_retention_violations" -> ((s, d) =>
+      graft.streaming.StreamingIndex.graphRetentionViolations(s, d)),
     // delete-at-ingest: add/delete requests in one checkpointed stream,
     // each micro-batch an O(batch) index version (tombstones for the
     // delete leg); zero rows = chain complete, deletes excluded, recall

@@ -420,14 +420,25 @@ object StreamingIndex {
     val live = committed.takeRight(keep)
       .flatMap(v => IndexStore.readManifest(spark, s"$root/v$v"))
       .map(e => qualify(e._2)).toSet
+    // the doomed version's manifest dies (it is what makes the version
+    // resolvable); its segments die only if no survivor references
+    // them. The sweep RECURSES into directories that are prefixes of a
+    // live path (the graph chain nests its segments under `seg/app/…`;
+    // deleting the unreferenced parent wholesale would take referenced
+    // children with it — the vacuum must be layout-agnostic, not
+    // flat-layout-shaped).
+    def sweep(p: Path): Unit = {
+      val q = qualify(p.toString)
+      if (live.contains(q)) return
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory && live.exists(_.startsWith(q + "/"))) {
+        fs.listStatus(p).foreach(c => sweep(c.getPath))
+        if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+      } else fs.delete(p, true)
+    }
     doomed.foreach { v =>
       val vDir = new Path(s"$root/v$v")
-      // the doomed version's manifest dies (it is what makes the version
-      // resolvable); its segments die only if no survivor references them
-      fs.listStatus(vDir).foreach { st =>
-        if (!live.contains(qualify(st.getPath.toString)))
-          fs.delete(st.getPath, true)
-      }
+      fs.listStatus(vDir).foreach(c => sweep(c.getPath))
       if (fs.listStatus(vDir).isEmpty) fs.delete(vDir, false)
     }
     doomed
@@ -1608,6 +1619,85 @@ object StreamingIndex {
       if (vLast < 0L) -1L
       else AnnSearch.searchIndexAt(spark, s"$root/v$vLast", queries, k,
         probe, expectedQ = nQueries.toLong).count()
+    val current = Seq(
+      Option.when(vLast != 2L)(
+        ("latest_version", 2.0, vLast.toDouble)),
+      Option.when(nRes != nQueries.toLong * k)(
+        ("serving_rows", nQueries.toDouble * k, nRes.toDouble))).flatten
+    persisted
+      .unionByName(current.toDF("invariant", "expected", "actual"))
+      .orderBy("invariant")
+  }
+
+  /** RETENTION for the GRAPH chain — [[ivfRetentionViolations]]'
+    * contract on the graph family's manifested versions (the
+    * [[pruneVersions]] refcounting vacuum is layout-agnostic; this gate
+    * proves that on the k-NN-graph chain): three O(batch) graph appends
+    * build v0→v1→v2, the keep-2 prune must doom EXACTLY v0 while every
+    * segment any survivor references lives on (v0's delta segments are
+    * re-referenced by v1/v2 and must survive their version's death, as
+    * must the base index's segments outside the root), the surviving
+    * head must answer the fixture queries IDENTICALLY before and after
+    * the prune, and the prune must be idempotent. One-shot outcomes
+    * persist at prune time; the serving check recomputes per call.
+    */
+  def graphRetentionViolations(spark: SparkSession, sfDir: String,
+                               nQueries: Int = 10,
+                               k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{AnnSearch, GraphAnn}
+    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v1",
+      "embeddings")
+    val outcome = s"$root/outcome"
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val hops = GraphAnn.autoHops(4 * n, GraphAnn.autoDegree(n))
+    def searchAt(v: Long) =
+      GraphAnn.graphSearchAt(spark, s"$root/v$v", queries, k,
+        GraphAnn.DefaultEf, hops)
+    if (!IndexStore.committed(outcome)) {
+      val base = GraphAnn.buildGraphIndex(spark, sfDir)
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      // ids +110/120/130k: clear of every other fixture injection
+      def shifted(off: Long, delta: Double) =
+        emb.select((col("vec_id") + off).as("vec_id"),
+          transform(col("v"), x => x + lit(delta)).as("v"))
+      GraphAnn.appendToGraphIndexAt(spark, base,
+        shifted(110000L, 0.04), s"$root/v0")
+      GraphAnn.appendToGraphIndexAt(spark, s"$root/v0",
+        shifted(120000L, 0.05), s"$root/v1")
+      GraphAnn.appendToGraphIndexAt(spark, s"$root/v1",
+        shifted(130000L, 0.06), s"$root/v2")
+      val pre = searchAt(2L)
+        .select(col("query_id"), col("id")).localCheckpoint(true)
+      val fs = new Path(root).getFileSystem(IndexStore.hadoopConf)
+      def qualify(s: String): String =
+        fs.makeQualified(new Path(s)).toString
+      val live = Seq(1L, 2L)
+        .flatMap(v => IndexStore.readManifest(spark, s"$root/v$v"))
+        .map(e => qualify(e._2)).distinct
+      val doomed = pruneVersions(spark, root, keep = 2)
+      val post = searchAt(2L).select(col("query_id"), col("id"))
+      val drift = post.exceptAll(pre).count() + pre.exceptAll(post).count()
+      IndexStore.saveDataset(Seq(
+        ("pruned_exactly_v0", 1.0,
+          if (doomed == Seq(0L)) 1.0 else 0.0),
+        ("doomed_still_resolvable", 0.0,
+          (if (IndexStore.committed(s"$root/v0/manifest")) 1L else 0L)
+            .toDouble),
+        ("live_segment_missing", 0.0,
+          live.count(p => !fs.exists(new Path(p))).toDouble),
+        ("post_prune_drift", 0.0, drift.toDouble),
+        ("prune_idempotent", 0.0,
+          pruneVersions(spark, root, keep = 2).size.toDouble))
+        .toDF("invariant", "expected", "actual").coalesce(1), outcome)
+    }
+    val persisted = spark.read.parquet(outcome)
+      .filter(col("expected") =!= col("actual"))
+    val vLast = latestVersion(root).getOrElse(-1L)
+    val nRes = if (vLast < 0L) -1L else searchAt(vLast).count()
     val current = Seq(
       Option.when(vLast != 2L)(
         ("latest_version", 2.0, vLast.toDouble)),

@@ -278,6 +278,12 @@ class StreamingSpec extends SparkSpec {
       "a transient failure must keep the resumable state")
   }
 
+  test("graph retention gate: keep-2 prune dooms v0 only, survivors " +
+      "serve identically") {
+    assert(graft.streaming.StreamingIndex
+      .graphRetentionViolations(spark, sf).collect().isEmpty)
+  }
+
   test("streamed GRAPH appends chain versions with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
