@@ -53,6 +53,21 @@ object AnnSearch {
   private[graft] def autoProbe(nClusters: Int): Int =
     math.max(1, (nClusters * 3 + 7) / 8)
 
+  /** Per-SparkSession-INSTANCE cache-key component for the DataFrame
+    * caches (recall frame, exact pairs, curve, the graph family's
+    * append truth): a checkpointed DataFrame pins the session that
+    * created it, so a stop-and-recreate of the session in the same JVM
+    * must MISS rather than serve a dead handle. Identity-keyed weak map
+    * (not hashCode — two live sessions can collide on hash), entries
+    * released with the session.
+    */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private[graft] def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
   /** Table-size cache for auto-sizing: one count job per (fixture dir,
     * table) per JVM — every default-parameter query would otherwise
     * re-count the LARGEST table just to re-derive the name of an
@@ -1370,7 +1385,12 @@ object AnnSearch {
                           nQueries: Int, k: Int,
                           floors: Map[String, Double]): DataFrame = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    val key = s"$sfDir#$fp#$nQueries#$k#" +
+    // session-instance keying (all three DataFrame caches here): a cached
+    // checkpointed frame pins the session that created it, so a
+    // stop-and-recreate of the session in the same JVM must MISS
+    // rather than serve a dead handle; only the scalar caches
+    // ([[countCache]], [[selCache]]) survive a session swap
+    val key = s"${sessionKey(spark)}#$sfDir#$fp#$nQueries#$k#" +
       floors.toSeq.sorted.mkString(",")
     recallCache.computeIfAbsent(key, _ =>
       computeRecallFrame(spark, sfDir, nQueries, k, floors)
@@ -1388,7 +1408,8 @@ object AnnSearch {
   private def exactKnnPairs(spark: SparkSession, sfDir: String,
                             nQueries: Int, k: Int): DataFrame = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    exactCache.computeIfAbsent(s"$sfDir#$fp#$nQueries#$k", _ =>
+    exactCache.computeIfAbsent(
+      s"${sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
       VectorSearch.knnSearch(spark, sfDir, nQueries, k)
         .select(col("query_id"), col("id")).localCheckpoint(true))
   }
@@ -1545,7 +1566,8 @@ object AnnSearch {
   def annRecallCurve(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    curveCache.computeIfAbsent(s"$sfDir#$fp#$nQueries#$k", _ =>
+    curveCache.computeIfAbsent(
+      s"${sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
       computeRecallCurve(spark, sfDir, nQueries, k)
         .localCheckpoint(true))
       .orderBy("method", "cost")

@@ -52,7 +52,13 @@ object Evaluation {
         sum(col("rel")).as("hits"),
         sum(when(col("rel") === 1,
           lit(1.0) / log2(col("rn") + 1)).otherwise(0.0)).as("dcg"))
-    agg.join(nRel, "query_id")
+    // LEFT join + coalesce(0): a query whose label has no OTHER
+    // same-label doc (n_rel = 0) still emits a row — recall/nDCG are
+    // vacuously 1.0 there (empty truth set), not silently dropped. On
+    // fixture data every label repeats, so the branch only fires on
+    // label-unique queries; the DuckDB oracle mirrors the same join.
+    agg.join(nRel, Seq("query_id"), "left_outer")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .withColumn("idcg", expr(
         s"aggregate(sequence(1, int(least(n_rel, $k))), 0D, " +
           "(a, i) -> a + 1.0 / log2(i + 1))"))

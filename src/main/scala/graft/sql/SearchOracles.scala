@@ -136,15 +136,15 @@ private[graft] object SearchOracles {
          |       + 1)) t(i)) AS idcg
          |  FROM nrel n
          |)
-         |SELECT a.query_id, n.n_rel,
+         |SELECT a.query_id, coalesce(n.n_rel, 0) AS n_rel,
          |  round(coalesce(1.0 / first_rel, 0), 6) AS mrr,
          |  round(hits / 10.0, 6) AS p_at_k,
-         |  round(CASE WHEN n.n_rel = 0 THEN 1.0
+         |  round(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
          |    ELSE hits / CAST(n.n_rel AS DOUBLE) END, 6) AS recall_at_k,
-         |  round(CASE WHEN n.n_rel = 0 THEN 1.0
+         |  round(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
          |    ELSE a.dcg / i.idcg END, 6) AS ndcg_at_k
-         |FROM agg a JOIN nrel n USING (query_id)
-         |JOIN idcg i USING (query_id)
+         |FROM agg a LEFT JOIN nrel n USING (query_id)
+         |LEFT JOIN idcg i USING (query_id)
          |ORDER BY query_id""").stripMargin,
     // the greedy MMR selection unrolled k steps — arithmetic and
     // tie-breaks written exactly as the operator's per-group loop

@@ -514,6 +514,15 @@ object StreamingIndex {
     }
   }
 
+  /** The order-disciplined folds' refusal: a batch whose low-water mark
+    * sits at or below the predecessor's placed high-water mark cannot be
+    * committed without rewriting already-served results. A DEDICATED
+    * type (not a message substring) so [[wipeIfMisordered]]'s cause-walk
+    * match survives any rewording of the diagnostic text.
+    */
+  private[graft] final class MisorderedBatchException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Terminal handler for the order-disciplined folds (sequence pack,
     * event anomalies): wipe the run's derived state ONLY for the
     * out-of-order refusal — that is a poison state a bare checkpoint
@@ -522,14 +531,14 @@ object StreamingIndex {
     * interrupted query) keeps the checkpoint intact so the stream can
     * resume exactly where it left off — that recoverability is the
     * whole point of the replay discipline. The misorder surfaces here
-    * wrapped in a StreamingQueryException, so we walk the cause chain.
+    * wrapped in a StreamingQueryException, so we walk the cause chain
+    * matching on the dedicated exception TYPE.
     */
   private[graft] def wipeIfMisordered(root: String,
                                       e: Throwable): Nothing = {
     val misordered = Iterator.iterate(e)(_.getCause)
       .takeWhile(_ != null).take(16)
-      .exists(t => t.isInstanceOf[IllegalStateException] &&
-        t.getMessage != null && t.getMessage.contains("out of order"))
+      .exists(_.isInstanceOf[MisorderedBatchException])
     if (misordered)
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
@@ -710,7 +719,7 @@ object StreamingIndex {
     */
   def streamingGraphAppend(spark: SparkSession, sfDir: String,
                            nQueries: Int = 10, k: Int = 10,
-                           recallFloor: Double = 0.5): DataFrame = {
+                           recallFloor: Double = 0.9): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
@@ -1155,7 +1164,7 @@ object StreamingIndex {
           val batchMaxDoc = if (stats.isNullAt(1)) prevMaxDoc
             else stats.getLong(1)
           if (!stats.isNullAt(0) && stats.getLong(0) <= prevMaxDoc)
-            throw new IllegalStateException(
+            throw new MisorderedBatchException(
               s"packing batch $batchId out of order: min doc_id " +
                 s"${stats.getLong(0)} <= placed high-water $prevMaxDoc — " +
                 "refusing to commit a wrong-offset manifest")
@@ -1348,7 +1357,7 @@ object StreamingIndex {
             }
           val stats = b.agg(min(col("us")), max(col("us"))).head
           if (!stats.isNullAt(0) && stats.getLong(0) <= prevHigh)
-            throw new IllegalStateException(
+            throw new MisorderedBatchException(
               s"anomaly batch $batchId out of order: min us " +
                 s"${stats.getLong(0)} <= scored high-water $prevHigh — " +
                 "refusing to score against a wrong tail")

@@ -38,6 +38,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("retrieval metrics: a label-unique query still emits a row " +
+      "(n_rel = 0, vacuous recall/nDCG = 1)") {
+    // ADVICE r12: the inner join with the truth-set sizes silently
+    // dropped queries whose label appears on no OTHER vector; the left
+    // join makes the n_rel = 0 branches live. Synthetic fixture: query 0
+    // carries a label nothing else has.
+    import graft.operators.Evaluation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_uniq_label").toString
+    val rows = (0L until 12L).map { i =>
+      val lbl = if (i == 0L) 99 else 1
+      (i, Array.tabulate(4)(j =>
+        (1.0f + i * 0.1f) * (j + 1) + (i % 3)), lbl)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Evaluation.retrievalMetrics(spark, dir, nQueries = 2, k = 5)
+      .collect()
+    assert(got.length == 2, "both queries must emit a row")
+    val q0 = got.find(_.getAs[Long]("query_id") == 0L).get
+    assert(q0.getAs[Long]("n_rel") == 0L)
+    assert(q0.getAs[Double]("mrr") == 0.0)
+    assert(q0.getAs[Double]("p_at_k") == 0.0)
+    // empty truth set: vacuously perfect recall/nDCG, not a dropped row
+    assert(q0.getAs[Double]("recall_at_k") == 1.0)
+    assert(q0.getAs[Double]("ndcg_at_k") == 1.0)
+    val q1 = got.find(_.getAs[Long]("query_id") == 1L).get
+    assert(q1.getAs[Long]("n_rel") == 10L)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("pcaPowerIteration matches a local dense power iteration and " +
     "returns a unit top component with positive eigenvalue") {
     val got = VectorAnalytics.pcaPowerIteration(spark, sf).collect()

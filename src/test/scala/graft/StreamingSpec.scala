@@ -260,7 +260,8 @@ class StreamingSpec extends SparkSpec {
     // re-stages instead of replaying the refusal forever
     val r1 = mkRoot()
     val mis = new RuntimeException("query terminated",
-      new IllegalStateException("anomaly batch 1 out of order: refusing"))
+      new StreamingIndex.MisorderedBatchException(
+        "anomaly batch 1 refused: reworded diagnostic, type still matches"))
     intercept[RuntimeException] {
       StreamingIndex.wipeIfMisordered(r1.getPath, mis)
     }
@@ -276,6 +277,17 @@ class StreamingSpec extends SparkSpec {
     }
     assert(r2.exists && new java.io.File(r2, "state").exists,
       "a transient failure must keep the resumable state")
+    // an IllegalStateException that merely CONTAINS the old wording is
+    // not the refusal — the match is on the dedicated type, so message
+    // look-alikes cannot trigger a destructive wipe
+    val r3 = mkRoot()
+    val lookalike = new RuntimeException("query terminated",
+      new IllegalStateException("files arrived out of order, retrying"))
+    intercept[RuntimeException] {
+      StreamingIndex.wipeIfMisordered(r3.getPath, lookalike)
+    }
+    assert(r3.exists && new java.io.File(r3, "state").exists,
+      "a message look-alike must not wipe — only the typed refusal does")
   }
 
   test("graph retention gate: keep-2 prune dooms v0 only, survivors " +
