@@ -30,6 +30,11 @@ object SparkEntry {
     // index-backed; probe saturated at fixture scale → bit-identical to
     // mmr_rerank, shares its oracle; approximate at corpus scale)
     "mmr_rerank_ann" -> ((s, d) => AnnSearch.mmrRerankAnn(s, d)),
+    // the graph-backed diversify leg (completes the retrieve→diversify
+    // triad per index family): beam-search pool + the shared mmrGreedy
+    // tail; saturated beam at fixture scale ⇒ bit-identical to
+    // mmr_rerank (spec-asserted), sharing its oracle
+    "mmr_rerank_graph" -> ((s, d) => GraphAnn.mmrRerankGraph(s, d)),
     // the MMR greedy as ONE ANSI statement: a per-candidate STATE frame
     // (msim/taken/rank) folded through k window rounds — each round
     // references its predecessor exactly ONCE (the sql_dup_groups CTE
@@ -173,6 +178,11 @@ object SparkEntry {
     // the vector leg riding the persisted doc-space IVF index (saturated
     // probe at fixture scale -> bit-identical to the exact entry)
     "hybrid_search_ann" -> ((s, d) => TfIdf.hybridSearchAnn(s, d)),
+    // the retrieve→fuse stack's vector leg riding the k-NN graph over
+    // the document embedding space (the third index family for the
+    // hybrid stack); saturated beam at fixture ⇒ bit-identical to
+    // hybrid_search_rrf (spec-asserted), sharing its oracle
+    "hybrid_search_graph" -> ((s, d) => TfIdf.hybridSearchGraph(s, d)),
     // the whole hybrid retrieval as ONE ANSI statement (graft_* exprs)
     "sql_hybrid_rrf" -> ((s, d) => TfIdf.sqlHybridRrf(s, d)),
     "kmeans_iterate" -> ((s, d) => VectorAnalytics.kmeansIterate(s, d)),
@@ -268,6 +278,12 @@ object SparkEntry {
     // spec-asserted BIT-IDENTICAL to ann_ivf_persisted (AnnSpec), so it
     // inherits the ivf recall gates transitively
     "sql_ann_ivf" -> ((s, d) => AnnSearch.sqlAnnIvf(s, d)),
+    // the graph leg for SQL-only consumers: the beam search unrolled as
+    // chained CTEs over views of the persisted index (the sql_dup_groups
+    // fixed-round pattern); rows-only because it is spec-asserted
+    // BIT-IDENTICAL to ann_knn_graph, so it inherits the knn_graph
+    // recall gates transitively
+    "sql_ann_graph" -> ((s, d) => GraphAnn.sqlAnnGraph(s, d)),
     // exact metadata-filtered k-NN (the brute-force truth of filtered
     // vector search) and its IVF scale path: label rides IN the index
     // rows, so the predicate pushes into the probed partition scan; the
@@ -278,6 +294,13 @@ object SparkEntry {
     "knn_filtered" -> ((s, d) => VectorSearch.knnSearchFiltered(s, d)),
     "ann_filtered" -> ((s, d) => AnnSearch.ivfFilteredKnn(s, d)),
     "sql_ann_filtered" -> ((s, d) => AnnSearch.sqlAnnFiltered(s, d)),
+    // the graph family's filtered leg: selectivity-widened beam,
+    // non-matching nodes traversed but never ranked (the tombstone
+    // discipline). Saturates at fixture scale like ann_filtered, so it
+    // shares the exact filtered-kNN oracle (spec-asserted
+    // bit-identity); at 100 TB it is genuinely approximate — its
+    // graph_filtered floor rides in ann_recall_violations
+    "ann_graph_filtered" -> ((s, d) => GraphAnn.graphKnnFiltered(s, d)),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),

@@ -1142,8 +1142,8 @@ object AnnSearch {
     */
   private val selCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-  private def labelSelectivity(spark: SparkSession, sfDir: String,
-                               label: Int): Double = {
+  private[graft] def labelSelectivity(spark: SparkSession, sfDir: String,
+                                      label: Int): Double = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
     selCache.computeIfAbsent(s"$sfDir#$fp#$label", _ => {
       val emb = Tables.load(spark, sfDir, "embeddings")
@@ -1368,7 +1368,10 @@ object AnnSearch {
       // the graph leg navigates to the exact neighborhood at fixture
       // scale (measured 1.0 avg on every fixture) — floor set at the
       // LSH tier, the family's high-recall end
-      "knn_graph" -> 0.8)
+      "knn_graph" -> 0.8,
+      // the filtered beam saturates at fixture scale (ef/sel >= n), so
+      // its measured recall is 1.0 like the unfiltered leg; same floor
+      "graph_filtered" -> 0.8)
 
   /** The gauge tier's shared (method, query) recall frame — computed ONCE
     * per (data fingerprint, nQueries, k, floors) per JVM and
@@ -1466,6 +1469,9 @@ object AnnSearch {
         GraphAnn.graphKnn(spark, sfDir, nQueries, k)))
       .unionAll(recallAgainst(filteredExact, "ivf_filtered",
         ivfFilteredKnn(spark, sfDir, nQueries = nQueries, k = k)))
+      .unionAll(recallAgainst(filteredExact, "graph_filtered",
+        GraphAnn.graphKnnFiltered(spark, sfDir, nQueries = nQueries,
+          k = k)))
       .select(col("method"), col("query_id"), col("recall"),
         col("floor"), col("meets_floor"))
   }
@@ -1495,7 +1501,8 @@ object AnnSearch {
                               "ivf_sq" -> 0.25, "pq" -> 0.15,
                               "ivf_filtered" -> 0.25,
                               "ivf_pq" -> 0.15,
-                              "knn_graph" -> 0.5)): DataFrame = {
+                              "knn_graph" -> 0.5,
+                              "graph_filtered" -> 0.5)): DataFrame = {
     // the SHARED checkpointed gauge frame ([[recallFrame]]): both
     // violation branches — and the `ann_recall` entry itself — read one
     // materialization, so the exact denominator and the six per-method

@@ -217,6 +217,36 @@ object TfIdf {
     rrfFuse(bm25TopRanks(spark, sfDir, nTerms, perLeg), vector, topK, rrfK)
   }
 
+  /** [[hybridSearchRrf]] with the vector leg riding the persisted k-NN
+    * GRAPH over the document embedding space
+    * ([[GraphAnn.loadOrBuildDocGraph]]) — the `hybrid_search_graph`
+    * entry, completing the retrieve→fuse symmetry across index
+    * families (exact scan / IVF / graph, all fusing through the one
+    * [[rrfFuse]] tail). Beam sizing mirrors
+    * [[AnnSearch.hybridVecProbe]]'s saturation switch: at fixture
+    * scale (perLeg·12 ≥ n) the beam widens to n, the leg is EXACT and
+    * the whole entry bit-identical to [[hybridSearchRrf]]
+    * (spec-asserted) — sharing its DuckDB oracle; at 100 TB the
+    * default `ef` applies and the leg is genuinely approximate (the
+    * `knn_graph` floor regime).
+    */
+  def hybridSearchGraph(spark: SparkSession, sfDir: String,
+                        nTerms: Int = 5, perLeg: Int = 50,
+                        topK: Int = 20, rrfK: Double = 60.0): DataFrame = {
+    val dim = 16
+    val dir = GraphAnn.loadOrBuildDocGraph(spark, sfDir, dim)
+    val n = AnnSearch.tableCount(spark, sfDir, "documents")
+    val ef =
+      if (perLeg.toLong * AnnSearch.HybridSatFactor >= n)
+        math.min(n, Int.MaxValue.toLong).toInt
+      else GraphAnn.DefaultEf
+    val vector = GraphAnn.graphSearchAt(spark, dir,
+        hybridQueryVec(spark, sfDir, nTerms, dim), perLeg, ef,
+        GraphAnn.autoHops(n, GraphAnn.autoDegree(n)))
+      .select(col("id").as("doc_id"), col("rn").as("vec_rank"))
+    rrfFuse(bm25TopRanks(spark, sfDir, nTerms, perLeg), vector, topK, rrfK)
+  }
+
   /** The lexical leg's top-`perLeg` ranks. Rank AFTER the global
     * sort-limit: the limit runs as partial top-k per partition + one
     * small merge, so the unpartitioned rank window only ever sees perLeg

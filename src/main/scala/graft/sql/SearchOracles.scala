@@ -152,6 +152,10 @@ private[graft] object SearchOracles {
     // saturated probe ⇒ the IVF pool IS the exact top-C pool (AnnSpec
     // pins bit-identity), so the index-backed entry shares the oracle
     "mmr_rerank_ann" -> DuckMmrOracle,
+    // same saturation-exactness for the graph-backed leg: the beam
+    // widens to n at fixture scale, visits every reachable node, and
+    // the pool IS the exact top-C pool (AnnSpec pins bit-identity)
+    "mmr_rerank_graph" -> DuckMmrOracle,
     // the SQL twin is bit-identical to mmr_rerank (spec-asserted), so it
     // shares the unrolled greedy oracle
     "sql_mmr_rerank" -> DuckMmrOracle,
@@ -185,6 +189,13 @@ private[graft] object SearchOracles {
     // the SQL twin is bit-identical to ann_filtered (spec-asserted), so
     // it shares the exact filtered-kNN oracle too
     "sql_ann_filtered" -> DuckKnnFilteredOracle,
+    // the graph family's filtered leg: the selectivity-widened beam
+    // saturates at fixture scale (ef/sel >= n — every reachable node
+    // visited), so it shares the exact filtered-kNN oracle exactly as
+    // ann_filtered's saturated over-probe does (spec-asserted
+    // bit-identity to knn_filtered; the genuinely-approximate regime is
+    // floor-gated in ann_recall_violations)
+    "ann_graph_filtered" -> DuckKnnFilteredOracle,
     // mirrors the FULL SQ8 pipeline (quantize → asymmetric distance →
     // top-40 candidates → exact rescore → top-10), so the gate equality is
     // by construction; every arithmetic step is IEEE double + HALF_UP
@@ -496,6 +507,10 @@ private[graft] object SearchOracles {
     // and the SQL statement mirrors the DataFrame arithmetic
     "hybrid_search_rrf" -> DuckHybridRrfOracle,
     "hybrid_search_ann" -> DuckHybridRrfOracle,
+    // the graph-backed vector leg saturates its beam at fixture scale
+    // (spec-asserted bit-identity to hybrid_search_rrf), sharing the
+    // same fused oracle
+    "hybrid_search_graph" -> DuckHybridRrfOracle,
     "sql_hybrid_rrf" -> DuckHybridRrfOracle,
     "text_rank" -> DuckTextRankOracle,
   )

@@ -723,7 +723,7 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, "stream-graph-v2", "embeddings")
+    val root = IndexStore.indexDir(sfDir, "stream-graph-v3", "embeddings")
     val landing = s"$root/landing"
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),

@@ -34,6 +34,10 @@ class AnnSpec extends SparkSpec {
     // on every fixture, gated at the LSH tier
     assert(byMethod("knn_graph") >= 0.8,
       s"knn_graph recall ${byMethod("knn_graph")}")
+    // the filtered beam saturates at fixture scale (measured 1.0 — its
+    // truth is the exact FILTERED k-NN, like ivf_filtered's)
+    assert(byMethod("graph_filtered") >= 0.8,
+      s"graph_filtered recall ${byMethod("graph_filtered")}")
   }
 
   test("IVF+PQ at full probe is bit-identical to flat PQ") {
@@ -242,7 +246,7 @@ class AnnSpec extends SparkSpec {
     val n = Tables.load(spark, sf, "embeddings").count()
     val deg = GraphAnn.autoDegree(n)
     val dir = GraphAnn.buildGraphIndex(spark, sf)
-    assert(dir == IndexStore.indexDir(sf, s"knngraph$deg-v2", "embeddings"))
+    assert(dir == IndexStore.indexDir(sf, s"knngraph$deg-v3", "embeddings"))
     // the manifest is written LAST — it is the whole-version commit marker
     assert(IndexStore.committed(s"$dir/manifest"))
     // segments are hive-partitioned by bucket so the hop join's probe
@@ -565,6 +569,31 @@ class AnnSpec extends SparkSpec {
       AnnSearch.autoProbe(nc))
   }
 
+  test("hybrid GRAPH equals the exact hybrid at fixture scale") {
+    import graft.operators.TfIdf
+    // the saturated beam (perLeg·12 ≥ n ⇒ ef widens to n) makes the
+    // graph vector leg exact, so the graph-riding entry is
+    // bit-identical to the exact-scan entry — the shared-oracle
+    // property, third index family through the one rrfFuse tail
+    val want = TfIdf.hybridSearchRrf(spark, sf).collect().map(_.toSeq).toSeq
+    val got = TfIdf.hybridSearchGraph(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("MMR over the graph pool equals the exact MMR at fixture scale") {
+    // the graph-backed diversify leg: saturated beam (ef widens to n
+    // when C·12 >= n) ⇒ every reachable node visited ⇒ the pool IS the
+    // exact top-C relevance pool, and the shared greedy tail makes the
+    // entry bit-identical to mmr_rerank — the property that lets
+    // mmr_rerank_graph share the DuckDB oracle verbatim
+    val want = graft.operators.VectorSearch.mmrRerank(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.operators.GraphAnn.mmrRerankGraph(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("IVF append auto-compacts once the segment chain passes the bound") {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
@@ -772,6 +801,45 @@ class AnnSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("EqualTo(label,1)")),
       sqlPlan.linesIterator.filter(_.contains("PushedFilters"))
         .mkString("\n"))
+  }
+
+  test("filtered graph search: the selectivity-widened beam saturates " +
+      "to the exact filtered k-NN, matching rank only") {
+    import graft.operators.GraphAnn
+    val res = GraphAnn.graphKnnFiltered(spark, sf)
+    val got = res.collect().map(_.toSeq).toSeq
+    // saturation: ~10 labels → sel ≈ 0.1, ef/sel = 640 ≥ n = 500, so
+    // the beam holds every reachable node and the ranking over the
+    // matching slice IS the exact filtered k-NN — the same
+    // saturation-exactness property ann_filtered's over-probe uses,
+    // and what lets the entry share DuckKnnFilteredOracle
+    val want = graft.operators.VectorSearch.knnSearchFiltered(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // no result row may carry a non-matching label (the predicate is a
+    // ranking exclusion, not a traversal exclusion)
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(labels(r(1).asInstanceOf[Long]) == 1, r)
+    }
+    // a genuinely selective predicate at corpus scale does NOT
+    // saturate: the widened beam stays bounded by n but grows 1/sel —
+    // the approximate regime whose graph_filtered floor rides in
+    // ann_recall_violations
+    assert(math.ceil(GraphAnn.DefaultEf / 0.001).toLong < 10000000L)
+  }
+
+  test("SQL-only graph beam search is bit-identical to the " +
+      "programmatic path") {
+    import graft.operators.GraphAnn
+    // same hop count, beam width, tie-breaks and distance expression →
+    // identical rows (the operator's convergence early-exit changes
+    // nothing: a converged beam's later hops expand only visited nodes)
+    val got = GraphAnn.sqlAnnGraph(spark, sf).collect().map(_.toSeq).toSeq
+    val want = GraphAnn.graphKnn(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("SQL-only IVF probe equals the programmatic scale path") {
