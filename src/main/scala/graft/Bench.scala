@@ -74,7 +74,12 @@ object Bench {
         // non-saturated probe gate reads (one build per fingerprint)
         "ann_knn_graph", "graph_append_violations",
         "graph_delete_violations", "graph_refit_violations",
-        "streaming_graph_append", "hybrid_ann_probe_violations")
+        "streaming_graph_append", "hybrid_ann_probe_violations",
+        // round 13: the DOC-space graph build (hybrid's vector leg) and
+        // the filtered leg's cached selectivity (one count per
+        // fingerprint); the embedding-space graph is already warmed by
+        // ann_knn_graph above
+        "hybrid_search_graph", "ann_graph_filtered")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -422,6 +422,42 @@ object Scaling {
             f""""segs1":$g1,"segsN":$gN}"""
       }
     }
+    // graph BUILD tier (round 13, VERDICT r12 #7): the NN-descent
+    // construction itself as a first-class (t1, tN, exponent) row —
+    // SCALING.md narrated the n·M-shuffle redesign, this measures it.
+    // Targeted only (SPARK_GRAFT_SCALING_GRAPHBUILD=1): a build is
+    // minutes at 100×, too heavy for the default batch tier. Each
+    // timing is a FRESH build into the work dir (the committed
+    // load-or-build index must not short-circuit it); the derived
+    // autoHops depth at each scale is recorded so the depth-vs-recall
+    // claim rides the same row (recall itself is gated by the
+    // knn_graph floor, which the warmed query tier re-checks).
+    val wantGraphBuild =
+      sys.env.get("SPARK_GRAFT_SCALING_GRAPHBUILD").contains("1")
+    val graphBuildRows = if (!wantGraphBuild) Seq.empty else {
+      import graft.operators.{AnnSearch, GraphAnn}
+      def buildAt(dir: String, tag: String): (Double, Long, Int) = {
+        val corpus = AnnSearch.normalizedCorpus(spark, dir)
+        val n = corpus.count()
+        val deg = GraphAnn.autoDegree(n)
+        val out = s"$work/graphbuild_$tag"
+        new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(graft.sources.IndexStore.hadoopConf)
+          .delete(new org.apache.hadoop.fs.Path(out), true)
+        sweep()
+        val t0 = System.nanoTime()
+        GraphAnn.buildGraphOver(spark, corpus, out, deg)
+        ((System.nanoTime() - t0) / 1e9, n,
+          GraphAnn.autoHops(n, deg))
+      }
+      val (a, n1, h1) = buildAt(base, "x1")
+      val (b, nN, hN) = buildAt(big, s"x$factor")
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      Seq(f"""{"query":"knn_graph_build","t1":$a%.2f,"tN":$b%.2f,""" +
+        f""""factor":$factor,"exponent":$exp%.2f,"n1":$n1,"nN":$nN,""" +
+        f""""hops1":$h1,"hopsN":$hN}""")
+    }
+
     // skew tier: synthetic zipfian volume scaled by the ladder factor
     // (5M rows at 1× — the fixture tables are too small to stress a
     // shuffle). Run in full mode, or targeted via
@@ -438,8 +474,8 @@ object Scaling {
           f""""factor":$factor,"exponent":$exp%.2f}"""
       }
     }
-    val json = (rows ++ mmRows ++ streamRows ++ skewRows)
-      .mkString("[", ",", "]")
+    val json = (rows ++ mmRows ++ streamRows ++ graphBuildRows ++
+      skewRows).mkString("[", ",", "]")
     println(json)
     // a targeted run never clobbers the committed full-run record
     if (only.isEmpty) {

@@ -1408,7 +1408,7 @@ object AnnSearch {
     */
   private val exactCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def exactKnnPairs(spark: SparkSession, sfDir: String,
+  private[graft] def exactKnnPairs(spark: SparkSession, sfDir: String,
                             nQueries: Int, k: Int): DataFrame = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
     exactCache.computeIfAbsent(
@@ -1644,7 +1644,7 @@ object AnnSearch {
     val gDir = GraphAnn.ensureGraphIndex(spark, sfDir)
     val gHops = GraphAnn.autoHops(n, GraphAnn.autoDegree(n))
     val gTrace = GraphAnn.searchTraceAt(spark, gDir, queries,
-      GraphAnn.DefaultEf, gHops).localCheckpoint(true)
+      GraphAnn.autoEf(n), gHops).localCheckpoint(true)
     val hopPoints = (Seq(1, 2) ++ Seq(gHops)).distinct.filter(_ <= gHops)
     val normed = VectorSearch.normalized(spark, sfDir)
     val rows =

@@ -239,7 +239,7 @@ object TfIdf {
     val ef =
       if (perLeg.toLong * AnnSearch.HybridSatFactor >= n)
         math.min(n, Int.MaxValue.toLong).toInt
-      else GraphAnn.DefaultEf
+      else GraphAnn.autoEf(n)
     val vector = GraphAnn.graphSearchAt(spark, dir,
         hybridQueryVec(spark, sfDir, nTerms, dim), perLeg, ef,
         GraphAnn.autoHops(n, GraphAnn.autoDegree(n)))

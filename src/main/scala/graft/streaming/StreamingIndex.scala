@@ -723,7 +723,7 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, "stream-graph-v3", "embeddings")
+    val root = IndexStore.indexDir(sfDir, "stream-graph-v4", "embeddings")
     val landing = s"$root/landing"
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
@@ -776,7 +776,7 @@ object StreamingIndex {
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val exact = AnnSearch.unionExactTopK(union, queries, k)
     val approx = GraphAnn.graphSearchAt(spark, finalDir, queries, k,
-      GraphAnn.DefaultEf,
+      GraphAnn.autoEf(3 * nBase),
       GraphAnn.autoHops(3 * nBase, GraphAnn.autoDegree(nBase)))
     val hits = exact.join(approx.select(col("query_id"), col("id")),
       Seq("query_id", "id"), "left_semi").count()
@@ -1655,7 +1655,7 @@ object StreamingIndex {
                                k: Int = 10): DataFrame = {
     import spark.implicits._
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v1",
+    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v2",
       "embeddings")
     val outcome = s"$root/outcome"
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
@@ -1663,7 +1663,7 @@ object StreamingIndex {
     val hops = GraphAnn.autoHops(4 * n, GraphAnn.autoDegree(n))
     def searchAt(v: Long) =
       GraphAnn.graphSearchAt(spark, s"$root/v$v", queries, k,
-        GraphAnn.DefaultEf, hops)
+        GraphAnn.autoEf(4 * n), hops)
     if (!IndexStore.committed(outcome)) {
       val base = GraphAnn.buildGraphIndex(spark, sfDir)
       val emb = Tables.load(spark, sfDir, "embeddings")

@@ -246,7 +246,7 @@ class AnnSpec extends SparkSpec {
     val n = Tables.load(spark, sf, "embeddings").count()
     val deg = GraphAnn.autoDegree(n)
     val dir = GraphAnn.buildGraphIndex(spark, sf)
-    assert(dir == IndexStore.indexDir(sf, s"knngraph$deg-v3", "embeddings"))
+    assert(dir == IndexStore.indexDir(sf, s"knngraph$deg-v4", "embeddings"))
     // the manifest is written LAST — it is the whole-version commit marker
     assert(IndexStore.committed(s"$dir/manifest"))
     // segments are hive-partitioned by bucket so the hop join's probe

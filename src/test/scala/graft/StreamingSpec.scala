@@ -301,7 +301,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.IndexStore
     assert(StreamingIndex.streamingGraphAppend(spark, sf)
       .collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "stream-graph-v3", "embeddings")
+    val root = IndexStore.indexDir(sf, "stream-graph-v4", "embeddings")
     Seq(0L, 1L).foreach { v =>
       assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
