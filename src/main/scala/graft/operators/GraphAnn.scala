@@ -476,13 +476,25 @@ object GraphAnn {
         .select(col("query_id"), col("dst").as("id")).distinct()
       val fresh = exp.join(visited.select(col("query_id"), col("id")),
         Seq("query_id", "id"), "left_anti")
-      val probeSide = fresh.join(q, "query_id")
+      // fetch-then-attach: broadcast ONLY the slim (query_id, id,
+      // bucket) triples into the bucket-pruned vector scan, and attach
+      // the query vector from the (already broadcast, Q-row) query
+      // frame AFTER the fetch. Broadcasting `fresh JOIN q` instead
+      // would replicate the d-dim query vector onto every (query,
+      // fresh-node) pair — Q·F·d doubles collected at the driver,
+      // which breaks spark.driver.maxResultSize exactly when Q and the
+      // per-hop fresh set are large (the lifecycle gates drive the
+      // whole append batch as queries; found when the round-13
+      // stratified seeds widened the fresh set 4×).
+      val probeSide = fresh
         .withColumn("fbucket", pmod(col("id"), lit(b)))
       val scored = vectors
         .join(broadcast(probeSide),
           vectors("bucket") === probeSide("fbucket") &&
             vectors("vec_id") === probeSide("id"))
-        .select(col("query_id"), probeSide("id"),
+        .select(col("query_id"), probeSide("id"), col("v"))
+        .join(q, "query_id")
+        .select(col("query_id"), col("id"),
           squaredL2(col("qu"), col("v")).as("dist"),
           lit(h).as("hop"))
       val next = visited.unionAll(scored).localCheckpoint(true)
