@@ -614,6 +614,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // the superseded round's checkpoint blocks are released as soon as
+    // the next round is materialized ([[Checkpoints]]); `labels` after
+    // round 1 is a projection OVER the round's checkpoint, so the
+    // released handle is tracked separately
+    var prevCp = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -636,9 +641,14 @@ object Dedup {
         .localCheckpoint(true)
       converged = jumped
         .filter(col("new_label") < col("old_label")).limit(1).count() == 0
+      Checkpoints.release(prevCp)
+      prevCp = jumped
       labels = jumped.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    // converged: every caller consumes only `labels` (the final round's
+    // checkpoint) — the edge list's blocks are dead
+    Checkpoints.release(edges)
     // an unconverged exit would silently return WRONG component labels
     // (some nodes not yet at their component minimum) — fail loudly
     require(converged,

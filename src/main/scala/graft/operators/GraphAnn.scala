@@ -339,9 +339,16 @@ object GraphAnn {
     var graph = topM(scoreWithinGroups(init)
       .dropDuplicates("src", "dst"), deg).localCheckpoint(true)
     // fixed-round driver loop — control-plane only, like text_rank's;
-    // each round's frame is n·deg rows, checkpointed to cut lineage
-    for (r <- 1 to iters)
-      graph = descentRound(graph, quantized, deg, r).localCheckpoint(true)
+    // each round's frame is n·deg rows, checkpointed to cut lineage;
+    // the superseded round's n·deg blocks are released as soon as the
+    // next round is materialized ([[Checkpoints]])
+    for (r <- 1 to iters) {
+      val nextG = descentRound(graph, quantized, deg, r)
+        .localCheckpoint(true)
+      Checkpoints.release(graph)
+      graph = nextG
+    }
+    val descended = graph
     // persisted edges carry EXACT distances: one n·deg re-join against
     // the full-precision corpus (membership is the quantized build's;
     // the stored ranking is true squared-L2, the same metric the beam
@@ -384,6 +391,12 @@ object GraphAnn {
       ("vectors", s"$dir/seg/base/vectors", 0L),
       ("graph", s"$dir/seg/base/graph", 0L),
       ("seeds", s"$dir/seeds", 0L)))
+    // everything is on disk behind the committed manifest — the build's
+    // working checkpoints (n·d corpus doubles, n·16 B quantized codes,
+    // the last descent round) are dead; release them deterministically
+    Checkpoints.release(descended)
+    Checkpoints.release(quantized)
+    Checkpoints.release(corpus)
   }
 
   private[graft] def ensureGraphIndex(spark: SparkSession,
@@ -504,6 +517,10 @@ object GraphAnn {
       // frame is already materialized by the eager checkpoint), and it
       // saves the deepest hops' ~10 small stages on converged searches.
       val converged = next.count() == visited.count()
+      // `next` is eagerly materialized, so the superseded hop's blocks
+      // are dead — release them now instead of holding hops+1
+      // checkpoint generations until a GC (see [[Checkpoints]])
+      Checkpoints.release(visited)
       visited = next
       if (converged) return visited
     }
@@ -822,6 +839,10 @@ object GraphAnn {
           ("vectors", s"$out/seg/app/vectors", nextSeq),
           ("graph", s"$out/seg/app/graph", nextSeq)))
     }
+    // the version is committed — the append's working checkpoints are
+    // dead; release deterministically ([[Checkpoints]])
+    Checkpoints.release(fwd)
+    Checkpoints.release(batchN)
   }
 
   /** O(batch) DELETE: one tombstone segment (the deleted ids) plus a
@@ -941,6 +962,10 @@ object GraphAnn {
       ("vectors", s"$out/seg/base/vectors", 0L),
       ("graph", s"$out/seg/base/graph", 0L),
       ("seeds", s"$out/seeds", 0L)))
+    // the version is committed — the kernel's working checkpoints are
+    // dead; release deterministically ([[Checkpoints]])
+    Checkpoints.release(liveVec)
+    Checkpoints.release(dead)
   }
 
   /** The appended-corpus exact top-k truth, checkpointed and shared per

@@ -252,12 +252,17 @@ object TextAnalysis {
       val best = bpePairCounts(vocab)
         .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(1)
         .localCheckpoint()
-      vocab = vocab
+      val merged = vocab
         .crossJoin(broadcast(
           best.select(col("lsym").as("bl"), col("rsym").as("br"))))
         .withColumn("sym", bpeMergeExpr(col("sym"), col("bl"), col("br")))
         .drop("bl", "br")
         .localCheckpoint()
+      // the merged vocab is materialized — the superseded round's
+      // blocks are dead ([[Checkpoints]]); the 1-row `best` frames are
+      // RETURNED to the caller and stay
+      Checkpoints.release(vocab)
+      vocab = merged
       best.select(lit(i.toLong).as("step"),
         col("lsym"), col("rsym"), col("freq"))
     }
@@ -852,6 +857,10 @@ object TextAnalysis {
     val n = nodes.count().toDouble
     val base = (lit(1.0) - lit(damping)) / lit(n)
     var pr = nodes.withColumn("r", lit(1.0) / lit(n))
+    // superseded-round checkpoints released once the next round is
+    // materialized ([[Checkpoints]]); round 0's pr is a projection over
+    // `nodes`, so there is nothing to release until round 2
+    var prevCp: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
       val contrib = edges
         .join(pr.withColumnRenamed("tok", "w1"), "w1")
@@ -861,7 +870,12 @@ object TextAnalysis {
         .select(col("tok"),
           (base + lit(damping) * coalesce(col("x"), lit(0.0))).as("r"))
         .localCheckpoint(true)
+      prevCp.foreach(Checkpoints.release)
+      prevCp = Some(pr)
     }
+    // the returned ranking reads only the final round's checkpoint —
+    // after >=1 iteration the edge/node working sets are dead
+    if (iters >= 1) { Checkpoints.release(edges); Checkpoints.release(nodes) }
     pr.select(col("tok"), round(col("r"), 6).as("rank"))
       .orderBy(col("rank").desc, col("tok"))
       .limit(topK)

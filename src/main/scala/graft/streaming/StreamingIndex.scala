@@ -314,6 +314,10 @@ object StreamingIndex {
             .join(broadcast(deadIds), Seq("faiss_id"), "left_anti"), vSeg)
           IndexStore.writeManifest(spark, s"$root/v$batchId",
             Seq(("mapping", mSeg, batchId), ("vectors", vSeg, batchId)))
+          // committed — the fold's working checkpoint is dead; release
+          // now rather than one generation per trigger until a GC
+          // ([[graft.operators.Checkpoints]])
+          graft.operators.Checkpoints.release(resolved)
         } else {
           // the batch's OWN segments only — O(batch) files per version
           IndexStore.saveDataset(delta, mSeg)
@@ -472,6 +476,8 @@ object StreamingIndex {
     // LAST: the manifest commits the compacted version
     IndexStore.writeManifest(spark, s"$out/v0",
       Seq(("mapping", mSeg, 0L), ("vectors", vSeg, 0L)))
+    // committed — the compaction's working checkpoint is dead
+    graft.operators.Checkpoints.release(raw)
   }
 
   /** Stage `df` as flat `<prefix>-<i>.parquet` files inside the landing

@@ -857,4 +857,26 @@ class AnnSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters"))
         .mkString("\n"))
   }
+
+  test("beam search releases superseded per-hop checkpoints " +
+      "(no storage-memory leak across a long-lived session)") {
+    import graft.operators.{AnnSearch, GraphAnn}
+    // warm everything that caches/builds OUTSIDE the measured window
+    val dir = GraphAnn.buildGraphIndex(spark, sf)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val queries = AnnSearch.fixtureQueries(spark, sf, 5)
+      .localCheckpoint(true)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val trace = GraphAnn.searchTraceAt(spark, dir, queries,
+      GraphAnn.autoEf(n), GraphAnn.autoHops(n, GraphAnn.autoDegree(n)))
+    assert(trace.count() > 0)
+    // every superseded hop generation must be gone the moment the
+    // search returns — only the returned frame's own blocks may remain.
+    // Without the in-loop release this is hops+1 pinned generations per
+    // search until a GC happens to run: measured as a ~2x slowdown of
+    // UNRELATED queries sharing the bench JVM (round 13).
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} checkpoint generations retained after the search")
+  }
 }

@@ -423,6 +423,14 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
     (0L to 9L).foreach(i => assert(l2(i) == 0L))
     (100L to 109L).foreach(i => assert(l2(i) == 100L))
+    // and the pointer-jumping loop releases every superseded round's
+    // checkpoint: only the final labels frame's blocks may survive the
+    // call (the [[graft.operators.Checkpoints]] discipline)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.components(chain, maxIters = 10)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} checkpoint generations retained after components")
   }
 
   test("semanticDedup drops exactly the lower-id-twinned docs (seed gate)") {
