@@ -615,20 +615,35 @@ object GraphAnn {
     * entry, completing the SQL-twin symmetry (every other flagship
     * family has one: knn / ivf / filtered / bm25 / minhash /
     * dup_groups / hybrid / mmr). The persisted index is exposed as
-    * views and the batched beam search unrolls as chained CTEs — one
-    * (frontier, fresh, visited) triple per hop, exactly
-    * `sql_dup_groups`'s fixed-round min-propagation pattern — with
-    * the SAME hop count, beam width, tie-breaks and distance
-    * expression as [[graphKnn]], so the rows are BIT-IDENTICAL
-    * (spec-asserted; the operator's convergence early-exit changes
-    * nothing — a converged beam's later hops expand only
-    * already-visited nodes). Each hop's expansion broadcasts the
-    * Q·ef frontier and keys the graph/vector views on their `bucket`
-    * partition column (`pmod(id, $b)`), the same file-prune the
-    * programmatic path gets. No DuckDB oracle for the same reason as
-    * `ann_knn_graph` (approximate by design at scale); rows-only at
-    * the driver, hard-gated transitively through the spec identity +
-    * the `knn_graph` floor in [[AnnSearch.annRecallViolations]].
+    * views and each beam hop is ONE ANSI statement — a (frontier,
+    * fresh, score, union) step over the previous hop's view — run from
+    * a driver loop that is control-plane only, exactly the
+    * programmatic path's structure. The per-hop frame is eagerly
+    * materialized and re-exposed as the next hop's view, with the
+    * SAME hop count, beam width, tie-breaks and distance expression
+    * as [[graphKnn]], so the rows are BIT-IDENTICAL (spec-asserted;
+    * the operator's convergence early-exit changes nothing — a
+    * converged beam's later hops expand only already-visited nodes).
+    *
+    * Why not one statement of chained CTEs like `sql_dup_groups`:
+    * each hop references its predecessor THREE times (frontier rank,
+    * freshness anti-join, union), so a single-statement unroll is a
+    * ~3^hops plan — measured 5.4x the programmatic path at fixture
+    * scale (13.0 s vs 2.4 s) and outright infeasible at the 100 TB
+    * design point where [[autoHops]] derives ~8 (3^8 ≈ 6.5k subplan
+    * copies for Catalyst to analyze and Spark's exchange reuse to
+    * dedup). Min-propagation's single self-reference tolerates the
+    * unroll; best-first search does not. Per-hop materialization is
+    * the same answer the programmatic path gives, and every
+    * transformation stays expressed in SQL.
+    *
+    * Each hop's expansion broadcasts the Q·ef frontier and keys the
+    * graph/vector views on their `bucket` partition column
+    * (`pmod(id, $b)`), the same file-prune the programmatic path
+    * gets. No DuckDB oracle for the same reason as `ann_knn_graph`
+    * (approximate by design at scale); rows-only at the driver,
+    * hard-gated transitively through the spec identity + the
+    * `knn_graph` floor in [[AnnSearch.annRecallViolations]].
     */
   def sqlAnnGraph(spark: SparkSession, sfDir: String,
                   nQueries: Int = 10, k: Int = 10,
@@ -647,46 +662,60 @@ object GraphAnn {
       .createOrReplaceTempView("graph_seeds_sql")
     Tables.load(spark, sfDir, "embeddings")
       .createOrReplaceTempView("graph_emb_sql")
-    val hopCtes = (1 to hops).map { h =>
-      s"""frontier_$h AS (
-         |  SELECT query_id, id FROM (
-         |    SELECT query_id, id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY dist, id) AS r
-         |    FROM visited_${h - 1}
-         |  ) WHERE r <= $e
-         |), fresh_$h AS (
-         |  SELECT DISTINCT e.query_id, e.id FROM (
-         |    SELECT /*+ BROADCAST(f) */ f.query_id, g.dst AS id
-         |    FROM frontier_$h f JOIN graph_adj_sql g
-         |      ON g.bucket = pmod(f.id, $b) AND g.src = f.id
-         |  ) e LEFT ANTI JOIN visited_${h - 1} v
-         |    ON v.query_id = e.query_id AND v.id = e.id
-         |), visited_$h AS (
-         |  SELECT query_id, id, dist FROM visited_${h - 1}
-         |  UNION ALL
-         |  SELECT /*+ BROADCAST(f) */ f.query_id, f.id,
-         |    graft_squared_l2(q.qu, v.v) AS dist
-         |  FROM fresh_$h f JOIN queries q ON q.query_id = f.query_id
-         |  JOIN graph_vec_sql v
-         |    ON v.bucket = pmod(f.id, $b) AND v.vec_id = f.id
-         |)""".stripMargin
-    }.mkString(",\n")
     spark.sql(
-      s"""WITH queries AS (
-         |  SELECT vec_id AS query_id, graft_l2_normalize(
-         |    transform(embedding, x -> CAST(x AS DOUBLE))) AS qu
-         |  FROM graph_emb_sql WHERE vec_id < $nQueries
-         |), visited_0 AS (
-         |  SELECT q.query_id, s.vec_id AS id,
-         |    graft_squared_l2(q.qu, s.v) AS dist
-         |  FROM queries q CROSS JOIN graph_seeds_sql s
-         |),
-         |$hopCtes,
-         |ranked AS (
+      s"""SELECT vec_id AS query_id, graft_l2_normalize(
+         |  transform(embedding, x -> CAST(x AS DOUBLE))) AS qu
+         |FROM graph_emb_sql WHERE vec_id < $nQueries""".stripMargin)
+      .createOrReplaceTempView("graph_queries_sql")
+    var visited = spark.sql(
+      s"""SELECT q.query_id, s.vec_id AS id,
+         |  graft_squared_l2(q.qu, s.v) AS dist
+         |FROM graph_queries_sql q CROSS JOIN graph_seeds_sql s"""
+        .stripMargin)
+      .localCheckpoint(true)
+    for (h <- 1 to hops) {
+      visited.createOrReplaceTempView("graph_visited_sql")
+      // the hop's TRANSFORMATION (frontier rank -> expansion ->
+      // freshness -> score) is one ANSI statement; the accumulation is
+      // Dataset.unionAll glue because a single statement would
+      // reference the materialized visited view on BOTH union branches
+      // (once directly, once through the anti-join) with the same
+      // expression ids — Spark's union constraint rewrite trips over
+      // the shared LogicalRDD attributes (NoSuchElementException in
+      // UnionBase.rewriteConstraints); unionAll re-instances them
+      val scored = spark.sql(
+        s"""WITH frontier AS (
+           |  SELECT query_id, id FROM (
+           |    SELECT query_id, id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY dist, id) AS r
+           |    FROM graph_visited_sql
+           |  ) WHERE r <= $e
+           |), fresh AS (
+           |  SELECT DISTINCT e.query_id, e.id FROM (
+           |    SELECT /*+ BROADCAST(f) */ f.query_id, g.dst AS id
+           |    FROM frontier f JOIN graph_adj_sql g
+           |      ON g.bucket = pmod(f.id, $b) AND g.src = f.id
+           |  ) e LEFT ANTI JOIN graph_visited_sql v
+           |    ON v.query_id = e.query_id AND v.id = e.id
+           |)
+           |SELECT /*+ BROADCAST(f) */ f.query_id, f.id,
+           |  graft_squared_l2(q.qu, v.v) AS dist
+           |FROM fresh f JOIN graph_queries_sql q
+           |  ON q.query_id = f.query_id
+           |JOIN graph_vec_sql v
+           |  ON v.bucket = pmod(f.id, $b) AND v.vec_id = f.id"""
+          .stripMargin)
+      val next = visited.unionAll(scored).localCheckpoint(true)
+      Checkpoints.release(visited)
+      visited = next
+    }
+    visited.createOrReplaceTempView("graph_visited_sql")
+    spark.sql(
+      s"""WITH ranked AS (
          |  SELECT query_id, id, dist,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY dist, id) AS rn
-         |  FROM visited_$hops WHERE id <> query_id
+         |  FROM graph_visited_sql WHERE id <> query_id
          |)
          |SELECT query_id, id, round(dist, 6) AS distance,
          |  CAST(rn AS BIGINT) AS rn
