@@ -20,9 +20,17 @@ object RunOne {
     val cpus = if (args.length > 2) args(2) else "32"
     require(SparkEntry.queries.contains(name),
       s"unknown query '$name' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: widen the shuffle for blowup-dir
+    // triage — a 100× gate run moves ~100× the rows of a fixture run,
+    // and cpus-sized partitions make each sort/hash task proportionally
+    // fatter until one JVM can't hold 32 of them (a real cluster runs
+    // the same plan with thousands of partitions; this knob is the
+    // local stand-in for that)
+    val shuffleParts = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1679,14 +1679,35 @@ object AnnSearch {
   }
 
   /** The deterministic growth batch both lifecycle gates append: every
-    * fixture embedding shifted to id + 20000 with +0.01 per element.
+    * fixture embedding shifted to id + n (the corpus size) with +0.01
+    * per element.
     */
+  /** One past the corpus's LARGEST vec_id — the collision-free append
+    * shift. The id CEILING, not the row count: the scaling ladder's
+    * blowup corpora carry sparse ids (max ≈ 10.1 M over 200k rows), so
+    * a count-based shift still lands inside the base id space (and the
+    * fixture-era +20000 constant overlapped 180k of the 100× base ids
+    * outright — the append gate's vector_count invariant measured the
+    * collision, not the append). Cached per (dir, fingerprint) like
+    * [[tableCount]]; on dense fixture ids (0..n-1) the ceiling equals
+    * the count, so fixture artifacts are unchanged.
+    */
+  private[graft] def embeddingIdCeiling(spark: SparkSession,
+                                        sfDir: String): Long =
+    countCache.computeIfAbsent(
+      s"$sfDir#embeddings#idceiling#" +
+        IndexStore.sourceFingerprint(sfDir, "embeddings"),
+      _ => Tables.load(spark, sfDir, "embeddings")
+        .agg(max(col("vec_id"))).head.getLong(0) + 1L).longValue()
+
   private[graft] def appendBatch(spark: SparkSession,
-                                 sfDir: String): DataFrame =
+                                 sfDir: String): DataFrame = {
+    val ceil = embeddingIdCeiling(spark, sfDir)
     Tables.load(spark, sfDir, "embeddings")
-      .select((col("vec_id") + 20000).as("vec_id"),
+      .select((col("vec_id") + ceil).as("vec_id"),
         transform(col("embedding"),
           x => x.cast("double") + lit(0.01)).as("v"))
+  }
 
   /** HARD gate for the O(batch) IVF append (same zero-row contract as
     * [[annRecallViolations]]): fold the deterministic [[appendBatch]]
@@ -1710,7 +1731,7 @@ object AnnSearch {
                           recallFloor: Double = 0.5): DataFrame = {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
-    val out = IndexStore.indexDir(sfDir, s"ivf$nc-app-v2", "embeddings")
+    val out = IndexStore.indexDir(sfDir, s"ivf$nc-app-v3", "embeddings")
     val batch = appendBatch(spark, sfDir)
     appendToIvfIndex(spark, sfDir, batch, out, nc)
     val nBase = embeddingCount(spark, sfDir)
@@ -1756,7 +1777,7 @@ object AnnSearch {
     val nc = resolveClusters(spark, sfDir, 0)
     val nk = Quantize.resolveCodes(spark, sfDir, 0)
     val m = 8
-    val out = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v1",
+    val out = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v2",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
     appendToIvfPqIndex(spark, sfDir, batch, out, nc, m, nk)
@@ -1812,7 +1833,7 @@ object AnnSearch {
                          eps: Double = 0.05): DataFrame = {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
-    val appended = IndexStore.indexDir(sfDir, s"ivf$nc-refit-base-v1",
+    val appended = IndexStore.indexDir(sfDir, s"ivf$nc-refit-base-v2",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
     // appendToIvfIndexAt is replay-idempotent on the committed manifest
@@ -1821,7 +1842,7 @@ object AnnSearch {
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val nc2 = autoClusters(2 * embeddingCount(spark, sfDir))
-    val refit = IndexStore.indexDir(sfDir, s"ivf$nc2-refit-v1",
+    val refit = IndexStore.indexDir(sfDir, s"ivf$nc2-refit-v2",
       "embeddings")
     if (!IndexStore.committed(s"$refit/centroids") ||
         !IndexStore.committed(s"$refit/vectors"))
@@ -1874,7 +1895,7 @@ object AnnSearch {
     val nk = Quantize.resolveCodes(spark, sfDir, 0)
     val m = 8
     // the SAME appended version the PQ append gate builds (idempotent)
-    val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v1",
+    val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v2",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
     appendToIvfPqIndex(spark, sfDir, batch, appended, nc, m, nk)
@@ -1885,15 +1906,15 @@ object AnnSearch {
     val nk2 = Quantize.codesFor(n2)
     // centroid side: the refit IVF the flat gate builds (shared path +
     // shared work); codebook side: the PQ build path over the union
-    val refitIvf = IndexStore.indexDir(sfDir, s"ivf$nc2-refit-v1",
+    val refitIvf = IndexStore.indexDir(sfDir, s"ivf$nc2-refit-v2",
       "embeddings")
     if (!IndexStore.committed(s"$refitIvf/centroids") ||
         !IndexStore.committed(s"$refitIvf/vectors"))
       buildIvfOver(spark, union, nc2, refitIvf)
-    val refitPq = IndexStore.indexDir(sfDir, s"pq$m-$nk2-refit-v1",
+    val refitPq = IndexStore.indexDir(sfDir, s"pq$m-$nk2-refit-v2",
       "embeddings")
     Quantize.buildPqOver(spark, union, m, nk2, refitPq)
-    val refit = IndexStore.indexDir(sfDir, s"ivfpq$nc2-$m-$nk2-refit-v1",
+    val refit = IndexStore.indexDir(sfDir, s"ivfpq$nc2-$m-$nk2-refit-v2",
       "embeddings")
     if (!IndexStore.committed(s"$refit/centroids") ||
         !IndexStore.committed(s"$refit/codebooks") ||
@@ -1950,13 +1971,13 @@ object AnnSearch {
     val nc = resolveClusters(spark, sfDir, 0)
     // the SAME appended version the append gate builds (idempotent —
     // one append job serves both gates in a suite run)
-    val appended = IndexStore.indexDir(sfDir, s"ivf$nc-app-v2",
+    val appended = IndexStore.indexDir(sfDir, s"ivf$nc-app-v3",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
     appendToIvfIndex(spark, sfDir, batch, appended, nc)
     val delIds = batch.select(col("vec_id"))
       .filter(col("vec_id") % 5 === 0)
-    val deleted = IndexStore.indexDir(sfDir, s"ivf$nc-del-v1",
+    val deleted = IndexStore.indexDir(sfDir, s"ivf$nc-del-v2",
       "embeddings")
     deleteFromIvfIndexAt(spark, appended, delIds, deleted)
     val nBase = embeddingCount(spark, sfDir)
@@ -1969,7 +1990,7 @@ object AnnSearch {
       .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
       .count()
     val nLive = ivfLiveVectors(spark, deleted).count()
-    val compacted = IndexStore.indexDir(sfDir, s"ivf$nc-delc-v1",
+    val compacted = IndexStore.indexDir(sfDir, s"ivf$nc-delc-v2",
       "embeddings")
     if (!IndexStore.committed(s"$compacted/centroids") ||
         !IndexStore.committed(s"$compacted/vectors"))
@@ -2019,13 +2040,13 @@ object AnnSearch {
     val nc = resolveClusters(spark, sfDir, 0)
     val nk = Quantize.resolveCodes(spark, sfDir, 0)
     val m = 8
-    val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v1",
+    val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v2",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
     appendToIvfPqIndex(spark, sfDir, batch, appended, nc, m, nk)
     val delIds = batch.select(col("vec_id"))
       .filter(col("vec_id") % 5 === 0)
-    val deleted = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-del-v1",
+    val deleted = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-del-v2",
       "embeddings")
     deleteFromIvfPqIndexAt(spark, appended, delIds, deleted)
     val nBase = embeddingCount(spark, sfDir)

@@ -112,6 +112,45 @@ object GraphAnn {
     */
   val MaxAutoEf = 4096
 
+  /** Append-regime switch — beam-link vs full NN-descent rebuild,
+    * decided by the textbook doubling amortization: a batch of at
+    * least half the base corpus rebuilds (cost O((n+batch)·M) rows of
+    * NN-descent work, ≤ 3·batch·M — O(M) amortized per appended row),
+    * while a smaller batch beam-links (O(batch·explored) work, the
+    * true O(batch) incremental path). The boundary is a REAL one, not
+    * a preference: a corpus-sized batch driven through the beam
+    * materializes batch × explored visited rows — measured at the
+    * 100× ladder (200k-node base, 200k batch) as ~1.7 B rows / ~67 GB
+    * of checkpoint per hop generation, which exhausted 73 GB of
+    * scratch at every memory setting tried, while the NN-descent
+    * rebuild of the same 400k union is ~(n+batch)·M ≈ 26 M rows. At
+    * the 10¹⁰-vector design point the same doubling append prices at
+    * ~15 PB of beam materialization vs ~60 TB of descent rows — the
+    * rebuild side of the switch is what FAISS practice does on
+    * doubling, restated as a deterministic rule (reads only counts, so
+    * a crash-replay re-decides identically; the
+    * [[AnnSearch.JoinProbeQueryThreshold]] auto-switch discipline).
+    */
+  private[graft] def appendRebuilds(n: Long, batchCount: Long): Boolean =
+    2L * batchCount >= n
+
+  /** CONSTRUCTION beam width for appends — HNSW's `efConstruction`,
+    * which is a CONSTANT in every production implementation (hnswlib
+    * default 200, FAISS `IndexHNSW` default 40), NOT the query-time
+    * width: an append drives its whole batch through the beam as
+    * queries, so a √n construction width makes batch insertion cost
+    * Q·√n·deg — measured at the 100× ladder's append gate (batch =
+    * corpus) as a 5.7B-row candidate stream whose sort spill filled
+    * 65 GB of scratch disk before failing. 2·deg (= HNSW's maxM0
+    * ground-layer bound, 64 at the fixture degree) floored at
+    * [[DefaultEf]] finds each new node's `deg` true neighbors with the
+    * standard construction trade; the append/refit gates' recall
+    * floors (0.9) verify sufficiency on every fixture, and query-time
+    * search keeps its own √n [[autoEf]].
+    */
+  private[graft] def constructionEf(deg: Int): Int =
+    math.max(DefaultEf, 2 * deg)
+
   /** Scale-aware beam width: ⌈√n⌉ clamped to [DefaultEf, MaxAutoEf].
     *
     * MEASURED, not guessed (SCALING.md round-13): on the 200k-vector
@@ -457,17 +496,39 @@ object GraphAnn {
     * scored. `visited(h) ⊆ visited(h+1)` by construction — the curve's
     * nested operating points ([[AnnSearch.annRecallCurve]]) filter this
     * one frame by hop instead of re-searching per point.
+    *
+    * Broadcast pricing (the [[AnnSearch.BroadcastProbeByteLimit]]
+    * discipline applied to the beam): the per-hop frontier is exactly
+    * Q·ef rows and the probe side at worst Q·ef·deg — at interactive Q
+    * both broadcast and the bucket joins file-prune, but a big-batch
+    * search (an append gate drives the WHOLE batch as queries) grows
+    * them past Spark's 8 GiB broadcast-relation cap (measured: a 10 GiB
+    * probe side at the 100x ladder's append gate). Above the byte
+    * limit the hints drop and the hop joins shuffle — pruning is moot
+    * there anyway: Q·ef·deg touches essentially every bucket.
     */
   private[graft] def searchTraceAt(spark: SparkSession, dir: String,
                                    queries: DataFrame, ef: Int,
                                    hops: Int): DataFrame = {
-    val (_, b) = meta(spark, dir)
+    val (deg, b) = meta(spark, dir)
     val graphView = artifact(spark, dir, "graph")
       .select(col("bucket"), col("src"), col("dst"))
     val vectors = artifact(spark, dir, "vectors")
     val seeds = artifact(spark, dir, "seeds")
       .select(col("vec_id").as("id"), col("v").as("sv"))
-    val q = broadcast(queries.select(col("query_id"), col("qu")))
+    // control-plane pricing inputs: Q (one count of the query frame)
+    // and d (one head row of the tiny seed table)
+    val qCount = math.max(1L, queries.count())
+    val d = seeds.head.getAs[scala.collection.Seq[Double]]("sv").length
+    def hinted(df: DataFrame, approxBytes: Long): DataFrame =
+      if (approxBytes > AnnSearch.BroadcastProbeByteLimit) df
+      else broadcast(df)
+    // ~32 B per slim (query_id, id, bucket) row in the in-memory
+    // broadcast relation; the query frame carries the d-dim vector
+    val frontierBytes = qCount * ef * 32L
+    val probeBytes = qCount * ef * deg * 32L
+    val q = hinted(queries.select(col("query_id"), col("qu")),
+      qCount * (d * 8L + 16L))
     var visited = q.join(broadcast(seeds))
       .select(col("query_id"), col("id"),
         squaredL2(col("qu"), col("sv")).as("dist"),
@@ -480,10 +541,10 @@ object GraphAnn {
         .filter(col("_r") <= ef)
         .select(col("query_id"), col("id"),
           pmod(col("id"), lit(b)).as("fbucket"))
-      // expansion: beam × adjacency — the broadcast side is Q·ef rows,
-      // the graph scan prunes on the bucket partition column
+      // expansion: beam × adjacency — the (priced) broadcast side is
+      // Q·ef rows, the graph scan prunes on the bucket partition column
       val exp = graphView
-        .join(broadcast(frontier),
+        .join(hinted(frontier, frontierBytes),
           graphView("bucket") === frontier("fbucket") &&
             graphView("src") === frontier("id"))
         .select(col("query_id"), col("dst").as("id")).distinct()
@@ -502,7 +563,7 @@ object GraphAnn {
       val probeSide = fresh
         .withColumn("fbucket", pmod(col("id"), lit(b)))
       val scored = vectors
-        .join(broadcast(probeSide),
+        .join(hinted(probeSide, probeBytes),
           vectors("bucket") === probeSide("fbucket") &&
             vectors("vec_id") === probeSide("id"))
         .select(col("query_id"), probeSide("id"), col("v"))
@@ -765,11 +826,16 @@ object GraphAnn {
     VectorSearch.mmrGreedy(spark, pool, k, lambda)
   }
 
-  /** O(batch) append: batch nodes beam-search the EXISTING graph for
-    * their forward edges; reverse edges repair only the touched base
-    * nodes; batch-internal edges come from one local candidate round
-    * (new nodes sharing a base neighbor). The new version at `out`
-    * re-references the base segments by manifest — no corpus copy.
+  /** Append: below the doubling point ([[appendRebuilds]]) batch nodes
+    * beam-search the EXISTING graph for their forward edges (O(batch)
+    * work and I/O); reverse edges repair only the touched base nodes;
+    * batch-internal edges come from one local candidate round (new
+    * nodes sharing a base neighbor, per-base-node fan capped at `deg`).
+    * The new version at `out` re-references the base segments by
+    * manifest — no corpus copy. At or past the doubling point the
+    * version is a fresh NN-descent rebuild of the live union instead —
+    * amortized O(M) per appended row, where the beam path's
+    * batch × explored materialization is the measured scale-killer.
     */
   def appendToGraphIndex(spark: SparkSession, sfDir: String,
                          batch: DataFrame, out: String,
@@ -809,11 +875,26 @@ object GraphAnn {
     val batchN = batch
       .select(col("vec_id"), l2Normalize(col("v")).as("v"))
       .localCheckpoint(true)
+    if (appendRebuilds(n, batchN.count())) {
+      // doubling regime ([[appendRebuilds]]): fresh NN-descent over the
+      // LIVE base ∪ batch — tombstones drop physically (the compaction
+      // contract), the version is self-contained (references nothing
+      // older, resetting the chain's segment count), and edge quality
+      // is the full build's rather than the incremental link's
+      val baseVec = artifact(spark, base, "vectors")
+        .select(col("vec_id"), col("v"))
+      val liveVec = tombstones(spark, base).fold(baseVec)(t =>
+        baseVec.join(t.select(col("vec_id")), Seq("vec_id"),
+          "left_anti"))
+      buildGraphOver(spark, liveVec.unionByName(batchN), out, deg)
+      Checkpoints.release(batchN)
+      return
+    }
     // forward edges: each new node's top-deg among its beam's visited
     val asQueries = batchN
       .select(col("vec_id").as("query_id"), col("v").as("qu"))
     val fwd = VectorSearch.topK(
-        searchTraceAt(spark, base, asQueries, autoEf(n),
+        searchTraceAt(spark, base, asQueries, constructionEf(deg),
           autoHops(n, deg))
           .select(col("query_id"), col("id"), col("dist")), deg)
       .select(col("query_id").as("src"), col("id").as("dst"),
@@ -824,10 +905,23 @@ object GraphAnn {
     // adjacency by distance
     val rev = fwd.select(col("dst").as("src"), col("src").as("dst"),
       col("dist"))
-    // batch-internal candidates: new nodes sharing a base neighbor
-    // (O(batch·deg²) bounded, the NN-descent step localized to the delta)
-    val viaBase = fwd.select(col("src").as("a"), col("dst").as("via"))
-      .join(fwd.select(col("src").as("c"), col("dst").as("via")), "via")
+    // batch-internal candidates: new nodes sharing a base neighbor —
+    // the NN-descent step localized to the delta. The self-join's
+    // output is Σ(per-base-node in-degree)², which is NOT O(batch·deg²)
+    // when the batch's forward edges concentrate on hub nodes (one base
+    // node collecting 10⁵ in-links squares to 10¹⁰ pairs); cap each
+    // base node's contribution to its `deg` CLOSEST in-links first —
+    // the same per-node bound the persisted adjacency itself lives
+    // under, and the closest co-linkers are exactly the likeliest
+    // mutual neighbors — so the product is ≤ touched-nodes·deg² no
+    // matter how skewed the in-link distribution is
+    val wVia = Window.partitionBy("dst").orderBy(col("dist"), col("src"))
+    val viaTop = fwd.withColumn("_vr", row_number().over(wVia))
+      .filter(col("_vr") <= deg)
+      .select(col("src"), col("dst"))
+    val viaBase = viaTop.select(col("src").as("a"), col("dst").as("via"))
+      .join(viaTop.select(col("src").as("c"), col("dst").as("via")),
+        "via")
       .filter(col("a") =!= col("c"))
       .select(col("a").as("src"), col("c").as("dst")).distinct()
     val internal = viaBase
@@ -1042,7 +1136,7 @@ object GraphAnn {
     import spark.implicits._
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
-    val appended = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v4",
+    val appended = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v5",
       "embeddings")
     val batch = AnnSearch.appendBatch(spark, sfDir)
     appendToGraphIndex(spark, sfDir, batch, appended)
@@ -1051,7 +1145,7 @@ object GraphAnn {
         l2Normalize(col("v")).as("v")))
     val refitDeg = autoDegree(2 * n)
     val refit = IndexStore.indexDir(sfDir,
-      s"knngraph$refitDeg-refit-v3", "embeddings")
+      s"knngraph$refitDeg-refit-v4", "embeddings")
     buildGraphOver(spark, union, refit, refitDeg)
     val nRefit = artifact(spark, refit, "vectors")
       .select("vec_id").distinct().count()
@@ -1181,7 +1275,7 @@ object GraphAnn {
     import spark.implicits._
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
-    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v4",
+    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v5",
       "embeddings")
     val batch = AnnSearch.appendBatch(spark, sfDir)
     appendToGraphIndex(spark, sfDir, batch, out)
@@ -1203,6 +1297,12 @@ object GraphAnn {
       .select(col("src"), col("dst")).dropDuplicates("src", "dst")
       .groupBy("src").agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head.getLong(0)
+    // the persisted bound depends on the append regime: a beam-link
+    // delta is topM(deg); a doubling rebuild's segments live under the
+    // full build's bidirectional 2·deg (HNSW maxM0) — recompute the
+    // same deterministic switch the append took
+    val degBound =
+      if (appendRebuilds(n, batch.count())) 2 * deg else deg
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(batch.select(col("vec_id"),
         l2Normalize(col("v")).as("v")))
@@ -1218,8 +1318,8 @@ object GraphAnn {
         ("vector_count", 2.0 * n, nOut.toDouble)),
       Option.when(orphans != 0L)(
         ("orphan_nodes", 0.0, orphans.toDouble)),
-      Option.when(maxDeg > deg)(
-        ("max_degree", deg.toDouble, maxDeg.toDouble)),
+      Option.when(maxDeg > degBound)(
+        ("max_degree", degBound.toDouble, maxDeg.toDouble)),
       Option.when(recall < recallFloor)(
         ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten

@@ -729,15 +729,23 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, "stream-graph-v4", "embeddings")
+    val root = IndexStore.indexDir(sfDir, "stream-graph-v5", "embeddings")
     val landing = s"$root/landing"
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+    // per-trigger batches are a FIFTH of the corpus — the streamed twin
+    // exercises the INCREMENTAL (beam-link) side of the append regime
+    // switch, which is what a streamed ingest is; corpus-sized doubling
+    // batches take the rebuild side and are gated by
+    // `graph_append_violations` instead ([[GraphAnn.appendRebuilds]])
+    val nEmb = AnnSearch.embeddingCount(spark, sfDir)
+    val bSize = math.max(1L, nEmb / 5L)
     // id offsets clear of every other fixture injection (+10000 dedup,
-    // +20000 append gates, +30000/+40000 the IVF streaming chain)
+    // +n append gates, +30000/+40000 the IVF streaming chain)
     def shifted(off: Long, delta: Double) =
-      emb.select((col("vec_id") + off).as("vec_id"),
+      emb.filter(col("vec_id") < bSize)
+        .select((col("vec_id") + off).as("vec_id"),
         transform(col("v"), x => x + lit(delta)).as("v"))
     if (!latestVersion(root).exists(_ >= 1L)) {
       val base = GraphAnn.buildGraphIndex(spark, sfDir)
@@ -782,16 +790,16 @@ object StreamingIndex {
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val exact = AnnSearch.unionExactTopK(union, queries, k)
     val approx = GraphAnn.graphSearchAt(spark, finalDir, queries, k,
-      GraphAnn.autoEf(3 * nBase),
-      GraphAnn.autoHops(3 * nBase, GraphAnn.autoDegree(nBase)))
+      GraphAnn.autoEf(nBase + 2 * bSize),
+      GraphAnn.autoHops(nBase + 2 * bSize, GraphAnn.autoDegree(nBase)))
     val hits = exact.join(approx.select(col("query_id"), col("id")),
       Seq("query_id", "id"), "left_semi").count()
     val recall = hits.toDouble / exact.count()
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),
-      Option.when(nOut != 3 * nBase)(
-        ("vector_count", 3.0 * nBase, nOut.toDouble)),
+      Option.when(nOut != nBase + 2 * bSize)(
+        ("vector_count", (nBase + 2 * bSize).toDouble, nOut.toDouble)),
       Option.when(recall < recallFloor)(
         ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten
@@ -1661,7 +1669,7 @@ object StreamingIndex {
                                k: Int = 10): DataFrame = {
     import spark.implicits._
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v2",
+    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v3",
       "embeddings")
     val outcome = s"$root/outcome"
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)

@@ -268,7 +268,13 @@ class AnnSpec extends SparkSpec {
     import graft.operators.{AnnSearch, GraphAnn}
     val out = java.nio.file.Files
       .createTempDirectory("graft_graph_append").toString
+    // a SMALL batch (under the doubling point) exercises the beam-link
+    // side of the append regime switch — batch ids start at the corpus
+    // size (appendBatch's collision-free shift)
+    val n = Tables.load(spark, sf, "embeddings").count()
     val batch = AnnSearch.appendBatch(spark, sf)
+      .filter(col("vec_id") < n + 100)
+    assert(!GraphAnn.appendRebuilds(n, batch.count()))
     GraphAnn.appendToGraphIndex(spark, sf, batch, out)
     assert(IndexStore.committed(s"$out/manifest"))
     // O(batch) I/O: the version's OWN vector segment holds only the
@@ -282,12 +288,48 @@ class AnnSpec extends SparkSpec {
     // every appended node got forward edges in the delta segment
     val delta = spark.read.parquet(s"$out/seg/app/graph")
     val newCovered = delta.select(col("src")).distinct()
-      .filter(col("src") >= 20000).count()
+      .filter(col("src") >= n).count()
     assert(newCovered == batch.count())
     val edges = delta.count()
     // replayed invocation on a committed version is a no-op
     GraphAnn.appendToGraphIndex(spark, sf, batch, out)
     assert(spark.read.parquet(s"$out/seg/app/graph").count() == edges)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out))
+  }
+
+  test("a doubling-point append rebuilds: self-contained version, " +
+      "full coverage, 2-deg bound") {
+    import graft.operators.{AnnSearch, GraphAnn}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_graph_rebuild").toString
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val deg = GraphAnn.autoDegree(n)
+    // the full growth batch (= corpus) is AT the doubling point: the
+    // beam path would materialize batch × explored visited rows
+    // (measured 1.7 B rows at the 100× ladder), so the switch must take
+    // the NN-descent rebuild instead
+    val batch = AnnSearch.appendBatch(spark, sf)
+    assert(GraphAnn.appendRebuilds(n, batch.count()))
+    GraphAnn.appendToGraphIndex(spark, sf, batch, out)
+    // self-contained: the manifest references NOTHING older, so the
+    // chain's segment count resets and retention can vacuum every
+    // predecessor
+    val man = IndexStore.readManifest(spark, out)
+    assert(man.forall(_._2.startsWith(out)))
+    // complete: base ∪ batch, every node with adjacency, bounded by the
+    // full build's bidirectional 2·deg (HNSW maxM0)
+    val vecs = IndexStore.loadSegments(spark, out, "vectors")
+    assert(vecs.select("vec_id").distinct().count() == 2 * n)
+    val g = IndexStore.loadSegments(spark, out, "graph")
+      .select(col("src"), col("dst")).dropDuplicates("src", "dst")
+    assert(vecs.select(col("vec_id").as("src")).distinct()
+      .join(g.select("src").distinct(), Seq("src"), "left_anti")
+      .count() == 0)
+    assert(g.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head.getLong(0) <= 2 * deg)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out))
   }
 
   test("knn-graph append yields a complete, searchable next version") {

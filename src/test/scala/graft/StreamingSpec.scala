@@ -301,16 +301,18 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.IndexStore
     assert(StreamingIndex.streamingGraphAppend(spark, sf)
       .collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "stream-graph-v4", "embeddings")
+    val root = IndexStore.indexDir(sf, "stream-graph-v5", "embeddings")
     Seq(0L, 1L).foreach { v =>
       assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
     // O(batch) I/O per version: each version's OWN vector segment holds
-    // one batch; predecessors enter by manifest reference, never copy
+    // one batch (a fifth of the corpus — the incremental side of the
+    // append regime switch); predecessors enter by manifest reference,
+    // never copy
     val n = Tables.load(spark, sf, "embeddings").count()
     Seq(0L, 1L).foreach { v =>
       assert(spark.read.parquet(s"$root/v$v/seg/app/vectors")
-        .count() == n, s"v$v segment not batch-sized")
+        .count() == n / 5, s"v$v segment not batch-sized")
     }
   }
 
