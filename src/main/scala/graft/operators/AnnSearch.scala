@@ -1709,6 +1709,33 @@ object AnnSearch {
           x => x.cast("double") + lit(0.01)).as("v"))
   }
 
+  /** The k-th deterministic embedding injection batch — the streamed
+    * chains' growth fixture. Ids re-base into the k-th id-ceiling
+    * window ([k·ceiling, (k+1)·ceiling)): every batch is disjoint from
+    * the base AND from every other k at ANY corpus — the old
+    * fixed-offset scheme (+30k/+50k/…, chosen clear of the FIXTURES'
+    * dense id spaces) landed inside the blowup corpora's sparse id
+    * range (max ≈ 10.1 M) and the chains' vector_count invariants
+    * measured the collision. `rows > 0` slices the `rows` smallest
+    * vec_ids first (deterministic on any id distribution — a raw
+    * `vec_id < rows` cut is only a slice when ids are dense).
+    */
+  private[graft] def injectionBatch(spark: SparkSession, sfDir: String,
+                                    k: Int, delta: Double,
+                                    rows: Long = 0L): DataFrame = {
+    val ceil = embeddingIdCeiling(spark, sfDir)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sliced =
+      if (rows > 0L)
+        emb.orderBy(col("vec_id"))
+          .limit(math.min(rows, Int.MaxValue.toLong).toInt)
+      else emb
+    sliced.select((col("vec_id") + k.toLong * ceil).as("vec_id"),
+      transform(col("v"), x => x + lit(delta)).as("v"))
+  }
+
   /** HARD gate for the O(batch) IVF append (same zero-row contract as
     * [[annRecallViolations]]): fold the deterministic [[appendBatch]]
     * into a NEW index version via [[appendToIvfIndex]], then emit a

@@ -729,28 +729,24 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, "stream-graph-v5", "embeddings")
+    val root = IndexStore.indexDir(sfDir, "stream-graph-v6", "embeddings")
     val landing = s"$root/landing"
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
     // per-trigger batches are a FIFTH of the corpus — the streamed twin
     // exercises the INCREMENTAL (beam-link) side of the append regime
     // switch, which is what a streamed ingest is; corpus-sized doubling
     // batches take the rebuild side and are gated by
-    // `graph_append_violations` instead ([[GraphAnn.appendRebuilds]])
+    // `graph_append_violations` instead ([[GraphAnn.appendRebuilds]]).
+    // Batches come from the shared id-ceiling-windowed injection
+    // fixture ([[AnnSearch.injectionBatch]] — collision-free on sparse
+    // blowup id spaces, unlike fixed offsets)
     val nEmb = AnnSearch.embeddingCount(spark, sfDir)
     val bSize = math.max(1L, nEmb / 5L)
-    // id offsets clear of every other fixture injection (+10000 dedup,
-    // +n append gates, +30000/+40000 the IVF streaming chain)
-    def shifted(off: Long, delta: Double) =
-      emb.filter(col("vec_id") < bSize)
-        .select((col("vec_id") + off).as("vec_id"),
-        transform(col("v"), x => x + lit(delta)).as("v"))
+    def shifted(k: Int, delta: Double) =
+      AnnSearch.injectionBatch(spark, sfDir, k, delta, rows = bSize)
     if (!latestVersion(root).exists(_ >= 1L)) {
       val base = GraphAnn.buildGraphIndex(spark, sfDir)
-      stageInto(shifted(50000L, 0.01), landing, "batch0")
-      stageInto(shifted(60000L, 0.02), landing, "batch1")
+      stageInto(shifted(1, 0.01), landing, "batch0")
+      stageInto(shifted(2, 0.02), landing, "batch1")
       val q = spark.readStream
         .schema(StructType(Seq(StructField("vec_id", LongType),
           StructField("v", ArrayType(DoubleType)))))
@@ -783,9 +779,9 @@ object StreamingIndex {
     val nOut = IndexStore.loadSegments(spark, finalDir, "vectors")
       .select("vec_id").distinct().count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
-      .unionAll(shifted(50000L, 0.01)
+      .unionAll(shifted(1, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
-      .unionAll(shifted(60000L, 0.02)
+      .unionAll(shifted(2, 0.02)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val exact = AnnSearch.unionExactTopK(union, queries, k)
@@ -812,20 +808,16 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.AnnSearch
-    val root = IndexStore.indexDir(sfDir, "stream-ivf-v2", "embeddings")
+    val root = IndexStore.indexDir(sfDir, "stream-ivf-v3", "embeddings")
     val landing = s"$root/landing"
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    // brand-new ids well clear of the fixture's other injections
-    // (+10000 dedup corpus, +20000 batch-append gate)
-    def shifted(off: Long, delta: Double) =
-      emb.select((col("vec_id") + off).as("vec_id"),
-        transform(col("v"), x => x + lit(delta)).as("v"))
+    // id-ceiling-windowed injection batches ([[AnnSearch.injectionBatch]]
+    // — collision-free on sparse blowup id spaces)
+    def shifted(k: Int, delta: Double) =
+      AnnSearch.injectionBatch(spark, sfDir, k, delta)
     if (!latestVersion(root).exists(_ >= 1L)) {
       val base = AnnSearch.ensureIvfIndex(spark, sfDir)
-      stageInto(shifted(30000L, 0.01), landing, "batch0")
-      stageInto(shifted(40000L, 0.02), landing, "batch1")
+      stageInto(shifted(1, 0.01), landing, "batch0")
+      stageInto(shifted(2, 0.02), landing, "batch1")
       val q = spark.readStream
         .schema(StructType(Seq(StructField("vec_id", LongType),
           StructField("v", ArrayType(DoubleType)))))
@@ -857,9 +849,9 @@ object StreamingIndex {
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
     val nOut = AnnSearch.ivfVectors(spark, finalDir).count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
-      .unionAll(shifted(30000L, 0.01)
+      .unionAll(shifted(1, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
-      .unionAll(shifted(40000L, 0.02)
+      .unionAll(shifted(2, 0.02)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val recall = AnnSearch.probeRecall(spark, finalDir, union,
       AnnSearch.fixtureQueries(spark, sfDir, nQueries), k,
@@ -1580,28 +1572,22 @@ object StreamingIndex {
     // (nQueries, k) ride in the key: the persisted one-shot outcomes
     // were graded at THESE parameters, and mixing them with a live
     // serving check at different ones would blend two contracts
-    val root = IndexStore.indexDir(sfDir, s"ivf-ret-$nQueries-$k-v1",
+    val root = IndexStore.indexDir(sfDir, s"ivf-ret-$nQueries-$k-v2",
       "embeddings")
     val outcome = s"$root/outcome"
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val probe = AnnSearch.defaultProbe(spark, sfDir)
     if (!IndexStore.committed(outcome)) {
       val base = AnnSearch.ensureIvfIndex(spark, sfDir)
-      val emb = Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-      // ids +60/70/80k: clear of every other fixture injection (+10000
-      // dedup, +20000 batch appends, +30000/+40000 streaming appends,
-      // +50000 delete-at-ingest)
-      def shifted(off: Long, delta: Double) =
-        emb.select((col("vec_id") + off).as("vec_id"),
-          transform(col("v"), x => x + lit(delta)).as("v"))
+      // id-ceiling-windowed injections ([[AnnSearch.injectionBatch]])
+      def shifted(k: Int, delta: Double) =
+        AnnSearch.injectionBatch(spark, sfDir, k, delta)
       AnnSearch.appendToIvfIndexAt(spark, base,
-        shifted(60000L, 0.04), s"$root/v0")
+        shifted(1, 0.04), s"$root/v0")
       AnnSearch.appendToIvfIndexAt(spark, s"$root/v0",
-        shifted(70000L, 0.05), s"$root/v1")
+        shifted(2, 0.05), s"$root/v1")
       AnnSearch.appendToIvfIndexAt(spark, s"$root/v1",
-        shifted(80000L, 0.06), s"$root/v2")
+        shifted(3, 0.06), s"$root/v2")
       val pre = AnnSearch.searchIndexAt(spark, s"$root/v2", queries, k,
         probe, expectedQ = nQueries.toLong)
         .select(col("query_id"), col("id")).localCheckpoint(true)
@@ -1669,7 +1655,7 @@ object StreamingIndex {
                                k: Int = 10): DataFrame = {
     import spark.implicits._
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v3",
+    val root = IndexStore.indexDir(sfDir, s"graph-ret-$nQueries-$k-v4",
       "embeddings")
     val outcome = s"$root/outcome"
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
@@ -1680,19 +1666,15 @@ object StreamingIndex {
         GraphAnn.autoEf(4 * n), hops)
     if (!IndexStore.committed(outcome)) {
       val base = GraphAnn.buildGraphIndex(spark, sfDir)
-      val emb = Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-      // ids +110/120/130k: clear of every other fixture injection
-      def shifted(off: Long, delta: Double) =
-        emb.select((col("vec_id") + off).as("vec_id"),
-          transform(col("v"), x => x + lit(delta)).as("v"))
+      // id-ceiling-windowed injections ([[AnnSearch.injectionBatch]])
+      def shifted(k: Int, delta: Double) =
+        AnnSearch.injectionBatch(spark, sfDir, k, delta)
       GraphAnn.appendToGraphIndexAt(spark, base,
-        shifted(110000L, 0.04), s"$root/v0")
+        shifted(1, 0.04), s"$root/v0")
       GraphAnn.appendToGraphIndexAt(spark, s"$root/v0",
-        shifted(120000L, 0.05), s"$root/v1")
+        shifted(2, 0.05), s"$root/v1")
       GraphAnn.appendToGraphIndexAt(spark, s"$root/v1",
-        shifted(130000L, 0.06), s"$root/v2")
+        shifted(3, 0.06), s"$root/v2")
       val pre = searchAt(2L)
         .select(col("query_id"), col("id")).localCheckpoint(true)
       val fs = new Path(root).getFileSystem(IndexStore.hadoopConf)

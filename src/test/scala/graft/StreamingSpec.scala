@@ -301,7 +301,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.IndexStore
     assert(StreamingIndex.streamingGraphAppend(spark, sf)
       .collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "stream-graph-v5", "embeddings")
+    val root = IndexStore.indexDir(sf, "stream-graph-v6", "embeddings")
     Seq(0L, 1L).foreach { v =>
       assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
@@ -322,7 +322,7 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIndex.streamingIvfAppend(spark, sf).collect().isEmpty)
     // the chain is two committed versions, each resolvable via manifest
     import graft.operators.AnnSearch
-    val root = IndexStore.indexDir(sf, "stream-ivf-v2", "embeddings")
+    val root = IndexStore.indexDir(sf, "stream-ivf-v3", "embeddings")
     Seq(0L, 1L).foreach { v =>
       assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
@@ -684,7 +684,7 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingIndex
     assert(StreamingIndex.ivfRetentionViolations(spark, sf)
       .collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "ivf-ret-10-10-v1", "embeddings")
+    val root = IndexStore.indexDir(sf, "ivf-ret-10-10-v2", "embeddings")
     // v0 died as a VERSION (manifest gone) but its segment survives:
     // v1/v2's manifests refcount it — the chain serves from live data
     assert(!IndexStore.committed(s"$root/v0/manifest"))
