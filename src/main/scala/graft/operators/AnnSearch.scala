@@ -1643,8 +1643,11 @@ object AnnSearch {
     // distributed reading: deeper beam = more accurate = more evals.
     val gDir = GraphAnn.ensureGraphIndex(spark, sfDir)
     val gHops = GraphAnn.autoHops(n, GraphAnn.autoDegree(n))
+    // unpruned trace: the depth sweep reconstructs beam-at-depth-h
+    // pools from first-scored hops, which the (default) beam cut
+    // discards — interactive Q only, Q × explored stays ~10⁵ rows here
     val gTrace = GraphAnn.searchTraceAt(spark, gDir, queries,
-      GraphAnn.autoEf(n), gHops).localCheckpoint(true)
+      GraphAnn.autoEf(n), gHops, pruneToEf = false).localCheckpoint(true)
     val hopPoints = (Seq(1, 2) ++ Seq(gHops)).distinct.filter(_ <= gHops)
     val normed = VectorSearch.normalized(spark, sfDir)
     val rows =

@@ -493,9 +493,10 @@ object GraphAnn {
 
   /** Batched best-first search trace against a version dir: every
     * visited node with its distance and the hop at which it was first
-    * scored. `visited(h) ⊆ visited(h+1)` by construction — the curve's
-    * nested operating points ([[AnnSearch.annRecallCurve]]) filter this
-    * one frame by hop instead of re-searching per point.
+    * scored. In unpruned mode `visited(h) ⊆ visited(h+1)` by
+    * construction — the curve's nested operating points
+    * ([[AnnSearch.annRecallCurve]]) filter one unpruned frame by hop
+    * instead of re-searching per point.
     *
     * Broadcast pricing (the [[AnnSearch.BroadcastProbeByteLimit]]
     * discipline applied to the beam): the per-hop frontier is exactly
@@ -506,10 +507,29 @@ object GraphAnn {
     * probe side at the 100x ladder's append gate). Above the byte
     * limit the hints drop and the hop joins shuffle — pruning is moot
     * there anyway: Q·ef·deg touches essentially every bucket.
+    *
+    * Beam-state pruning (`pruneToEf`, default on): the visited frame is
+    * cut to each query's top-`ef` rows after every hop. This is EXACT
+    * for every consumer — the frontier is already the per-query top-ef,
+    * and a fixed row's rank only degrades as better rows arrive, so a
+    * row outside the top-ef can never re-enter the frontier nor the
+    * final top-k/top-deg (both ≤ ef) — while turning the trace's
+    * footprint from Q × total-explored (measured ~10⁸ rows / tens of
+    * GB of checkpoint when an append gate drives a 40k-row batch as
+    * queries at the 100× ladder — OOM at 8 g AND 24 g heaps) into
+    * Q·ef. Re-scoring a previously pruned node costs at most the hop's
+    * own Q·ef·deg work and cannot loop: convergence is detected as
+    * "no new entrant into any query's kept set", which is final — an
+    * unchanged set re-expands the same frontier forever. Pass
+    * `pruneToEf = false` ONLY for hop-attributed diagnostics over
+    * interactive Q (the recall curve's depth sweep reconstructs
+    * beam-at-depth-h pools from first-scored hops, which pruning
+    * discards).
     */
   private[graft] def searchTraceAt(spark: SparkSession, dir: String,
                                    queries: DataFrame, ef: Int,
-                                   hops: Int): DataFrame = {
+                                   hops: Int,
+                                   pruneToEf: Boolean = true): DataFrame = {
     val (deg, b) = meta(spark, dir)
     val graphView = artifact(spark, dir, "graph")
       .select(col("bucket"), col("src"), col("dst"))
@@ -529,10 +549,17 @@ object GraphAnn {
     val probeBytes = qCount * ef * deg * 32L
     val q = hinted(queries.select(col("query_id"), col("qu")),
       qCount * (d * 8L + 16L))
-    var visited = q.join(broadcast(seeds))
+    // the per-query beam cut (see scaladoc): exact for every consumer,
+    // bounds the checkpointed state at Q·ef rows
+    def pruned(df: DataFrame): DataFrame =
+      if (!pruneToEf) df
+      else df.withColumn("_r", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dist"), col("id"))))
+        .filter(col("_r") <= ef).drop("_r")
+    var visited = pruned(q.join(broadcast(seeds))
       .select(col("query_id"), col("id"),
         squaredL2(col("qu"), col("sv")).as("dist"),
-        lit(0).as("hop"))
+        lit(0).as("hop")))
       .localCheckpoint(true)
     for (h <- 1 to hops) {
       val wf = Window.partitionBy("query_id")
@@ -571,13 +598,24 @@ object GraphAnn {
         .select(col("query_id"), col("id"),
           squaredL2(col("qu"), col("v")).as("dist"),
           lit(h).as("hop"))
-      val next = visited.unionAll(scored).localCheckpoint(true)
-      // early exit: a hop that scored nothing fresh means the beam's
-      // closed neighborhood is fully explored — every later hop would
-      // re-expand the same frontier. The count is control-plane (the
-      // frame is already materialized by the eager checkpoint), and it
-      // saves the deepest hops' ~10 small stages on converged searches.
-      val converged = next.count() == visited.count()
+      // `scored` and `visited` are disjoint on (query_id, id): fresh is
+      // anti-joined against the KEPT set, and a pruned-then-rescored
+      // node is by definition not in it — so the union never duplicates
+      // and the beam cut needs no dedup pass
+      val next = pruned(visited.unionAll(scored)).localCheckpoint(true)
+      // early exit. Unpruned: a hop that scored nothing fresh means the
+      // beam's closed neighborhood is fully explored. Pruned: no NEW
+      // ENTRANT into any query's kept set — count equality is not
+      // enough there (an entrant can displace a kept row at constant
+      // size), and re-scored pruned nodes keep `fresh` nonempty
+      // forever, so the set check is also what terminates converged
+      // searches. Both checks are control-plane over already
+      // checkpointed frames.
+      val converged =
+        if (pruneToEf)
+          next.join(visited.select(col("query_id"), col("id")),
+            Seq("query_id", "id"), "left_anti").isEmpty
+        else next.count() == visited.count()
       // `next` is eagerly materialized, so the superseded hop's blocks
       // are dead — release them now instead of holding hops+1
       // checkpoint generations until a GC (see [[Checkpoints]])
