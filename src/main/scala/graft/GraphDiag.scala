@@ -38,6 +38,13 @@ object GraphDiag {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"ef=$ef%4d hops=$hops recall=${hits / denom}%.3f sec=$sec%.1f")
     }
+    // the non-saturated gate's measured operating point: an impossible
+    // floor forces the recall invariant rows out, so the printed
+    // `actual` column IS the measured recall per leg (how the committed
+    // floors were chosen at margin)
+    GraphAnn.graphProbeViolations(spark, dir, recallFloor = 1.01)
+      .collect().foreach(r => println(
+        s"probe-gate ${r.getString(0)}: actual=${r.getDouble(2)}"))
     spark.stop()
   }
 }

@@ -310,6 +310,11 @@ object SparkEntry {
     // approximate path itself holds its floor
     "hybrid_ann_probe_violations" ->
       ((s, d) => AnnSearch.hybridProbeViolations(s, d)),
+    // the same non-saturated discipline for the GRAPH-backed legs:
+    // default-autoEf beam recall pinned against each leg's saturated
+    // beam; zero rows = the approximate graph path holds its floor
+    "hybrid_graph_probe_violations" ->
+      ((s, d) => GraphAnn.graphProbeViolations(s, d)),
     "ann_recall_curve" -> ((s, d) => AnnSearch.annRecallCurve(s, d)),
     "ivf_append_violations" ->
       ((s, d) => AnnSearch.ivfAppendViolations(s, d)),
@@ -418,6 +423,12 @@ object SparkEntry {
     // delete leg); zero rows = chain complete, deletes excluded, recall
     "streaming_index_delete" ->
       ((s, d) => graft.streaming.StreamingIndex.streamingIvfDelete(s, d)),
+    // the graph family's delete-at-ingest twin: add/delete requests in
+    // one checkpointed stream folding into masked-tombstone graph
+    // versions; zero rows = chain complete, live count, deletes never
+    // ranked, beam recall on the final version
+    "streaming_graph_delete" ->
+      ((s, d) => graft.streaming.StreamingIndex.streamingGraphDelete(s, d)),
     // the FLAT store's delete half (LWW tombstone rows, never-reused
     // ids): add-all batch, then one MIXED delete+add batch; the final
     // live mapping is fully reconstructable, so the oracle hash-checks

@@ -63,8 +63,11 @@ import graft.sources.IndexStore
   * (O(batch) append), [[graphRefitViolations]] (re-descent over the
   * grown corpus through the ONE [[buildGraphOver]] path),
   * [[graphDeleteViolations]] (masked tombstones + bridge-repair
-  * compaction) and the streamed chain
-  * ([[graft.streaming.StreamingIndex.streamingGraphAppend]]).
+  * compaction), the streamed chains
+  * ([[graft.streaming.StreamingIndex.streamingGraphAppend]],
+  * [[graft.streaming.StreamingIndex.streamingGraphDelete]] —
+  * delete-at-ingest), and the non-saturated operating point of the
+  * graph-backed hybrid/MMR legs ([[graphProbeViolations]]).
   */
 object GraphAnn {
 
@@ -1361,6 +1364,82 @@ object GraphAnn {
       Option.when(recall < recallFloor)(
         ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
+  /** HARD gate for the GRAPH flagships' genuinely approximate operating
+    * point (zero rows = passing, typed zero-row oracle) — the
+    * [[AnnSearch.hybridProbeViolations]] discipline applied to the
+    * graph-backed legs: `hybrid_search_graph` and `mmr_rerank_graph`
+    * saturate their beams at fixture scale (ef widens to n once
+    * perLeg·[[AnnSearch.HybridSatFactor]] ≥ n — bit-identical to exact,
+    * which is what lets them share the exact entries' DuckDB oracles),
+    * so the approximate regime they run at corpus scale would have no
+    * CORRECTNESS row of its own. This gate drives BOTH graph legs (the
+    * doc-space index behind the hybrid vector leg, the embedding-space
+    * index behind the MMR pool) at the default [[autoEf]] beam — the
+    * width the legs select once perLeg ≪ n — asserts the point is
+    * genuinely below saturation, and pins each leg's recall@perLeg
+    * against the EXACT brute-force top-perLeg over the same corpus
+    * (strictly stronger than the IVF gate's probed-vs-saturated
+    * framing: a saturated beam only reaches what the graph can
+    * navigate to, so gating on exact also alarms on a connectivity
+    * regression — and it halves the gate's cost, one beam per leg
+    * instead of two):
+    *
+    *  - `hybrid_beam_saturated` / `mmr_beam_saturated`: the swept beam
+    *    must sit strictly below n, or the gate is vacuous (trips only
+    *    if a fixture shrinks under [[DefaultEf]]);
+    *  - `hybrid_leg_recall` / `mmr_pool_recall`: recall of the
+    *    default-beam candidate set against the exact set, floored at
+    *    measured-minus-margin (fixtures measure 1.0 / 0.996 via
+    *    [[graft.GraphDiag]]; 0.9 catches a real navigation regression)
+    *    — the measured promise the saturation switch rests on at
+    *    100 TB.
+    */
+  def graphProbeViolations(spark: SparkSession, sfDir: String,
+                           perLeg: Int = 50,
+                           recallFloor: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    def legRecall(dir: String, corpus: DataFrame, queries: DataFrame,
+                  n: Long): (Int, Double) = {
+      val deg = autoDegree(n)
+      val hops = autoHops(n, deg)
+      val ef = autoEf(n)
+      val exact = AnnSearch.unionExactTopK(corpus, queries, perLeg)
+      val beamed = graphSearchAt(spark, dir, queries, perLeg, ef, hops)
+        .select(col("query_id"), col("id"))
+      val hits = exact.join(beamed, Seq("query_id", "id"), "left_semi")
+        .count()
+      val r = hits.toDouble / math.max(1L, exact.count())
+      Checkpoints.release(exact)
+      (ef, r)
+    }
+    val nDoc = AnnSearch.tableCount(spark, sfDir, "documents")
+    // the SAME normalized corpus the doc-space graph was built over
+    // ([[loadOrBuildDocGraph]]'s textEmbed expression)
+    val docCorpus = VectorSearch.textEmbed(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")), 16)
+      .select(col("doc_id").as("vec_id"), col("v"))
+    val (docEf, hybridRecall) = legRecall(
+      loadOrBuildDocGraph(spark, sfDir), docCorpus,
+      TfIdf.hybridQueryVec(spark, sfDir), nDoc)
+    val nEmb = AnnSearch.embeddingCount(spark, sfDir)
+    val (embEf, mmrRecall) = legRecall(
+      ensureGraphIndex(spark, sfDir),
+      AnnSearch.normalizedCorpus(spark, sfDir),
+      AnnSearch.fixtureQueries(spark, sfDir, 10), nEmb)
+    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    val viols = Seq(
+      Option.when(docEf >= nDoc)(
+        ("hybrid_beam_saturated", (nDoc - 1).toDouble, docEf.toDouble)),
+      Option.when(embEf >= nEmb)(
+        ("mmr_beam_saturated", (nEmb - 1).toDouble, embEf.toDouble)),
+      Option.when(hybridRecall < recallFloor)(
+        ("hybrid_leg_recall", recallFloor, r4(hybridRecall))),
+      Option.when(mmrRecall < recallFloor)(
+        ("mmr_pool_recall", recallFloor, r4(mmrRecall)))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

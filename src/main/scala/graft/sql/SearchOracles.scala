@@ -27,6 +27,13 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the graph-backed legs' non-saturated point: default-autoEf beam
+    // recall vs each leg's saturated beam — same zero-row contract
+    "hybrid_graph_probe_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // same zero-row contract for the graph-index append: completeness,
     // coverage, degree bound, and recall of the appended version
     "graph_append_violations" ->

@@ -30,6 +30,14 @@ private[graft] object StreamingOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the graph chain's delete-at-ingest twin: masked tombstones folded
+    // per micro-batch, deletes traversed but never ranked — same
+    // zero-row contract
+    "streaming_graph_delete" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // its streaming twin: delete-at-ingest through the checkpointed
     // micro-batch version chain
     "streaming_index_delete" ->

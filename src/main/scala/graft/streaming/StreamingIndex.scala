@@ -883,8 +883,11 @@ object StreamingIndex {
     * (tombstone writes are Overwrite + manifest-last, idempotent like
     * segment writes).
     *
-    * The fixture streams batch 0 = brand-new vectors (ids +50000),
-    * batch 1 = delete every 2nd of them, through two micro-batches under
+    * The fixture streams batch 0 = brand-new vectors (the window-1
+    * id-ceiling injection — [[graft.operators.AnnSearch.injectionBatch]],
+    * collision-free on sparse blowup id spaces where the old fixed
+    * +50000 offset landed inside the corpus id range), batch 1 = delete
+    * every 2nd of them, through two micro-batches under
     * one checkpoint. Returns the zero-row violations contract: rows
     * appear if the chain is incomplete, the final live count is not
     * base + adds − deletes, any deleted id surfaces in a snapshot
@@ -897,16 +900,10 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.AnnSearch
-    val root = IndexStore.indexDir(sfDir, "stream-ivf-del-v1",
+    val root = IndexStore.indexDir(sfDir, "stream-ivf-del-v2",
       "embeddings")
     val landing = s"$root/landing"
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    // ids +50000: clear of the fixture's other injections (+10000 dedup,
-    // +20000 append gates, +30000/+40000 streaming appends)
-    val adds = emb.select((col("vec_id") + 50000).as("vec_id"),
-      transform(col("v"), x => x + lit(0.03)).as("v"))
+    val adds = AnnSearch.injectionBatch(spark, sfDir, 1, 0.03)
     val delIds = adds.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
     val reqSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("v", ArrayType(DoubleType)),
@@ -972,6 +969,146 @@ object StreamingIndex {
       .join(delIds, Seq("vec_id"), "left_anti")
     val recall = AnnSearch.probeRecall(spark, finalDir, live, queries, k,
       AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
+    val viols = Seq(
+      Option.when(vLast != 1L)(
+        ("version_chain", 1.0, vLast.toDouble)),
+      Option.when(nLive != nLiveExpected)(
+        ("live_count", nLiveExpected.toDouble, nLive.toDouble)),
+      Option.when(deletedInResults != 0L)(
+        ("deleted_in_results", 0.0, deletedInResults.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
+  /** DELETE-AT-INGEST on the GRAPH index chain — the graph-family twin
+    * of [[streamingIvfDelete]], closing the last lifecycle asymmetry
+    * between the three index families (flat and IVF have streamed
+    * delete legs; the graph chain had only appends + retention):
+    * add/delete requests land as files in ONE stream (schema + `op`
+    * column), and each checkpointed micro-batch folds into a new
+    * O(batch) graph version — adds through
+    * [[graft.operators.GraphAnn.appendToGraphIndexAt]] (beam-linked
+    * forward edges + reverse repair, manifest re-referencing the base
+    * segments), deletes through
+    * [[graft.operators.GraphAnn.deleteFromGraphIndex]] (ONE tombstone
+    * segment + manifest — the masked delete: tombstoned nodes stay
+    * TRAVERSABLE for navigation and are excluded only from ranking,
+    * so no graph data is touched). A mixed batch chains
+    * add-then-delete through an intermediate `v<id>-stage` dir
+    * (invisible to [[latestVersion]]'s `v\d+` match, so a
+    * half-committed stage never serves); replay discipline is
+    * [[ingestAvailable]]'s — predecessor resolved below the batch id,
+    * committed-version-above fails loudly, a replayed batch rewrites
+    * its own version deterministically behind the manifest gate.
+    *
+    * The fixture streams batch 0 = a fifth-of-corpus batch of new
+    * vectors (the window-1 id-ceiling injection,
+    * [[graft.operators.AnnSearch.injectionBatch]] — sized to the
+    * INCREMENTAL side of the append regime switch, which is what a
+    * streamed ingest is), batch 1 = delete every 2nd of them. Returns
+    * the zero-row violations contract: rows appear if the chain is
+    * incomplete, the final live count (vectors minus tombstones) is
+    * not base + adds − deletes, any tombstoned id surfaces in a beam
+    * search of the final version, or that search misses the recall
+    * floor against the exact k-NN over the live corpus (floor at
+    * measured-minus-margin like the other graph gates).
+    */
+  def streamingGraphDelete(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 10,
+                           recallFloor: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.l2Normalize
+    import graft.operators.{AnnSearch, GraphAnn}
+    val root = IndexStore.indexDir(sfDir, "stream-graph-del-v1",
+      "embeddings")
+    val landing = s"$root/landing"
+    val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val bSize = math.max(1L, nBase / 5L)
+    val adds = AnnSearch.injectionBatch(spark, sfDir, 1, 0.03,
+      rows = bSize)
+    val delIds = adds.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val reqSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("op", StringType)))
+    if (!latestVersion(root).exists(_ >= 1L)) {
+      val base = GraphAnn.buildGraphIndex(spark, sfDir)
+      stageInto(adds.withColumn("op", lit("add")), landing, "batch0")
+      stageInto(delIds
+        .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
+        .withColumn("op", lit("delete")), landing, "batch1")
+      val q = spark.readStream
+        .schema(reqSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          latestVersion(root).filter(_ > batchId).foreach { v =>
+            throw new IllegalStateException(
+              s"graph root $root has committed version v$v > batch " +
+                s"$batchId: checkpoint/root mismatch — refusing to " +
+                "rewrite history")
+          }
+          val baseDir = latestVersion(root, limit = batchId)
+            .map(v => s"$root/v$v").getOrElse(base)
+          val batchAdds = b.filter(col("op") === "add")
+            .select(col("vec_id"), col("v"))
+          val batchDels = b.filter(col("op") === "delete")
+            .select(col("vec_id"))
+          // O(batch) emptiness probes on the micro-batch, not the corpus
+          val hasAdds = !batchAdds.isEmpty
+          val hasDels = !batchDels.isEmpty
+          val out = s"$root/v$batchId"
+          if (hasAdds && hasDels) {
+            val stage = s"$out-stage"
+            GraphAnn.appendToGraphIndexAt(spark, baseDir, batchAdds,
+              stage)
+            GraphAnn.deleteFromGraphIndex(spark, stage, batchDels, out)
+          } else if (hasAdds)
+            GraphAnn.appendToGraphIndexAt(spark, baseDir, batchAdds, out)
+          else if (hasDels)
+            GraphAnn.deleteFromGraphIndex(spark, baseDir, batchDels, out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val vLast = latestVersion(root).getOrElse(-1L)
+    val finalDir = s"$root/v$vLast"
+    val nDel = delIds.count()
+    val nLiveExpected = nBase + bSize - nDel
+    // live = distinct vectors minus tombstones, both straight off the
+    // final version's manifest (merge-on-read, no resolution needed for
+    // a count)
+    val vecIds = IndexStore.loadSegments(spark, finalDir, "vectors")
+      .select("vec_id").distinct()
+    val tombSegs = IndexStore.manifestSegments(
+      IndexStore.readManifest(spark, finalDir), "tombstones")
+    val nLive =
+      if (tombSegs.isEmpty) vecIds.count()
+      else vecIds.join(
+        IndexStore.readUnion(spark, tombSegs).select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti").count()
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val nGrown = nBase + bSize
+    val ef = GraphAnn.autoEf(nGrown)
+    val hops = GraphAnn.autoHops(nGrown, GraphAnn.autoDegree(nBase))
+    val res = GraphAnn.graphSearchAt(spark, finalDir, queries, k, ef,
+      hops)
+    val deletedInResults = res
+      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .count()
+    val live = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(adds.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val exact = AnnSearch.unionExactTopK(live, queries, k)
+    val hits = exact.join(res.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),

@@ -240,6 +240,12 @@ class AnnSpec extends SparkSpec {
     assert(AnnSearch.hybridProbeViolations(spark, sf).collect().isEmpty)
   }
 
+  test("non-saturated GRAPH beam gate: both graph-backed legs hold " +
+      "their recall floors below saturation") {
+    assert(graft.operators.GraphAnn.graphProbeViolations(spark, sf)
+      .collect().isEmpty)
+  }
+
   test("knn-graph build persists a bucketed, manifested, degree-bounded " +
       "version") {
     import graft.operators.GraphAnn

@@ -236,7 +236,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.IndexStore
     import graft.operators.AnnSearch
     assert(StreamingIndex.streamingIvfDelete(spark, sf).collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "stream-ivf-del-v1", "embeddings")
+    val root = IndexStore.indexDir(sf, "stream-ivf-del-v2", "embeddings")
     Seq(0L, 1L).foreach { v =>
       assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
@@ -244,6 +244,30 @@ class StreamingSpec extends SparkSpec {
     // delete batch's tombstone segment
     assert(AnnSearch.ivfTombSegments(spark, s"$root/v0").isEmpty)
     assert(AnnSearch.ivfTombSegments(spark, s"$root/v1").nonEmpty)
+  }
+
+  test("streamed GRAPH delete-at-ingest chains an add and a tombstone " +
+      "version with zero violations") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    assert(StreamingIndex.streamingGraphDelete(spark, sf)
+      .collect().isEmpty)
+    val root = IndexStore.indexDir(sf, "stream-graph-del-v1",
+      "embeddings")
+    Seq(0L, 1L).foreach { v =>
+      assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
+    }
+    // v0 is the pure-add version (beam-linked delta, no tombstones);
+    // v1 carries the delete batch's tombstone segment and — the masked
+    // delete contract — NO new graph or vector segments of its own
+    def tombSegs(dir: String) = IndexStore.manifestSegments(
+      IndexStore.readManifest(spark, dir), "tombstones")
+    assert(tombSegs(s"$root/v0").isEmpty)
+    assert(tombSegs(s"$root/v1").nonEmpty)
+    val v1Own = IndexStore.readManifest(spark, s"$root/v1")
+      .filter(e => e._1 != "tombstones" && e._2.startsWith(s"$root/v1"))
+    assert(v1Own.isEmpty,
+      s"masked delete must not write graph/vector data: $v1Own")
   }
 
   test("stream-failure wipe is scoped to the out-of-order refusal") {
