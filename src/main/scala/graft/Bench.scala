@@ -79,7 +79,11 @@ object Bench {
         // the filtered leg's cached selectivity (one count per
         // fingerprint); the embedding-space graph is already warmed by
         // ann_knn_graph above
-        "hybrid_search_graph", "ann_graph_filtered")
+        "hybrid_search_graph", "ann_graph_filtered",
+        // round 13 additions: the graph delete-at-ingest chain and the
+        // doc/embedding graph indexes the non-saturated beam gate reads
+        // (one build per fingerprint; timed reps re-search, not rebuild)
+        "streaming_graph_delete", "hybrid_graph_probe_violations")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -92,9 +96,26 @@ object Bench {
       spark.catalog.clearCache()
       // ContextCleaner rides weak references: a GC here releases prior
       // queries' localCheckpoint blocks and dead broadcasts so they are
-      // reclaimed outside the next query's timer.
+      // reclaimed outside the next query's timer. The cleaner drains its
+      // unpersist/destroy RPCs on its OWN thread — without the pauses
+      // below, those RPCs execute DURING the next timed query (measured
+      // as multi-second contamination spikes on whichever queries follow
+      // a heavy build: the ann_* family after the build phase in one
+      // run, the dedup pair mid-suite in another — all reps slow, so the
+      // median doesn't save the row). Two GC+drain beats let the
+      // weak-ref discovery of pass 1 be processed before pass 2 confirms
+      // — untimed wall only.
       System.gc()
+      Thread.sleep(300)
+      System.gc()
+      Thread.sleep(200)
     }
+    // deep quiesce at the build/measure boundary: the build phase just
+    // created and dropped ~45 operators' worth of checkpoints, shuffles
+    // and broadcasts; give the cleaner several full beats so the timed
+    // pass starts from a drained JVM rather than paying the backlog on
+    // its first (alphabetically ann_*) queries.
+    (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
     // MEASURED PHASE: each query REPS times from a swept JVM. The
     // reported per-query number is the MEDIAN of the reps — one lucky
     // run must not tighten every future round's regression alarm (the
