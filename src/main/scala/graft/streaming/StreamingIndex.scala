@@ -1007,13 +1007,18 @@ object StreamingIndex {
     * vectors (the window-1 id-ceiling injection,
     * [[graft.operators.AnnSearch.injectionBatch]] — sized to the
     * INCREMENTAL side of the append regime switch, which is what a
-    * streamed ingest is), batch 1 = delete every 2nd of them. Returns
-    * the zero-row violations contract: rows appear if the chain is
-    * incomplete, the final live count (vectors minus tombstones) is
-    * not base + adds − deletes, any tombstoned id surfaces in a beam
-    * search of the final version, or that search misses the recall
-    * floor against the exact k-NN over the live corpus (floor at
-    * measured-minus-margin like the other graph gates).
+    * streamed ingest is), batch 1 = a genuinely MIXED batch (the
+    * flat-store twin's discipline): delete every 2nd of wave 1 AND add
+    * a window-2 second wave in the same trigger — so the staged
+    * add-then-delete chaining (append to `v1-stage`, tombstone commit
+    * carries the version name) executes in the fixture rather than
+    * sitting as untested generality. Returns the zero-row violations
+    * contract: rows appear if the chain is incomplete, the final live
+    * count (vectors minus tombstones) is not base + both waves −
+    * deletes, any tombstoned id surfaces in a beam search of the final
+    * version, or that search misses the recall floor against the
+    * exact k-NN over the live corpus (floor at measured-minus-margin
+    * like the other graph gates).
     */
   def streamingGraphDelete(spark: SparkSession, sfDir: String,
                            nQueries: Int = 10, k: Int = 10,
@@ -1021,12 +1026,14 @@ object StreamingIndex {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, "stream-graph-del-v1",
+    val root = IndexStore.indexDir(sfDir, "stream-graph-del-v2",
       "embeddings")
     val landing = s"$root/landing"
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
     val bSize = math.max(1L, nBase / 5L)
     val adds = AnnSearch.injectionBatch(spark, sfDir, 1, 0.03,
+      rows = bSize)
+    val adds2 = AnnSearch.injectionBatch(spark, sfDir, 2, 0.04,
       rows = bSize)
     val delIds = adds.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
     val reqSchema = StructType(Seq(StructField("vec_id", LongType),
@@ -1035,9 +1042,10 @@ object StreamingIndex {
     if (!latestVersion(root).exists(_ >= 1L)) {
       val base = GraphAnn.buildGraphIndex(spark, sfDir)
       stageInto(adds.withColumn("op", lit("add")), landing, "batch0")
-      stageInto(delIds
-        .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
-        .withColumn("op", lit("delete")), landing, "batch1")
+      stageInto(adds2.withColumn("op", lit("add"))
+        .unionByName(delIds
+          .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
+          .withColumn("op", lit("delete"))), landing, "batch1")
       val q = spark.readStream
         .schema(reqSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1080,7 +1088,7 @@ object StreamingIndex {
     val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
     val nDel = delIds.count()
-    val nLiveExpected = nBase + bSize - nDel
+    val nLiveExpected = nBase + 2 * bSize - nDel
     // live = distinct vectors minus tombstones, both straight off the
     // final version's manifest (merge-on-read, no resolution needed for
     // a count)
@@ -1094,7 +1102,7 @@ object StreamingIndex {
         IndexStore.readUnion(spark, tombSegs).select("vec_id").distinct(),
         Seq("vec_id"), "left_anti").count()
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val nGrown = nBase + bSize
+    val nGrown = nBase + 2 * bSize
     val ef = GraphAnn.autoEf(nGrown)
     val hops = GraphAnn.autoHops(nGrown, GraphAnn.autoDegree(nBase))
     val res = GraphAnn.graphSearchAt(spark, finalDir, queries, k, ef,
@@ -1104,6 +1112,8 @@ object StreamingIndex {
       .count()
     val live = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(adds.select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .unionAll(adds2.select(col("vec_id"),
+        l2Normalize(col("v")).as("v")))
       .join(delIds, Seq("vec_id"), "left_anti")
     val exact = AnnSearch.unionExactTopK(live, queries, k)
     val hits = exact.join(res.select(col("query_id"), col("id")),

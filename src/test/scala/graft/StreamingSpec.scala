@@ -246,28 +246,37 @@ class StreamingSpec extends SparkSpec {
     assert(AnnSearch.ivfTombSegments(spark, s"$root/v1").nonEmpty)
   }
 
-  test("streamed GRAPH delete-at-ingest chains an add and a tombstone " +
-      "version with zero violations") {
+  test("streamed GRAPH delete-at-ingest chains an add and a MIXED " +
+      "add+delete version with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore
     assert(StreamingIndex.streamingGraphDelete(spark, sf)
       .collect().isEmpty)
-    val root = IndexStore.indexDir(sf, "stream-graph-del-v1",
+    val root = IndexStore.indexDir(sf, "stream-graph-del-v2",
       "embeddings")
     Seq(0L, 1L).foreach { v =>
       assert(IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
     }
-    // v0 is the pure-add version (beam-linked delta, no tombstones);
-    // v1 carries the delete batch's tombstone segment and — the masked
-    // delete contract — NO new graph or vector segments of its own
+    // v0 is the pure-add version (beam-linked delta, no tombstones).
+    // batch 1 is MIXED, so its adds committed through the stage dir
+    // (invisible to version listing) and the v1 commit itself is the
+    // delete: tombstones are the ONLY segments under v1's own path —
+    // the masked-delete contract — while the wave-2 graph/vector
+    // segments live under the stage the manifest references.
     def tombSegs(dir: String) = IndexStore.manifestSegments(
       IndexStore.readManifest(spark, dir), "tombstones")
     assert(tombSegs(s"$root/v0").isEmpty)
     assert(tombSegs(s"$root/v1").nonEmpty)
+    assert(IndexStore.committed(s"$root/v1-stage/manifest"),
+      "mixed batch must chain through the staged append")
     val v1Own = IndexStore.readManifest(spark, s"$root/v1")
-      .filter(e => e._1 != "tombstones" && e._2.startsWith(s"$root/v1"))
+      .filter(e => e._1 != "tombstones" && e._2.startsWith(s"$root/v1/"))
     assert(v1Own.isEmpty,
       s"masked delete must not write graph/vector data: $v1Own")
+    val staged = IndexStore.readManifest(spark, s"$root/v1")
+      .filter(_._2.startsWith(s"$root/v1-stage/"))
+    assert(staged.nonEmpty,
+      "v1 must reference the staged wave-2 segments")
   }
 
   test("stream-failure wipe is scoped to the out-of-order refusal") {
