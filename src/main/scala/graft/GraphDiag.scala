@@ -42,9 +42,13 @@ object GraphDiag {
     // floor forces the recall invariant rows out, so the printed
     // `actual` column IS the measured recall per leg (how the committed
     // floors were chosen at margin)
+    // only the *_recall invariants carry a measured recall in `actual`;
+    // a *_beam_saturated row's actual is the beam width ef, so printing
+    // it as a recall would mislabel it — filter to the recall rows
     GraphAnn.graphProbeViolations(spark, dir, recallFloor = 1.01)
-      .collect().foreach(r => println(
-        s"probe-gate ${r.getString(0)}: actual=${r.getDouble(2)}"))
+      .collect().filter(_.getString(0).endsWith("_recall"))
+      .foreach(r => println(
+        s"probe-gate ${r.getString(0)}: measured recall=${r.getDouble(2)}"))
     spark.stop()
   }
 }

@@ -284,11 +284,26 @@ object AnnSearch {
     */
   private def probeAssignments(spark: SparkSession, queries: DataFrame,
                                centersDf: DataFrame, nProbe: Int)
-      : Seq[(Long, Seq[Double], Int)] =
-    probeFrame(queries, centersDf, nProbe)
+      : Seq[(Long, Seq[Double], Int)] = {
+    // DRIVER-SIDE collect, Q·nProbe rows each carrying a d-dim query
+    // vector: sound only below [[JoinProbeQueryThreshold]] — every
+    // caller auto-switches to the joined-probe plan above it. The
+    // guard is post-collect (a pre-count would add a job to every hot
+    // probe), so it catches a misrouted moderately-large query frame
+    // deterministically rather than letting it silently become the new
+    // normal; a truly corpus-sized frame fails the collect itself on
+    // spark.driver.maxResultSize first.
+    val rows = probeFrame(queries, centersDf, nProbe)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
       .toSeq
+    require(rows.length <= JoinProbeQueryThreshold * math.max(1, nProbe),
+      s"probeAssignments collected ${rows.length} driver rows " +
+        s"(> JoinProbeQueryThreshold=$JoinProbeQueryThreshold * " +
+        s"nProbe=$nProbe) - route this query frame through the " +
+        "joined-probe plan (probeSide) instead")
+    rows
+  }
 
   private def queryVectors(spark: SparkSession, sfDir: String,
                            nQueries: Int): DataFrame =
@@ -1609,8 +1624,19 @@ object AnnSearch {
     val clusterSizes = spark.read.parquet(s"$ivfDir/vectors")
       .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // GAUGE-ONLY driver collect, Q·nc slim (cluster, rank) pairs — the
+    // curve's pricing input, never a production path. Q here is the
+    // interactive fixture-query count and nc = O(√n); guard the product
+    // so a future caller cannot feed a corpus-sized query frame through
+    // the diagnostic (1e7 pairs ≈ 80 MB driver heap, far past any
+    // legitimate curve sweep)
     val assignments = probes.select(col("cluster"), col("cr")).collect()
       .map(r => (r.getInt(0), r.getInt(1)))
+    require(assignments.length <= 10000000,
+      s"annRecallCurve pricing collected ${assignments.length} " +
+        "(query, cluster) pairs on the driver - the curve is an " +
+        "interactive diagnostic; reduce nQueries or price from " +
+        "cluster statistics instead")
     def probedRows(p: Int): Long = assignments.iterator
       .filter(_._2 <= p).map(a => clusterSizes.getOrElse(a._1, 0L)).sum
     // full-probe candidates per layout, each ONE scan+join (ivf_sq holds

@@ -746,6 +746,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PER-DOMAIN FREQUENCY CAP — the CC-pipeline "max N documents per
+    * domain" operator (the mixture family's missing member next to
+    * [[domainMix]]/[[datasetSplit]]): keep at most `cap` docs per
+    * `source`, preferring the longest (quality-proxy `n_chars`,
+    * doc_id tie-break) so a crawl dominated by one boilerplate domain
+    * cannot flood the training mix.
+    *
+    * Scale shape: the rank-filter over the per-source window compiles
+    * to a PARTIAL WindowGroupLimit before the shuffle (Spark's
+    * InferWindowGroupLimit on `row_number() <= cap`) — each map task
+    * forwards at most `cap` rows per source it sees, so a hot domain
+    * with 10⁸ docs ships O(tasks · cap) rows to its reducer, never the
+    * domain's full stream. Same plan family as the global top-k
+    * (`topk_global`) and the pivoted rank entries.
+    */
+  def domainCap(spark: SparkSession, sfDir: String,
+                cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rn").as("domain_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus statistics (the "language filter" face of the
     * lang column): counts, text-length stats, distinct sources.
     */

@@ -233,16 +233,17 @@ object TfIdf {
   def hybridSearchGraph(spark: SparkSession, sfDir: String,
                         nTerms: Int = 5, perLeg: Int = 50,
                         topK: Int = 20, rrfK: Double = 60.0): DataFrame = {
-    val dim = 16
+    val dim = GraphAnn.DocGraphDim
     val dir = GraphAnn.loadOrBuildDocGraph(spark, sfDir, dim)
     val n = AnnSearch.tableCount(spark, sfDir, "documents")
     val ef =
       if (perLeg.toLong * AnnSearch.HybridSatFactor >= n)
         math.min(n, Int.MaxValue.toLong).toInt
       else GraphAnn.autoEf(n)
-    val vector = GraphAnn.graphSearchAt(spark, dir,
+    val vector = GraphAnn.graphSearchCached(spark, dir,
         hybridQueryVec(spark, sfDir, nTerms, dim), perLeg, ef,
-        GraphAnn.autoHops(n, GraphAnn.autoDegree(n)))
+        GraphAnn.autoHops(n, GraphAnn.autoDegree(n)),
+        s"hybridq:$nTerms:$dim")
       .select(col("id").as("doc_id"), col("rn").as("vec_rank"))
     rrfFuse(bm25TopRanks(spark, sfDir, nTerms, perLeg), vector, topK, rrfK)
   }

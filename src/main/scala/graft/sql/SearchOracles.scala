@@ -28,7 +28,9 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     // the graph-backed legs' non-saturated point: default-autoEf beam
-    // recall vs each leg's saturated beam — same zero-row contract
+    // recall pinned against the EXACT brute-force top-perLeg (strictly
+    // stronger than the IVF gate's probed-vs-saturated framing — see
+    // GraphAnn.graphProbeViolations) — same zero-row contract
     "hybrid_graph_probe_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,

@@ -192,6 +192,18 @@ private[graft] object TextOracles {
         |SELECT r.doc_id, r.lang, r.source
         |FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
         |ORDER BY doc_id""".stripMargin,
+    // per-domain frequency cap: keep the 20 longest docs per source
+    // (doc_id tie-break) — rank arithmetic identical in both engines
+    "domain_cap" ->
+      """SELECT doc_id, source, n_chars, domain_rank
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS domain_rank
+        |  FROM documents
+        |)
+        |WHERE domain_rank <= 20
+        |ORDER BY doc_id""".stripMargin,
     // seeded-hash epoch order: shard = h mod 8, position = rank within
     // the shard — pure integer md5 arithmetic in both engines
     "epoch_shuffle" ->

@@ -914,6 +914,11 @@ object StreamingIndex {
       stageInto(delIds
         .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
         .withColumn("op", lit("delete")), landing, "batch1")
+      // order-sensitive: batch1 tombstones ids batch0 ingests, and
+      // mtime resolution alone does not guarantee the delivery order
+      // (see [[staggerBatches]]) — a swapped order would tombstone
+      // not-yet-ingested ids
+      staggerBatches(landing, Seq("batch0", "batch1"))
       val q = spark.readStream
         .schema(reqSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1046,6 +1051,10 @@ object StreamingIndex {
         .unionByName(delIds
           .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
           .withColumn("op", lit("delete"))), landing, "batch1")
+      // order-sensitive: batch1's deletes target ids batch0 adds (and
+      // the spec pins the exact v0=add/v1=mixed shape) — stagger the
+      // staged mtimes so the file source cannot swap delivery
+      staggerBatches(landing, Seq("batch0", "batch1"))
       val q = spark.readStream
         .schema(reqSchema)
         .option("maxFilesPerTrigger", 1)

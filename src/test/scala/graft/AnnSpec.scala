@@ -906,6 +906,58 @@ class AnnSpec extends SparkSpec {
         .mkString("\n"))
   }
 
+  test("cached beam trace serves the graph query entries bit-identical " +
+      "to the live path, one search per (dir, queries, ef, hops)") {
+    import graft.operators.GraphAnn
+    val dir = GraphAnn.buildGraphIndex(spark, sf)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val ef = GraphAnn.autoEf(n)
+    val hops = GraphAnn.autoHops(n, GraphAnn.autoDegree(n))
+    def queries = AnnSearch.fixtureQueries(spark, sf, 10)
+    // bit-identity: the cached path is searchTraceAt's output
+    // checkpointed, with the tombstone mask + ranking tail applied
+    // AFTER the cache — same rows as the live path by construction,
+    // asserted here so a cache-layer change can never drift the entries
+    val live = GraphAnn.graphSearchAt(spark, dir, queries, 10, ef, hops)
+      .collect().map(_.toSeq).toSeq
+    val cached = GraphAnn.graphSearchCached(spark, dir, queries, 10, ef,
+      hops, "fixture:10").collect().map(_.toSeq).toSeq
+    assert(cached.nonEmpty && cached == live)
+    // cache identity: a second call with the same key re-reads the SAME
+    // checkpointed frame (no second beam search)
+    val t1 = GraphAnn.cachedTrace(spark, dir, queries, ef, hops,
+      "fixture:10")
+    val t2 = GraphAnn.cachedTrace(spark, dir, queries, ef, hops,
+      "fixture:10")
+    assert(t1 eq t2)
+    // one trace serves any k <= ef: a smaller-k consumer ranks the same
+    // cached frame (mmr pools and top-10 entries share one search when
+    // their (ef, hops) coincide)
+    val k5 = GraphAnn.graphSearchCached(spark, dir, queries, 5, ef, hops,
+      "fixture:10").collect().map(_.toSeq).toSeq
+    val live5 = GraphAnn.graphSearchAt(spark, dir, queries, 5, ef, hops)
+      .collect().map(_.toSeq).toSeq
+    assert(k5.nonEmpty && k5 == live5)
+  }
+
+  test("gate cache: one proof per fixture fingerprint per session, " +
+      "re-read afterwards with identical rows") {
+    // the graded-suite discipline (Gates): heavy lifecycle gates compute
+    // once per (session, fingerprint) and every later call re-reads the
+    // checkpointed violations frame — same instance, same rows
+    val g1 = graft.Gates.cached(spark, sf, "spec_gate_probe")(
+      AnnSearch.annRecallViolations(spark, sf))
+    val g2 = graft.Gates.cached(spark, sf, "spec_gate_probe")(
+      AnnSearch.annRecallViolations(spark, sf))
+    assert(g1 eq g2)
+    assert(g1.count() == 0L)
+    // a different gate name is a different key — never served the
+    // other gate's frame
+    val g3 = graft.Gates.cached(spark, sf, "spec_gate_probe_2")(
+      AnnSearch.annRecallViolations(spark, sf))
+    assert(!(g3 eq g1))
+  }
+
   test("beam search releases superseded per-hop checkpoints " +
       "(no storage-memory leak across a long-lived session)") {
     import graft.operators.{AnnSearch, GraphAnn}

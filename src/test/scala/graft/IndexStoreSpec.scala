@@ -53,6 +53,145 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.indexDir(d, "x-v1", "u"))
   }
 
+  // ---- crash-point fault injection for the manifest commit protocol ----
+  // The protocol's three claims (IndexStore manifest scaladoc,
+  // StreamingIndex.pruneVersions): a version is invisible until its
+  // manifest commits, a checkpointed replay rewrites the same version
+  // deterministically, and the vacuum never collects a half-written
+  // survivor. Each test below reproduces the exact on-disk + checkpoint
+  // state a writer killed at that point leaves behind, then drives the
+  // recovery path end-to-end.
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  private def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  test("writer killed between segment write and manifest commit: " +
+      "readers ignore the dir, the checkpointed replay recommits " +
+      "the identical version") {
+    import graft.streaming.StreamingIndex
+    val tmp = Files.createTempDirectory("graft_crash_commit").toString
+    val (landing, root, ckpt) = (s"$tmp/landing", s"$tmp/root",
+      s"$tmp/ckpt")
+    def batch(ids: Seq[Long], shift: Double) = {
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => Row(s"doc$i",
+          s"text$i", Seq(i * 1.0 + shift, 1.0, 0.0), "add")), 1),
+        StreamingIndex.BatchSchema)
+    }
+    StreamingIndex.stageInto(batch(Seq(1L, 2L), 0.0), landing, "batch0")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    StreamingIndex.stageInto(batch(Seq(2L, 3L), 0.5), landing, "batch1")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    assert(StreamingIndex.latestVersion(root).contains(1L))
+    // snapshot the checkpoint BEFORE batch 2 — a writer killed inside
+    // foreachBatch never commits the batch to the checkpoint either
+    copyDir(ckpt, s"$tmp/ckpt_pre")
+    StreamingIndex.stageInto(batch(Seq(4L), 0.0), landing, "batch2")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    assert(StreamingIndex.latestVersion(root).contains(2L))
+    val want = StreamingIndex.loadMappingAt(spark, s"$root/v2")
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    // CRASH STATE: v2's segments on disk, manifest never committed,
+    // checkpoint unaware of batch 2 — byte-equivalent to a kill between
+    // saveDataset(vSeg) and writeManifest
+    rmTree(s"$root/v2/manifest")
+    rmTree(ckpt)
+    copyDir(s"$tmp/ckpt_pre", ckpt)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v2/mapping"))) // segments present
+    // claim 1: the uncommitted dir is invisible — readers serve v1
+    assert(StreamingIndex.latestVersion(root).contains(1L))
+    assert(StreamingIndex.searchLatest(spark, root,
+      Seq(1.0, 1.0, 0.0), k = 2).count() == 2)
+    // claim 2: the replay redelivers batch 2 under the SAME id, folds
+    // from the true predecessor v1 (never from its own crashed
+    // segments), overwrites them, and commits — bit-identical result
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt)
+    assert(StreamingIndex.latestVersion(root).contains(2L))
+    val got = StreamingIndex.loadMappingAt(spark, s"$root/v2")
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("compaction killed before its manifest commits: the old root " +
+      "keeps serving, a re-run completes with the resolved state") {
+    import graft.streaming.StreamingIndex
+    // reuse the committed ingest fixture chain as the compaction input
+    StreamingIndex.streamingIndexIngest(spark, sf).count()
+    val root = IndexStore.indexDir(sf, "stream-index-v4", "documents")
+    val srcV = s"$root/v${StreamingIndex.latestVersion(root).get}"
+    val want = StreamingIndex.loadMappingAt(spark, srcV)
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    val out = Files.createTempDirectory("graft_crash_compact").toString
+    StreamingIndex.compactTo(spark, root, out)
+    // CRASH STATE: both artifact segments written, manifest missing
+    rmTree(s"$out/v0/manifest")
+    // the crashed compaction is invisible: the swap condition
+    // (latestVersion(out) defined) is false, the caller keeps the old
+    // root, which still resolves in full
+    assert(StreamingIndex.latestVersion(out).isEmpty)
+    assert(StreamingIndex.loadMappingAt(spark, srcV)
+      .orderBy("str_id").collect().map(_.toSeq).toSeq == want)
+    // recovery: re-run rewrites the same resolved state and commits
+    StreamingIndex.compactTo(spark, root, out)
+    assert(StreamingIndex.latestVersion(out).contains(0L))
+    assert(StreamingIndex.loadMappingAt(spark, s"$out/v0")
+      .orderBy("str_id").collect().map(_.toSeq).toSeq == want)
+  }
+
+  test("vacuum killed mid-sweep: a re-run finishes the prune " +
+      "idempotently and never collects the half-written survivor") {
+    import graft.streaming.StreamingIndex
+    val root = Files.createTempDirectory("graft_crash_prune").toString
+    def seg(path: String): Unit =
+      IndexStore.saveDataset(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StreamingIndex.MappingSchema), path)
+    (0L to 4L).foreach { v =>
+      seg(s"$root/v$v/mapping")
+      IndexStore.writeManifest(spark, s"$root/v$v",
+        (0L to v).map(i => ("mapping", s"$root/v$i/mapping", i)))
+    }
+    // a half-written NEWER version (writer in flight during the vacuum)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/v5/mapping"))
+    // CRASH STATE: the vacuum swept v0's manifest but was killed before
+    // reaching v1/v2 — exactly what doomed-in-order sweeping leaves
+    rmTree(s"$root/v0/manifest")
+    // recovery: the re-run treats the remaining chain as-is (v0 is no
+    // longer committed, so doomed = v1, v2) and finishes the job
+    val deleted = StreamingIndex.pruneVersions(spark, root, keep = 2)
+    assert(deleted == Seq(1L, 2L))
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(!IndexStore.committed(s"$root/v$v/manifest"), s"v$v")
+      // refcounted segments outlive their version's manifest
+      assert(IndexStore.committed(s"$root/v$v/mapping"), s"v$v")
+    }
+    // survivors resolve in full, the half-written v5 was never touched
+    assert(StreamingIndex.latestVersion(root).contains(4L))
+    assert(StreamingIndex.loadMappingAt(spark, s"$root/v4").count() == 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/v5/mapping")))
+    // and a third pass has nothing left to do
+    assert(StreamingIndex.pruneVersions(spark, root, keep = 2).isEmpty)
+  }
+
   test("searching an empty index yields an empty result, not an error") {
     // the reference's empty-index guard (main.py:152-153) — batch form:
     // k-NN over zero candidates is simply zero result rows

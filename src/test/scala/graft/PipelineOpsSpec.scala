@@ -114,6 +114,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(agg.collect().toSeq == rows.toSeq)
   }
 
+  test("domainCap: at most cap docs per source, the kept set is the " +
+    "longest-first prefix of each domain") {
+    val cap = 5
+    val rows = TextAnalysis.domainCap(spark, sf, cap).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.values.foreach(g => assert(g.length <= cap))
+    // kept-per-domain minimum n_chars >= every dropped doc's n_chars
+    // in that domain (keep-longest, not keep-random)
+    val all = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, kept) =>
+      val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+      val dropped = all(src).filterNot(r =>
+        keptIds(r.getAs[Long]("doc_id")))
+      if (dropped.nonEmpty && kept.length == cap) {
+        val minKept = kept.map(_.getAs[Long]("n_chars")).min
+        assert(dropped.forall(_.getAs[Long]("n_chars") <= minKept), src)
+      }
+    }
+    // domain_rank is 1..|kept| within each source
+    bySource.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("domain_rank")).sorted.toSeq ==
+        (1L to g.length).toSeq)
+    }
+  }
+
   test("bloomDecontaminate == decontaminate at default and at a " +
     "saturating fpp (superset prefilter, exact confirm)") {
     val exact = Dedup.decontaminate(spark, sf).collect().toSeq

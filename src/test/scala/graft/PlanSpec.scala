@@ -16,6 +16,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment")) // projection pruning reached the scan
   }
 
+  test("domain_cap rank-filter compiles to a partial WindowGroupLimit " +
+      "(a hot domain never ships its full stream to one reducer)") {
+    val p = plan("domain_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    // partial mode before the exchange: two WindowGroupLimit nodes
+    // (Partial on the map side, Final after the shuffle)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
   test("knn_search broadcasts queries and group-limits before the exchange") {
     val p = plan("knn_search")
     assert(p.contains("WindowGroupLimit"))
