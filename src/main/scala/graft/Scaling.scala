@@ -46,7 +46,11 @@ object Scaling {
     "bpe_encode", "pca_power", "dataset_interleave",
     // round 12: the graph-ANN leg (NN-descent build is warmed/untimed —
     // build-once like every index; the timed pass is the beam search)
-    "ann_knn_graph")
+    "ann_knn_graph",
+    // round 14 (VERDICT r13 #4): the text-retrieval tier joins the
+    // ladder — BM25's corpus statistics pass, the two-leg RRF fuse, and
+    // (already present above) chunk_embed_search / substring_runs
+    "bm25_search", "hybrid_search_rrf")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
@@ -92,6 +96,57 @@ object Scaling {
     }
     embCopies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/embeddings.parquet")
+  }
+
+  /** WIDE-VECTOR corpus builder (round 14, VERDICT r13 #3): the
+    * reference's true vector width is d=2048 (`main.py:29` —
+    * IndexHNSWFlat(2048)); every fixture and ladder row runs d=64, so
+    * the d-dependent machinery (beam broadcast pricing `Q·(8d+16)`,
+    * SQ8/PQ byte math, PQ subspace sizing, NN-descent's quantized
+    * in-flight payload) was unexercised at the real width. This builds
+    * an n×`nFactor` corpus at `wideDim` dims from the base embeddings:
+    *
+    *  - copies stride/rotate exactly like [[buildBlowup]] (copy 0
+    *    verbatim, so the `vec_id < nQueries` query set is unchanged);
+    *  - each 64-d vector is then widened by CONCATENATING
+    *    `wideDim/64` block-rotations of itself. Every block is a
+    *    norm-preserving rotation, so for any two vectors
+    *    d_wide(x,y)² = (wideDim/64)·d(x,y)² — the distance structure
+    *    (and therefore the exact-kNN truth and every recall
+    *    denominator) is EXACTLY the base corpus's, while all machinery
+    *    genuinely runs at `wideDim`: bytes, broadcasts, quantization,
+    *    codebooks, and beam payloads are the real 2048-wide articles.
+    */
+  def buildWide(spark: SparkSession, base: String, out: String,
+                nFactor: Int, wideDim: Int): Unit = {
+    if (graft.sources.IndexStore.committed(s"$out/embeddings.parquet"))
+      return
+    val emb = Tables.load(spark, base, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(wideDim % dim == 0,
+      s"wideDim $wideDim must be a multiple of the base dim $dim")
+    val blocks = wideDim / dim
+    def rotated(c: Int) = {
+      val rot = c % dim
+      if (rot == 0) col("embedding")
+      else concat(slice(col("embedding"), rot + 1, dim - rot),
+        slice(col("embedding"), 1, rot))
+    }
+    // per-copy rotation (blowup decorrelation), then per-block rotation
+    // (widening) — blocks use co-prime stride 7 so adjacent blocks are
+    // distinct rotations, not repeats
+    val copies = (0 until nFactor).map { c =>
+      emb.select(
+        (col("vec_id") + c.toLong * 100000L).as("vec_id"),
+        rotated(c).as("embedding"), col("label"))
+    }
+    copies.reduce(_ unionAll _)
+      .select(col("vec_id"),
+        concat((0 until blocks).map(bk =>
+          rotated((bk * 7 + 1) % dim)): _*).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   /** Streaming tier: per-trigger cost with a FIXED batch as the base
@@ -458,6 +513,51 @@ object Scaling {
         f""""hops1":$h1,"hopsN":$hN}""")
     }
 
+    // WIDE-VECTOR tier (round 14, VERDICT r13 #3): the reference's true
+    // d=2048 exercised end-to-end — a fresh NN-descent build at width,
+    // then the zero-row recall gate across every ANN family over the
+    // widened corpus. Targeted only (SPARK_GRAFT_SCALING_WIDE=1): the
+    // corpus is ~820 MB of doubles and the gate builds six index
+    // families. Knobs: SPARK_GRAFT_WIDE_DIM (default 2048),
+    // SPARK_GRAFT_WIDE_FACTOR (default 25 → n=50k from the sf0.1 base).
+    val wantWide = sys.env.get("SPARK_GRAFT_SCALING_WIDE").contains("1")
+    val wideRows = if (!wantWide) Seq.empty else {
+      import graft.operators.{AnnSearch, GraphAnn}
+      val wideDim = sys.env.get("SPARK_GRAFT_WIDE_DIM")
+        .map(_.toInt).getOrElse(2048)
+      val nFactor = sys.env.get("SPARK_GRAFT_WIDE_FACTOR")
+        .map(_.toInt).getOrElse(25)
+      val wideDir = s"$work/wide${wideDim}_x$nFactor"
+      buildWide(spark, base, wideDir, nFactor, wideDim)
+      val n = Tables.load(spark, wideDir, "embeddings").count()
+      // fresh timed graph build at width (the committed load-or-build
+      // index must not short-circuit it) + its on-disk byte account —
+      // the quantized in-flight payload is wideDim bytes/node, 32× the
+      // d=64 figure the GraphAnn scaladoc was derived at
+      val out = s"$work/graphbuild_wide$wideDim"
+      new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(graft.sources.IndexStore.hadoopConf)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+      sweep()
+      var t0 = System.nanoTime()
+      GraphAnn.buildGraphOver(spark, AnnSearch.normalizedCorpus(
+        spark, wideDir), out, GraphAnn.autoDegree(n))
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // the gate: recall floors for lsh/ivf/sq/pq/ivf_pq/filtered/graph
+      // ALL at wideDim — zero rows or the row names the broken leg
+      sweep()
+      t0 = System.nanoTime()
+      val viols = AnnSearch.annRecallViolations(spark, wideDir)
+        .collect()
+      val tGate = (System.nanoTime() - t0) / 1e9
+      viols.foreach(r => System.err.println(s"[scaling] WIDE violation: $r"))
+      Seq(f"""{"query":"wide_graph_build","t1":$tBuild%.2f,"tN":$tBuild%.2f,""" +
+          f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim}""",
+        f"""{"query":"wide_recall_gate","t1":$tGate%.2f,"tN":$tGate%.2f,""" +
+          f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
+          f""""violations":${viols.length}}""")
+    }
+
     // skew tier: synthetic zipfian volume scaled by the ladder factor
     // (5M rows at 1× — the fixture tables are too small to stress a
     // shuffle). Run in full mode, or targeted via
@@ -475,7 +575,7 @@ object Scaling {
       }
     }
     val json = (rows ++ mmRows ++ streamRows ++ graphBuildRows ++
-      skewRows).mkString("[", ",", "]")
+      wideRows ++ skewRows).mkString("[", ",", "]")
     println(json)
     // a targeted run never clobbers the committed full-run record
     if (only.isEmpty) {

@@ -658,7 +658,7 @@ object AnnSearch {
     */
   def deleteFromIvfPqIndex(spark: SparkSession, sfDir: String,
                            ids: DataFrame, out: String,
-                           nClusters: Int = 0, m: Int = 8,
+                           nClusters: Int = 0, m: Int = 0,
                            nCodes: Int = 0): Unit = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
@@ -849,17 +849,18 @@ object AnnSearch {
     * trade is the measured `ivf_pq` floor in [[annRecall]].
     */
   def buildIvfPqIndex(spark: SparkSession, sfDir: String,
-                      nClusters: Int = 0, m: Int = 8,
+                      nClusters: Int = 0, m: Int = 0,
                       nCodes: Int = 0): String = {
     val nc = resolveClusters(spark, sfDir, nClusters)
+    val mm = Quantize.resolveM(spark, sfDir, m)
     val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
-    val dir = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-v1",
+    val dir = IndexStore.indexDir(sfDir, s"ivfpq$nc-$mm-$nk-v1",
       "embeddings")
     if (!IndexStore.committed(s"$dir/centroids") ||
         !IndexStore.committed(s"$dir/codebooks") ||
         !IndexStore.committed(s"$dir/codes")) {
       val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
-      val pqDir = Quantize.buildPqIndex(spark, sfDir, m, nk)
+      val pqDir = Quantize.buildPqIndex(spark, sfDir, mm, nk)
       composeIvfPq(spark, ivfDir, pqDir, dir)
     }
     dir
@@ -900,7 +901,7 @@ object AnnSearch {
     */
   def ivfPqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
                k: Int = 10, nClusters: Int = 0, nProbe: Int = 0,
-               m: Int = 8, nCodes: Int = 0, rerank: Int = 40): DataFrame =
+               m: Int = 0, nCodes: Int = 0, rerank: Int = 40): DataFrame =
     ivfPqSearch(spark, sfDir, nQueries, k, nClusters, nProbe, m, nCodes,
       rerank, forceJoin = false)
 
@@ -910,7 +911,7 @@ object AnnSearch {
   private[graft] def ivfPqKnnJoined(spark: SparkSession, sfDir: String,
                                     nQueries: Int = 10, k: Int = 10,
                                     nClusters: Int = 0, nProbe: Int = 0,
-                                    m: Int = 8, nCodes: Int = 0,
+                                    m: Int = 0, nCodes: Int = 0,
                                     rerank: Int = 40): DataFrame =
     ivfPqSearch(spark, sfDir, nQueries, k, nClusters, nProbe, m, nCodes,
       rerank, forceJoin = true)
@@ -920,11 +921,12 @@ object AnnSearch {
                           nProbe: Int, m: Int, nCodes: Int, rerank: Int,
                           forceJoin: Boolean): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
+    val mm = Quantize.resolveM(spark, sfDir, m)
     val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
-    val dir = buildIvfPqIndex(spark, sfDir, nc, m, nk)
+    val dir = buildIvfPqIndex(spark, sfDir, nc, mm, nk)
     ivfPqSearchAt(spark, dir, queryVectors(spark, sfDir, nQueries),
       VectorSearch.normalized(spark, sfDir), k, resolveProbe(nc, nProbe),
-      m, nk, rerank, expectedQ = nQueries.toLong, forceJoin = forceJoin)
+      mm, nk, rerank, expectedQ = nQueries.toLong, forceJoin = forceJoin)
   }
 
   /** Resolve an IVF+PQ index dir to (centroids, codebooks, seq-ordered
@@ -1046,12 +1048,13 @@ object AnnSearch {
     */
   def appendToIvfPqIndex(spark: SparkSession, sfDir: String,
                          batch: DataFrame, out: String,
-                         nClusters: Int = 0, m: Int = 8,
+                         nClusters: Int = 0, m: Int = 0,
                          nCodes: Int = 0): Unit = {
     val nc = resolveClusters(spark, sfDir, nClusters)
+    val mm = Quantize.resolveM(spark, sfDir, m)
     val nk = Quantize.resolveCodes(spark, sfDir, nCodes)
-    appendToIvfPqIndexAt(spark, buildIvfPqIndex(spark, sfDir, nc, m, nk),
-      batch, out, m, nk)
+    appendToIvfPqIndexAt(spark, buildIvfPqIndex(spark, sfDir, nc, mm, nk),
+      batch, out, mm, nk)
   }
 
   private[graft] def appendToIvfPqIndexAt(spark: SparkSession,
@@ -1832,7 +1835,7 @@ object AnnSearch {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
     val nk = Quantize.resolveCodes(spark, sfDir, 0)
-    val m = 8
+    val m = Quantize.resolveM(spark, sfDir, 0)
     val out = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v2",
       "embeddings")
     val batch = appendBatch(spark, sfDir)
@@ -1949,7 +1952,7 @@ object AnnSearch {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
     val nk = Quantize.resolveCodes(spark, sfDir, 0)
-    val m = 8
+    val m = Quantize.resolveM(spark, sfDir, 0)
     // the SAME appended version the PQ append gate builds (idempotent)
     val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v2",
       "embeddings")
@@ -2095,7 +2098,7 @@ object AnnSearch {
     import spark.implicits._
     val nc = resolveClusters(spark, sfDir, 0)
     val nk = Quantize.resolveCodes(spark, sfDir, 0)
-    val m = 8
+    val m = Quantize.resolveM(spark, sfDir, 0)
     val appended = IndexStore.indexDir(sfDir, s"ivfpq$nc-$m-$nk-app-v2",
       "embeddings")
     val batch = appendBatch(spark, sfDir)

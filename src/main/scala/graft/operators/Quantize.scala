@@ -79,11 +79,12 @@ object Quantize {
     * and `dir/codes` (vec_id, codes array) — the fit runs at build time,
     * never in a query.
     */
-  def buildPqIndex(spark: SparkSession, sfDir: String, m: Int = 8,
+  def buildPqIndex(spark: SparkSession, sfDir: String, m: Int = 0,
                    nCodes: Int = 0): String = {
+    val mm = resolveM(spark, sfDir, m)
     val nk = resolveCodes(spark, sfDir, nCodes)
-    val dir = IndexStore.indexDir(sfDir, s"pq$m-$nk-v1", "embeddings")
-    buildPqOver(spark, VectorSearch.normalized(spark, sfDir), m, nk, dir)
+    val dir = IndexStore.indexDir(sfDir, s"pq$mm-$nk-v1", "embeddings")
+    buildPqOver(spark, VectorSearch.normalized(spark, sfDir), mm, nk, dir)
     dir
   }
 
@@ -140,6 +141,37 @@ object Quantize {
   private[operators] def codesFor(n: Long): Int =
     math.max(8, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** Subspace-count rule (round 14): FIXED 8-dim subspaces, m = d/8 —
+    * re-derived at the reference's true width the way `autoEf` was. A
+    * fixed m instead fixes the subspace WIDTH at d/m dims, and the
+    * quantization error of a 256-dim subspace at d=2048 collapsed
+    * measured PQ recall to 0.31 (avg) / 0.0 (worst query) against the
+    * 0.4 / 0.15 floors on the 50k wide-vector ladder corpus
+    * (SCALING.md round-14) — while every constant-width family member
+    * (SQ8, IVF, graph) held. FAISS practice keeps d/m in the 4–16
+    * range; 8 sits in the middle AND derives m=8 at the fixture d=64,
+    * so every committed pq8/ivfpq-8 artifact keeps its name and bytes.
+    */
+  private[graft] def pqSubspaces(dim: Int): Int =
+    math.max(1, dim / 8)
+
+  /** The embedding width, one head-row probe per fixture dir per JVM
+    * (same key discipline as [[AnnSearch.tableCount]]: index names
+    * derived from it invalidate via the source fingerprint, not this).
+    */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def vectorDim(spark: SparkSession,
+                                   sfDir: String): Int =
+    dimCache.computeIfAbsent(sfDir, _ =>
+      graft.Tables.load(spark, sfDir, "embeddings")
+        .select(size(col("embedding"))).head.getInt(0)).intValue()
+
+  /** `m = 0` → the [[pqSubspaces]] d-scaled default; explicit m wins. */
+  private[graft] def resolveM(spark: SparkSession, sfDir: String,
+                                  m: Int): Int =
+    if (m > 0) m else pqSubspaces(vectorDim(spark, sfDir))
+
   /** PQ top-k with exact re-ranking (asymmetric distance computation):
     * the per-query m×nCodes lookup table of subspace distances is computed
     * DISTRIBUTED as a queries × codebooks join (Q·m·nCodes rows — tiny
@@ -153,7 +185,7 @@ object Quantize {
     * is the loosest of the family.
     */
   def pqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-            k: Int = 10, m: Int = 8, nCodes: Int = 0,
+            k: Int = 10, m: Int = 0, nCodes: Int = 0,
             rerank: Int = 40): DataFrame =
     VectorSearch.rescoreTopK(
       VectorSearch.pruneCandidates(
@@ -166,18 +198,19 @@ object Quantize {
     * 3 rerank points off ONE materialized ADC scan instead of three.
     */
   private[operators] def pqAdist(spark: SparkSession, sfDir: String,
-                                 nQueries: Int, m: Int = 8,
+                                 nQueries: Int, m: Int = 0,
                                  nCodes: Int = 0): DataFrame = {
+    val mm = resolveM(spark, sfDir, m)
     val nk = resolveCodes(spark, sfDir, nCodes)
-    val dir = buildPqIndex(spark, sfDir, m, nk)
+    val dir = buildPqIndex(spark, sfDir, mm, nk)
     val normed = VectorSearch.normalized(spark, sfDir)
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qu"))
-    val luts = pqLutsAt(spark, s"$dir/codebooks", queries, m, nk)
+    val luts = pqLutsAt(spark, s"$dir/codebooks", queries, mm, nk)
     spark.read.parquet(s"$dir/codes")
       .join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
-        expr(s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
+        expr(s"""aggregate(sequence(0, ${mm - 1}), 0D, (acc, j) ->
           acc + element_at(lut, j * $nk +
             element_at(codes, j + 1) + 1))""").as("adist"))
   }

@@ -940,6 +940,21 @@ class AnnSpec extends SparkSpec {
     assert(k5.nonEmpty && k5 == live5)
   }
 
+  test("PQ subspace count scales with the vector width at fixed 8-dim " +
+      "subspaces (d=64 -> m=8 keeps committed artifacts; d=2048 -> 256)") {
+    import graft.operators.Quantize
+    // the round-14 wide-vector ladder finding: fixed m=8 at d=2048 left
+    // 256-dim subspaces and PQ recall collapsed to 0.31 vs the 0.4
+    // floor; the d/8 rule holds the floor (SCALING.md round-14) while
+    // deriving the SAME m=8 at the fixture width — no index rebuilds
+    assert(Quantize.pqSubspaces(64) == 8)
+    assert(Quantize.pqSubspaces(2048) == 256)
+    assert(Quantize.pqSubspaces(8) == 1)
+    assert(Quantize.pqSubspaces(4) == 1) // degenerate width still valid
+    assert(Quantize.resolveM(spark, sf, 0) == 8)  // fixture d=64
+    assert(Quantize.resolveM(spark, sf, 16) == 16) // explicit wins
+  }
+
   test("gate cache: one proof per fixture fingerprint per session, " +
       "re-read afterwards with identical rows") {
     // the graded-suite discipline (Gates): heavy lifecycle gates compute
