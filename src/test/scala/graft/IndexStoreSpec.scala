@@ -129,6 +129,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("in-chain auto-compaction killed before its manifest commits: " +
+      "the replay re-folds the same resolved version deterministically") {
+    import graft.streaming.StreamingIndex
+    val tmp = Files.createTempDirectory("graft_crash_fold").toString
+    val (landing, root, ckpt) = (s"$tmp/landing", s"$tmp/root",
+      s"$tmp/ckpt")
+    def batch(ids: Seq[Long], shift: Double) = {
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => Row(s"doc$i",
+          s"text$i", Seq(i * 1.0 + shift, 1.0, 0.0), "add")), 1),
+        StreamingIndex.BatchSchema)
+    }
+    // maxSegments=2 forces batch 2 onto the COMPACTION branch of the
+    // fold (resolved state as the version's own single segments) — the
+    // other half of the commit protocol the plain-append crash test
+    // does not reach
+    StreamingIndex.stageInto(batch(Seq(1L, 2L), 0.0), landing, "batch0")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt,
+      maxSegments = 2)
+    StreamingIndex.stageInto(batch(Seq(3L), 0.0), landing, "batch1")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt,
+      maxSegments = 2)
+    copyDir(ckpt, s"$tmp/ckpt_pre")
+    StreamingIndex.stageInto(batch(Seq(2L, 4L), 0.9), landing, "batch2")
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt,
+      maxSegments = 2)
+    // the fold happened: v2's manifest references ONLY its own segments
+    val m = IndexStore.readManifest(spark, s"$root/v2")
+    assert(m.forall(_._2.contains("/v2/")), m)
+    val want = StreamingIndex.loadMappingAt(spark, s"$root/v2")
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    // CRASH between the fold's segment writes and its manifest
+    rmTree(s"$root/v2/manifest")
+    rmTree(ckpt)
+    copyDir(s"$tmp/ckpt_pre", ckpt)
+    assert(StreamingIndex.latestVersion(root).contains(1L))
+    // replay: the fold derives its compaction decision from the
+    // PREDECESSOR's manifest (not its own crashed output), so the
+    // re-run takes the same branch and rewrites the same version
+    StreamingIndex.ingestAvailable(spark, landing, root, ckpt,
+      maxSegments = 2)
+    assert(StreamingIndex.latestVersion(root).contains(2L))
+    val got = StreamingIndex.loadMappingAt(spark, s"$root/v2")
+      .orderBy("str_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // and the re-folded manifest is again self-contained
+    assert(IndexStore.readManifest(spark, s"$root/v2")
+      .forall(_._2.contains("/v2/")))
+  }
+
   test("compaction killed before its manifest commits: the old root " +
       "keeps serving, a re-run completes with the resolved state") {
     import graft.streaming.StreamingIndex
