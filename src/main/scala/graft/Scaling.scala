@@ -551,11 +551,42 @@ object Scaling {
         .collect()
       val tGate = (System.nanoTime() - t0) / 1e9
       viols.foreach(r => System.err.println(s"[scaling] WIDE violation: $r"))
+      // the APPEND lifecycle at width (SPARK_GRAFT_WIDE_APPEND=1): the
+      // doubling-regime rebuild (batch = corpus ⇒ appendRebuilds) and
+      // the IVF O(batch) append, each with its zero-row gate — the
+      // beam-link / centroid-assignment payloads at 8·wideDim B/row
+      val appendRows =
+        if (!sys.env.get("SPARK_GRAFT_WIDE_APPEND").contains("1"))
+          Seq.empty
+        else {
+          sweep()
+          var ta = System.nanoTime()
+          val gViols = GraphAnn.graphAppendViolations(spark, wideDir)
+            .collect()
+          val tGraphApp = (System.nanoTime() - ta) / 1e9
+          gViols.foreach(r =>
+            System.err.println(s"[scaling] WIDE graph-append violation: $r"))
+          sweep()
+          ta = System.nanoTime()
+          val iViols = AnnSearch.ivfAppendViolations(spark, wideDir)
+            .collect()
+          val tIvfApp = (System.nanoTime() - ta) / 1e9
+          iViols.foreach(r =>
+            System.err.println(s"[scaling] WIDE ivf-append violation: $r"))
+          Seq(f"""{"query":"wide_graph_append_gate","t1":$tGraphApp%.2f,""" +
+              f""""tN":$tGraphApp%.2f,"factor":1,"exponent":0.0,""" +
+              f""""n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""violations":${gViols.length}}""",
+            f"""{"query":"wide_ivf_append_gate","t1":$tIvfApp%.2f,""" +
+              f""""tN":$tIvfApp%.2f,"factor":1,"exponent":0.0,""" +
+              f""""n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""violations":${iViols.length}}""")
+        }
       Seq(f"""{"query":"wide_graph_build","t1":$tBuild%.2f,"tN":$tBuild%.2f,""" +
           f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim}""",
         f"""{"query":"wide_recall_gate","t1":$tGate%.2f,"tN":$tGate%.2f,""" +
           f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
-          f""""violations":${viols.length}}""")
+          f""""violations":${viols.length}}""") ++ appendRows
     }
 
     // skew tier: synthetic zipfian volume scaled by the ladder factor
