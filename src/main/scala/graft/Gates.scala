@@ -54,10 +54,16 @@ object Gates {
     * source fingerprints, name); later calls re-read the checkpointed
     * violations frame. `tables` names the source tables the gate's
     * whole version chain derives from (fingerprint inputs).
+    *
+    * Triage bypass: `SPARK_GRAFT_GATES_LIVE=1` disables the cache and
+    * every gate recomputes per call — for isolating a regression the
+    * cached read would mask within one long-lived session (e.g. a
+    * Bench `SPARK_GRAFT_ONLY` loop re-measuring one gate's true cost).
     */
   def cached(spark: SparkSession, sfDir: String, name: String,
              tables: Seq[String] = Seq("embeddings"))
             (compute: => DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_GATES_LIVE").contains("1")) return compute
     val fps = tables.map(t => IndexStore.sourceFingerprint(sfDir, t))
       .mkString(",")
     cache.computeIfAbsent(

@@ -37,7 +37,7 @@ object Quantize {
     * per centroid so the per-subspace k-means stays well-conditioned.
     * Fixture n=500 → 22 codes; explicit overrides always win.
     */
-  private[operators] def resolveCodes(spark: SparkSession, sfDir: String,
+  private[graft] def resolveCodes(spark: SparkSession, sfDir: String,
                                       nCodes: Int): Int =
     if (nCodes > 0) nCodes
     else codesFor(AnnSearch.embeddingCount(spark, sfDir))
@@ -95,7 +95,7 @@ object Quantize {
     * (seeds, iterations) or artifact layout. No-op when `dir` is already
     * committed.
     */
-  private[operators] def buildPqOver(spark: SparkSession, corpus: DataFrame,
+  private[graft] def buildPqOver(spark: SparkSession, corpus: DataFrame,
                                      m: Int, nk: Int, dir: String): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -110,7 +110,19 @@ object Quantize {
     val dim = normed.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val parts = (0 until m).map { j =>
+    // Subspace-fit parallelism (round 14): the per-subspace k-means are
+    // independent (own seed, own column slice), so a bounded pool CAN
+    // submit several fits at once and results are collected back IN
+    // SUBSPACE ORDER — bit-identical artifacts either way
+    // (spec-asserted against a committed sequential-era build). The
+    // knob defaults to 1 because the d=2048 ladder MEASURED concurrency
+    // as a loss in a single-JVM local[32] driver (fit portion ~662 s
+    // sequential vs ~853 s at pool=8 — Spark ML's k-means does its
+    // aggregation on the driver, and eight of them contend in one JVM;
+    // SCALING.md round-14). On a real cluster, where each fit's tiny
+    // jobs leave executors idle between stages and driver JVMs are
+    // per-application, SPARK_GRAFT_PQ_FIT_PAR raises the overlap.
+    def fitSubspace(j: Int): (DataFrame, DataFrame) = {
       val sv = normed.select(col("vec_id"),
         slice(col("v"), j * sub + 1, sub).as("sv"))
         .withColumn("features", array_to_vector(col("sv")))
@@ -122,6 +134,22 @@ object Quantize {
       (centers, model.transform(sv)
         .select(col("vec_id"), lit(j).as("subspace"), col("code")))
     }
+    val fitPar = math.max(1, math.min(m,
+      sys.env.get("SPARK_GRAFT_PQ_FIT_PAR").map(_.toInt).getOrElse(1)))
+    val parts =
+      if (fitPar == 1) (0 until m).map(fitSubspace)
+      else {
+        val pool =
+          java.util.concurrent.Executors.newFixedThreadPool(fitPar)
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence((0 until m)
+              .map(j => scala.concurrent.Future(fitSubspace(j)))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
     IndexStore.saveDataset(parts.map(_._1).reduce(_ unionAll _),
       s"$dir/codebooks")
     val codes = parts.map(_._2).reduce(_ unionAll _)

@@ -955,6 +955,28 @@ class AnnSpec extends SparkSpec {
     assert(Quantize.resolveM(spark, sf, 16) == 16) // explicit wins
   }
 
+  test("concurrent PQ subspace fits are bit-identical to a committed " +
+      "sequential-era build (deterministic per-subspace seeds)") {
+    import graft.operators.{Quantize, VectorSearch}
+    // the committed fixture index predates the round-14 concurrent
+    // fits; a fresh build into a new dir must reproduce its codebooks
+    // and codes exactly — the concurrency changes wall-clock only
+    val committedDir = Quantize.buildPqIndex(spark, sf)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_pq_par").toString
+    graft.operators.Quantize.buildPqOver(spark,
+      VectorSearch.normalized(spark, sf), 8,
+      Quantize.resolveCodes(spark, sf, 0), fresh)
+    def dump(dir: String, art: String) =
+      spark.read.parquet(s"$dir/$art").orderBy("vec_id")
+    val wantCodes = dump(committedDir, "codes").collect().map(_.toSeq)
+    val gotCodes = dump(fresh, "codes").collect().map(_.toSeq)
+    assert(gotCodes.nonEmpty && gotCodes.toSeq == wantCodes.toSeq)
+    def books(dir: String) = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "code").collect().map(_.toSeq)
+    assert(books(fresh).toSeq == books(committedDir).toSeq)
+  }
+
   test("gate cache: one proof per fixture fingerprint per session, " +
       "re-read afterwards with identical rows") {
     // the graded-suite discipline (Gates): heavy lifecycle gates compute
