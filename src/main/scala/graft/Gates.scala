@@ -47,13 +47,30 @@ import graft.sources.IndexStore
   * not of the operators.
   */
 object Gates {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // group key (session#sfDir#name) -> (source fingerprints, checkpointed
+  // frame). Keying the MAP by the fingerprint-free group and storing the
+  // fingerprint in the VALUE is what makes eviction possible: a fixture
+  // regeneration lands on the SAME group with a different fingerprint,
+  // so the stale entry is found (and its pinned checkpoint blocks
+  // released via Checkpoints.release) instead of accumulating forever —
+  // the round-13 storage-leak class, closed for the round-14 caches.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
 
   /** The cached-gate wrapper: `compute` runs once per (session, sfDir,
     * source fingerprints, name); later calls re-read the checkpointed
     * violations frame. `tables` names the source tables the gate's
     * whole version chain derives from (fingerprint inputs).
+    *
+    * Eviction (round 15): a call that MISSES because the fingerprint
+    * changed (fixture regenerated in-place) releases the superseded
+    * entry's checkpoint blocks before computing the fresh one, and a
+    * call from a NEW session instance purges every dead session's
+    * entries (their frames can never be served again — the key embeds
+    * the session — so their blocks are pure leaked storage). Releasing
+    * is safe by the [[graft.operators.Checkpoints.release]] contract:
+    * a superseded-fingerprint frame derives from a source that no
+    * longer exists, and a dead session's frame cannot be re-served.
     *
     * Triage bypass: `SPARK_GRAFT_GATES_LIVE=1` disables the cache and
     * every gate recomputes per call — for isolating a regression the
@@ -64,10 +81,25 @@ object Gates {
              tables: Seq[String] = Seq("embeddings"))
             (compute: => DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_GATES_LIVE").contains("1")) return compute
+    val sess = AnnSearch.sessionKey(spark)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(sess + "#")) {
+        graft.operators.Checkpoints.release(e.getValue._2)
+        it.remove()
+      }
+    }
     val fps = tables.map(t => IndexStore.sourceFingerprint(sfDir, t))
       .mkString(",")
-    cache.computeIfAbsent(
-      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fps#$name",
-      _ => compute.localCheckpoint(true))
+    cache.compute(s"$sess#$sfDir#$name", (_, old) =>
+      if (old != null && old._1 == fps) old
+      else {
+        if (old != null) graft.operators.Checkpoints.release(old._2)
+        (fps, compute.localCheckpoint(true))
+      })._2
   }
+
+  /** Test/triage visibility: the number of live cached gate frames. */
+  private[graft] def cacheSize: Int = cache.size()
 }

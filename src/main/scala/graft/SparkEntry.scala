@@ -315,6 +315,28 @@ object SparkEntry {
     // bit-identity); at 100 TB it is genuinely approximate — its
     // graph_filtered floor rides in ann_recall_violations
     "ann_graph_filtered" -> ((s, d) => GraphAnn.graphKnnFiltered(s, d)),
+    // sharded scatter-gather (FAISS IndexShards semantics — the index at
+    // a scale one artifact can't hold): exact per-shard top-k + global
+    // re-rank is bit-identical to the unsharded search for ANY K (the
+    // shard-merge theorem, gated in shard_merge_violations) — shares the
+    // exact-kNN oracle verbatim
+    "sharded_knn" -> ((s, d) => ShardedSearch.shardedKnn(s, d)),
+    // the same scatter-gather through the REAL index path: K per-shard
+    // IVF indexes via the one existing build path, per-shard probes +
+    // gather rescore. Saturated probe at fixture scale ⇒ each shard
+    // exact ⇒ merge bit-identical to exact (shares its oracle — the
+    // ann_filtered convention); at 100 TB the default probe is genuinely
+    // approximate and its recall floor rides in shard_merge_violations
+    "ann_sharded" ->
+      ((s, d) => ShardedSearch.shardedIvfKnn(s, d, nProbe = -1)),
+    // the shard-merge gate: K-invariance of the exact merge (K=1, K=4),
+    // shard coverage/disjointness, saturated-probe identity through the
+    // index path, and the default-probe recall floor — zero rows = all
+    // held. Build-once proof over committed artifacts → fingerprint-
+    // cached like the other lifecycle gates (Verify recomputes live)
+    "shard_merge_violations" ->
+      ((s, d) => Gates.cached(s, d, "shard_merge_violations")(
+        ShardedSearch.shardMergeViolations(s, d))),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),

@@ -155,8 +155,9 @@ object AnnSearch {
     * refit can never drift from the primary build in fit parameters or
     * layout.
     */
-  private def buildIvfOver(spark: SparkSession, corpus: DataFrame,
-                           nClusters: Int, dir: String): Unit = {
+  private[operators] def buildIvfOver(spark: SparkSession,
+                                      corpus: DataFrame,
+                                      nClusters: Int, dir: String): Unit = {
     import spark.implicits._
     val data =
       if (corpus.columns.contains("features")) corpus
@@ -428,9 +429,10 @@ object AnnSearch {
     * [[JoinProbeQueryThreshold]] the search dispatches to the
     * driver-safe joined strategy.
     */
-  private def ivfSearchAt(spark: SparkSession, dir: String,
-                          queries: DataFrame, k: Int, nProbe: Int,
-                          expectedQ: Long = 0L): DataFrame = {
+  private[operators] def ivfSearchAt(spark: SparkSession, dir: String,
+                                     queries: DataFrame, k: Int,
+                                     nProbe: Int,
+                                     expectedQ: Long = 0L): DataFrame = {
     if (expectedQ > JoinProbeQueryThreshold)
       return ivfSearchJoinedAt(spark, dir, queries, k, nProbe, expectedQ)
     ivfSearchCollectAt(spark, dir, queries, k, nProbe)

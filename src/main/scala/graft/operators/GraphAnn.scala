@@ -684,15 +684,47 @@ object GraphAnn {
     * gates drive whole append batches as queries) must use
     * [[searchTraceAt]] directly.
     */
-  private val traceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // group key (session + fingerprint-STRIPPED dir + query/knob identity)
+  // -> (full dir, checkpointed trace). The map key drops the index dir's
+  // trailing source-fingerprint token so a fixture regeneration (same
+  // artifact name, new fingerprint) lands on the SAME group: the stale
+  // trace is found and its checkpoint blocks released (Checkpoints
+  // .release) instead of pinning storage until the ContextCleaner
+  // happens to GC — round 15, closing the round-14 cache's leak class.
+  // The fingerprint token is always the LAST `-<hex>` path segment
+  // suffix (IndexStore.indexDir appends it after the versioned name),
+  // so the strip regex anchors on segment end and cannot collapse two
+  // genuinely different artifacts (e.g. `pq8-22-...` vs `pq8-33-...`
+  // differ before the suffix; distinct versions differ in `-vN-`).
+  private val FpSuffix = "-[0-9a-f]{1,16}(?=/|$)".r
+  private[graft] def fpStripped(dir: String): String =
+    FpSuffix.replaceAllIn(dir, "")
+  private val traceCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
   private[graft] def cachedTrace(spark: SparkSession, dir: String,
                                  queries: => DataFrame, ef: Int,
-                                 hops: Int, queryKey: String): DataFrame =
-    traceCache.computeIfAbsent(
-      s"${AnnSearch.sessionKey(spark)}#$dir#$queryKey#$ef#$hops",
-      _ => searchTraceAt(spark, dir, queries, ef, hops)
-        .localCheckpoint(true))
+                                 hops: Int, queryKey: String): DataFrame = {
+    val sess = AnnSearch.sessionKey(spark)
+    val it = traceCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(sess + "#")) {
+        Checkpoints.release(e.getValue._2)
+        it.remove()
+      }
+    }
+    traceCache.compute(
+      s"$sess#${fpStripped(dir)}#$queryKey#$ef#$hops", (_, old) =>
+      if (old != null && old._1 == dir) old
+      else {
+        if (old != null) Checkpoints.release(old._2)
+        (dir, searchTraceAt(spark, dir, queries, ef, hops)
+          .localCheckpoint(true))
+      })._2
+  }
+
+  /** Test/triage visibility: the number of live cached beam traces. */
+  private[graft] def traceCacheSize: Int = traceCache.size()
 
   /** [[graphSearchAt]] over the [[cachedTrace]] — same rows, one beam
     * search per (fingerprint, query set, ef, hops) per JVM.

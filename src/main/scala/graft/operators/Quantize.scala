@@ -96,7 +96,8 @@ object Quantize {
     * committed.
     */
   private[graft] def buildPqOver(spark: SparkSession, corpus: DataFrame,
-                                     m: Int, nk: Int, dir: String): Unit = {
+                                     m: Int, nk: Int, dir: String,
+                                     fitParOverride: Int = 0): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -134,8 +135,11 @@ object Quantize {
       (centers, model.transform(sv)
         .select(col("vec_id"), lit(j).as("subspace"), col("code")))
     }
+    // fitParOverride > 0 wins (lets the determinism spec exercise the
+    // POOLED path directly instead of comparing sequential to sequential)
     val fitPar = math.max(1, math.min(m,
-      sys.env.get("SPARK_GRAFT_PQ_FIT_PAR").map(_.toInt).getOrElse(1)))
+      if (fitParOverride > 0) fitParOverride
+      else sys.env.get("SPARK_GRAFT_PQ_FIT_PAR").map(_.toInt).getOrElse(1)))
     val parts =
       if (fitPar == 1) (0 until m).map(fitSubspace)
       else {
@@ -180,18 +184,28 @@ object Quantize {
     * range; 8 sits in the middle AND derives m=8 at the fixture d=64,
     * so every committed pq8/ivfpq-8 artifact keeps its name and bytes.
     */
-  private[graft] def pqSubspaces(dim: Int): Int =
-    math.max(1, dim / 8)
+  private[graft] def pqSubspaces(dim: Int): Int = {
+    // Snap DOWN to the largest divisor of dim at or below dim/8 so a
+    // defaulted m never trips buildPqOver's `dim % m == 0` require
+    // (e.g. d=28: dim/8=3 does not divide 28 → snap to 2). Widths that
+    // are multiples of 8 (the fixture d=64, the reference d=2048) are
+    // unaffected: dim/8 already divides them.
+    val target = math.max(1, dim / 8)
+    Iterator.range(target, 0, -1).find(dim % _ == 0).getOrElse(1)
+  }
 
-  /** The embedding width, one head-row probe per fixture dir per JVM
-    * (same key discipline as [[AnnSearch.tableCount]]: index names
-    * derived from it invalidate via the source fingerprint, not this).
+  /** The embedding width, one head-row probe per fixture dir per JVM —
+    * keyed on the source FINGERPRINT (not the bare path) so an in-place
+    * fixture regeneration with a different width can never serve a stale
+    * dim and re-derive the wrong m (the fixed-m recall collapse round 14
+    * fixed, reintroduced via a path-keyed cache).
     */
   private val dimCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private[graft] def vectorDim(spark: SparkSession,
                                    sfDir: String): Int =
-    dimCache.computeIfAbsent(sfDir, _ =>
+    dimCache.computeIfAbsent(
+      sfDir + "#" + IndexStore.sourceFingerprint(sfDir, "embeddings"), _ =>
       graft.Tables.load(spark, sfDir, "embeddings")
         .select(size(col("embedding"))).head.getInt(0)).intValue()
 

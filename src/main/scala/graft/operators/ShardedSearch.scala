@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+import graft.sources.IndexStore
+
+/** Sharded scatter-gather k-NN — FAISS `IndexShards` semantics restated
+  * for a cluster. The reference holds its whole index in one process
+  * (`main.py:60-62`); at 100 TB no single artifact can be built, held,
+  * or searched as a unit, so a real deployment splits the corpus into K
+  * disjoint shards, builds one index PER SHARD through the one existing
+  * build path, and answers a query by scatter (per-shard top-k) +
+  * gather (global re-rank of the K·k candidates).
+  *
+  * The shard-merge theorem (what [[shardMergeViolations]] pins): for
+  * EXACT per-shard search, scatter-gather is bit-identical to the
+  * unsharded answer for ANY K — every global top-k member lives in
+  * exactly one shard, where it is also among that shard's top-k (its
+  * within-shard rank can only be ≤ its global rank), so the gathered
+  * K·k candidates contain the whole answer and the one shared ranking
+  * tail ([[VectorSearch.topK]]) orders them identically. For
+  * APPROXIMATE per-shard search the merge inherits each shard's recall:
+  * a neighbor missed by its OWN shard's index is gone, but neighbors in
+  * other shards are unaffected — sharding never compounds the error
+  * across shards, so the sharded recall floor is the per-shard floor.
+  *
+  * Scale shape: shards are hash-disjoint (`pmod(vec_id, K)`), so builds
+  * are embarrassingly parallel (K independent jobs over 1/K of the
+  * corpus each — the build that was one 100 TB job becomes K 100/K TB
+  * jobs that fit per-node resources), and the scatter is K independent
+  * probed scans whose ONLY cross-shard traffic is the Q·k candidate
+  * rows each shard emits. The gather rescores the ≤ Q·K·k gathered
+  * candidates on full-precision vectors (a broadcast map-side join —
+  * the batch analog of FAISS's refine step) and re-ranks through the
+  * shared tail — O(Q·K·k), independent of corpus size.
+  */
+object ShardedSearch {
+
+  /** Fixture shard count — enough to make the merge non-trivial (the
+    * gate also pins K=1 degeneracy); a deployment sizes K to per-node
+    * build memory, not to a constant.
+    */
+  val DefaultShards = 4
+
+  /** Deterministic disjoint shard id. Hash-mod (not range) so shard
+    * sizes stay balanced under any id distribution — the id-ordered
+    * prefix skew of a monotone ingest never lands in one shard.
+    */
+  private def shardOf(c: org.apache.spark.sql.Column, shards: Int) =
+    pmod(xxhash64(c), lit(shards.toLong))
+
+  private def queryFrame(spark: SparkSession, sfDir: String,
+                         nQueries: Int): DataFrame =
+    VectorSearch.normalized(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
+
+  /** EXACT scatter-gather k-NN: per-(shard, query) top-k, then global
+    * re-rank — bit-identical to [[VectorSearch.knnSearch]] for any K
+    * (the shard-merge theorem above; `sharded_knn` shares the exact
+    * oracle verbatim). The whole scatter is ONE declarative plan: the
+    * per-shard truncation is a rank filter over (shard, query_id), so
+    * Catalyst plans it as WindowGroupLimit with a PARTIAL limit below
+    * the exchange — on a cluster each shard's partitions truncate to k
+    * rows per query map-side and ship only Q·k rows to the gather, the
+    * scatter-gather traffic pattern, not a data movement of the corpus.
+    * Distances stay UNROUNDED through the scatter; the single rounding
+    * is the shared tail's, as in every other search path.
+    */
+  def shardedKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                 k: Int = 10, shards: Int = DefaultShards): DataFrame = {
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val queries = queryFrame(spark, sfDir, nQueries)
+    val pairs = normed
+      .withColumn("shard", shardOf(col("vec_id"), shards))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("shard"), col("query_id"), col("vec_id").as("id"),
+        squaredL2(col("qu"), col("v")).as("dist"))
+    val w = Window.partitionBy("shard", "query_id")
+      .orderBy(col("dist"), col("id"))
+    val scattered = pairs.withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= k)
+      .select(col("query_id"), col("id"), col("dist"))
+    VectorSearch.topK(scattered, k)
+  }
+
+  /** Per-shard cluster count: the √n rule applied to the SHARD's size —
+    * each shard's index is sized like a standalone index over its own
+    * 1/K of the corpus (FAISS `IndexShards` builds K independent
+    * IVFs the same way).
+    */
+  private[operators] def shardClusters(n: Long, shards: Int): Int =
+    AnnSearch.autoClusters(math.max(1L, (n + shards - 1) / shards))
+
+  /** Build (once) the K per-shard IVF indexes, each through THE one
+    * existing IVF build path ([[AnnSearch.buildIvfOver]]) over its hash
+    * slice of the corpus — shard builds cannot drift from the unsharded
+    * build in fit parameters or layout. Returns the K shard dirs.
+    * Each dir is an ordinary IVF index: every existing read path
+    * (search, append, manifest lifecycle) applies to a shard unchanged.
+    */
+  def buildShardedIvf(spark: SparkSession, sfDir: String,
+                      shards: Int = DefaultShards): Seq[String] = {
+    val nc = shardClusters(AnnSearch.embeddingCount(spark, sfDir), shards)
+    (0 until shards).map { s =>
+      val dir = IndexStore.indexDir(sfDir, s"ivfshard$shards-$s-v1",
+        "embeddings")
+      if (!IndexStore.committed(s"$dir/centroids") ||
+          !IndexStore.committed(s"$dir/vectors"))
+        AnnSearch.buildIvfOver(spark,
+          VectorSearch.normalized(spark, sfDir)
+            .filter(shardOf(col("vec_id"), shards) === s),
+          nc, dir)
+      dir
+    }
+  }
+
+  /** ANN scatter-gather: probe each shard's IVF index (the one existing
+    * search path, [[AnnSearch.ivfSearchAt]] — collect-probe at low Q,
+    * joined-probe + DPP above the threshold, per shard), gather the
+    * ≤ Q·K·k candidates, and re-rank them globally on full-precision
+    * distances through the shared rescore + [[VectorSearch.topK]] tail.
+    *
+    * `nProbe = 0` derives the per-shard auto probe (the non-saturated
+    * corpus-scale operating point — recall floor gated in
+    * [[shardMergeViolations]]); `nProbe = -1` saturates every shard
+    * (probe all clusters), which makes each shard's search exact and
+    * the merge therefore bit-identical to the unsharded exact answer —
+    * the fixture operating point of the `ann_sharded` entry, sharing
+    * the exact oracle (the `ann_filtered` convention: saturated at
+    * fixture scale, genuinely approximate at 100 TB, floor gated).
+    */
+  def shardedIvfKnn(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, k: Int = 10,
+                    shards: Int = DefaultShards,
+                    nProbe: Int = 0): DataFrame = {
+    val dirs = buildShardedIvf(spark, sfDir, shards)
+    val nc = shardClusters(AnnSearch.embeddingCount(spark, sfDir), shards)
+    val p = if (nProbe == -1) nc
+            else if (nProbe > 0) nProbe
+            else AnnSearch.autoProbe(nc)
+    val queries = queryFrame(spark, sfDir, nQueries)
+    val gathered = dirs.map { dir =>
+      AnnSearch.ivfSearchAt(spark, dir, queries, k, math.min(p, nc),
+          expectedQ = nQueries.toLong)
+        .select(col("query_id"), col("id"))
+    }.reduce(_ unionAll _)
+    // global re-rank: exact rescore of the bounded candidate set — the
+    // single rounding point, so a saturated-probe run is bit-identical
+    // to the unsharded exact search (no double-rounded tie-breaks)
+    VectorSearch.rescoreTopK(
+      gathered.join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("qu"), col("id")),
+      VectorSearch.normalized(spark, sfDir), k)
+  }
+
+  /** The zero-row shard-merge gate (`shard_merge_violations`):
+    *
+    *  1. `exact_shard_invariance_k1` / `_k4` — [[shardedKnn]] at K=1 and
+    *     K=[[DefaultShards]] bit-identical to the unsharded exact search
+    *     (symmetric-diff row count, expected 0);
+    *  2. `shard_coverage` — the K shard indexes together hold exactly
+    *     the corpus (sum of per-shard index rows = n);
+    *  3. `shard_disjoint` — no vec_id indexed by more than one shard;
+    *  4. `ann_sharded_saturated_identity` — saturated-probe
+    *     [[shardedIvfKnn]] bit-identical to the exact answer (the merge
+    *     theorem through the REAL index path, not just the one-plan
+    *     exact form);
+    *  5. `ann_sharded_recall` — default-probe (non-saturated)
+    *     [[shardedIvfKnn]] holds the IVF family recall floor.
+    *
+    * Passing state is zero rows; each violated invariant becomes one
+    * (invariant, expected, actual) row.
+    */
+  def shardMergeViolations(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
+      .localCheckpoint(true)
+    def symDiff(other: DataFrame): Long = {
+      val a = exact.select("query_id", "id", "distance", "rn")
+      val b = other.select("query_id", "id", "distance", "rn")
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    }
+    val n = AnnSearch.embeddingCount(spark, sfDir).toDouble
+    val dirs = buildShardedIvf(spark, sfDir, DefaultShards)
+    val shardIds = dirs.map(d => spark.read.parquet(s"$d/vectors")
+      .select(col("vec_id"))).reduce(_ unionAll _)
+    val coverage = shardIds.count().toDouble
+    val dupIds = shardIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count().toDouble
+    val exactPairs = exact.select(col("query_id"), col("id"))
+    val approx = shardedIvfKnn(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("id"))
+    val recall = exactPairs.join(approx, Seq("query_id", "id"),
+      "left_semi").count().toDouble / math.max(1L, exactPairs.count())
+    val floor = AnnSearch.DefaultRecallFloors("ivf")
+    val checks = Seq(
+      ("exact_shard_invariance_k1",
+        0.0, symDiff(shardedKnn(spark, sfDir, nQueries, k, 1)).toDouble),
+      ("exact_shard_invariance_k4",
+        0.0, symDiff(shardedKnn(spark, sfDir, nQueries, k,
+          DefaultShards)).toDouble),
+      ("shard_coverage", n, coverage),
+      ("shard_disjoint", 0.0, dupIds),
+      ("ann_sharded_saturated_identity",
+        0.0, symDiff(shardedIvfKnn(spark, sfDir, nQueries, k,
+          DefaultShards, nProbe = -1)).toDouble))
+      .filter { case (_, want, got) => want != got } ++
+      (if (recall >= floor) Seq.empty
+       else Seq(("ann_sharded_recall", floor,
+         math.round(recall * 10000.0) / 10000.0)))
+    checks.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+}

@@ -109,6 +109,22 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     "knn_search" -> DuckKnnOracle,
+    // sharded scatter-gather: exact per-shard top-k + global re-rank
+    // must return the unsharded answer bit-identically (the shard-merge
+    // theorem) — the exact oracle VERBATIM, sharding must not change it
+    "sharded_knn" -> DuckKnnOracle,
+    // the index-path variant at the saturated fixture operating point:
+    // each shard's probe covers its whole slice, so the merge is the
+    // exact answer and shares the same oracle (its non-saturated floor
+    // rides in shard_merge_violations)
+    "ann_sharded" -> DuckKnnOracle,
+    // shard-merge gate: zero rows = K-invariance, coverage, disjointness,
+    // saturated identity and the default-probe recall floor all held
+    "shard_merge_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // IR metrics over the knn oracle's ranked rows: binary label
     // relevance, 1/log2(rank+1) discounts, ideal DCG over the first
     // min(|truth|, k) ranks — every formula the same double expression

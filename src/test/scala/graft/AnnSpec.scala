@@ -951,6 +951,15 @@ class AnnSpec extends SparkSpec {
     assert(Quantize.pqSubspaces(2048) == 256)
     assert(Quantize.pqSubspaces(8) == 1)
     assert(Quantize.pqSubspaces(4) == 1) // degenerate width still valid
+    // the derived m must DIVIDE dim (buildPqOver requires it), so for
+    // widths not a multiple of 8 the rule snaps down to the largest
+    // divisor at or below dim/8 (ADVICE round 14: d=28 would otherwise
+    // derive m=3 and throw)
+    assert(Quantize.pqSubspaces(28) == 2)
+    assert(Quantize.pqSubspaces(96) == 12)
+    assert(Quantize.pqSubspaces(100) == 10) // 100/8=12 -> snap to 10
+    for (d <- 1 to 512) assert(d % Quantize.pqSubspaces(d) == 0,
+      s"pqSubspaces($d) must divide $d")
     assert(Quantize.resolveM(spark, sf, 0) == 8)  // fixture d=64
     assert(Quantize.resolveM(spark, sf, 16) == 16) // explicit wins
   }
@@ -960,13 +969,17 @@ class AnnSpec extends SparkSpec {
     import graft.operators.{Quantize, VectorSearch}
     // the committed fixture index predates the round-14 concurrent
     // fits; a fresh build into a new dir must reproduce its codebooks
-    // and codes exactly — the concurrency changes wall-clock only
+    // and codes exactly — the concurrency changes wall-clock only.
+    // fitParOverride=8 forces the POOLED path (all 8 subspace fits
+    // submitted concurrently) so the determinism claim is asserted on
+    // the code that actually runs when SPARK_GRAFT_PQ_FIT_PAR is set,
+    // not on a sequential-vs-sequential tautology (ADVICE round 14).
     val committedDir = Quantize.buildPqIndex(spark, sf)
     val fresh = java.nio.file.Files
       .createTempDirectory("graft_pq_par").toString
     graft.operators.Quantize.buildPqOver(spark,
       VectorSearch.normalized(spark, sf), 8,
-      Quantize.resolveCodes(spark, sf, 0), fresh)
+      Quantize.resolveCodes(spark, sf, 0), fresh, fitParOverride = 8)
     def dump(dir: String, art: String) =
       spark.read.parquet(s"$dir/$art").orderBy("vec_id")
     val wantCodes = dump(committedDir, "codes").collect().map(_.toSeq)
@@ -993,6 +1006,99 @@ class AnnSpec extends SparkSpec {
     val g3 = graft.Gates.cached(spark, sf, "spec_gate_probe_2")(
       AnnSearch.annRecallViolations(spark, sf))
     assert(!(g3 eq g1))
+  }
+
+  test("gate cache eviction: an in-place fixture regeneration inside " +
+      "one session frees the superseded checkpoint blocks") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    // stage a throwaway fixture dir: only the embeddings table matters
+    // (it is the gate key's fingerprint source); the gate body is a
+    // probe frame, since what is under test is the cache's lifecycle,
+    // not any particular gate's semantics
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gate_evict").toString
+    def stage(rows: Int): Unit =
+      Tables.load(spark, sf, "embeddings").limit(rows)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def ckptRddId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.asInstanceOf[LogicalRDD].rdd.id
+    stage(40)
+    val g1 = graft.Gates.cached(spark, tmp, "evict_probe")(
+      spark.range(10).toDF("n"))
+    val id1 = ckptRddId(g1)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id1))
+    // same fingerprint -> same frame, nothing released
+    assert(graft.Gates.cached(spark, tmp, "evict_probe")(
+      spark.range(10).toDF("n")) eq g1)
+    // regenerate the fixture IN PLACE (different size -> different
+    // source fingerprint): the next call must recompute AND release
+    // the superseded frame's checkpoint blocks immediately — not wait
+    // for the ContextCleaner (the round-13 storage-leak class)
+    stage(80)
+    val g2 = graft.Gates.cached(spark, tmp, "evict_probe")(
+      spark.range(20).toDF("n"))
+    assert(!(g2 eq g1))
+    assert(g2.count() == 20L)
+    assert(spark.sparkContext.getPersistentRDDs.contains(ckptRddId(g2)))
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id1),
+      "superseded gate checkpoint must be unpersisted on eviction")
+  }
+
+  test("beam trace cache eviction: a regenerated index dir (same " +
+      "artifact, new source fingerprint) frees the stale trace blocks") {
+    import graft.operators.GraphAnn
+    import org.apache.spark.sql.execution.LogicalRDD
+    // two copies of the committed graph index under fake fingerprint
+    // suffixes: same fingerprint-STRIPPED group, different dirs — the
+    // shape a fixture regeneration produces (IndexStore.indexDir keys
+    // the suffix on the source fingerprint)
+    val real = GraphAnn.buildGraphIndex(spark, sf)
+    val parent = java.nio.file.Paths.get(real).getParent
+    def cloneAs(fp: String): String = {
+      val dst = parent.resolve(
+        java.nio.file.Paths.get(real).getFileName.toString
+          .replaceAll("-[0-9a-f]{1,16}$", "") + "-" + fp)
+      if (!java.nio.file.Files.exists(dst)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(real)).iterator()
+          .asScala.toSeq.foreach { p =>
+            val t = dst.resolve(java.nio.file.Paths.get(real).relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(t)
+            else java.nio.file.Files.copy(p, t)
+          }
+      }
+      dst.toString
+    }
+    val dirA = cloneAs("deadbeef00000001")
+    val dirB = cloneAs("deadbeef00000002")
+    assert(GraphAnn.fpStripped(dirA) == GraphAnn.fpStripped(dirB))
+    val queries = AnnSearch.fixtureQueries(spark, sf, 3)
+      .localCheckpoint(true)
+    def ckptRddId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.asInstanceOf[LogicalRDD].rdd.id
+    val t1 = GraphAnn.cachedTrace(spark, dirA, queries, 20, 4,
+      "evict:3")
+    val id1 = ckptRddId(t1)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id1))
+    // same dir -> cache hit, same instance
+    assert(GraphAnn.cachedTrace(spark, dirA, queries, 20, 4,
+      "evict:3") eq t1)
+    // "regenerated" dir -> same group, different fingerprint: must
+    // recompute and free the stale trace's blocks
+    val t2 = GraphAnn.cachedTrace(spark, dirB, queries, 20, 4,
+      "evict:3")
+    assert(!(t2 eq t1))
+    assert(t2.count() > 0)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id1),
+      "superseded beam trace checkpoint must be unpersisted on eviction")
+    // a DIFFERENT group (other query set) does not evict: groups are
+    // independent, so dirB's trace survives a miss elsewhere
+    val tOther = GraphAnn.cachedTrace(spark, dirB, queries, 20, 4,
+      "evict:other")
+    assert(!(tOther eq t2))
+    assert(GraphAnn.cachedTrace(spark, dirB, queries, 20, 4,
+      "evict:3") eq t2)
   }
 
   test("beam search releases superseded per-hop checkpoints " +
