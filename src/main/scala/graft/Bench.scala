@@ -41,7 +41,8 @@ object Bench {
     // (k-means fits + bucketed writes / corpus signatures) lands here and
     // the timed pass measures steady-state query cost. No-ops when the
     // index is already committed.
-    Seq("ann_ivf_persisted", "ann_ivf_sq", "ann_pq", "incremental_dedup",
+    val buildCold = Seq(
+        "ann_ivf_persisted", "ann_ivf_sq", "ann_pq", "incremental_dedup",
         "minhash_dedup", "embed_near_dup_pruned", "quantized_knn",
         "streaming_index_ingest", "merged_index_dedup",
         "ivf_append_violations", "streaming_index_search",
@@ -83,14 +84,25 @@ object Bench {
         // round 13 additions: the graph delete-at-ingest chain and the
         // doc/embedding graph indexes the non-saturated beam gate reads
         // (one build per fingerprint; timed reps re-search, not rebuild)
-        "streaming_graph_delete", "hybrid_graph_probe_violations")
-      .foreach { n =>
+        "streaming_graph_delete", "hybrid_graph_probe_violations",
+        // round 15: the sharded scatter-gather gate (K per-shard IVF
+        // builds + the exact/saturated identity proofs — one build per
+        // data fingerprint, fingerprint-cached like the other gates)
+        "shard_merge_violations")
+      .map { n =>
+      // the build phase is where every fingerprint-cached gate computes
+      // its proof, so its wall time here IS the entry's real (cold)
+      // cost — record it (ADVICE round 14: the timed reps of cache-read
+      // rows measure checkpoint re-reads; without this figure the real
+      // cost would be invisible in the committed record)
+      val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable =>
         // surface it: a swallowed build failure would silently shift the
         // one-time build cost into the timed pass
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
+      n -> (System.nanoTime() - t0) / 1e9
     }
     def sweep(): Unit = {
       spark.catalog.clearCache()
@@ -158,8 +170,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // the build phase's per-operator wall: first-call (cold) cost of
+    // every build-once artifact and fingerprint-cached gate proof —
+    // near-zero when the committed artifact already existed, the real
+    // figure on a fresh fixture. Rides the persisted line only (the
+    // driver's stdout tail is bounded).
+    val builds = buildCold.map { case (k, s) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"build_cold":$builds,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full line: the driver scrapes a bounded stdout tail,
     // which truncates the per-query map past ~66 entries — the file is the

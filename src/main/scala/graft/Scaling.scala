@@ -589,6 +589,100 @@ object Scaling {
           f""""violations":${viols.length}}""") ++ appendRows
     }
 
+    // DEEP×WIDE tier (round 15, VERDICT r14 #2): large-n AND large-d
+    // SIMULTANEOUSLY — the true 100 TB shape. The ladder so far proves
+    // n ∈ [500k, 2M] at d=64 and n ∈ [50k, 100k] at d=2048 but never
+    // both, and every found-at-scale defect (beam recall decay,
+    // broadcast cap, PQ m=8) appeared the first time a dimension was
+    // actually exercised; n×d is the last unexercised product. Default
+    // point: n=500k at d=2048 (SPARK_GRAFT_DEEPWIDE_FACTOR=250 over the
+    // sf0.1 base) — ≈8 GB of corpus doubles in flight, 1 GB quantized.
+    // Rows: fresh NN-descent build, the graph beam recall leg vs the
+    // exact truth, and the O(batch) beam-link append (a 10k slice — at
+    // this corpus size the doubling batch would take the rebuild branch,
+    // which is just the build row again; the beam-link branch is the
+    // one the 100 TB steady state runs). SPARK_GRAFT_DEEPWIDE_IVF=1
+    // adds the IVF build + O(batch) append gate (the k-means fit at
+    // nc=√500k over 2048-dim vectors is the dominant cost — optional).
+    val wantDeepWide =
+      sys.env.get("SPARK_GRAFT_SCALING_DEEPWIDE").contains("1")
+    val deepWideRows = if (!wantDeepWide) Seq.empty else {
+      import graft.operators.{AnnSearch, GraphAnn, VectorSearch}
+      val wideDim = sys.env.get("SPARK_GRAFT_WIDE_DIM")
+        .map(_.toInt).getOrElse(2048)
+      val nFactor = sys.env.get("SPARK_GRAFT_DEEPWIDE_FACTOR")
+        .map(_.toInt).getOrElse(250)
+      val dwDir = s"$work/wide${wideDim}_x$nFactor"
+      buildWide(spark, base, dwDir, nFactor, wideDim)
+      val n = Tables.load(spark, dwDir, "embeddings").count()
+      val deg = GraphAnn.autoDegree(n)
+      // 1. fresh timed NN-descent build at n×d
+      val out = s"$work/graphbuild_deepwide$wideDim"
+      new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(graft.sources.IndexStore.hadoopConf)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+      sweep()
+      var t0 = System.nanoTime()
+      GraphAnn.buildGraphOver(spark, AnnSearch.normalizedCorpus(
+        spark, dwDir), out, deg)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // 2. the graph beam recall leg vs the exact truth — the beam +
+      // exact-denominator legs are where the n×d payload product lands
+      // (frontier rows carry d-dim vectors; the truth is a brute-force
+      // n×d scan per query batch)
+      sweep()
+      t0 = System.nanoTime()
+      val queries = AnnSearch.fixtureQueries(spark, dwDir, 10)
+      val approx = GraphAnn.graphSearchAt(spark, out, queries, 10,
+        GraphAnn.autoEf(n), GraphAnn.autoHops(n, deg))
+        .select(col("query_id"), col("id")).localCheckpoint(true)
+      val exact = VectorSearch.knnSearch(spark, dwDir, 10, 10)
+        .select(col("query_id"), col("id")).localCheckpoint(true)
+      val hits = exact.join(approx, Seq("query_id", "id"), "left_semi")
+        .count()
+      val recall = hits.toDouble / exact.count()
+      val tRecall = (System.nanoTime() - t0) / 1e9
+      val recallViols = if (recall >= 0.8) 0 else 1
+      if (recallViols > 0)
+        System.err.println(
+          s"[scaling] DEEPWIDE recall violation: $recall < 0.8")
+      // 3. the O(batch) beam-link append at n×d with its zero-row gate
+      sweep()
+      t0 = System.nanoTime()
+      val aViols = GraphAnn.graphAppendViolations(spark, dwDir,
+        batchRows = 10000L).collect()
+      val tAppend = (System.nanoTime() - t0) / 1e9
+      aViols.foreach(r => System.err.println(
+        s"[scaling] DEEPWIDE graph-append violation: $r"))
+      val ivfRows =
+        if (!sys.env.get("SPARK_GRAFT_DEEPWIDE_IVF").contains("1"))
+          Seq.empty
+        else {
+          sweep()
+          val ti = System.nanoTime()
+          val iViols = AnnSearch.ivfAppendViolations(spark, dwDir)
+            .collect()
+          val tIvf = (System.nanoTime() - ti) / 1e9
+          iViols.foreach(r => System.err.println(
+            s"[scaling] DEEPWIDE ivf-append violation: $r"))
+          Seq(f"""{"query":"deepwide_ivf_append_gate","t1":$tIvf%.2f,""" +
+            f""""tN":$tIvf%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+            f""""nN":$n,"dim":$wideDim,"violations":${iViols.length}}""")
+        }
+      Seq(
+        f"""{"query":"deepwide_graph_build","t1":$tBuild%.2f,""" +
+          f""""tN":$tBuild%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+          f""""nN":$n,"dim":$wideDim}""",
+        f"""{"query":"deepwide_graph_recall","t1":$tRecall%.2f,""" +
+          f""""tN":$tRecall%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+          f""""nN":$n,"dim":$wideDim,"recall":$recall%.4f,""" +
+          f""""violations":$recallViols}""",
+        f"""{"query":"deepwide_graph_append_gate","t1":$tAppend%.2f,""" +
+          f""""tN":$tAppend%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+          f""""nN":$n,"dim":$wideDim,"batch":10000,""" +
+          f""""violations":${aViols.length}}""") ++ ivfRows
+    }
+
     // skew tier: synthetic zipfian volume scaled by the ladder factor
     // (5M rows at 1× — the fixture tables are too small to stress a
     // shuffle). Run in full mode, or targeted via
@@ -606,7 +700,7 @@ object Scaling {
       }
     }
     val json = (rows ++ mmRows ++ streamRows ++ graphBuildRows ++
-      wideRows ++ skewRows).mkString("[", ",", "]")
+      wideRows ++ deepWideRows ++ skewRows).mkString("[", ",", "]")
     println(json)
     // a targeted run never clobbers the committed full-run record
     if (only.isEmpty) {

@@ -337,6 +337,20 @@ object SparkEntry {
     "shard_merge_violations" ->
       ((s, d) => Gates.cached(s, d, "shard_merge_violations")(
         ShardedSearch.shardMergeViolations(s, d))),
+    // time-travel read over the manifested store: `search VERSION AS OF
+    // v` resolves the immutable version dir through the one existing
+    // read path. Saturated probe at fixture scale ⇒ the as-of answer is
+    // the exact k-NN over the version's corpus (base ∪ batch-1) — full
+    // DuckDB oracle; the gate below pins historical invariance/isolation
+    // and compaction transparency
+    "search_asof" -> ((s, d) => TimeTravel.searchAsOf(s, d)),
+    // zero rows = a version's answer never changes as the chain grows,
+    // never sees later writes, and compaction is physically transparent
+    // (pre/post-compaction as-of reads bit-identical). Build-once proof
+    // over committed version dirs → fingerprint-cached (Verify fresh)
+    "asof_violations" ->
+      ((s, d) => Gates.cached(s, d, "asof_violations")(
+        TimeTravel.asofViolations(s, d))),
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),

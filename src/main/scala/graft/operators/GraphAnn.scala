@@ -184,6 +184,17 @@ object GraphAnn {
   /** NN-descent rounds; converges in a handful on real data (WWW'11). */
   val DefaultIters = 3
 
+  /** Pin-the-corpus ceiling for [[buildGraphOver]], in bytes of
+    * full-precision doubles (n·d·8). Derived at the round-15 deep×wide
+    * point: 50k×2048 (0.8 GB) pinned fine; 500k×2048 (8.2 GB) pinned
+    * starved the descent shuffles into ~33 GB of disk spill and the
+    * build went super-linear (SCALING.md round-15). 2 GiB keeps every
+    * fixture and the 100× d=64 ladder (2M×64 = 1 GB) on the
+    * checkpointed fast path while the wide-and-deep regime reads the
+    * (far smaller) parquet source per use instead.
+    */
+  private[graft] val CorpusPinByteLimit = 2L * 1024 * 1024 * 1024
+
   private def topM(edges: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
     edges.withColumn("_r", row_number().over(w)).filter(col("_r") <= m)
@@ -267,24 +278,38 @@ object GraphAnn {
       .agg(collect_list(struct(col("u"), col("qv"), col("s"))).as("ns"))
       .select(col("ns")).as[Seq[QNbr]]
       .flatMap { ns =>
-        // materialize each neighbor's code vector once per group: the
-        // Seq[Byte] encoder view would pay boxing per element access
-        val arr = ns.iterator
-          .map(q => (q.u, q.qv.toArray, q.s)).toArray
+        // DEQUANTIZE ONCE per neighbor per group (round 15, found at the
+        // 500k×2048 deep×wide ladder point): the first cut computed
+        // `xq(k)/xs - yq(k)/ys` inside the pair loop — n·deg²·d element
+        // steps each paying TWO divides, pair-independent work redone
+        // deg times per neighbor (at 500k×2048×deg=32 that is ~2·10¹²
+        // divides per descent round, the kernel's dominant cost at
+        // width). Hoisting the division to this per-neighbor pass is
+        // BIT-IDENTICAL (the same IEEE divide runs once instead of deg
+        // times; the subtraction sees the same quotients) and cuts the
+        // per-pair element step to subtract-multiply-add. Memory:
+        // deg·d doubles per group (512 KB at 32×2048), streamed.
+        val arr = ns.iterator.map { q =>
+          val qv = q.qv
+          val deq = new Array[Double](qv.length)
+          var k = 0
+          while (k < qv.length) { deq(k) = qv(k) / q.s; k += 1 }
+          (q.u, deq)
+        }.toArray
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Double)]
         var i = 0
         while (i < arr.length) {
-          val (xu, xq, xs) = arr(i)
+          val (xu, xq) = arr(i)
           var j = 0
           while (j < arr.length) {
             if (i != j) {
-              val (yu, yq, ys) = arr(j)
+              val (yu, yq) = arr(j)
               var d = 0.0
               var k = 0
               val n = math.min(xq.length, yq.length)
               while (k < n) {
-                val e = xq(k) / xs - yq(k) / ys
+                val e = xq(k) - yq(k)
                 d += e * e
                 k += 1
               }
@@ -352,8 +377,28 @@ object GraphAnn {
                                     dir: String, deg: Int,
                                     iters: Int = DefaultIters): Unit = {
     if (IndexStore.committed(s"$dir/manifest")) return
-    val corpus = normalizedCorpus.localCheckpoint(true)
-    val n = corpus.count()
+    // WIDTH-AWARE corpus pinning (round 15, found at the 500k×2048
+    // deep×wide point): the build reads the full-precision corpus only
+    // a handful of times (one quantize pass, the final exact re-join,
+    // seeds, the vectors write), but an unconditional localCheckpoint
+    // pins n·d·8 B of doubles in storage memory for the WHOLE build —
+    // 8.2 GB at 500k×2048, most of a 24 g driver's storage pool —
+    // starving the descent rounds' n·deg·d-byte shuffles into disk
+    // spill. Above [[CorpusPinByteLimit]] the corpus stays a lazy plan
+    // (each use re-scans the source — a few hundred MB of parquet,
+    // cheap next to the spill it prevents); below it the checkpoint
+    // keeps the small-fixture fast path. Determinism is unaffected:
+    // every corpus source here is a deterministic projection
+    // (parquet scan / deterministic union), so repeated scans see
+    // identical rows.
+    val probe = normalizedCorpus.select(size(col("v")).as("d")).limit(1)
+      .head.getInt(0)
+    val nEst = normalizedCorpus.count()
+    val corpus =
+      if (nEst * probe.toLong * 8L <= CorpusPinByteLimit)
+        normalizedCorpus.localCheckpoint(true)
+      else normalizedCorpus
+    val n = nEst
     val b = autoBuckets(n)
     // the whole construction scores on SQ8-quantized vectors (64 B per
     // node in flight instead of 512 B of doubles — [[scoreWithinGroups]]
@@ -1234,15 +1279,17 @@ object GraphAnn {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def appendUnionExact(spark: SparkSession, sfDir: String,
                                union: DataFrame, nQueries: Int,
-                               k: Int): DataFrame = {
+                               k: Int, batchTag: String = ""): DataFrame = {
     val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
     // session-instance key: the cached handle pins the SparkSession
     // that checkpointed it, so a stop-and-recreate in the same JVM must
     // MISS (a hit would serve a dead DataFrame) — only the scalar
-    // caches may survive a session swap
+    // caches may survive a session swap. `batchTag` disambiguates
+    // truths over different append batches (the sliced O(batch) regime
+    // vs the doubling fixture batch union to different corpora).
     appendExactCache.computeIfAbsent(
-      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
-      AnnSearch.unionExactTopK(union,
+      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fp#$nQueries#$k#$batchTag",
+      _ => AnnSearch.unionExactTopK(union,
         AnnSearch.fixtureQueries(spark, sfDir, nQueries), k))
   }
 
@@ -1404,13 +1451,23 @@ object GraphAnn {
     */
   def graphAppendViolations(spark: SparkSession, sfDir: String,
                             nQueries: Int = 10, k: Int = 10,
-                            recallFloor: Double = 0.9): DataFrame = {
+                            recallFloor: Double = 0.9,
+                            batchRows: Long = 0L): DataFrame = {
     import spark.implicits._
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val deg = autoDegree(n)
-    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v5",
+    // batchRows > 0 slices the fixture growth batch to its smallest
+    // `batchRows` ids — a SUB-doubling batch that drives the O(batch)
+    // beam-link regime on corpora where the full doubling batch would
+    // take the rebuild branch (the deep×wide ladder exercises BOTH this
+    // way); 0 keeps the doubling fixture batch. The out dir is tagged
+    // so the two regimes' committed artifacts never collide.
+    val tag = if (batchRows <= 0L) "" else s"-b$batchRows"
+    val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app$tag-v5",
       "embeddings")
-    val batch = AnnSearch.appendBatch(spark, sfDir)
+    val fullBatch = AnnSearch.appendBatch(spark, sfDir)
+    val batch = if (batchRows <= 0L) fullBatch
+                else fullBatch.orderBy("vec_id").limit(batchRows.toInt)
     appendToGraphIndex(spark, sfDir, batch, out)
     val nOut = artifact(spark, out, "vectors")
       .select("vec_id").distinct().count()
@@ -1434,21 +1491,22 @@ object GraphAnn {
     // delta is topM(deg); a doubling rebuild's segments live under the
     // full build's bidirectional 2·deg (HNSW maxM0) — recompute the
     // same deterministic switch the append took
+    val bCount = batch.count()
     val degBound =
-      if (appendRebuilds(n, batch.count())) 2 * deg else deg
+      if (appendRebuilds(n, bCount)) 2 * deg else deg
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(batch.select(col("vec_id"),
         l2Normalize(col("v")).as("v")))
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val exact = appendUnionExact(spark, sfDir, union, nQueries, k)
-    val approx = graphSearchAt(spark, out, queries, k, autoEf(2 * n),
-      autoHops(2 * n, deg))
+    val exact = appendUnionExact(spark, sfDir, union, nQueries, k, tag)
+    val approx = graphSearchAt(spark, out, queries, k, autoEf(n + bCount),
+      autoHops(n + bCount, deg))
     val hits = exact.join(approx.select(col("query_id"), col("id")),
       Seq("query_id", "id"), "left_semi").count()
     val recall = hits.toDouble / exact.count()
     val viols = Seq(
-      Option.when(nOut != 2 * n)(
-        ("vector_count", 2.0 * n, nOut.toDouble)),
+      Option.when(nOut != n + bCount)(
+        ("vector_count", (n + bCount).toDouble, nOut.toDouble)),
       Option.when(orphans != 0L)(
         ("orphan_nodes", 0.0, orphans.toDouble)),
       Option.when(maxDeg > degBound)(

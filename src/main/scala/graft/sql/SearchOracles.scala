@@ -118,6 +118,48 @@ private[graft] object SearchOracles {
     // exact answer and shares the same oracle (its non-saturated floor
     // rides in shard_merge_violations)
     "ann_sharded" -> DuckKnnOracle,
+    // time-travel: the as-of-v0 read resolves the FROZEN version — base
+    // corpus plus the first injection batch (ids shifted by the id
+    // ceiling, vectors +0.04 then normalized, exactly the append path's
+    // arithmetic) — and the saturated probe makes it the exact k-NN over
+    // that historical corpus, reproducible in SQL from the source table
+    "search_asof" ->
+      """WITH c AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS ceil
+        |  FROM embeddings
+        |), raw AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT e.vec_id + c.ceil,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) + 0.04)
+        |  FROM embeddings e, c
+        |), normed AS (
+        |  SELECT vec_id, list_transform(v, x -> x /
+        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+        |  FROM raw
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qu FROM normed WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT q.query_id, n.vec_id AS id,
+        |    list_sum(list_transform(list_zip(q.qu, n.v),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM q JOIN normed n ON n.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+        |      AS rn
+        |  FROM pairs
+        |)
+        |SELECT query_id, id, round(dist, 6) AS distance, rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    // as-of gate: zero rows = historical invariance + isolation,
+    // compaction transparency, and the chain genuinely advancing
+    "asof_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // shard-merge gate: zero rows = K-invariance, coverage, disjointness,
     // saturated identity and the default-probe recall floor all held
     "shard_merge_violations" ->

@@ -1008,6 +1008,34 @@ class AnnSpec extends SparkSpec {
     assert(!(g3 eq g1))
   }
 
+  test("NN-descent build determinism: a fresh build reproduces the " +
+      "committed fixture graph bit-identically (dequantize-once kernel " +
+      "== the original per-pair-divide kernel)") {
+    import graft.operators.{AnnSearch, GraphAnn}
+    // the committed fixture index predates the round-15 kernel change
+    // (dequantization hoisted out of the pair loop) and the width-aware
+    // corpus pinning; a fresh build into a new dir must reproduce its
+    // graph edges (src, dst, dist doubles), seeds and meta exactly —
+    // the hoist runs the same IEEE divides once instead of deg times,
+    // so every distance is the same double
+    val committed = GraphAnn.buildGraphIndex(spark, sf)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_graph_det").toString
+    GraphAnn.buildGraphOver(spark,
+      AnnSearch.normalizedCorpus(spark, sf), fresh,
+      GraphAnn.autoDegree(Tables.load(spark, sf, "embeddings").count()))
+    def edges(dir: String) = spark.read
+      .parquet(s"$dir/seg/base/graph")
+      .select("src", "dst", "dist").orderBy("src", "dst")
+      .collect().map(_.toSeq)
+    val want = edges(committed)
+    val got = edges(fresh)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    def seeds(dir: String) = spark.read.parquet(s"$dir/seeds")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(seeds(fresh).toSeq == seeds(committed).toSeq)
+  }
+
   test("gate cache eviction: an in-place fixture regeneration inside " +
       "one session frees the superseded checkpoint blocks") {
     import org.apache.spark.sql.execution.LogicalRDD

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.TimeTravel
+
+/** Time-travel (`VERSION AS OF`) reads over the manifested IVF chain:
+  * version resolution, historical invariance/isolation, and compaction
+  * transparency — the properties an as-of reader relies on.
+  */
+class TimeTravelSpec extends SparkSpec {
+
+  test("as-of v0 and v1 resolve different committed states, and v0 " +
+      "never sees batch-2 ids (historical isolation)") {
+    val v0 = TimeTravel.searchAsOf(spark, sf, 0).collect()
+    val v1 = TimeTravel.searchAsOf(spark, sf, 1).collect()
+    assert(v0.nonEmpty && v1.nonEmpty)
+    assert(v0.map(_.toSeq).toSeq != v1.map(_.toSeq).toSeq)
+    val ceil = graft.operators.AnnSearch
+      .embeddingIdCeiling(spark, sf)
+    assert(v0.forall(_.getLong(1) < 2L * ceil),
+      "an as-of-v0 read must not surface ids appended after v0")
+    // v1 DOES see its own batch (the chain genuinely advances)
+    assert(v1.exists(_.getLong(1) >= 2L * ceil))
+  }
+
+  test("an as-of read of an uncommitted version is refused, not " +
+      "silently resolved") {
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.searchAsOf(spark, sf, 99)
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
+
+  test("the as-of gate is zero-row: invariance, isolation, compaction " +
+      "transparency, chain advance") {
+    assert(TimeTravel.asofViolations(spark, sf).count() == 0L)
+  }
+
+  test("as-of v0 is bit-identical across repeated reads (idempotent " +
+      "resolution — no latest-version leakage)") {
+    val a = TimeTravel.searchAsOf(spark, sf, 0).collect().map(_.toSeq)
+    val b = TimeTravel.searchAsOf(spark, sf, 0).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}
