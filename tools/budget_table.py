@@ -27,6 +27,8 @@ CACHE_READ = {
     "drift_violations", "streaming_index_delete",
     "streaming_graph_delete", "streaming_graph_append",
     "streaming_ivf_append",
+    # round-15 Gates-wrapped entries
+    "shard_merge_violations", "asof_violations", "pq_width_violations",
     # recallFrame/exactKnnPairs family (round 9)
     "ann_recall", "ann_recall_violations", "ann_recall_curve",
     # cachedTrace-backed graph query entries (round 14): the beam pass
