@@ -589,6 +589,86 @@ object Scaling {
           f""""violations":${viols.length}}""") ++ appendRows
     }
 
+    // WIDE-LIFECYCLE tier (round 15, VERDICT r14 #4): close the width
+    // matrix on the remaining IVF / IVF-PQ lifecycle legs. At d=2048 the
+    // graph family's FULL lifecycle is proven (build/search/append both
+    // regimes/delete+compact, SCALING.md round-14) but the IVF family's
+    // delete/refit/retention legs and the IVF-PQ delete/refit gates ran
+    // only at d=64. The legs are mostly d-independent manifest plumbing —
+    // but "mostly" is what the fixed m=8 PQ was until the wide ladder
+    // measured it, so each runs once at width with its zero-row gate.
+    // Targeted only (SPARK_GRAFT_WIDE_LIFECYCLE=1): the PQ legs re-fit
+    // m=d/8=256 codebooks over the 50k widened corpus (the dominant
+    // cost, same one-time fit the round-14 recall gate priced).
+    val wantWideLc =
+      sys.env.get("SPARK_GRAFT_WIDE_LIFECYCLE").contains("1")
+    val wideLcRows = if (!wantWideLc) Seq.empty else {
+      import graft.operators.AnnSearch
+      val wideDim = sys.env.get("SPARK_GRAFT_WIDE_DIM")
+        .map(_.toInt).getOrElse(2048)
+      val nFactor = sys.env.get("SPARK_GRAFT_WIDE_FACTOR")
+        .map(_.toInt).getOrElse(25)
+      val wideDir = s"$work/wide${wideDim}_x$nFactor"
+      buildWide(spark, base, wideDir, nFactor, wideDim)
+      val n = Tables.load(spark, wideDir, "embeddings").count()
+      def gate(name: String)(f: => Array[org.apache.spark.sql.Row])
+          : String = {
+        sweep()
+        val t0 = System.nanoTime()
+        val v = f
+        val t = (System.nanoTime() - t0) / 1e9
+        v.foreach(r => System.err.println(
+          s"[scaling] WIDE-LC $name violation: $r"))
+        f"""{"query":"wide_${name}_gate","t1":$t%.2f,"tN":$t%.2f,""" +
+          f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,""" +
+          f""""dim":$wideDim,"violations":${v.length}}"""
+      }
+      Seq(
+        gate("ivf_delete")(
+          AnnSearch.ivfDeleteViolations(spark, wideDir).collect()),
+        gate("ivf_refit")(
+          AnnSearch.ivfRefitViolations(spark, wideDir).collect()),
+        gate("ivf_retention")(graft.streaming.StreamingIndex
+          .ivfRetentionViolations(spark, wideDir).collect()),
+        gate("ivf_pq_delete")(
+          AnnSearch.ivfPqDeleteViolations(spark, wideDir).collect()),
+        gate("ivf_pq_refit")(
+          AnnSearch.ivfPqRefitViolations(spark, wideDir).collect()))
+    }
+
+    // WIDE PQ-WIDTH tier (round 15, VERDICT r14 #5): price the PQ
+    // operating point at the reference's true width. pqOperatingPoints
+    // sweeps m ∈ {d/16, d/8} = {128, 256} at d=2048 × 3 rerank margins
+    // off one ADC scan per width, recording recall + code_bytes /
+    // lut_doubles / rerank_rows per point — the measured justification
+    // for the m = d/8 default beyond its recall floor. Targeted only
+    // (SPARK_GRAFT_WIDE_PQWIDTH=1): the m=128 codebooks are a fresh
+    // 128-subspace fit over the 50k widened corpus.
+    val wantWidePq =
+      sys.env.get("SPARK_GRAFT_WIDE_PQWIDTH").contains("1")
+    val widePqRows = if (!wantWidePq) Seq.empty else {
+      import graft.operators.Quantize
+      val wideDim = sys.env.get("SPARK_GRAFT_WIDE_DIM")
+        .map(_.toInt).getOrElse(2048)
+      val nFactor = sys.env.get("SPARK_GRAFT_WIDE_FACTOR")
+        .map(_.toInt).getOrElse(25)
+      val wideDir = s"$work/wide${wideDim}_x$nFactor"
+      buildWide(spark, base, wideDir, nFactor, wideDim)
+      val n = Tables.load(spark, wideDir, "embeddings").count()
+      sweep()
+      val t0 = System.nanoTime()
+      val pts = Quantize.pqOperatingPoints(spark, wideDir).collect()
+      val viols = Quantize.pqWidthViolations(spark, wideDir).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      pts.foreach(r =>
+        System.err.println(s"[scaling] WIDE-PQ point: $r"))
+      viols.foreach(r =>
+        System.err.println(s"[scaling] WIDE-PQ violation: $r"))
+      Seq(f"""{"query":"wide_pq_width_gate","t1":$t%.2f,"tN":$t%.2f,""" +
+        f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,""" +
+        f""""dim":$wideDim,"violations":${viols.length}}""")
+    }
+
     // DEEP×WIDE tier (round 15, VERDICT r14 #2): large-n AND large-d
     // SIMULTANEOUSLY — the true 100 TB shape. The ladder so far proves
     // n ∈ [500k, 2M] at d=64 and n ∈ [50k, 100k] at d=2048 but never
@@ -700,7 +780,8 @@ object Scaling {
       }
     }
     val json = (rows ++ mmRows ++ streamRows ++ graphBuildRows ++
-      wideRows ++ deepWideRows ++ skewRows).mkString("[", ",", "]")
+      wideRows ++ wideLcRows ++ widePqRows ++ deepWideRows ++ skewRows)
+      .mkString("[", ",", "]")
     println(json)
     // a targeted run never clobbers the committed full-run record
     if (only.isEmpty) {

@@ -354,6 +354,13 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => AnnSearch.annRecall(s, d)),
     "ann_recall_violations" ->
       ((s, d) => AnnSearch.annRecallViolations(s, d)),
+    // the m = d/8 subspace rule PRICED: two widths × three rerank
+    // margins off one ADC scan per width, recall + code_bytes per
+    // point; zero rows = within-m monotonicity and the shipped
+    // default point's `pq` floor both held
+    "pq_width_violations" ->
+      ((s, d) => Gates.cached(s, d, "pq_width_violations")(
+        Quantize.pqWidthViolations(s, d))),
     // the flagships' NON-SATURATED operating point: both index legs at
     // the default probe fraction (the corpus-scale regime), recall
     // pinned against their own saturated probes; zero rows = the

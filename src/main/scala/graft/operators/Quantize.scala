@@ -318,4 +318,112 @@ object Quantize {
     VectorSearch.rescoreTopK(
       VectorSearch.pruneCandidates(adist, rerank), normed, k)
   }
+
+  /** PQ operating-point sweep: the m = d/8 subspace rule PRICED, not
+    * asserted (VERDICT r14 #5). Two subspace counts — m = d/16 and
+    * m = d/8, each snapped to a divisor of d like [[pqSubspaces]] — are
+    * swept across the same 3 rerank margins as [[AnnSearch.annRecallCurve]],
+    * each m's points derived off ONE materialized ADC scan (a margin is
+    * a prune + the shared ranking tail over that scan, never a re-probe).
+    * Each point records average recall@k against the shared exact truth
+    * ([[AnnSearch.exactKnnPairs]]) AND its measured price:
+    *
+    *  - `code_bytes`  = n·m — the at-rest and scanned code payload
+    *    (m byte-codes per stored vector): d/16 halves the bytes at
+    *    double the per-subspace quantization error;
+    *  - `lut_doubles` = Q·m·nk — the broadcast ADC tables per query
+    *    (the scan's lookup cost is m adds/row, proportional);
+    *  - `rerank_rows` = Q·min(r, n−1) — the full-precision rescore rows
+    *    the margin actually pays.
+    *
+    * So the default width is a measured recall-vs-bytes trade-off (at
+    * d=2048: m=128 vs m=256 — SCALING.md round-15), not a constant taken
+    * on faith — the ladder discipline that caught the fixed-m=8 recall
+    * collapse at width (round 14). Cached per (session, fingerprint,
+    * Q, k) like the curve: a GAUGE, recomputed when the fixture changes.
+    */
+  private val opCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def pqOperatingPoints(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
+    opCache.computeIfAbsent(
+      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
+      computeOperatingPoints(spark, sfDir, nQueries, k)
+        .localCheckpoint(true))
+      .orderBy("m", "rerank")
+  }
+
+  private def computeOperatingPoints(spark: SparkSession, sfDir: String,
+                                     nQueries: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val dim = vectorDim(spark, sfDir)
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val nk = resolveCodes(spark, sfDir, 0)
+    def snap(target: Int): Int = {
+      val t = math.max(1, target)
+      Iterator.range(t, 0, -1).find(dim % _ == 0).getOrElse(1)
+    }
+    val widths = Seq(snap(dim / 16), snap(dim / 8)).distinct
+    // 40 is pqKnn's shipped default margin — always swept so the
+    // default-point floor below can never go vacuous
+    val reranks = (Seq(k, 40, 120) :+ 40).distinct.sorted
+    val exact = AnnSearch.exactKnnPairs(spark, sfDir, nQueries, k)
+    val denom = exact.count().toDouble
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val rows = widths.flatMap { m =>
+      // ONE materialized ADC scan per m (build-once committed index);
+      // released after its points are derived — the curve's discipline
+      val adist = pqAdist(spark, sfDir, nQueries, m, nk)
+        .localCheckpoint(true)
+      val pts = reranks.map { r =>
+        val approx = VectorSearch.rescoreTopK(
+          VectorSearch.pruneCandidates(adist, r), normed, k)
+        val hits = exact.join(approx.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_semi").count()
+        val recall = math.round(hits / denom * 10000.0) / 10000.0
+        (m, r, recall, n * m.toLong, nQueries.toLong * m * nk,
+          nQueries.toLong * math.min(r.toLong, math.max(0L, n - 1)))
+      }
+      Checkpoints.release(adist)
+      pts
+    }
+    rows.toDF("m", "rerank", "recall", "code_bytes", "lut_doubles",
+      "rerank_rows")
+  }
+
+  /** HARD gate over [[pqOperatingPoints]] (zero rows = the passing
+    * state, typed zero-row oracle — the [[AnnSearch.annRecallViolations]]
+    * discipline):
+    *
+    *  - within-m rerank monotonicity: a larger margin rescores a
+    *    SUPERSET of candidates, so recall@k is non-decreasing in the
+    *    margin BY CONSTRUCTION — a decrease means the prune or the
+    *    ranking tail broke, not noise;
+    *  - the default operating point (m = d/8 snapped, rerank = 40 —
+    *    exactly what [[pqKnn]] ships) must clear the family's `pq`
+    *    recall floor, so the width rule is re-proven on every fixture
+    *    the gate runs against (d=64 fixtures AND the d=2048 ladder).
+    */
+  def pqWidthViolations(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val pts = pqOperatingPoints(spark, sfDir, nQueries, k)
+    val w = Window.partitionBy(col("m")).orderBy(col("rerank"))
+    val mono = pts
+      .withColumn("prev", lag(col("recall"), 1).over(w))
+      .filter(col("prev").isNotNull && col("recall") < col("prev"))
+      .select(concat(lit("rerank_monotonicity m="),
+          col("m").cast("string"), lit(" rerank="),
+          col("rerank").cast("string")).as("invariant"),
+        col("prev").as("expected"), col("recall").as("actual"))
+    val defaultM = resolveM(spark, sfDir, 0)
+    val floor = AnnSearch.DefaultRecallFloors("pq")
+    val floorViol = pts
+      .filter(col("m") === defaultM && col("rerank") === 40 &&
+        col("recall") < floor)
+      .select(concat(lit("default_point_floor m="),
+          col("m").cast("string")).as("invariant"),
+        lit(floor).as("expected"), col("recall").as("actual"))
+    mono.unionAll(floorViol).orderBy("invariant")
+  }
 }

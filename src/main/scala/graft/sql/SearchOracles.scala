@@ -160,6 +160,13 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // PQ width gate: zero rows = within-m rerank monotonicity and the
+    // default (m = d/8, rerank = 40) point's `pq` recall floor held
+    "pq_width_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // shard-merge gate: zero rows = K-invariance, coverage, disjointness,
     // saturated identity and the default-probe recall floor all held
     "shard_merge_violations" ->

@@ -964,6 +964,32 @@ class AnnSpec extends SparkSpec {
     assert(Quantize.resolveM(spark, sf, 16) == 16) // explicit wins
   }
 
+  test("PQ operating-point sweep prices both widths off one ADC scan " +
+      "each and the width gate passes (monotone rerank, default floor)") {
+    import graft.operators.Quantize
+    val pts = Quantize.pqOperatingPoints(spark, sf).collect()
+    // fixture d=64 -> widths {d/16, d/8} = {4, 8}, x 3 rerank margins
+    assert(pts.map(_.getInt(0)).distinct.sorted.toSeq == Seq(4, 8))
+    assert(pts.length == 6)
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    pts.foreach { r =>
+      assert(r.getLong(3) == n * r.getInt(0), "code_bytes = n*m")
+      assert(r.getLong(5) ==
+        10L * math.min(r.getInt(1).toLong, n - 1), "rerank_rows")
+    }
+    // within-m recall is monotone non-decreasing in the margin (a larger
+    // margin rescores a SUPERSET of candidates — deterministic, not
+    // statistical) and the shipped default point holds the pq floor
+    pts.groupBy(_.getInt(0)).values.foreach { g =>
+      val byR = g.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byR.zip(byR.tail).forall { case (a, b) => b >= a },
+        s"recall not monotone in rerank: ${byR.toSeq}")
+    }
+    val dflt = pts.find(r => r.getInt(0) == 8 && r.getInt(1) == 40).get
+    assert(dflt.getDouble(2) >= AnnSearch.DefaultRecallFloors("pq"))
+    assert(Quantize.pqWidthViolations(spark, sf).collect().isEmpty)
+  }
+
   test("concurrent PQ subspace fits are bit-identical to a committed " +
       "sequential-era build (deterministic per-subspace seeds)") {
     import graft.operators.{Quantize, VectorSearch}
