@@ -26,8 +26,12 @@ object VectorAggregators {
         s"CentroidAgg(dim=$dim) got vector of length " +
           s"${if (v == null) "null" else v.length}")
       val (sums, n) = b
+      // raw-copy the decoded Seq before the element loop: the encoder's
+      // runtime Seq[Float] gives no O(1) apply guarantee (the GraphAnn
+      // dequant-pass lesson at d=2048), and reduce runs once per row
+      val va = v.toArray
       var i = 0
-      while (i < dim) { sums(i) += v(i); i += 1 }
+      while (i < dim) { sums(i) += va(i); i += 1 }
       (sums, n + 1)
     }
     override def merge(a: Buf, b: Buf): Buf = {

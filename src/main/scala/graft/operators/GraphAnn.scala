@@ -290,10 +290,18 @@ object GraphAnn {
         // per-pair element step to subtract-multiply-add. Memory:
         // deg·d doubles per group (512 KB at 32×2048), streamed.
         val arr = ns.iterator.map { q =>
-          val qv = q.qv
-          val deq = new Array[Double](qv.length)
+          // copy the DECODED Seq to a raw byte array before the loop
+          // (round 15, the deep×wide tier's second find): the encoder's
+          // runtime Seq[Byte] gives no O(1) guarantee on apply/length,
+          // and the first cut's `k < qv.length` condition re-evaluated
+          // `.length` every element — at d=2048 the dequant pass, not
+          // the pair loop, was where all 32 workers sampled. One
+          // copyToArray per neighbor, then primitive loads only.
+          val qv = q.qv.toArray
+          val d = qv.length
+          val deq = new Array[Double](d)
           var k = 0
-          while (k < qv.length) { deq(k) = qv(k) / q.s; k += 1 }
+          while (k < d) { deq(k) = qv(k) / q.s; k += 1 }
           (q.u, deq)
         }.toArray
         val out = scala.collection.mutable.ArrayBuffer

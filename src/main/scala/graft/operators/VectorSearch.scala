@@ -275,13 +275,19 @@ object VectorSearch {
     val pool = poolDf
       .select(col("query_id"), col("id"), col("v"), col("qsim"))
       .as[(Long, Long, Seq[Double], Double)]
-    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      val n = a.length
+      while (i < n) { s += a(i) * b(i); i += 1 }
       s
     }
     val picked = pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
       val cs = it.toArray
+      // raw-copy the decoded vectors ONCE per group (the GraphAnn pair-
+      // kernel lesson at d=2048): the encoder's runtime Seq gives no
+      // O(1) apply guarantee, and the greedy loop reads each vector
+      // O(k) times
+      val vecs = cs.map(_._3.toArray)
       val qsim = cs.map(_._4)
       val maxSim = Array.fill(cs.length)(0.0)
       val taken = Array.fill(cs.length)(false)
@@ -303,7 +309,7 @@ object VectorSearch {
         var j = 0
         while (j < cs.length) {
           if (!taken(j)) {
-            val s = dot(cs(j)._3, cs(best)._3)
+            val s = dot(vecs(j), vecs(best))
             // the first update ASSIGNS (a max over one selected vector,
             // which may be negative — seeding with 0.0 would clamp it
             // and diverge from the true max the oracle computes)
