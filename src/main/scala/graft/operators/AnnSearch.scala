@@ -1018,17 +1018,29 @@ object AnnSearch {
   private def pqEncode(spark: SparkSession, codebooksPath: String,
                        rows: DataFrame, m: Int, nk: Int): DataFrame = {
     val books = spark.read.parquet(codebooksPath)
-    val wv = Window.partitionBy("uid", "subspace")
-      .orderBy(col("d2"), col("code"))
+    // The encode blows each batch row up by the m·nk broadcast codebook
+    // rows (57,344 at d=2048) — so (1) the full-precision vector is
+    // DROPPED in the same projection that consumes it for d2 (the first
+    // cut carried the 8·d B `v` through the blowup and OOM'd a 24 g
+    // heap on a 10k-row batch at width — found by the round-15 wide
+    // lifecycle ladder), and (2) the per-subspace argmin is a
+    // `min_by` AGGREGATE, not a window rank: partial aggregation
+    // collapses the blowup map-side, so the only shuffles are the slim
+    // O(batch·m) code rows. min_by on the (d2, code) struct is the
+    // window's exact (d2, code) ascending order — codes bit-identical.
     rows.withColumn("uid", monotonically_increasing_id())
       .crossJoin(broadcast(books))
-      .withColumn("d2", expr(
-        """aggregate(
-          |  zip_with(slice(v, subspace * size(center) + 1, size(center)),
-          |    center, (x, y) -> (x - y) * (x - y)),
-          |  0D, (acc, d) -> acc + d)""".stripMargin))
-      .withColumn("cr", row_number().over(wv))
-      .filter(col("cr") === 1)
+      .select(col("uid"), col("vec_id"), col("cluster"), col("subspace"),
+        col("code"),
+        expr(
+          """aggregate(
+            |  zip_with(slice(v, subspace * size(center) + 1, size(center)),
+            |    center, (x, y) -> (x - y) * (x - y)),
+            |  0D, (acc, d) -> acc + d)""".stripMargin).as("d2"))
+      .groupBy(col("uid"), col("subspace"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+        first(col("vec_id")).as("vec_id"),
+        first(col("cluster")).as("cluster"))
       .groupBy(col("uid"))
       .agg(first(col("vec_id")).as("vec_id"),
         first(col("cluster")).as("cluster"),
