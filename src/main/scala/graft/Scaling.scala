@@ -50,14 +50,20 @@ object Scaling {
     // round 14 (VERDICT r13 #4): the text-retrieval tier joins the
     // ladder — BM25's corpus statistics pass, the two-leg RRF fuse, and
     // (already present above) chunk_embed_search / substring_runs
-    "bm25_search", "hybrid_search_rrf")
+    "bm25_search", "hybrid_search_rrf",
+    // round 15 (VERDICT r14 #3): the scatter-gather legs join the
+    // ladder — exact sharded search (partial per-shard top-k + global
+    // re-rank) and the probed K-shard IVF path (per-shard builds are
+    // warmed/untimed via WarmUp, like every index)
+    "sharded_knn", "ann_sharded")
 
   /** Build-once operators run untimed first, as in [[Bench]], so the
     * timed pass measures steady-state query cost, not index builds.
     */
   private val WarmUp = Seq("minhash_dedup", "ann_ivf_persisted",
     "ann_filtered", "semantic_decontaminate", "ann_ivf_pq",
-    "hybrid_search_ann", "mmr_rerank_ann", "ann_knn_graph")
+    "hybrid_search_ann", "mmr_rerank_ann", "ann_knn_graph",
+    "ann_sharded")
 
   def buildBlowup(spark: SparkSession, base: String, big: String,
                   factor: Int): Unit = {

@@ -1018,29 +1018,42 @@ object AnnSearch {
   private def pqEncode(spark: SparkSession, codebooksPath: String,
                        rows: DataFrame, m: Int, nk: Int): DataFrame = {
     val books = spark.read.parquet(codebooksPath)
-    // The encode blows each batch row up by the m·nk broadcast codebook
-    // rows (57,344 at d=2048) — so (1) the full-precision vector is
-    // DROPPED in the same projection that consumes it for d2 (the first
-    // cut carried the 8·d B `v` through the blowup and OOM'd a 24 g
-    // heap on a 10k-row batch at width — found by the round-15 wide
-    // lifecycle ladder), and (2) the per-subspace argmin is a
-    // `min_by` AGGREGATE, not a window rank: partial aggregation
-    // collapses the blowup map-side, so the only shuffles are the slim
-    // O(batch·m) code rows. min_by on the (d2, code) struct is the
-    // window's exact (d2, code) ascending order — codes bit-identical.
+    val subLen = books.select(size(col("center"))).head.getInt(0)
+    // NEVER materialize the batch × (m·nk) codebook blowup (57,344 book
+    // rows at d=2048). The first cut carried the 8·d B vector through
+    // that blowup into a window sort and OOM'd a 24 g heap on a 10k-row
+    // batch at width; a min_by re-cut still sort-aggregated the blown-up
+    // rows (struct agg buffers disable hash aggregation) and OOM'd the
+    // same way — both found by the round-15 wide lifecycle ladder,
+    // invisible at d=64 where the blowup is 176 rows. Shape that scales:
+    // explode each vector into its m SUBVECTORS (subLen doubles each —
+    // the full vector never rides a blown-up row), broadcast-hash-join
+    // the m-row per-subspace candidate table, and fold the nk-candidate
+    // argmin INSIDE one expression per (vector, subspace) row. In-flight
+    // is O(batch·m) slim rows end-to-end; the only shuffle is the final
+    // per-vector code collect. `cands` is code-ascending (sort_array on
+    // the (code, center) struct) and array_position returns the FIRST
+    // minimal d2, so ties resolve to the lowest code — the window's
+    // exact (d2, code) ascending order; the d2 arithmetic is the same
+    // zip_with/aggregate left fold. Codes bit-identical all three cuts.
+    val booksBySub = books.groupBy(col("subspace"))
+      .agg(sort_array(collect_list(struct(col("code"), col("center"))))
+        .as("cands"))
     rows.withColumn("uid", monotonically_increasing_id())
-      .crossJoin(broadcast(books))
+      .select(col("uid"), col("vec_id"), col("cluster"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"j -> slice(v, j * $subLen + 1, $subLen))"))
+          .as(Seq("subspace", "sv")))
+      .join(broadcast(booksBySub), "subspace")
       .select(col("uid"), col("vec_id"), col("cluster"), col("subspace"),
-        col("code"),
         expr(
-          """aggregate(
-            |  zip_with(slice(v, subspace * size(center) + 1, size(center)),
-            |    center, (x, y) -> (x - y) * (x - y)),
-            |  0D, (acc, d) -> acc + d)""".stripMargin).as("d2"))
-      .groupBy(col("uid"), col("subspace"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
-        first(col("vec_id")).as("vec_id"),
-        first(col("cluster")).as("cluster"))
+          """transform(cands, c ->
+            |  aggregate(zip_with(sv, c.center, (x, y) -> (x - y) * (x - y)),
+            |    0D, (acc, d) -> acc + d))""".stripMargin).as("d2s"),
+        col("cands"))
+      .select(col("uid"), col("vec_id"), col("cluster"), col("subspace"),
+        expr("cands[CAST(array_position(d2s, array_min(d2s)) AS INT) - 1]" +
+          ".code").as("code"))
       .groupBy(col("uid"))
       .agg(first(col("vec_id")).as("vec_id"),
         first(col("cluster")).as("cluster"),
