@@ -1427,23 +1427,22 @@ object AnnSearch {
     * otherwise). Fingerprint keying, as in [[labelSelectivity]], keeps a
     * regenerated fixture from reading a stale frame.
     */
-  private val recallCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // session-instance keying + eviction (all three DataFrame caches
+  // here, via Checkpoints.FrameCache): a cached checkpointed frame pins
+  // the session that created it, so a stop-and-recreate of the session
+  // in the same JVM must MISS rather than serve a dead handle, and a
+  // superseded-fingerprint or dead-session entry has its blocks
+  // RELEASED (the Gates.cached discipline) instead of pinned for the
+  // JVM lifetime; only the scalar caches ([[countCache]], [[selCache]])
+  // survive a session swap
+  private val recallCache = new Checkpoints.FrameCache
   private def recallFrame(spark: SparkSession, sfDir: String,
                           nQueries: Int, k: Int,
-                          floors: Map[String, Double]): DataFrame = {
-    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    // session-instance keying (all three DataFrame caches here): a cached
-    // checkpointed frame pins the session that created it, so a
-    // stop-and-recreate of the session in the same JVM must MISS
-    // rather than serve a dead handle; only the scalar caches
-    // ([[countCache]], [[selCache]]) survive a session swap
-    val key = s"${sessionKey(spark)}#$sfDir#$fp#$nQueries#$k#" +
-      floors.toSeq.sorted.mkString(",")
-    recallCache.computeIfAbsent(key, _ =>
-      computeRecallFrame(spark, sfDir, nQueries, k, floors)
-        .localCheckpoint(true))
-  }
+                          floors: Map[String, Double]): DataFrame =
+    recallCache.getOrCompute(spark,
+      s"$sfDir#$nQueries#$k#" + floors.toSeq.sorted.mkString(","),
+      IndexStore.sourceFingerprint(sfDir, "embeddings"))(
+      computeRecallFrame(spark, sfDir, nQueries, k, floors))
 
   /** The exact k-NN truth pairs (query_id, id), checkpointed and shared
     * per (fingerprint, nQueries, k): the denominator of every recall
@@ -1451,16 +1450,13 @@ object AnnSearch {
     * per-method hit joins and the curve's nine operating points all read
     * the same materialization instead of re-running the brute-force scan.
     */
-  private val exactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val exactCache = new Checkpoints.FrameCache
   private[graft] def exactKnnPairs(spark: SparkSession, sfDir: String,
-                            nQueries: Int, k: Int): DataFrame = {
-    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    exactCache.computeIfAbsent(
-      s"${sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
+                            nQueries: Int, k: Int): DataFrame =
+    exactCache.getOrCompute(spark, s"$sfDir#$nQueries#$k",
+      IndexStore.sourceFingerprint(sfDir, "embeddings"))(
       VectorSearch.knnSearch(spark, sfDir, nQueries, k)
-        .select(col("query_id"), col("id")).localCheckpoint(true))
-  }
+        .select(col("query_id"), col("id")))
 
   private def computeRecallFrame(spark: SparkSession, sfDir: String,
                                  nQueries: Int, k: Int,
@@ -1613,17 +1609,13 @@ object AnnSearch {
     * JVM and the checkpointed result re-read after that. Fingerprint
     * keying keeps a regenerated fixture from serving a stale curve.
     */
-  private val curveCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val curveCache = new Checkpoints.FrameCache
   def annRecallCurve(spark: SparkSession, sfDir: String,
-                     nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    curveCache.computeIfAbsent(
-      s"${sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
-      computeRecallCurve(spark, sfDir, nQueries, k)
-        .localCheckpoint(true))
+                     nQueries: Int = 10, k: Int = 10): DataFrame =
+    curveCache.getOrCompute(spark, s"$sfDir#$nQueries#$k",
+      IndexStore.sourceFingerprint(sfDir, "embeddings"))(
+      computeRecallCurve(spark, sfDir, nQueries, k))
       .orderBy("method", "cost")
-  }
 
   private def computeRecallCurve(spark: SparkSession, sfDir: String,
                                  nQueries: Int, k: Int): DataFrame = {

@@ -33,4 +33,57 @@ private[graft] object Checkpoints {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _              => ()
   }
+
+  /** A checkpointed-frame cache WITH the [[graft.Gates.cached]] eviction
+    * discipline, factored out so every fingerprint-keyed frame cache in
+    * the operator layer (recall frames, recall curves, exact-truth
+    * pairs, PQ operating points) shares it instead of re-growing the
+    * round-13 leak class one cache at a time: without eviction, a
+    * regenerated fixture (new fingerprint) or a stopped session leaves
+    * the superseded entry's localCheckpoint blocks pinned for the JVM
+    * lifetime — dead storage-memory that slows UNRELATED queries.
+    *
+    * Keying: the map key is (session, group) where `group` is
+    * everything that IDENTIFIES the cached frame except the source
+    * fingerprint; the fingerprint travels in the VALUE as the
+    * discriminator. A fixture regenerated in-place then lands on the
+    * SAME map entry with a different discriminator, so the stale frame
+    * is found and its blocks released (instead of accumulating under a
+    * fingerprint-embedding key forever). A call from a new session
+    * instance purges every dead session's entries — their frames can
+    * never be served again (the key embeds the session), so their
+    * blocks are pure leaked storage.
+    */
+  private[graft] final class FrameCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, (String, DataFrame)]()
+
+    /** `group`: cache identity minus the fingerprint (dir, Q, k, …);
+      * `disc`: the source fingerprint(s) the frame derives from.
+      * `compute` runs once per (live session, group, disc); the result
+      * is eagerly checkpointed and re-read after that.
+      */
+    def getOrCompute(spark: org.apache.spark.sql.SparkSession,
+                     group: String, disc: String)
+                    (compute: => DataFrame): DataFrame = {
+      val sess = AnnSearch.sessionKey(spark)
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.getKey.startsWith(sess + "#")) {
+          release(e.getValue._2)
+          it.remove()
+        }
+      }
+      cache.compute(s"$sess#$group", (_, old) =>
+        if (old != null && old._1 == disc) old
+        else {
+          if (old != null) release(old._2)
+          (disc, compute.localCheckpoint(true))
+        })._2
+    }
+
+    /** Test/triage visibility: the number of live cached frames. */
+    private[graft] def size: Int = cache.size()
+  }
 }

@@ -184,14 +184,20 @@ object Quantize {
     * range; 8 sits in the middle AND derives m=8 at the fixture d=64,
     * so every committed pq8/ivfpq-8 artifact keeps its name and bytes.
     */
-  private[graft] def pqSubspaces(dim: Int): Int = {
-    // Snap DOWN to the largest divisor of dim at or below dim/8 so a
-    // defaulted m never trips buildPqOver's `dim % m == 0` require
-    // (e.g. d=28: dim/8=3 does not divide 28 → snap to 2). Widths that
-    // are multiples of 8 (the fixture d=64, the reference d=2048) are
-    // unaffected: dim/8 already divides them.
-    val target = math.max(1, dim / 8)
-    Iterator.range(target, 0, -1).find(dim % _ == 0).getOrElse(1)
+  private[graft] def pqSubspaces(dim: Int): Int = snapWidth(dim, dim / 8)
+
+  /** Snap DOWN to the largest divisor of dim at or below `target` so a
+    * derived m never trips buildPqOver's `dim % m == 0` require
+    * (e.g. d=28: dim/8=3 does not divide 28 → snap to 2). Widths that
+    * are multiples of 8 (the fixture d=64, the reference d=2048) are
+    * unaffected: dim/8 already divides them. ONE snapping rule shared
+    * by [[pqSubspaces]] and the [[pqOperatingPoints]] sweep — two
+    * copies could drift, and a drift would silently empty the sweep's
+    * default-point floor filter in [[pqWidthViolations]].
+    */
+  private[graft] def snapWidth(dim: Int, target: Int): Int = {
+    val t = math.max(1, target)
+    Iterator.range(t, 0, -1).find(dim % _ == 0).getOrElse(1)
   }
 
   /** The embedding width, one head-row probe per fixture dir per JVM —
@@ -342,17 +348,13 @@ object Quantize {
     * collapse at width (round 14). Cached per (session, fingerprint,
     * Q, k) like the curve: a GAUGE, recomputed when the fixture changes.
     */
-  private val opCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val opCache = new Checkpoints.FrameCache
   def pqOperatingPoints(spark: SparkSession, sfDir: String,
-                        nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    opCache.computeIfAbsent(
-      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fp#$nQueries#$k", _ =>
-      computeOperatingPoints(spark, sfDir, nQueries, k)
-        .localCheckpoint(true))
+                        nQueries: Int = 10, k: Int = 10): DataFrame =
+    opCache.getOrCompute(spark, s"$sfDir#$nQueries#$k",
+      IndexStore.sourceFingerprint(sfDir, "embeddings"))(
+      computeOperatingPoints(spark, sfDir, nQueries, k))
       .orderBy("m", "rerank")
-  }
 
   private def computeOperatingPoints(spark: SparkSession, sfDir: String,
                                      nQueries: Int, k: Int): DataFrame = {
@@ -360,11 +362,9 @@ object Quantize {
     val dim = vectorDim(spark, sfDir)
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val nk = resolveCodes(spark, sfDir, 0)
-    def snap(target: Int): Int = {
-      val t = math.max(1, target)
-      Iterator.range(t, 0, -1).find(dim % _ == 0).getOrElse(1)
-    }
-    val widths = Seq(snap(dim / 16), snap(dim / 8)).distinct
+    // d/8 goes THROUGH pqSubspaces — the sweep's widths and the shipped
+    // default derive from one rule, so the floor gate can't go vacuous
+    val widths = Seq(snapWidth(dim, dim / 16), pqSubspaces(dim)).distinct
     // 40 is pqKnn's shipped default margin — always swept so the
     // default-point floor below can never go vacuous
     val reranks = (Seq(k, 40, 120) :+ 40).distinct.sorted
@@ -376,7 +376,9 @@ object Quantize {
       // released after its points are derived — the curve's discipline
       val adist = pqAdist(spark, sfDir, nQueries, m, nk)
         .localCheckpoint(true)
-      val pts = reranks.map { r =>
+      // release in finally: a failed stage mid-sweep must not pin this
+      // width's checkpointed ADC scan for the JVM lifetime
+      try reranks.map { r =>
         val approx = VectorSearch.rescoreTopK(
           VectorSearch.pruneCandidates(adist, r), normed, k)
         val hits = exact.join(approx.select(col("query_id"), col("id")),
@@ -384,9 +386,7 @@ object Quantize {
         val recall = math.round(hits / denom * 10000.0) / 10000.0
         (m, r, recall, n * m.toLong, nQueries.toLong * m * nk,
           nQueries.toLong * math.min(r.toLong, math.max(0L, n - 1)))
-      }
-      Checkpoints.release(adist)
-      pts
+      } finally Checkpoints.release(adist)
     }
     rows.toDF("m", "rerank", "recall", "code_bytes", "lut_doubles",
       "rerank_rows")
@@ -408,6 +408,15 @@ object Quantize {
   def pqWidthViolations(spark: SparkSession, sfDir: String,
                         nQueries: Int = 10, k: Int = 10): DataFrame = {
     val pts = pqOperatingPoints(spark, sfDir, nQueries, k)
+    // vacuity guard: the sweep MUST contain the shipped default width
+    // (it derives it through pqSubspaces, so this can only fire if the
+    // sweep's width list is edited) — fail loudly, never pass on an
+    // empty floor filter
+    val dim = vectorDim(spark, sfDir)
+    require(
+      Seq(snapWidth(dim, dim / 16), pqSubspaces(dim))
+        .contains(resolveM(spark, sfDir, 0)),
+      s"pqWidthViolations: swept widths exclude the default m at d=$dim")
     val w = Window.partitionBy(col("m")).orderBy(col("rerank"))
     val mono = pts
       .withColumn("prev", lag(col("recall"), 1).over(w))
