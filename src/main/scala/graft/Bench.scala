@@ -88,7 +88,10 @@ object Bench {
         // round 15: the sharded scatter-gather gate (K per-shard IVF
         // builds + the exact/saturated identity proofs — one build per
         // data fingerprint, fingerprint-cached like the other gates)
-        "shard_merge_violations")
+        "shard_merge_violations",
+        // round 16: the sharded-write gate (K per-shard appends + the
+        // K′=2 re-shard rebuild — one chain per data fingerprint)
+        "shard_append_violations")
       .map { n =>
       // the build phase is where every fingerprint-cached gate computes
       // its proof, so its wall time here IS the entry's real (cold)

@@ -337,6 +337,16 @@ object SparkEntry {
     "shard_merge_violations" ->
       ((s, d) => Gates.cached(s, d, "shard_merge_violations")(
         ShardedSearch.shardMergeViolations(s, d))),
+    // the sharded-WRITE gate: the injection batch hash-routed into the
+    // K=4 topology (K independent O(batch/K) appends through the one
+    // append path), then saturated scatter-gather over the appended
+    // versions vs the exact k-NN over base ∪ batch (bit-identity),
+    // coverage/disjointness post-append, and a K′=2 re-shard rebuilt
+    // FROM the stored shards answering identically — zero rows = the
+    // merge theorem survives writes and topology changes
+    "shard_append_violations" ->
+      ((s, d) => Gates.cached(s, d, "shard_append_violations")(
+        ShardedSearch.shardAppendViolations(s, d))),
     // time-travel read over the manifested store: `search VERSION AS OF
     // v` resolves the immutable version dir through the one existing
     // read path. Saturated probe at fixture scale ⇒ the as-of answer is

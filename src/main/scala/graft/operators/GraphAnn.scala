@@ -700,6 +700,22 @@ object GraphAnn {
     rankTail(spark, dir,
       searchTraceAt(spark, dir, queries, ef, hops), k)
 
+  /** [[graphSearchAt]] with the beam knobs auto-derived from the
+    * version's OWN state (its persisted degree, its node count) — the
+    * `VERSION AS OF` read path ([[TimeTravel.searchAsOfGraph]]): an
+    * as-of reader knows only the version dir, so the knobs must resolve
+    * from the artifact exactly as they would have at that version's
+    * write time.
+    */
+  private[graft] def graphSearchAtAuto(spark: SparkSession, dir: String,
+                                       queries: DataFrame,
+                                       k: Int): DataFrame = {
+    val (deg, _) = meta(spark, dir)
+    val n = artifact(spark, dir, "vectors")
+      .select("vec_id").distinct().count()
+    graphSearchAt(spark, dir, queries, k, autoEf(n), autoHops(n, deg))
+  }
+
   /** The shared ranking tail over a beam trace: self-exclusion,
     * tombstone mask, top-k — split out so the live ([[graphSearchAt]])
     * and cached ([[graphSearchCached]]) paths rank IDENTICALLY by

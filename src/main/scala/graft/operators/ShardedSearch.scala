@@ -118,6 +118,81 @@ object ShardedSearch {
     }
   }
 
+  /** Route one ingest batch into the sharded topology — FAISS
+    * `IndexShards.add` semantics: a row's shard is the SAME pure hash of
+    * its id the build used ([[shardOf]]), so routing never depends on
+    * ingest order or topology state, and each shard folds its slice
+    * through THE one existing O(batch) append path
+    * ([[AnnSearch.appendToIvfIndexAt]]) producing a NEW per-shard
+    * version dir. K independent O(batch/K) append jobs — the write path
+    * scales exactly like the build path (the 100 TB ingest is K
+    * feasible appends, each touching only its shard's files), and every
+    * shard version keeps the whole single-index lifecycle (manifest
+    * commit protocol, tombstones, compaction, retention) unchanged.
+    * Replay-idempotent per shard behind the manifest commit gate.
+    */
+  def appendToShards(spark: SparkSession, sfDir: String,
+                     batch: DataFrame, shards: Int = DefaultShards,
+                     tag: String = "app1"): Seq[String] = {
+    val base = buildShardedIvf(spark, sfDir, shards)
+    (0 until shards).map { s =>
+      val out = IndexStore.indexDir(sfDir,
+        s"ivfshard$shards-$s-$tag-v1", "embeddings")
+      AnnSearch.appendToIvfIndexAt(spark, base(s),
+        batch.filter(shardOf(col("vec_id"), shards) === s), out)
+      out
+    }
+  }
+
+  /** Re-shard: rebuild a K′-shard topology FROM the stored shards (the
+    * live vectors the K source dirs actually hold — tombstone-masked,
+    * appended rows included), not from the original source table — the
+    * operational re-shard of FAISS `IndexShards` add/merge semantics
+    * (shard counts change when the fleet does; the data of record is
+    * the index). Each new shard builds through the one existing build
+    * path at its own √(n/K′) sizing.
+    */
+  def reshardIvf(spark: SparkSession, sfDir: String,
+                 srcDirs: Seq[String], shards: Int,
+                 tag: String): Seq[String] = {
+    val stored = srcDirs.map(d => AnnSearch.ivfLiveVectors(spark, d)
+      .select(col("vec_id"), col("v"))).reduce(_ unionAll _)
+    val nc = shardClusters(stored.count(), shards)
+    (0 until shards).map { s =>
+      val dir = IndexStore.indexDir(sfDir,
+        s"ivfreshard$shards-$s-$tag-v1", "embeddings")
+      if (!IndexStore.committed(s"$dir/centroids") ||
+          !IndexStore.committed(s"$dir/vectors"))
+        AnnSearch.buildIvfOver(spark,
+          stored.filter(shardOf(col("vec_id"), shards) === s), nc, dir)
+      dir
+    }
+  }
+
+  /** Scatter-gather over EXPLICIT shard version dirs with an explicit
+    * rescore corpus — the post-append / post-re-shard read path: probe
+    * each dir (saturated when `nProbe` = -1, at the dir's own cluster
+    * count), gather, re-rank through the one shared rescore tail
+    * against the corpus the shards now hold.
+    */
+  private[graft] def scatterGatherAt(spark: SparkSession,
+                                     dirs: Seq[String],
+                                     queries: DataFrame, corpus: DataFrame,
+                                     k: Int, nProbe: Int,
+                                     expectedQ: Long): DataFrame = {
+    val gathered = dirs.map { dir =>
+      val nc = spark.read.parquet(
+        AnnSearch.ivfLayout(spark, dir)._1).count().toInt
+      val p = if (nProbe == -1) nc else math.min(nProbe, nc)
+      AnnSearch.ivfSearchAt(spark, dir, queries, k, p, expectedQ)
+        .select(col("query_id"), col("id"))
+    }.reduce(_ unionAll _)
+    VectorSearch.rescoreTopK(
+      gathered.join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("qu"), col("id")),
+      corpus, k)
+  }
+
   /** ANN scatter-gather: probe each shard's IVF index (the one existing
     * search path, [[AnnSearch.ivfSearchAt]] — collect-probe at low Q,
     * joined-probe + DPP above the threshold, per shard), gather the
@@ -175,6 +250,71 @@ object ShardedSearch {
     * Passing state is zero rows; each violated invariant becomes one
     * (invariant, expected, actual) row.
     */
+  /** The zero-row sharded-WRITE gate (`shard_append_violations`) — the
+    * lifecycle half of the sharded story ([[shardMergeViolations]] pins
+    * the read half): route the deterministic injection batch into the
+    * K=4 topology ([[appendToShards]]), then pin
+    *
+    *  1. `append_scatter_gather` — saturated scatter-gather over the
+    *     APPENDED shard versions is bit-identical to the exact k-NN
+    *     over base ∪ batch (the shard-merge theorem must survive a
+    *     write: a batch row routed to the wrong shard, dropped, or
+    *     double-appended breaks this);
+    *  2. `append_coverage` — the appended shards together hold exactly
+    *     base + batch rows;
+    *  3. `append_disjoint` — no vec_id indexed by more than one shard
+    *     after the append (routing is deterministic by id, so append
+    *     routing can never overlap build routing);
+    *  4. `reshard_identity` — a K′=2 topology rebuilt FROM the stored
+    *     K=4 shards ([[reshardIvf]] — the data of record is the index,
+    *     not the source table) answers saturated scatter-gather
+    *     bit-identically to the same exact truth: re-sharding preserves
+    *     the corpus and the merge theorem holds at any K.
+    */
+  def shardAppendViolations(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val shards = DefaultShards
+    val batch = AnnSearch.injectionBatch(spark, sfDir, 1, 0.04)
+    val appended = appendToShards(spark, sfDir, batch, shards)
+    val queries = queryFrame(spark, sfDir, nQueries)
+    // the post-append corpus, normalized exactly as the shards store it;
+    // checkpointed — it anchors the exact truth and both rescore tails
+    val union = VectorSearch.normalized(spark, sfDir)
+      .select(col("vec_id"), col("v"))
+      .unionAll(batch.select(col("vec_id"),
+        l2Normalize(col("v")).as("v")))
+      .localCheckpoint(true)
+    val exact = VectorSearch.topK(
+      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
+      .localCheckpoint(true)
+    def symDiff(other: DataFrame): Long =
+      exact.exceptAll(other).count() + other.exceptAll(exact).count()
+    val satDiff = symDiff(scatterGatherAt(spark, appended, queries,
+      union, k, nProbe = -1, expectedQ = nQueries.toLong))
+    val ids = appended.map(d => AnnSearch.ivfVectors(spark, d)
+      .select(col("vec_id"))).reduce(_ unionAll _)
+    val want = AnnSearch.embeddingCount(spark, sfDir).toDouble +
+      batch.count()
+    val coverage = ids.count().toDouble
+    val dupIds = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count().toDouble
+    val resharded = reshardIvf(spark, sfDir, appended, 2, "app1")
+    val reDiff = symDiff(scatterGatherAt(spark, resharded, queries,
+      union, k, nProbe = -1, expectedQ = nQueries.toLong))
+    val checks = Seq(
+      ("append_scatter_gather", 0.0, satDiff.toDouble),
+      ("append_coverage", want, coverage),
+      ("append_disjoint", 0.0, dupIds),
+      ("reshard_identity", 0.0, reDiff.toDouble))
+      .filter { case (_, wantV, got) => wantV != got }
+    Checkpoints.release(union)
+    Checkpoints.release(exact)
+    checks.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
   def shardMergeViolations(spark: SparkSession, sfDir: String,
                            nQueries: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._

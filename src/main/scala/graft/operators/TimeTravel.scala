@@ -66,8 +66,23 @@ object TimeTravel {
     */
   def searchAsOf(spark: SparkSession, sfDir: String, version: Int = 0,
                  nQueries: Int = 10, k: Int = 10,
-                 nProbe: Int = -1): DataFrame = {
-    val root = ensureChain(spark, sfDir)
+                 nProbe: Int = -1): DataFrame =
+    searchChainAt(spark, ensureChain(spark, sfDir), sfDir, version,
+      nQueries, k, nProbe)
+
+  /** [[searchAsOf]] against an EXPLICIT chain root — the shared
+    * resolution convention, so the retention-chain gate below reads
+    * through exactly the path a user's as-of read takes. The `require`
+    * is the retention contract's refusal: a vacuumed version's manifest
+    * is gone, and an as-of read of it must FAIL LOUDLY, never fall back
+    * to whatever segments the refcounting vacuum left behind for the
+    * survivors (a partial dir served silently would be a wrong answer
+    * with no error).
+    */
+  private def searchChainAt(spark: SparkSession, root: String,
+                            sfDir: String, version: Int,
+                            nQueries: Int, k: Int,
+                            nProbe: Int = -1): DataFrame = {
     val vDir = s"$root/v$version"
     require(IndexStore.committed(s"$vDir/manifest"),
       s"version $version is not committed under $root - as-of reads " +
@@ -78,6 +93,77 @@ object TimeTravel {
     val p = if (nProbe == -1) nc else nProbe
     AnnSearch.searchIndexAt(spark, vDir, queries, k, p,
       expectedQ = nQueries.toLong)
+  }
+
+  /** Build (once) the 3-version RETENTION chain — one more version than
+    * the as-of chain so a `keep = 2` vacuum has something to doom. A
+    * separate root: the vacuum is destructive, and the main chain's v0
+    * must stay readable for [[asofViolations]]' invariance legs.
+    * Replay-safe: each append short-circuits on its committed manifest,
+    * so a crash mid-build resumes where it stopped, and after the gate's
+    * vacuum has run (v0 gone) the `v2` key keeps re-entries from trying
+    * to rebuild a chain whose base version was legitimately pruned.
+    */
+  private[graft] def ensureRetentionChain(spark: SparkSession,
+                                          sfDir: String): String = {
+    val root = IndexStore.indexDir(sfDir, "ivf-asof-ret-v1", "embeddings")
+    if (!IndexStore.committed(s"$root/v2/manifest")) {
+      AnnSearch.appendToIvfIndex(spark, sfDir,
+        AnnSearch.injectionBatch(spark, sfDir, 1, Deltas(0)), s"$root/v0")
+      AnnSearch.appendToIvfIndexAt(spark, s"$root/v0",
+        AnnSearch.injectionBatch(spark, sfDir, 2, Deltas(1)), s"$root/v1")
+      AnnSearch.appendToIvfIndexAt(spark, s"$root/v1",
+        AnnSearch.injectionBatch(spark, sfDir, 3, 0.06), s"$root/v2")
+    }
+    root
+  }
+
+  /** Fraction of the corpus each graph-chain injection batch carries —
+    * small enough that the append takes the O(batch) BEAM-LINK branch
+    * ([[GraphAnn.appendRebuilds]]: a batch under half the corpus), the
+    * regime a steady-state ingest actually runs, so the as-of read is
+    * exercised over a genuine merge-on-read chain (v1 re-references
+    * v0's segments) rather than two self-contained rebuilds.
+    */
+  private def graphBatchRows(n: Long): Long = math.max(32L, n / 10)
+
+  /** Build (once) the 2-version as-of chain for the GRAPH family — the
+    * same immutable-manifest convention as the IVF chain ([[ensureChain]]),
+    * resolved through [[GraphAnn]]'s read path: time travel is a property
+    * of the versioned store, not of one index family.
+    */
+  private[graft] def ensureGraphChain(spark: SparkSession,
+                                      sfDir: String): String = {
+    val root = IndexStore.indexDir(sfDir, "graph-asof-v1", "embeddings")
+    val rows = graphBatchRows(AnnSearch.embeddingCount(spark, sfDir))
+    if (!IndexStore.committed(s"$root/v0/manifest"))
+      GraphAnn.appendToGraphIndex(spark, sfDir,
+        AnnSearch.injectionBatch(spark, sfDir, 1, Deltas(0), rows),
+        s"$root/v0")
+    if (!IndexStore.committed(s"$root/v1/manifest"))
+      GraphAnn.appendToGraphIndexAt(spark, s"$root/v0",
+        AnnSearch.injectionBatch(spark, sfDir, 2, Deltas(1), rows),
+        s"$root/v1")
+    root
+  }
+
+  /** `VERSION AS OF` for the graph family: resolve the version dir on
+    * the graph chain and search it through the one existing beam path
+    * with the version's own auto-derived knobs. Approximate by nature
+    * (beam search), so its correctness surface is the gate's frozen-
+    * answer invariance rows, not a SQL oracle — the ANN family
+    * convention.
+    */
+  def searchAsOfGraph(spark: SparkSession, sfDir: String,
+                      version: Int = 0, nQueries: Int = 10,
+                      k: Int = 10): DataFrame = {
+    val root = ensureGraphChain(spark, sfDir)
+    val vDir = s"$root/v$version"
+    require(IndexStore.committed(s"$vDir/manifest"),
+      s"version $version is not committed under $root - as-of reads " +
+        "resolve committed manifests only")
+    GraphAnn.graphSearchAtAuto(spark, vDir,
+      AnnSearch.fixtureQueries(spark, sfDir, nQueries), k)
   }
 
   /** The zero-row as-of gate (`asof_violations`):
@@ -94,6 +180,34 @@ object TimeTravel {
     *  4. `latest_advances` — the latest version's answer differs from
     *     v0's (the chain's versions are genuinely distinct states, so
     *     the invariance checks cannot pass vacuously).
+    *
+    * The as-of × RETENTION legs (round 16, on the separate 3-version
+    * [[ensureRetentionChain]] — the vacuum is destructive and must not
+    * touch the invariance chain above):
+    *
+    *  5. `retention_asof_refusal` — after
+    *     [[graft.streaming.StreamingIndex.pruneVersions]] (keep = 2)
+    *     dooms v0, an as-of-v0 read must REFUSE (the committed-manifest
+    *     `require`), never serve whatever segments the refcounting
+    *     vacuum left behind for the survivors. This row is also the
+    *     vacuum's non-vacuity check: if the prune deleted nothing, the
+    *     read succeeds and the row fires;
+    *  6. `retention_survivor_invariance` — the surviving versions'
+    *     as-of answers, frozen BEFORE the vacuum, are reproduced
+    *     exactly after it (the refcounting kept every segment the
+    *     survivors' manifests reference, including those physically
+    *     inside the doomed version's dir).
+    *
+    * The GRAPH-family legs (round 16 — same discipline over
+    * [[ensureGraphChain]], read through [[searchAsOfGraph]]; time
+    * travel is family-symmetric because it is a property of the
+    * versioned store, not of the IVF read path):
+    *
+    *  7. `graph_historical_invariance` / 8. `graph_historical_isolation`
+    *     / 9. `graph_latest_advances` — invariants 1/2/4 verbatim on
+    *     the graph chain (compaction transparency for the graph family
+    *     is separately pinned by its delete/compact gate,
+    *     [[GraphAnn.graphDeleteViolations]]).
     */
   def asofViolations(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
@@ -120,6 +234,46 @@ object TimeTravel {
       k, nc, expectedQ = nQueries.toLong)
     val compactDrift = symDiff(v1, compactRead)
     val advanced = symDiff(v1, v0Live)
+
+    // --- as-of × retention (invariants 5/6, the separate 3-version
+    // chain: the vacuum below is destructive) ---
+    val retRoot = ensureRetentionChain(spark, sfDir)
+    // freeze the SURVIVORS' answers before the vacuum (committed once;
+    // later runs re-read the same frozen frames — the vacuum already
+    // ran then, which is exactly the invariance being pinned)
+    val retFrozen = Seq(1, 2).map { v =>
+      val f = s"$retRoot/frozen_v$v"
+      if (!IndexStore.committed(f))
+        IndexStore.saveDataset(
+          searchChainAt(spark, retRoot, sfDir, v, nQueries, k)
+            .coalesce(1), f)
+      f
+    }
+    graft.streaming.StreamingIndex.pruneVersions(spark, retRoot, keep = 2)
+    // the pruned version must REFUSE — and if the vacuum deleted
+    // nothing, this read succeeds and the row fires (non-vacuity)
+    val refused =
+      try {
+        searchChainAt(spark, retRoot, sfDir, 0, nQueries, k).count()
+        0.0
+      } catch { case _: IllegalArgumentException => 1.0 }
+    val survivorDrift = retFrozen.zip(Seq(1, 2)).map { case (f, v) =>
+      symDiff(spark.read.parquet(f),
+        searchChainAt(spark, retRoot, sfDir, v, nQueries, k))
+    }.sum
+
+    // --- graph-family as-of (invariants 7/8/9) ---
+    val gRoot = ensureGraphChain(spark, sfDir)
+    val gFrozen = s"$gRoot/v0_asof_frozen"
+    if (!IndexStore.committed(gFrozen))
+      IndexStore.saveDataset(
+        searchAsOfGraph(spark, sfDir, 0, nQueries, k).coalesce(1), gFrozen)
+    val gV0Live = searchAsOfGraph(spark, sfDir, 0, nQueries, k)
+    val gDrift = symDiff(spark.read.parquet(gFrozen), gV0Live)
+    val gLeaked = gV0Live.filter(col("id") >= 2L * ceil).count()
+    val gAdvanced = symDiff(
+      searchAsOfGraph(spark, sfDir, 1, nQueries, k), gV0Live)
+
     val viols = Seq(
       Option.when(drift != 0L)(
         ("historical_invariance", 0.0, drift.toDouble)),
@@ -128,7 +282,17 @@ object TimeTravel {
       Option.when(compactDrift != 0L)(
         ("compaction_transparency", 0.0, compactDrift.toDouble)),
       Option.when(advanced == 0L)(
-        ("latest_advances", 1.0, 0.0))).flatten
+        ("latest_advances", 1.0, 0.0)),
+      Option.when(refused != 1.0)(
+        ("retention_asof_refusal", 1.0, refused)),
+      Option.when(survivorDrift != 0L)(
+        ("retention_survivor_invariance", 0.0, survivorDrift.toDouble)),
+      Option.when(gDrift != 0L)(
+        ("graph_historical_invariance", 0.0, gDrift.toDouble)),
+      Option.when(gLeaked != 0L)(
+        ("graph_historical_isolation", 0.0, gLeaked.toDouble)),
+      Option.when(gAdvanced == 0L)(
+        ("graph_latest_advances", 1.0, 0.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

@@ -174,6 +174,11 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    "shard_append_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // IR metrics over the knn oracle's ranked rows: binary label
     // relevance, 1/log2(rank+1) discounts, ideal DCG over the first
     // min(|truth|, k) ranks — every formula the same double expression

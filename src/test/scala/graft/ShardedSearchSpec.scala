@@ -50,6 +50,27 @@ class ShardedSearchSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(1200))
   }
 
+  test("the sharded-write gate is zero-row: append routing, coverage, " +
+      "disjointness, and the K'=2 re-shard identity") {
+    assert(ShardedSearch.shardAppendViolations(spark, sf).count() == 0L)
+  }
+
+  test("appended batch rows land in their OWN hash shard — routing is " +
+      "a pure function of the id, identical to build routing") {
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.AnnSearch.injectionBatch(spark, sf, 1, 0.04)
+    val dirs = ShardedSearch.appendToShards(spark, sf, batch)
+    val ceil = graft.operators.AnnSearch.embeddingIdCeiling(spark, sf)
+    dirs.zipWithIndex.foreach { case (d, s) =>
+      val misrouted = graft.operators.AnnSearch.ivfVectors(spark, d)
+        .filter(col("vec_id") >= ceil) // batch rows only
+        .filter(pmod(xxhash64(col("vec_id")),
+          lit(ShardedSearch.DefaultShards.toLong)) =!= s)
+        .count()
+      assert(misrouted == 0L, s"shard $s holds misrouted batch rows")
+    }
+  }
+
   test("default-probe sharded IVF is genuinely approximate machinery " +
       "with bounded candidates: <= K*k rows per query reach the gather") {
     // the non-saturated operating point must still return k full rows

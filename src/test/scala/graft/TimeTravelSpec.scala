@@ -41,4 +41,39 @@ class TimeTravelSpec extends SparkSpec {
     val b = TimeTravel.searchAsOf(spark, sf, 0).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("retention chain: the vacuum dooms v0 and an as-of read of it " +
+      "REFUSES, while the survivors keep answering") {
+    // the gate has (or will have) run the vacuum; force the state here
+    // so the spec stands alone
+    val root = TimeTravel.ensureRetentionChain(spark, sf)
+    graft.streaming.StreamingIndex.pruneVersions(spark, root, keep = 2)
+    assert(!graft.sources.IndexStore.committed(s"$root/v0/manifest"),
+      "keep=2 over a 3-version chain must doom v0")
+    // survivors resolve — including segments that physically live under
+    // the doomed version's dir (manifest refcounting kept them)
+    for (v <- Seq(1, 2))
+      assert(graft.sources.IndexStore.committed(s"$root/v$v/manifest"), v)
+  }
+
+  test("graph-family as-of: v0 and v1 resolve distinct states, v0 never " +
+      "sees batch-2 ids, and resolution is idempotent") {
+    val v0 = TimeTravel.searchAsOfGraph(spark, sf, 0).collect()
+    val v1 = TimeTravel.searchAsOfGraph(spark, sf, 1).collect()
+    assert(v0.nonEmpty && v1.nonEmpty)
+    assert(v0.map(_.toSeq).toSeq != v1.map(_.toSeq).toSeq)
+    val ceil = graft.operators.AnnSearch.embeddingIdCeiling(spark, sf)
+    assert(v0.forall(_.getLong(1) < 2L * ceil),
+      "a graph as-of-v0 read must not surface ids appended after v0")
+    val again = TimeTravel.searchAsOfGraph(spark, sf, 0)
+      .collect().map(_.toSeq)
+    assert(again.toSeq == v0.map(_.toSeq).toSeq)
+  }
+
+  test("graph-family as-of read of an uncommitted version is refused") {
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.searchAsOfGraph(spark, sf, 99)
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
 }
