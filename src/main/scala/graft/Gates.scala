@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.AnnSearch
 import graft.sources.IndexStore
 
 /** The graded suite's measurement discipline for the HARD lifecycle
@@ -54,8 +53,7 @@ object Gates {
   // so the stale entry is found (and its pinned checkpoint blocks
   // released via Checkpoints.release) instead of accumulating forever —
   // the round-13 storage-leak class, closed for the round-14 caches.
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, DataFrame)]()
+  private val cache = new graft.operators.Checkpoints.FrameCache
 
   /** The cached-gate wrapper: `compute` runs once per (session, sfDir,
     * source fingerprints, name); later calls re-read the checkpointed
@@ -81,25 +79,11 @@ object Gates {
              tables: Seq[String] = Seq("embeddings"))
             (compute: => DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_GATES_LIVE").contains("1")) return compute
-    val sess = AnnSearch.sessionKey(spark)
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.startsWith(sess + "#")) {
-        graft.operators.Checkpoints.release(e.getValue._2)
-        it.remove()
-      }
-    }
     val fps = tables.map(t => IndexStore.sourceFingerprint(sfDir, t))
       .mkString(",")
-    cache.compute(s"$sess#$sfDir#$name", (_, old) =>
-      if (old != null && old._1 == fps) old
-      else {
-        if (old != null) graft.operators.Checkpoints.release(old._2)
-        (fps, compute.localCheckpoint(true))
-      })._2
+    cache.getOrCompute(spark, s"$sfDir#$name", fps)(compute)
   }
 
   /** Test/triage visibility: the number of live cached gate frames. */
-  private[graft] def cacheSize: Int = cache.size()
+  private[graft] def cacheSize: Int = cache.size
 }

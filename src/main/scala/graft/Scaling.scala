@@ -740,20 +740,111 @@ object Scaling {
       val tAppend = (System.nanoTime() - t0) / 1e9
       aViols.foreach(r => System.err.println(
         s"[scaling] DEEPWIDE graph-append violation: $r"))
+      // The IVF/PQ family at the deep×wide point (round 16, VERDICT r15
+      // #2): the round-15 graph runs proved this tier finds real
+      // element-loop defects, and the IVF assignment + PQ encode are the
+      // same kernel class. Rows: a fresh timed IVF build at √n clusters
+      // (the k-means now fits on the FAISS-practice 256·k sample,
+      // AnnSearch.fitSample — at this point a full-corpus fit is
+      // ~3.6e12 multiplies for centroids a sample determines equally
+      // well), the default-probe recall leg vs the SAME exact truth the
+      // graph leg used, the steady-state O(batch) append gate (10k
+      // batch — the graph tier's convention), and the m=d/8=256 PQ
+      // build (sampled fit + FULL-corpus encode) with its recall leg.
       val ivfRows =
         if (!sys.env.get("SPARK_GRAFT_DEEPWIDE_IVF").contains("1"))
           Seq.empty
         else {
+          import graft.operators.Quantize
+          val nc = AnnSearch.autoClusters(n)
+          val ivfOut = s"$work/ivfbuild_deepwide$wideDim"
+          new org.apache.hadoop.fs.Path(ivfOut)
+            .getFileSystem(graft.sources.IndexStore.hadoopConf)
+            .delete(new org.apache.hadoop.fs.Path(ivfOut), true)
           sweep()
-          val ti = System.nanoTime()
-          val iViols = AnnSearch.ivfAppendViolations(spark, dwDir)
-            .collect()
-          val tIvf = (System.nanoTime() - ti) / 1e9
+          var ti = System.nanoTime()
+          AnnSearch.buildIvfOver(spark,
+            AnnSearch.normalizedCorpus(spark, dwDir), nc, ivfOut)
+          val tIvfBuild = (System.nanoTime() - ti) / 1e9
+          // probe recall vs the exact truth computed for the graph leg
+          sweep()
+          ti = System.nanoTime()
+          val ivfApprox = AnnSearch.searchIndexAt(spark, ivfOut, queries,
+              10, AnnSearch.autoProbe(nc), expectedQ = 10L)
+            .select(col("query_id"), col("id")).localCheckpoint(true)
+          val ivfHits = exact.join(ivfApprox, Seq("query_id", "id"),
+            "left_semi").count()
+          val ivfRecall = ivfHits.toDouble / exact.count()
+          val tIvfRecall = (System.nanoTime() - ti) / 1e9
+          val ivfFloor = AnnSearch.DefaultRecallFloors("ivf")
+          val ivfRecallViols = if (ivfRecall >= ivfFloor) 0 else 1
+          if (ivfRecallViols > 0) System.err.println(
+            s"[scaling] DEEPWIDE ivf-recall violation: $ivfRecall" +
+              s" < $ivfFloor")
+          // the steady-state O(batch) append with its zero-row gate
+          sweep()
+          ti = System.nanoTime()
+          val iViols = AnnSearch.ivfAppendViolations(spark, dwDir,
+            batchRows = 10000L).collect()
+          val tIvfApp = (System.nanoTime() - ti) / 1e9
           iViols.foreach(r => System.err.println(
             s"[scaling] DEEPWIDE ivf-append violation: $r"))
-          Seq(f"""{"query":"deepwide_ivf_append_gate","t1":$tIvf%.2f,""" +
-            f""""tN":$tIvf%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
-            f""""nN":$n,"dim":$wideDim,"violations":${iViols.length}}""")
+          // the PQ build at m = d/8 = 256 over the full 500k corpus —
+          // load-or-build into the dir's committed location so the
+          // recall leg reads the same artifacts; `cold` records whether
+          // THIS run paid the fit+encode
+          val m = Quantize.pqSubspaces(wideDim)
+          val nk = Quantize.codesFor(n)
+          val pqDir = graft.sources.IndexStore.indexDir(dwDir,
+            s"pq$m-$nk-v1", "embeddings")
+          val pqCold = !graft.sources.IndexStore.committed(s"$pqDir/codes")
+          sweep()
+          ti = System.nanoTime()
+          Quantize.buildPqIndex(spark, dwDir)
+          val tPqBuild = (System.nanoTime() - ti) / 1e9
+          // code completeness at width: every row encoded, every code
+          // array exactly m wide
+          val codes = spark.read.parquet(s"$pqDir/codes")
+          val nCodes = codes.count()
+          val badWidth = codes.filter(size(col("codes")) =!= m).count()
+          val codeViols = (if (nCodes == n) 0 else 1) +
+            (if (badWidth == 0L) 0 else 1)
+          if (codeViols > 0) System.err.println(
+            s"[scaling] DEEPWIDE pq-encode violation: rows $nCodes/$n," +
+              s" badWidth $badWidth")
+          sweep()
+          ti = System.nanoTime()
+          val pqApprox = Quantize.pqKnn(spark, dwDir)
+            .select(col("query_id"), col("id")).localCheckpoint(true)
+          val pqHits = exact.join(pqApprox, Seq("query_id", "id"),
+            "left_semi").count()
+          val pqRecall = pqHits.toDouble / exact.count()
+          val tPqRecall = (System.nanoTime() - ti) / 1e9
+          val pqFloor = AnnSearch.DefaultRecallFloors("pq")
+          val pqRecallViols = if (pqRecall >= pqFloor) 0 else 1
+          if (pqRecallViols > 0) System.err.println(
+            s"[scaling] DEEPWIDE pq-recall violation: $pqRecall" +
+              s" < $pqFloor")
+          Seq(
+            f"""{"query":"deepwide_ivf_build","t1":$tIvfBuild%.2f,""" +
+              f""""tN":$tIvfBuild%.2f,"factor":1,"exponent":0.0,""" +
+              f""""n1":$n,"nN":$n,"dim":$wideDim,"clusters":$nc}""",
+            f"""{"query":"deepwide_ivf_recall","t1":$tIvfRecall%.2f,""" +
+              f""""tN":$tIvfRecall%.2f,"factor":1,"exponent":0.0,""" +
+              f""""n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""recall":$ivfRecall%.4f,"violations":$ivfRecallViols}""",
+            f"""{"query":"deepwide_ivf_append_gate","t1":$tIvfApp%.2f,""" +
+              f""""tN":$tIvfApp%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+              f""""nN":$n,"dim":$wideDim,"batch":10000,""" +
+              f""""violations":${iViols.length}}""",
+            f"""{"query":"deepwide_pq_build","t1":$tPqBuild%.2f,""" +
+              f""""tN":$tPqBuild%.2f,"factor":1,"exponent":0.0,""" +
+              f""""n1":$n,"nN":$n,"dim":$wideDim,"m":$m,"codes":$nk,""" +
+              f""""cold":$pqCold,"violations":$codeViols}""",
+            f"""{"query":"deepwide_pq_recall","t1":$tPqRecall%.2f,""" +
+              f""""tN":$tPqRecall%.2f,"factor":1,"exponent":0.0,""" +
+              f""""n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""recall":$pqRecall%.4f,"violations":$pqRecallViols}""")
         }
       Seq(
         f"""{"query":"deepwide_graph_build","t1":$tBuild%.2f,""" +

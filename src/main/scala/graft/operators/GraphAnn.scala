@@ -768,32 +768,16 @@ object GraphAnn {
   private val FpSuffix = "-[0-9a-f]{1,16}(?=/|$)".r
   private[graft] def fpStripped(dir: String): String =
     FpSuffix.replaceAllIn(dir, "")
-  private val traceCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, DataFrame)]()
+  private val traceCache = new Checkpoints.FrameCache
   private[graft] def cachedTrace(spark: SparkSession, dir: String,
                                  queries: => DataFrame, ef: Int,
-                                 hops: Int, queryKey: String): DataFrame = {
-    val sess = AnnSearch.sessionKey(spark)
-    val it = traceCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.startsWith(sess + "#")) {
-        Checkpoints.release(e.getValue._2)
-        it.remove()
-      }
-    }
-    traceCache.compute(
-      s"$sess#${fpStripped(dir)}#$queryKey#$ef#$hops", (_, old) =>
-      if (old != null && old._1 == dir) old
-      else {
-        if (old != null) Checkpoints.release(old._2)
-        (dir, searchTraceAt(spark, dir, queries, ef, hops)
-          .localCheckpoint(true))
-      })._2
-  }
+                                 hops: Int, queryKey: String): DataFrame =
+    traceCache.getOrCompute(spark,
+      s"${fpStripped(dir)}#$queryKey#$ef#$hops", dir)(
+      searchTraceAt(spark, dir, queries, ef, hops))
 
   /** Test/triage visibility: the number of live cached beam traces. */
-  private[graft] def traceCacheSize: Int = traceCache.size()
+  private[graft] def traceCacheSize: Int = traceCache.size
 
   /** [[graphSearchAt]] over the [[cachedTrace]] — same rows, one beam
     * search per (fingerprint, query set, ef, hops) per JVM.

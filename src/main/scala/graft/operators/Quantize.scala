@@ -106,10 +106,29 @@ object Quantize {
     // one normalize pass cached across the dim probe, the m k-means
     // fits and the m assignment transforms — without this the build
     // re-scans and re-normalizes the source ~2m+1 times; safe here
-    // because the build completes (and unpersists) inside this call
-    val normed = corpus.select(col("vec_id"), col("v")).cache()
-    val dim = normed.select(size(col("v"))).head.getInt(0)
+    // because the build completes (and unpersists) inside this call.
+    // GATED on the corpus byte size ([[GraphAnn.CorpusPinByteLimit]] —
+    // the round-15 deep×wide rule): above the limit an unconditional
+    // cache pins n·d·8 B of doubles (8.2 GB at 500k×2048, most of the
+    // storage pool) and starves every downstream shuffle into spill;
+    // the big corpus stays a lazy plan and each pass re-scans the
+    // (much smaller) parquet source instead.
+    val slim = corpus.select(col("vec_id"), col("v"))
+    val dim = slim.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val n = slim.count()
+    val pinned = n * dim * 8L <= GraphAnn.CorpusPinByteLimit
+    val normed = if (pinned) slim.cache() else slim
+    // FAISS-practice training bound ([[AnnSearch.fitSample]]): each
+    // subspace k-means fits on ≈256·nk hash-sampled rows (their slice
+    // of one shared sample — the filter is a pure function of vec_id),
+    // while the ENCODE transform below still covers every row. At or
+    // under the bound the sample IS the corpus and artifacts keep
+    // their bytes. The sample is small by construction (≈256·nk·d·8 B),
+    // so it is always safe to cache across the m fits.
+    val train0 = AnnSearch.fitSample(normed, n, nk)
+    val sampled = !(train0 eq normed)
+    val train = if (sampled) train0.cache() else train0
     val sub = dim / m
     // Subspace-fit parallelism (round 14): the per-subspace k-means are
     // independent (own seed, own column slice), so a bounded pool CAN
@@ -124,15 +143,16 @@ object Quantize {
     // jobs leave executors idle between stages and driver JVMs are
     // per-application, SPARK_GRAFT_PQ_FIT_PAR raises the overlap.
     def fitSubspace(j: Int): (DataFrame, DataFrame) = {
-      val sv = normed.select(col("vec_id"),
+      def sliced(src: DataFrame): DataFrame = src.select(col("vec_id"),
         slice(col("v"), j * sub + 1, sub).as("sv"))
         .withColumn("features", array_to_vector(col("sv")))
       val model = new KMeans().setK(nk).setSeed(42L + j).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("code").fit(sv)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(sliced(train))
       val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (j, i, c.toArray.toSeq)
       }.toSeq.toDF("subspace", "code", "center")
-      (centers, model.transform(sv)
+      (centers, model.transform(sliced(normed))
         .select(col("vec_id"), lit(j).as("subspace"), col("code")))
     }
     // fitParOverride > 0 wins (lets the determinism spec exercise the
@@ -162,7 +182,8 @@ object Quantize {
         collect_list(struct(col("subspace"), col("code")))),
         s => s.getField("code")).as("codes"))
     IndexStore.saveDataset(codes, s"$dir/codes")
-    normed.unpersist()
+    if (sampled) train.unpersist()
+    if (pinned) normed.unpersist()
     ()
   }
 
@@ -170,7 +191,7 @@ object Quantize {
     * what a refit over a grown corpus derives its codebook cardinality
     * from (√n clamped to the byte-code ceiling).
     */
-  private[operators] def codesFor(n: Long): Int =
+  private[graft] def codesFor(n: Long): Int =
     math.max(8, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
 
   /** Subspace-count rule (round 14): FIXED 8-dim subspaces, m = d/8 —

@@ -1176,4 +1176,65 @@ class AnnSpec extends SparkSpec {
     assert(leaked.size <= 1,
       s"${leaked.size} checkpoint generations retained after the search")
   }
+
+  test("fitSample: at or under the 256·k bound the fit sees the FULL " +
+      "corpus (fixture artifacts keep their bytes); above it, a " +
+      "deterministic id-hash sample") {
+    import graft.operators.AnnSearch
+    val corpus = graft.operators.VectorSearch.normalized(spark, sf)
+    val n = corpus.count()
+    // every fixture build is under the bound: identical frame back
+    assert(AnnSearch.fitSample(corpus, n, AnnSearch.autoClusters(n))
+      eq corpus)
+    // synthetic above-the-bound corpus: k=1 → target 256, stride ≥ 2
+    val big = spark.range(2000).select(col("id").as("vec_id"),
+      array(col("id") * 0.001, lit(1.0)).as("v"))
+    val s1 = AnnSearch.fitSample(big, 2000L, 1).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val s2 = AnnSearch.fitSample(big, 2000L, 1).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(s1.nonEmpty && s1.size < 2000, s"sample size ${s1.size}")
+    assert(s1 == s2, "the hash sample must be reproducible")
+  }
+
+  test("a sampled-fit IVF build still assigns and persists EVERY row " +
+      "(the sample bounds the fit, never the encode)") {
+    import graft.operators.{AnnSearch, VectorSearch}
+    val nRows = 2000
+    val big = spark.range(nRows.toLong).select(col("id").as("vec_id"),
+      graft.functions.VectorOps.l2Normalize(array(
+        sin(col("id") * 0.7), cos(col("id") * 1.3),
+        sin(col("id") * 2.1), cos(col("id") * 0.4))).as("v"))
+    val dir = s"/tmp/graft_test_sampled_ivf_${spark.hashCode()}"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.sources.IndexStore.hadoopConf)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    // nc=2 → training bound 512 < 2000: the fit is sampled
+    assert(!(AnnSearch.fitSample(big, nRows.toLong, 2) eq big))
+    AnnSearch.buildIvfOver(spark, big, 2, dir)
+    assert(IndexStore.committed(s"$dir/centroids"))
+    assert(spark.read.parquet(s"$dir/centroids").count() == 2L)
+    assert(spark.read.parquet(s"$dir/vectors").count() == nRows.toLong,
+      "the assign pass must cover every row, sampled fit or not")
+  }
+
+  test("a sampled-fit PQ build encodes EVERY row at full code width") {
+    import graft.operators.Quantize
+    val nRows = 3000
+    val big = spark.range(nRows.toLong).select(col("id").as("vec_id"),
+      graft.functions.VectorOps.l2Normalize(array(
+        sin(col("id") * 0.7), cos(col("id") * 1.3),
+        sin(col("id") * 2.1), cos(col("id") * 0.4))).as("v"))
+    val dir = s"/tmp/graft_test_sampled_pq_${spark.hashCode()}"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.sources.IndexStore.hadoopConf)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    // nk=4 → training bound 1024 < 3000: the per-subspace fits sample
+    Quantize.buildPqOver(spark, big, 2, 4, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == nRows.toLong,
+      "the encode must cover every row, sampled fit or not")
+    assert(codes.filter(size(col("codes")) =!= 2).count() == 0L)
+    assert(spark.read.parquet(s"$dir/codebooks").count() == 8L) // m·nk
+  }
 }

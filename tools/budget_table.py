@@ -29,6 +29,8 @@ CACHE_READ = {
     "streaming_ivf_append",
     # round-15 Gates-wrapped entries
     "shard_merge_violations", "asof_violations", "pq_width_violations",
+    # round-16 Gates-wrapped entries
+    "shard_append_violations",
     # recallFrame/exactKnnPairs family (round 9)
     "ann_recall", "ann_recall_violations", "ann_recall_curve",
     # cachedTrace-backed graph query entries (round 14): the beam pass
