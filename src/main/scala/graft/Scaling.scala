@@ -702,44 +702,66 @@ object Scaling {
       buildWide(spark, base, dwDir, nFactor, wideDim)
       val n = Tables.load(spark, dwDir, "embeddings").count()
       val deg = GraphAnn.autoDegree(n)
-      // 1. fresh timed NN-descent build at n×d
-      val out = s"$work/graphbuild_deepwide$wideDim"
-      new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(graft.sources.IndexStore.hadoopConf)
-        .delete(new org.apache.hadoop.fs.Path(out), true)
-      sweep()
-      var t0 = System.nanoTime()
-      GraphAnn.buildGraphOver(spark, AnnSearch.normalizedCorpus(
-        spark, dwDir), out, deg)
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      // 2. the graph beam recall leg vs the exact truth — the beam +
-      // exact-denominator legs are where the n×d payload product lands
-      // (frontier rows carry d-dim vectors; the truth is a brute-force
-      // n×d scan per query batch)
-      sweep()
-      t0 = System.nanoTime()
+      // shared truth + queries: the exact k-NN denominator both the
+      // graph and IVF/PQ recall legs compare against
       val queries = AnnSearch.fixtureQueries(spark, dwDir, 10)
-      val approx = GraphAnn.graphSearchAt(spark, out, queries, 10,
-        GraphAnn.autoEf(n), GraphAnn.autoHops(n, deg))
-        .select(col("query_id"), col("id")).localCheckpoint(true)
       val exact = VectorSearch.knnSearch(spark, dwDir, 10, 10)
         .select(col("query_id"), col("id")).localCheckpoint(true)
-      val hits = exact.join(approx, Seq("query_id", "id"), "left_semi")
-        .count()
-      val recall = hits.toDouble / exact.count()
-      val tRecall = (System.nanoTime() - t0) / 1e9
-      val recallViols = if (recall >= 0.8) 0 else 1
-      if (recallViols > 0)
-        System.err.println(
-          s"[scaling] DEEPWIDE recall violation: $recall < 0.8")
-      // 3. the O(batch) beam-link append at n×d with its zero-row gate
-      sweep()
-      t0 = System.nanoTime()
-      val aViols = GraphAnn.graphAppendViolations(spark, dwDir,
-        batchRows = 10000L).collect()
-      val tAppend = (System.nanoTime() - t0) / 1e9
-      aViols.foreach(r => System.err.println(
-        s"[scaling] DEEPWIDE graph-append violation: $r"))
+      // SPARK_GRAFT_DEEPWIDE_GRAPH=0 skips the graph legs (targeted
+      // IVF/PQ runs re-proving the round-16 family need not re-pay the
+      // ~35 min graph build+append already proven and committed in the
+      // round-15 section); default runs them.
+      val wantGraphLegs =
+        !sys.env.get("SPARK_GRAFT_DEEPWIDE_GRAPH").contains("0")
+      val graphRows = if (!wantGraphLegs) Seq.empty else {
+        // 1. fresh timed NN-descent build at n×d
+        val out = s"$work/graphbuild_deepwide$wideDim"
+        new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(graft.sources.IndexStore.hadoopConf)
+          .delete(new org.apache.hadoop.fs.Path(out), true)
+        sweep()
+        var t0 = System.nanoTime()
+        GraphAnn.buildGraphOver(spark, AnnSearch.normalizedCorpus(
+          spark, dwDir), out, deg)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        // 2. the graph beam recall leg vs the exact truth — the beam +
+        // exact-denominator legs are where the n×d payload product lands
+        // (frontier rows carry d-dim vectors; the truth is a brute-force
+        // n×d scan per query batch)
+        sweep()
+        t0 = System.nanoTime()
+        val approx = GraphAnn.graphSearchAt(spark, out, queries, 10,
+          GraphAnn.autoEf(n), GraphAnn.autoHops(n, deg))
+          .select(col("query_id"), col("id")).localCheckpoint(true)
+        val hits = exact.join(approx, Seq("query_id", "id"), "left_semi")
+          .count()
+        val recall = hits.toDouble / exact.count()
+        val tRecall = (System.nanoTime() - t0) / 1e9
+        val recallViols = if (recall >= 0.8) 0 else 1
+        if (recallViols > 0)
+          System.err.println(
+            s"[scaling] DEEPWIDE recall violation: $recall < 0.8")
+        // 3. the O(batch) beam-link append at n×d with its zero-row gate
+        sweep()
+        t0 = System.nanoTime()
+        val aViols = GraphAnn.graphAppendViolations(spark, dwDir,
+          batchRows = 10000L).collect()
+        val tAppend = (System.nanoTime() - t0) / 1e9
+        aViols.foreach(r => System.err.println(
+          s"[scaling] DEEPWIDE graph-append violation: $r"))
+        Seq(
+          f"""{"query":"deepwide_graph_build","t1":$tBuild%.2f,""" +
+            f""""tN":$tBuild%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+            f""""nN":$n,"dim":$wideDim}""",
+          f"""{"query":"deepwide_graph_recall","t1":$tRecall%.2f,""" +
+            f""""tN":$tRecall%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+            f""""nN":$n,"dim":$wideDim,"recall":$recall%.4f,""" +
+            f""""violations":$recallViols}""",
+          f"""{"query":"deepwide_graph_append_gate","t1":$tAppend%.2f,""" +
+            f""""tN":$tAppend%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+            f""""nN":$n,"dim":$wideDim,"batch":10000,""" +
+            f""""violations":${aViols.length}}""")
+      }
       // The IVF/PQ family at the deep×wide point (round 16, VERDICT r15
       // #2): the round-15 graph runs proved this tier finds real
       // element-loop defects, and the IVF assignment + PQ encode are the
@@ -846,18 +868,7 @@ object Scaling {
               f""""n1":$n,"nN":$n,"dim":$wideDim,""" +
               f""""recall":$pqRecall%.4f,"violations":$pqRecallViols}""")
         }
-      Seq(
-        f"""{"query":"deepwide_graph_build","t1":$tBuild%.2f,""" +
-          f""""tN":$tBuild%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
-          f""""nN":$n,"dim":$wideDim}""",
-        f"""{"query":"deepwide_graph_recall","t1":$tRecall%.2f,""" +
-          f""""tN":$tRecall%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
-          f""""nN":$n,"dim":$wideDim,"recall":$recall%.4f,""" +
-          f""""violations":$recallViols}""",
-        f"""{"query":"deepwide_graph_append_gate","t1":$tAppend%.2f,""" +
-          f""""tN":$tAppend%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
-          f""""nN":$n,"dim":$wideDim,"batch":10000,""" +
-          f""""violations":${aViols.length}}""") ++ ivfRows
+      graphRows ++ ivfRows
     }
 
     // skew tier: synthetic zipfian volume scaled by the ladder factor
