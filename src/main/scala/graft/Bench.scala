@@ -90,8 +90,14 @@ object Bench {
         // data fingerprint, fingerprint-cached like the other gates)
         "shard_merge_violations",
         // round 16: the sharded-write gate (K per-shard appends + the
-        // K′=2 re-shard rebuild — one chain per data fingerprint)
-        "shard_append_violations")
+        // K′=2 re-shard rebuild — one chain per data fingerprint), and
+        // the two round-15 Gates-wrapped entries whose one-time chain /
+        // ADC-sweep builds were landing in a dropped first timed rep
+        // instead of the recorded build phase (asof_violations grew the
+        // retention + graph chains this round — its real cold cost
+        // belongs in build_cold, not hidden by the median)
+        "shard_append_violations", "asof_violations",
+        "pq_width_violations")
       .map { n =>
       // the build phase is where every fingerprint-cached gate computes
       // its proof, so its wall time here IS the entry's real (cold)
