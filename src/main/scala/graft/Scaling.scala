@@ -868,7 +868,51 @@ object Scaling {
               f""""n1":$n,"nN":$n,"dim":$wideDim,""" +
               f""""recall":$pqRecall%.4f,"violations":$pqRecallViols}""")
         }
-      graphRows ++ ivfRows
+      // SHARDED build at the deep×wide point (round 16): the deployment
+      // answer to the 867 s / exponent-0.77–1.03 unsharded build — K
+      // hash-disjoint NN-descent builds of n/K × d each, run here
+      // sequentially (one JVM) but INDEPENDENT by construction: on a
+      // cluster they schedule in parallel, so the 100 TB build's wall
+      // clock is one shard's, not the corpus's. The row records the
+      // sequential total (the total-work comparison vs the unsharded
+      // row) and the merged scatter-gather recall vs the exact truth.
+      val shardedRows =
+        if (!sys.env.get("SPARK_GRAFT_DEEPWIDE_SHARDED").contains("1"))
+          Seq.empty
+        else {
+          import graft.operators.ShardedSearch
+          val kShards = ShardedSearch.DefaultShards
+          val firstDir = graft.sources.IndexStore.indexDir(dwDir,
+            s"graphshard$kShards-0-v1", "embeddings")
+          val cold =
+            !graft.sources.IndexStore.committed(s"$firstDir/manifest")
+          sweep()
+          var ts = System.nanoTime()
+          ShardedSearch.buildShardedGraph(spark, dwDir, kShards)
+          val tShardBuild = (System.nanoTime() - ts) / 1e9
+          sweep()
+          ts = System.nanoTime()
+          val sApprox = ShardedSearch.shardedGraphKnn(spark, dwDir)
+            .select(col("query_id"), col("id")).localCheckpoint(true)
+          val sHits = exact.join(sApprox, Seq("query_id", "id"),
+            "left_semi").count()
+          val sRecall = sHits.toDouble / exact.count()
+          val tSearch = (System.nanoTime() - ts) / 1e9
+          val sViols = if (sRecall >= 0.8) 0 else 1
+          if (sViols > 0) System.err.println(
+            s"[scaling] DEEPWIDE sharded-graph recall violation: " +
+              s"$sRecall < 0.8")
+          Seq(
+            f"""{"query":"deepwide_sharded_graph_build",""" +
+              f""""t1":$tShardBuild%.2f,"tN":$tShardBuild%.2f,""" +
+              f""""factor":1,"exponent":0.0,"n1":$n,"nN":$n,""" +
+              f""""dim":$wideDim,"shards":$kShards,"cold":$cold}""",
+            f"""{"query":"deepwide_sharded_graph_recall",""" +
+              f""""t1":$tSearch%.2f,"tN":$tSearch%.2f,"factor":1,""" +
+              f""""exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""recall":$sRecall%.4f,"violations":$sViols}""")
+        }
+      graphRows ++ ivfRows ++ shardedRows
     }
 
     // skew tier: synthetic zipfian volume scaled by the ladder factor

@@ -118,6 +118,67 @@ object ShardedSearch {
     }
   }
 
+  /** Per-shard graph degree: [[GraphAnn.autoDegree]] applied to the
+    * SHARD's size — each shard's graph is sized like a standalone index
+    * over its own 1/K of the corpus, the [[shardClusters]] rule.
+    */
+  private[operators] def shardDegree(n: Long, shards: Int): Int =
+    GraphAnn.autoDegree(math.max(1L, (n + shards - 1) / shards))
+
+  /** Build (once) the K per-shard GRAPH indexes, each through THE one
+    * NN-descent build path ([[GraphAnn.buildGraphOver]]) over its hash
+    * slice. This is the deployment answer to the build cost the
+    * deep×wide ladder measured (SCALING.md: 500k × 2048 builds in
+    * 867 s with an n-exponent of 0.77–1.03): NN-descent's cost grows
+    * at-least-linearly in n with a super-linear shuffle/spill share
+    * past the storage pool, so at 100 TB the ONE build is infeasible —
+    * but K hash-disjoint shard builds are K INDEPENDENT jobs of n/K
+    * nodes each, schedulable in parallel on separate resources, each
+    * inside the regime the ladder proved. Search inherits each shard's
+    * recall (the shard-merge theorem's approximate half: missing a
+    * neighbor requires its OWN shard's beam to miss it; other shards
+    * are unaffected).
+    */
+  def buildShardedGraph(spark: SparkSession, sfDir: String,
+                        shards: Int = DefaultShards): Seq[String] = {
+    val deg = shardDegree(AnnSearch.embeddingCount(spark, sfDir), shards)
+    (0 until shards).map { s =>
+      val dir = IndexStore.indexDir(sfDir, s"graphshard$shards-$s-v1",
+        "embeddings")
+      GraphAnn.buildGraphOver(spark,
+        AnnSearch.normalizedCorpus(spark, sfDir)
+          .filter(shardOf(col("vec_id"), shards) === s), dir, deg)
+      dir
+    }
+  }
+
+  /** Graph scatter-gather: beam each shard's graph (the one existing
+    * search path, per-shard autoEf/autoHops at the SHARD's size),
+    * gather the ≤ Q·K·k candidates, re-rank through the shared rescore
+    * tail — the [[shardedIvfKnn]] shape on the graph family. No
+    * saturation trick exists for a beam, so the merged recall floor is
+    * the per-shard `knn_graph` floor, gated in
+    * [[shardMergeViolations]].
+    */
+  def shardedGraphKnn(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 10,
+                      shards: Int = DefaultShards): DataFrame = {
+    val dirs = buildShardedGraph(spark, sfDir, shards)
+    val n = AnnSearch.embeddingCount(spark, sfDir)
+    val shardN = math.max(1L, (n + shards - 1) / shards)
+    val deg = shardDegree(n, shards)
+    val queries = queryFrame(spark, sfDir, nQueries)
+    val gathered = dirs.map { dir =>
+      GraphAnn.graphSearchAt(spark, dir, queries, k,
+          GraphAnn.autoEf(shardN), GraphAnn.autoHops(shardN, deg))
+        .select(col("query_id"), col("id"))
+    }.reduce(_ unionAll _)
+    VectorSearch.rescoreTopK(
+      gathered.join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("qu"), col("id")),
+      VectorSearch.normalized(spark, sfDir), k)
+  }
+
   /** Route one ingest batch into the sharded topology — FAISS
     * `IndexShards.add` semantics: a row's shard is the SAME pure hash of
     * its id the build used ([[shardOf]]), so routing never depends on
@@ -245,7 +306,15 @@ object ShardedSearch {
     *     theorem through the REAL index path, not just the one-plan
     *     exact form);
     *  5. `ann_sharded_recall` — default-probe (non-saturated)
-    *     [[shardedIvfKnn]] holds the IVF family recall floor.
+    *     [[shardedIvfKnn]] holds the IVF family recall floor;
+    *  6. `graph_shard_coverage` / 7. `graph_shard_disjoint` — the K
+    *     per-shard GRAPH indexes together hold exactly the corpus, no
+    *     node in two shards (round 16 — the graph family joins the
+    *     sharded topology);
+    *  8. `graph_sharded_recall` — [[shardedGraphKnn]] holds the
+    *     `knn_graph` family floor (a beam has no saturation trick, so
+    *     the merged answer's contract is the per-shard recall the
+    *     merge theorem's approximate half guarantees).
     *
     * Passing state is zero rows; each violated invariant becomes one
     * (invariant, expected, actual) row.
@@ -338,6 +407,19 @@ object ShardedSearch {
     val recall = exactPairs.join(approx, Seq("query_id", "id"),
       "left_semi").count().toDouble / math.max(1L, exactPairs.count())
     val floor = AnnSearch.DefaultRecallFloors("ivf")
+    // the graph family's sharded legs (round 16)
+    val gDirs = buildShardedGraph(spark, sfDir, DefaultShards)
+    val gShardIds = gDirs.map(d =>
+      IndexStore.loadSegments(spark, d, "vectors")
+        .select(col("vec_id")).distinct()).reduce(_ unionAll _)
+    val gCoverage = gShardIds.count().toDouble
+    val gDups = gShardIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count().toDouble
+    val gApprox = shardedGraphKnn(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("id"))
+    val gRecall = exactPairs.join(gApprox, Seq("query_id", "id"),
+      "left_semi").count().toDouble / math.max(1L, exactPairs.count())
+    val gFloor = AnnSearch.DefaultRecallFloors("knn_graph")
     val checks = Seq(
       ("exact_shard_invariance_k1",
         0.0, symDiff(shardedKnn(spark, sfDir, nQueries, k, 1)).toDouble),
@@ -348,11 +430,16 @@ object ShardedSearch {
       ("shard_disjoint", 0.0, dupIds),
       ("ann_sharded_saturated_identity",
         0.0, symDiff(shardedIvfKnn(spark, sfDir, nQueries, k,
-          DefaultShards, nProbe = -1)).toDouble))
+          DefaultShards, nProbe = -1)).toDouble),
+      ("graph_shard_coverage", n, gCoverage),
+      ("graph_shard_disjoint", 0.0, gDups))
       .filter { case (_, want, got) => want != got } ++
       (if (recall >= floor) Seq.empty
        else Seq(("ann_sharded_recall", floor,
-         math.round(recall * 10000.0) / 10000.0)))
+         math.round(recall * 10000.0) / 10000.0))) ++
+      (if (gRecall >= gFloor) Seq.empty
+       else Seq(("graph_sharded_recall", gFloor,
+         math.round(gRecall * 10000.0) / 10000.0)))
     checks.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

@@ -50,6 +50,25 @@ class ShardedSearchSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(1200))
   }
 
+  test("sharded GRAPH scatter-gather: K per-shard NN-descent indexes " +
+      "cover the corpus disjointly and the merged beam answer holds " +
+      "the knn_graph floor") {
+    val dirs = ShardedSearch.buildShardedGraph(spark, sf)
+    assert(dirs.size == ShardedSearch.DefaultShards)
+    dirs.foreach(d => assert(
+      graft.sources.IndexStore.committed(s"$d/manifest"), d))
+    val out = ShardedSearch.shardedGraphKnn(spark, sf)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach(r => assert(r.getLong(1) == 10L, r.toString))
+    val exact = VectorSearch.knnSearch(spark, sf)
+      .select("query_id", "id")
+    val hits = exact.join(out.select("query_id", "id"),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, s"sharded graph recall $recall below floor")
+  }
+
   test("the sharded-write gate is zero-row: append routing, coverage, " +
       "disjointness, and the K'=2 re-shard identity") {
     assert(ShardedSearch.shardAppendViolations(spark, sf).count() == 0L)
