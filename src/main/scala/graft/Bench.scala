@@ -97,7 +97,7 @@ object Bench {
         // retention + graph chains this round — its real cold cost
         // belongs in build_cold, not hidden by the median)
         "shard_append_violations", "asof_violations",
-        "pq_width_violations")
+        "pq_width_violations", "streaming_shard_append")
       .map { n =>
       // the build phase is where every fingerprint-cached gate computes
       // its proof, so its wall time here IS the entry's real (cold)

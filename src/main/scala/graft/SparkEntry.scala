@@ -487,6 +487,14 @@ object SparkEntry {
     "streaming_ivf_append" ->
       ((s, d) => Gates.cached(s, d, "streaming_ivf_append")(
         graft.streaming.StreamingIndex.streamingIvfAppend(s, d))),
+    // the SHARDED ingest chain (round 16): each micro-batch hash-routes
+    // into K independent per-shard version chains; zero rows = every
+    // chain advanced, coverage/disjointness held, and saturated
+    // scatter-gather over the final shard versions is bit-identical to
+    // the exact k-NN over the streamed corpus
+    "streaming_shard_append" ->
+      ((s, d) => Gates.cached(s, d, "streaming_shard_append")(
+        graft.streaming.StreamingIndex.streamingShardedAppend(s, d))),
     // the graph-family chain: each micro-batch beam-searches the
     // PREDECESSOR version for its forward edges and folds an O(batch)
     // graph delta; zero rows = chain, count and final-version recall

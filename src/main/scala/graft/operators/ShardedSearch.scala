@@ -49,7 +49,8 @@ object ShardedSearch {
     * sizes stay balanced under any id distribution — the id-ordered
     * prefix skew of a monotone ingest never lands in one shard.
     */
-  private def shardOf(c: org.apache.spark.sql.Column, shards: Int) =
+  private[graft] def shardOf(c: org.apache.spark.sql.Column,
+                             shards: Int) =
     pmod(xxhash64(c), lit(shards.toLong))
 
   private def queryFrame(spark: SparkSession, sfDir: String,

@@ -33,7 +33,7 @@ object VectorSearch {
     * `WindowGroupLimit` before the exchange (per-partition truncation to
     * k rows per query).
     */
-  private[operators] def topK(pairs: DataFrame, k: Int): DataFrame = {
+  private[graft] def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
     pairs.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

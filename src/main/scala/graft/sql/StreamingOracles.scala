@@ -17,6 +17,12 @@ private[graft] object StreamingOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the streamed SHARDED ingest chain — same zero-row contract
+    "streaming_shard_append" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // retention on the graph chain — same zero-row contract
     "graph_retention_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,

@@ -867,6 +867,120 @@ object StreamingIndex {
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
+  /** Streamed SHARDED ingest — the streaming twin of the sharded write
+    * path ([[graft.operators.ShardedSearch.appendToShards]]): each
+    * checkpointed micro-batch hash-routes its rows and every shard
+    * folds its slice into its OWN version chain,
+    * v_s(n) = appendToIvfIndexAt(v_s(n-1), slice_s(n)) — K independent
+    * O(batch/K) appends per trigger, each under the single-index replay
+    * discipline (predecessor resolved below the batch id; a committed
+    * version above the batch id fails loudly; a replayed batch rewrites
+    * its own per-shard versions from the same predecessors, idempotent
+    * behind each manifest commit). At 100 TB this IS the ingest shape:
+    * the stream fans out to K writers that share nothing — no shard
+    * ever reads or locks another's chain.
+    *
+    * Returns the zero-row violations contract:
+    *
+    *  - `version_chain` — every shard's chain reached v1 (two triggers);
+    *  - `vector_count` — the K final versions together hold base + both
+    *    batches;
+    *  - `shard_disjoint` — no vec_id indexed by two shards after the
+    *    stream (routing is a pure function of the id, so a replay or a
+    *    trigger split can never double-place a row);
+    *  - `scatter_gather_identity` — saturated scatter-gather over the K
+    *    final versions is BIT-IDENTICAL to the exact k-NN over the full
+    *    streamed corpus: the shard-merge theorem surviving a streamed
+    *    write history.
+    */
+  def streamingShardedAppend(spark: SparkSession, sfDir: String,
+                             nQueries: Int = 10,
+                             k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.squaredL2
+    import graft.operators.{AnnSearch, ShardedSearch, VectorSearch}
+    val shards = ShardedSearch.DefaultShards
+    val root = IndexStore.indexDir(sfDir, s"stream-shard$shards-v1",
+      "embeddings")
+    val landing = s"$root/landing"
+    def shifted(kk: Int, delta: Double) =
+      AnnSearch.injectionBatch(spark, sfDir, kk, delta)
+    def shardRoot(s: Int) = s"$root/s$s"
+    if (!(0 until shards).forall(s =>
+        latestVersion(shardRoot(s)).exists(_ >= 1L))) {
+      val bases = ShardedSearch.buildShardedIvf(spark, sfDir, shards)
+      stageInto(shifted(1, 0.01), landing, "batch0")
+      stageInto(shifted(2, 0.02), landing, "batch1")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          (0 until shards).foreach { s =>
+            val sr = shardRoot(s)
+            latestVersion(sr).filter(_ > batchId).foreach { v =>
+              throw new IllegalStateException(
+                s"shard root $sr has committed version v$v > batch " +
+                  s"$batchId: checkpoint/root mismatch — refusing to " +
+                  "rewrite history")
+            }
+            val baseDir = latestVersion(sr, limit = batchId)
+              .map(v => s"$sr/v$v").getOrElse(bases(s))
+            AnnSearch.appendToIvfIndexAt(spark, baseDir,
+              b.toDF().filter(
+                ShardedSearch.shardOf(col("vec_id"), shards) === s),
+              s"$sr/v$batchId")
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val finals = (0 until shards).map { s =>
+      val v = latestVersion(shardRoot(s)).getOrElse(-1L)
+      (v, s"${shardRoot(s)}/v$v")
+    }
+    val chainBad = finals.count(_._1 != 1L)
+    val ids = finals.map(f => AnnSearch.ivfVectors(spark, f._2)
+      .select(col("vec_id"))).reduce(_ unionAll _)
+    val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val nOut = ids.count()
+    val dups = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val union = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(shifted(1, 0.01)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .unionAll(shifted(2, 0.02)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .localCheckpoint(true)
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val exact = VectorSearch.topK(
+      union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          squaredL2(col("qu"), col("v")).as("dist")), k)
+      .localCheckpoint(true)
+    val got = ShardedSearch.scatterGatherAt(spark, finals.map(_._2),
+      queries, union, k, nProbe = -1, expectedQ = nQueries.toLong)
+    val diff = exact.exceptAll(got).count() + got.exceptAll(exact).count()
+    graft.operators.Checkpoints.release(union)
+    graft.operators.Checkpoints.release(exact)
+    val viols = Seq(
+      Option.when(chainBad != 0)(
+        ("version_chain", 0.0, chainBad.toDouble)),
+      Option.when(nOut != 3 * nBase)(
+        ("vector_count", 3.0 * nBase, nOut.toDouble)),
+      Option.when(dups != 0L)(
+        ("shard_disjoint", 0.0, dups.toDouble)),
+      Option.when(diff != 0L)(
+        ("scatter_gather_identity", 0.0, diff.toDouble))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
   /** DELETE-AT-INGEST — the streaming twin of the batch tombstone gate
     * (`index_delete_violations`): add/delete requests land as files in
     * ONE stream (schema + `op` column), and each checkpointed micro-batch

@@ -349,6 +349,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed SHARDED ingest: K per-shard version chains advance " +
+      "per trigger with zero violations") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    assert(StreamingIndex.streamingShardedAppend(spark, sf)
+      .collect().isEmpty)
+    // each shard's chain is two committed manifested versions
+    val root = IndexStore.indexDir(sf,
+      s"stream-shard${graft.operators.ShardedSearch.DefaultShards}-v1",
+      "embeddings")
+    for (s <- 0 until graft.operators.ShardedSearch.DefaultShards;
+         v <- Seq(0L, 1L))
+      assert(IndexStore.committed(s"$root/s$s/v$v/manifest"), s"s$s/v$v")
+  }
+
   test("streamed IVF appends chain versions with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore

@@ -30,7 +30,7 @@ CACHE_READ = {
     # round-15 Gates-wrapped entries
     "shard_merge_violations", "asof_violations", "pq_width_violations",
     # round-16 Gates-wrapped entries
-    "shard_append_violations",
+    "shard_append_violations", "streaming_shard_append",
     # recallFrame/exactKnnPairs family (round 9)
     "ann_recall", "ann_recall_violations", "ann_recall_curve",
     # cachedTrace-backed graph query entries (round 14): the beam pass
