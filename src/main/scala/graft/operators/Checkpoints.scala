@@ -79,7 +79,15 @@ private[graft] object Checkpoints {
         if (old != null && old._1 == disc) old
         else {
           if (old != null) release(old._2)
-          (disc, compute.localCheckpoint(true))
+          val frame = compute
+          // don't re-checkpoint a frame the compute already
+          // checkpointed (its plan is a LogicalRDD leaf) — a second
+          // copy of the blocks would be pinned and the inner copy
+          // never released
+          (disc, frame.queryExecution.logical match {
+            case _: LogicalRDD => frame
+            case _             => frame.localCheckpoint(true)
+          })
         })._2
     }
 

@@ -1283,23 +1283,22 @@ object GraphAnn {
     * once per JVM instead of once per gate (the
     * [[AnnSearch.exactKnnPairs]] discipline applied here).
     */
-  private val appendExactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // session-instance keyed + evicting (Checkpoints.FrameCache): the
+  // cached handle pins the SparkSession that checkpointed it, so a
+  // stop-and-recreate in the same JVM must MISS, and a superseded
+  // fingerprint or dead session releases the stale frame's blocks.
+  // `batchTag` disambiguates truths over different append batches (the
+  // sliced O(batch) regime vs the doubling fixture batch union to
+  // different corpora).
+  private val appendExactCache = new Checkpoints.FrameCache
   private def appendUnionExact(spark: SparkSession, sfDir: String,
                                union: DataFrame, nQueries: Int,
-                               k: Int, batchTag: String = ""): DataFrame = {
-    val fp = IndexStore.sourceFingerprint(sfDir, "embeddings")
-    // session-instance key: the cached handle pins the SparkSession
-    // that checkpointed it, so a stop-and-recreate in the same JVM must
-    // MISS (a hit would serve a dead DataFrame) — only the scalar
-    // caches may survive a session swap. `batchTag` disambiguates
-    // truths over different append batches (the sliced O(batch) regime
-    // vs the doubling fixture batch union to different corpora).
-    appendExactCache.computeIfAbsent(
-      s"${AnnSearch.sessionKey(spark)}#$sfDir#$fp#$nQueries#$k#$batchTag",
-      _ => AnnSearch.unionExactTopK(union,
+                               k: Int, batchTag: String = ""): DataFrame =
+    appendExactCache.getOrCompute(spark,
+      s"$sfDir#$nQueries#$k#$batchTag",
+      IndexStore.sourceFingerprint(sfDir, "embeddings"))(
+      AnnSearch.unionExactTopK(union,
         AnnSearch.fixtureQueries(spark, sfDir, nQueries), k))
-  }
 
   /** HARD gate for graph REFIT — the lifecycle step after appends (the
     * [[AnnSearch.ivfRefitViolations]] contract, zero rows = passing,
