@@ -786,7 +786,8 @@ object Scaling {
           sweep()
           var ti = System.nanoTime()
           AnnSearch.buildIvfOver(spark,
-            AnnSearch.normalizedCorpus(spark, dwDir), nc, ivfOut)
+            AnnSearch.normalizedCorpus(spark, dwDir), nc, ivfOut,
+            knownN = n)
           val tIvfBuild = (System.nanoTime() - ti) / 1e9
           // probe recall vs the exact truth computed for the graph leg
           sweep()

@@ -145,7 +145,8 @@ object AnnSearch {
                     nClusters: Int = 0): String = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = IndexStore.indexDir(sfDir, s"ivf$nc-v1", "embeddings")
-    buildIvfOver(spark, normalizedVec(spark, sfDir), nc, dir)
+    buildIvfOver(spark, normalizedVec(spark, sfDir), nc, dir,
+      knownN = embeddingCount(spark, sfDir))
     dir
   }
 
@@ -181,9 +182,18 @@ object AnnSearch {
     else data.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
   }
 
+  /** `knownN`: the corpus row count when the CALLER already holds it
+    * (a cached table count, a checkpointed union's count, or the
+    * hash-balanced per-shard expectation ⌈n/K⌉ — hash-mod slices
+    * deviate from it by O(√(n/K)), immaterial to [[fitSample]]'s
+    * 256·k heuristic bound). −1 counts here; passing it saves one full
+    * corpus scan per build — at a deep×wide corpus that scan is real
+    * I/O spent only to size a sampling stride.
+    */
   private[graft] def buildIvfOver(spark: SparkSession,
                                       corpus: DataFrame,
-                                      nClusters: Int, dir: String): Unit = {
+                                      nClusters: Int, dir: String,
+                                      knownN: Long = -1L): Unit = {
     import spark.implicits._
     val data =
       if (corpus.columns.contains("features")) corpus
@@ -192,7 +202,8 @@ object AnnSearch {
     val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
     // fit on the sample bound, assign the full corpus below
-    val model = km.fit(fitSample(data, data.count(), nClusters))
+    val n = if (knownN >= 0L) knownN else data.count()
+    val model = km.fit(fitSample(data, n, nClusters))
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
