@@ -347,6 +347,17 @@ object SparkEntry {
     "shard_append_violations" ->
       ((s, d) => Gates.cached(s, d, "shard_append_violations")(
         ShardedSearch.shardAppendViolations(s, d))),
+    // the sharded-DELETE gate (round 17 — the takedown cell of the
+    // lifecycle × topology matrix, both families): a deterministic
+    // takedown set hash-routed to its OWNING shards through the one
+    // existing tombstone path per family; zero rows = no deleted id
+    // ever surfaces in a scatter-gather, the merge is bit-identical to
+    // exact over base ∖ deleted (IVF, saturated), live counts match,
+    // unowning shards' dirs are untouched, and the graph merge holds
+    // its family floor post-delete
+    "shard_delete_violations" ->
+      ((s, d) => Gates.cached(s, d, "shard_delete_violations")(
+        ShardedSearch.shardDeleteViolations(s, d))),
     // time-travel read over the manifested store: `search VERSION AS OF
     // v` resolves the immutable version dir through the one existing
     // read path. Saturated probe at fixture scale ⇒ the as-of answer is
@@ -354,6 +365,14 @@ object SparkEntry {
     // DuckDB oracle; the gate below pins historical invariance/isolation
     // and compaction transparency
     "search_asof" -> ((s, d) => TimeTravel.searchAsOf(s, d)),
+    // the sharded topology's time travel (round 17): `VERSION AS OF v`
+    // as a per-shard cut — every shard chain resolved at its own v
+    // through the committed-manifest refusal, one scatter-gather at the
+    // cut, rescored against the shards' own stored vectors. Saturated ⇒
+    // bit-identical to the single-index as-of read — shares its oracle
+    // verbatim
+    "search_asof_sharded" ->
+      ((s, d) => TimeTravel.scatterGatherAsOf(s, d)),
     // zero rows = a version's answer never changes as the chain grows,
     // never sees later writes, and compaction is physically transparent
     // (pre/post-compaction as-of reads bit-identical). Build-once proof

@@ -166,6 +166,64 @@ object TimeTravel {
       AnnSearch.fixtureQueries(spark, sfDir, nQueries), k)
   }
 
+  /** Build (once) the K per-shard as-of chains — the sharded topology's
+    * version history: shard s's chain is `root_s/v0` (base shard +
+    * batch-1 slice) → `root_s/v1` (+ batch-2 slice), every version an
+    * ordinary manifested IVF version produced by the ONE append path
+    * over the SAME hash routing the topology's writes use
+    * ([[ShardedSearch.shardOf]] — a row's shard in the history is the
+    * shard it lives in today).
+    */
+  private[graft] def ensureShardedChain(spark: SparkSession,
+                                        sfDir: String): Seq[String] = {
+    val shards = ShardedSearch.DefaultShards
+    val base = ShardedSearch.buildShardedIvf(spark, sfDir, shards)
+    val b1 = AnnSearch.injectionBatch(spark, sfDir, 1, Deltas(0))
+    val b2 = AnnSearch.injectionBatch(spark, sfDir, 2, Deltas(1))
+    (0 until shards).map { s =>
+      val root = IndexStore.indexDir(sfDir,
+        s"ivf-asof-shard$shards-$s-v1", "embeddings")
+      if (!IndexStore.committed(s"$root/v0/manifest"))
+        AnnSearch.appendToIvfIndexAt(spark, base(s),
+          b1.filter(ShardedSearch.shardOf(col("vec_id"), shards) === s),
+          s"$root/v0")
+      if (!IndexStore.committed(s"$root/v1/manifest"))
+        AnnSearch.appendToIvfIndexAt(spark, s"$root/v0",
+          b2.filter(ShardedSearch.shardOf(col("vec_id"), shards) === s),
+          s"$root/v1")
+      root
+    }
+  }
+
+  /** `VERSION AS OF v` over the SHARDED topology: a topology version is
+    * a PER-SHARD CUT — every shard's chain resolved at its own v, each
+    * through the same committed-manifest refusal the single-index as-of
+    * read uses, then ONE scatter-gather at that cut. The rescore corpus
+    * is the shards' own stored live vectors at the cut (the data of
+    * record is the index — an as-of reader has no source table). The
+    * fixture operating point saturates every shard's probe, so the
+    * sharded as-of answer is bit-identical to the single-index
+    * [[searchAsOf]] at the same version (gated: `sharded_asof_identity`)
+    * — two topologies, one version semantics.
+    */
+  def scatterGatherAsOf(spark: SparkSession, sfDir: String,
+                        version: Int = 0, nQueries: Int = 10,
+                        k: Int = 10): DataFrame = {
+    val roots = ensureShardedChain(spark, sfDir)
+    val dirs = roots.map { r =>
+      val vDir = s"$r/v$version"
+      require(IndexStore.committed(s"$vDir/manifest"),
+        s"version $version is not committed under $r - as-of reads " +
+          "resolve committed manifests only")
+      vDir
+    }
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val corpus = dirs.map(d => AnnSearch.ivfLiveVectors(spark, d)
+      .select(col("vec_id"), col("v"))).reduce(_ unionAll _)
+    ShardedSearch.scatterGatherAt(spark, dirs, queries, corpus, k,
+      nProbe = -1, expectedQ = nQueries.toLong)
+  }
+
   /** The zero-row as-of gate (`asof_violations`):
     *
     *  1. `historical_invariance` — the as-of-v0 answer, persisted at
@@ -208,6 +266,23 @@ object TimeTravel {
     *     the graph chain (compaction transparency for the graph family
     *     is separately pinned by its delete/compact gate,
     *     [[GraphAnn.graphDeleteViolations]]).
+    *
+    * The SHARDED-topology legs (round 17 — the last lifecycle ×
+    * topology cell: time travel over the per-shard chains, read through
+    * [[scatterGatherAsOf]]):
+    *
+    *  10. `sharded_asof_identity` — the sharded as-of-v0 read is
+    *      bit-identical to the single-index [[searchAsOf]] at v0: a
+    *      topology version (per-shard cut) and an index version resolve
+    *      the SAME corpus state (both saturated ⇒ both exact over
+    *      base ∪ batch-1, sharing `search_asof`'s oracle transitively);
+    *  11. `sharded_historical_invariance` — the sharded as-of-v0
+    *      answer, frozen at chain-build time, is reproduced exactly by
+    *      a live read now that every shard chain has grown past v0;
+    *  12. `sharded_historical_isolation` — no batch-2 id in a sharded
+    *      as-of-v0 result;
+    *  13. `sharded_latest_advances` — the v1 cut's answer differs from
+    *      v0's (per-shard cuts are genuinely distinct topology states).
     */
   def asofViolations(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
@@ -274,6 +349,20 @@ object TimeTravel {
     val gAdvanced = symDiff(
       searchAsOfGraph(spark, sfDir, 1, nQueries, k), gV0Live)
 
+    // --- sharded-topology as-of (invariants 10-13) ---
+    val sRoots = ensureShardedChain(spark, sfDir)
+    val sFrozen = s"${sRoots.head}/v0_asof_frozen"
+    if (!IndexStore.committed(sFrozen))
+      IndexStore.saveDataset(
+        scatterGatherAsOf(spark, sfDir, 0, nQueries, k).coalesce(1),
+        sFrozen)
+    val sV0Live = scatterGatherAsOf(spark, sfDir, 0, nQueries, k)
+    val sIdentity = symDiff(v0Live, sV0Live)
+    val sDrift = symDiff(spark.read.parquet(sFrozen), sV0Live)
+    val sLeaked = sV0Live.filter(col("id") >= 2L * ceil).count()
+    val sAdvanced = symDiff(
+      scatterGatherAsOf(spark, sfDir, 1, nQueries, k), sV0Live)
+
     val viols = Seq(
       Option.when(drift != 0L)(
         ("historical_invariance", 0.0, drift.toDouble)),
@@ -292,7 +381,15 @@ object TimeTravel {
       Option.when(gLeaked != 0L)(
         ("graph_historical_isolation", 0.0, gLeaked.toDouble)),
       Option.when(gAdvanced == 0L)(
-        ("graph_latest_advances", 1.0, 0.0))).flatten
+        ("graph_latest_advances", 1.0, 0.0)),
+      Option.when(sIdentity != 0L)(
+        ("sharded_asof_identity", 0.0, sIdentity.toDouble)),
+      Option.when(sDrift != 0L)(
+        ("sharded_historical_invariance", 0.0, sDrift.toDouble)),
+      Option.when(sLeaked != 0L)(
+        ("sharded_historical_isolation", 0.0, sLeaked.toDouble)),
+      Option.when(sAdvanced == 0L)(
+        ("sharded_latest_advances", 1.0, 0.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

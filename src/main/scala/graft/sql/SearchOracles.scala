@@ -9,6 +9,44 @@ package graft.sql
 private[graft] object SearchOracles {
   import OracleFragments._
 
+  /** The as-of-v0 exact truth: base corpus ∪ batch-1 (ids shifted by
+    * the id ceiling, vectors +0.04 then normalized — the append path's
+    * arithmetic), brute-force k-NN. Shared VERBATIM by the single-index
+    * `search_asof` and the sharded `search_asof_sharded` reads: an
+    * index version and a topology version (per-shard cut) resolve the
+    * SAME corpus state, and both entries saturate their probes.
+    */
+  private val DuckAsOfOracle =
+    """WITH c AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS ceil
+      |  FROM embeddings
+      |), raw AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT e.vec_id + c.ceil,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) + 0.04)
+      |  FROM embeddings e, c
+      |), normed AS (
+      |  SELECT vec_id, list_transform(v, x -> x /
+      |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      |  FROM raw
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qu FROM normed WHERE vec_id < 10
+      |), pairs AS (
+      |  SELECT q.query_id, n.vec_id AS id,
+      |    list_sum(list_transform(list_zip(q.qu, n.v),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM q JOIN normed n ON n.vec_id <> q.query_id
+      |), ranked AS (
+      |  SELECT query_id, id, dist,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+      |      AS rn
+      |  FROM pairs
+      |)
+      |SELECT query_id, id, round(dist, 6) AS distance, rn
+      |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   val entries: Map[String, String] = Map(
     // HARD recall gate: the engine returns the floor-VIOLATING rows of the
     // per-method recall report, so the passing state is zero rows — the
@@ -123,36 +161,12 @@ private[graft] object SearchOracles {
     // ceiling, vectors +0.04 then normalized, exactly the append path's
     // arithmetic) — and the saturated probe makes it the exact k-NN over
     // that historical corpus, reproducible in SQL from the source table
-    "search_asof" ->
-      """WITH c AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS ceil
-        |  FROM embeddings
-        |), raw AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |  UNION ALL
-        |  SELECT e.vec_id + c.ceil,
-        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) + 0.04)
-        |  FROM embeddings e, c
-        |), normed AS (
-        |  SELECT vec_id, list_transform(v, x -> x /
-        |    sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-        |  FROM raw
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qu FROM normed WHERE vec_id < 10
-        |), pairs AS (
-        |  SELECT q.query_id, n.vec_id AS id,
-        |    list_sum(list_transform(list_zip(q.qu, n.v),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |  FROM q JOIN normed n ON n.vec_id <> q.query_id
-        |), ranked AS (
-        |  SELECT query_id, id, dist,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
-        |      AS rn
-        |  FROM pairs
-        |)
-        |SELECT query_id, id, round(dist, 6) AS distance, rn
-        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    "search_asof" -> DuckAsOfOracle,
+    // the sharded topology's as-of read: per-shard cut at v0, saturated
+    // scatter-gather ⇒ the same exact truth — the oracle VERBATIM
+    // (sharded_asof_identity in asof_violations pins the bit-identity
+    // through the index paths too)
+    "search_asof_sharded" -> DuckAsOfOracle,
     // as-of gate: zero rows = historical invariance + isolation,
     // compaction transparency, and the chain genuinely advancing
     "asof_violations" ->
@@ -175,6 +189,14 @@ private[graft] object SearchOracles {
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
     "shard_append_violations" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
+    // sharded-delete gate: zero rows = takedown routing, exclusion,
+    // post-delete merge identity, live counts, unowning-shard isolation
+    // and the graph family's post-delete recall floor all held
+    "shard_delete_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual

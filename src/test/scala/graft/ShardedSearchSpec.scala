@@ -90,6 +90,29 @@ class ShardedSearchSpec extends SparkSpec {
     }
   }
 
+  test("the sharded-DELETE gate is zero-row: exclusion, post-delete " +
+      "merge identity, live counts, and unowning-shard isolation for " +
+      "both families") {
+    val viols = ShardedSearch.shardDeleteViolations(spark, sf).collect()
+    assert(viols.isEmpty, viols.mkString("; "))
+  }
+
+  test("a takedown touches ONLY the owning shards: unowning shards get " +
+      "no new version, owning shards get a tombstone version") {
+    import org.apache.spark.sql.functions._
+    val shards = ShardedSearch.DefaultShards
+    val base = ShardedSearch.buildShardedIvf(spark, sf)
+    // ids owned by shard 0 only — every other shard must stay untouched
+    val delIds = VectorSearch.normalized(spark, sf).select(col("vec_id"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(shards.toLong)) === 0)
+      .limit(5)
+    val out = ShardedSearch.deleteFromShards(spark, sf, delIds, shards,
+      tag = "delown1")
+    assert(out.head != base.head, "owning shard must get a new version")
+    (1 until shards).foreach(s =>
+      assert(out(s) == base(s), s"unowning shard $s was touched"))
+  }
+
   test("default-probe sharded IVF is genuinely approximate machinery " +
       "with bounded candidates: <= K*k rows per query reach the gather") {
     // the non-saturated operating point must still return k full rows

@@ -35,6 +35,29 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.asofViolations(spark, sf).count() == 0L)
   }
 
+  test("sharded as-of: the per-shard cut at v0 answers bit-identically " +
+      "to the single-index as-of read — two topologies, one version " +
+      "semantics") {
+    val single = TimeTravel.searchAsOf(spark, sf, 0)
+      .collect().map(_.toSeq).toSeq
+    val sharded = TimeTravel.scatterGatherAsOf(spark, sf, 0)
+      .collect().map(_.toSeq).toSeq
+    assert(sharded.nonEmpty)
+    assert(sharded == single)
+    // and the v1 cut advances past v0 (distinct topology states)
+    val shardedV1 = TimeTravel.scatterGatherAsOf(spark, sf, 1)
+      .collect().map(_.toSeq).toSeq
+    assert(shardedV1 != sharded)
+  }
+
+  test("a sharded as-of read of an uncommitted version refuses — every " +
+      "shard chain resolves committed manifests only") {
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.scatterGatherAsOf(spark, sf, 99)
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
+
   test("as-of v0 is bit-identical across repeated reads (idempotent " +
       "resolution — no latest-version leakage)") {
     val a = TimeTravel.searchAsOf(spark, sf, 0).collect().map(_.toSeq)
