@@ -97,7 +97,12 @@ object Bench {
         // retention + graph chains this round — its real cold cost
         // belongs in build_cold, not hidden by the median)
         "shard_append_violations", "asof_violations",
-        "pq_width_violations", "streaming_shard_append")
+        "pq_width_violations", "streaming_shard_append",
+        // round 17: the sharded-delete gate (K graph-shard builds + the
+        // per-family tombstone versions — one chain per fingerprint).
+        // asof_violations above also commits the sharded as-of chains,
+        // so search_asof_sharded's timed reps read committed manifests
+        "shard_delete_violations")
       .map { n =>
       // the build phase is where every fingerprint-cached gate computes
       // its proof, so its wall time here IS the entry's real (cold)

@@ -1488,12 +1488,36 @@ object AnnSearch {
     * per-method hit joins and the curve's nine operating points all read
     * the same materialization instead of re-running the brute-force scan.
     */
+  /** Disk-committed exact brute-force truth per (fixture fingerprint,
+    * Q, k) — the denominator every recall gauge and shard-merge
+    * identity shares. The brute force is O(n·Q·d); at the wide and
+    * deep×wide tiers it had become a RECURRING per-round cost paid only
+    * to recompute bit-identical rows (round-16 VERDICT: `ann_recall`
+    * cold 15.2 s at sf0.1, the deepwide exact truth re-derived per
+    * leg), so the first computation is committed ONCE — keyed by the
+    * source fingerprint exactly like every index artifact, regenerated
+    * fixture ⇒ fresh truth — and every later JVM reads the frozen
+    * frame. `knn_search` the ENTRY stays a live computation; this is
+    * the gates'/gauges' denominator, not the query path.
+    */
+  private[graft] def exactKnnAt(spark: SparkSession, sfDir: String,
+                                nQueries: Int = 10,
+                                k: Int = 10): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir, s"exact-knn-$nQueries-$k-v1",
+      "embeddings")
+    if (!IndexStore.committed(dir))
+      IndexStore.saveDataset(
+        VectorSearch.knnSearch(spark, sfDir, nQueries, k).coalesce(1),
+        dir)
+    spark.read.parquet(dir)
+  }
+
   private val exactCache = new Checkpoints.FrameCache
   private[graft] def exactKnnPairs(spark: SparkSession, sfDir: String,
                             nQueries: Int, k: Int): DataFrame =
     exactCache.getOrCompute(spark, s"$sfDir#$nQueries#$k",
       IndexStore.sourceFingerprint(sfDir, "embeddings"))(
-      VectorSearch.knnSearch(spark, sfDir, nQueries, k)
+      exactKnnAt(spark, sfDir, nQueries, k)
         .select(col("query_id"), col("id")))
 
   private def computeRecallFrame(spark: SparkSession, sfDir: String,

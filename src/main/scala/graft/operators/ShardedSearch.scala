@@ -640,8 +640,10 @@ object ShardedSearch {
   def shardMergeViolations(spark: SparkSession, sfDir: String,
                            nQueries: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val exact = VectorSearch.knnSearch(spark, sfDir, nQueries, k)
-      .localCheckpoint(true)
+    // the shared disk-committed truth ([[AnnSearch.exactKnnAt]]) — the
+    // identity and recall legs below re-read it instead of re-running
+    // the brute force per gate
+    val exact = AnnSearch.exactKnnAt(spark, sfDir, nQueries, k)
     def symDiff(other: DataFrame): Long = {
       val a = exact.select("query_id", "id", "distance", "rn")
       val b = other.select("query_id", "id", "distance", "rn")

@@ -725,22 +725,31 @@ object StreamingIndex {
     */
   def streamingGraphAppend(spark: SparkSession, sfDir: String,
                            nQueries: Int = 10, k: Int = 10,
-                           recallFloor: Double = 0.9): DataFrame = {
+                           recallFloor: Double = 0.9,
+                           batchRows: Long = 0L): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.{AnnSearch, GraphAnn}
-    val root = IndexStore.indexDir(sfDir, "stream-graph-v6", "embeddings")
+    // `batchRows` > 0 pins the per-trigger batch size (the deep×wide
+    // tier's steady-state micro-batch shape) and keys a SEPARATE chain
+    // root — a fixture's default-shape chain must not short-circuit a
+    // differently-shaped run's counts
+    val root = IndexStore.indexDir(sfDir,
+      if (batchRows > 0L) s"stream-graph-b$batchRows-v6"
+      else "stream-graph-v6", "embeddings")
     val landing = s"$root/landing"
-    // per-trigger batches are a FIFTH of the corpus — the streamed twin
-    // exercises the INCREMENTAL (beam-link) side of the append regime
-    // switch, which is what a streamed ingest is; corpus-sized doubling
-    // batches take the rebuild side and are gated by
-    // `graph_append_violations` instead ([[GraphAnn.appendRebuilds]]).
+    // per-trigger batches default to a FIFTH of the corpus — the
+    // streamed twin exercises the INCREMENTAL (beam-link) side of the
+    // append regime switch, which is what a streamed ingest is;
+    // corpus-sized doubling batches take the rebuild side and are gated
+    // by `graph_append_violations` instead ([[GraphAnn.appendRebuilds]]).
     // Batches come from the shared id-ceiling-windowed injection
     // fixture ([[AnnSearch.injectionBatch]] — collision-free on sparse
     // blowup id spaces, unlike fixed offsets)
     val nEmb = AnnSearch.embeddingCount(spark, sfDir)
-    val bSize = math.max(1L, nEmb / 5L)
+    val bSize =
+      if (batchRows > 0L) math.min(batchRows, nEmb)
+      else math.max(1L, nEmb / 5L)
     def shifted(k: Int, delta: Double) =
       AnnSearch.injectionBatch(spark, sfDir, k, delta, rows = bSize)
     if (!latestVersion(root).exists(_ >= 1L)) {
@@ -804,16 +813,23 @@ object StreamingIndex {
 
   def streamingIvfAppend(spark: SparkSession, sfDir: String,
                          nQueries: Int = 10, k: Int = 10,
-                         recallFloor: Double = 0.5): DataFrame = {
+                         recallFloor: Double = 0.5,
+                         batchRows: Long = 0L): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorOps.l2Normalize
     import graft.operators.AnnSearch
-    val root = IndexStore.indexDir(sfDir, "stream-ivf-v3", "embeddings")
+    // `batchRows` > 0: deep×wide micro-batch shape + its own chain root
+    // (the [[streamingGraphAppend]] convention)
+    val root = IndexStore.indexDir(sfDir,
+      if (batchRows > 0L) s"stream-ivf-b$batchRows-v3"
+      else "stream-ivf-v3", "embeddings")
     val landing = s"$root/landing"
+    val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val bSize = if (batchRows > 0L) math.min(batchRows, nBase) else nBase
     // id-ceiling-windowed injection batches ([[AnnSearch.injectionBatch]]
     // — collision-free on sparse blowup id spaces)
     def shifted(k: Int, delta: Double) =
-      AnnSearch.injectionBatch(spark, sfDir, k, delta)
+      AnnSearch.injectionBatch(spark, sfDir, k, delta, rows = batchRows)
     if (!latestVersion(root).exists(_ >= 1L)) {
       val base = AnnSearch.ensureIvfIndex(spark, sfDir)
       stageInto(shifted(1, 0.01), landing, "batch0")
@@ -846,7 +862,6 @@ object StreamingIndex {
     }
     val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
-    val nBase = AnnSearch.embeddingCount(spark, sfDir)
     val nOut = AnnSearch.ivfVectors(spark, finalDir).count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(shifted(1, 0.01)
@@ -856,11 +871,12 @@ object StreamingIndex {
     val recall = AnnSearch.probeRecall(spark, finalDir, union,
       AnnSearch.fixtureQueries(spark, sfDir, nQueries), k,
       AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
+    val wantN = nBase + 2 * bSize
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),
-      Option.when(nOut != 3 * nBase)(
-        ("vector_count", 3.0 * nBase, nOut.toDouble)),
+      Option.when(nOut != wantN)(
+        ("vector_count", wantN.toDouble, nOut.toDouble)),
       Option.when(recall < recallFloor)(
         ("avg_recall", recallFloor,
           math.round(recall * 10000.0) / 10000.0))).flatten
@@ -895,16 +911,20 @@ object StreamingIndex {
     */
   def streamingShardedAppend(spark: SparkSession, sfDir: String,
                              nQueries: Int = 10,
-                             k: Int = 10): DataFrame = {
+                             k: Int = 10,
+                             batchRows: Long = 0L): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorOps.squaredL2
     import graft.operators.{AnnSearch, ShardedSearch, VectorSearch}
     val shards = ShardedSearch.DefaultShards
-    val root = IndexStore.indexDir(sfDir, s"stream-shard$shards-v1",
-      "embeddings")
+    // `batchRows` > 0: deep×wide micro-batch shape + its own chain root
+    // (the [[streamingGraphAppend]] convention)
+    val root = IndexStore.indexDir(sfDir,
+      if (batchRows > 0L) s"stream-shard$shards-b$batchRows-v1"
+      else s"stream-shard$shards-v1", "embeddings")
     val landing = s"$root/landing"
     def shifted(kk: Int, delta: Double) =
-      AnnSearch.injectionBatch(spark, sfDir, kk, delta)
+      AnnSearch.injectionBatch(spark, sfDir, kk, delta, rows = batchRows)
     def shardRoot(s: Int) = s"$root/s$s"
     if (!(0 until shards).forall(s =>
         latestVersion(shardRoot(s)).exists(_ >= 1L))) {
@@ -949,6 +969,7 @@ object StreamingIndex {
     val ids = finals.map(f => AnnSearch.ivfVectors(spark, f._2)
       .select(col("vec_id"))).reduce(_ unionAll _)
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
+    val bSize = if (batchRows > 0L) math.min(batchRows, nBase) else nBase
     val nOut = ids.count()
     val dups = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).count()
@@ -972,8 +993,8 @@ object StreamingIndex {
     val viols = Seq(
       Option.when(chainBad != 0)(
         ("version_chain", 0.0, chainBad.toDouble)),
-      Option.when(nOut != 3 * nBase)(
-        ("vector_count", 3.0 * nBase, nOut.toDouble)),
+      Option.when(nOut != nBase + 2 * bSize)(
+        ("vector_count", (nBase + 2 * bSize).toDouble, nOut.toDouble)),
       Option.when(dups != 0L)(
         ("shard_disjoint", 0.0, dups.toDouble)),
       Option.when(diff != 0L)(

@@ -364,6 +364,21 @@ class StreamingSpec extends SparkSpec {
       assert(IndexStore.committed(s"$root/s$s/v$v/manifest"), s"s$s/v$v")
   }
 
+  test("micro-batch-shaped streamed chains (batchRows pinned — the " +
+      "deep×wide tier's shape) hold the same zero-row contracts on " +
+      "their own chain roots") {
+    import graft.streaming.StreamingIndex
+    assert(StreamingIndex.streamingIvfAppend(spark, sf, batchRows = 32L)
+      .collect().isEmpty)
+    assert(StreamingIndex.streamingShardedAppend(spark, sf,
+      batchRows = 32L).collect().isEmpty)
+    // the sliced chain lives on its OWN root — the default-shape chain
+    // above is untouched by this run
+    import graft.sources.IndexStore
+    assert(IndexStore.committed(s"${IndexStore.indexDir(sf,
+      "stream-ivf-b32-v3", "embeddings")}/v1/manifest"))
+  }
+
   test("streamed IVF appends chain versions with zero violations") {
     import graft.streaming.StreamingIndex
     import graft.sources.IndexStore

@@ -31,6 +31,8 @@ CACHE_READ = {
     "shard_merge_violations", "asof_violations", "pq_width_violations",
     # round-16 Gates-wrapped entries
     "shard_append_violations", "streaming_shard_append",
+    # round-17 Gates-wrapped entries
+    "shard_delete_violations",
     # recallFrame/exactKnnPairs family (round 9)
     "ann_recall", "ann_recall_violations", "ann_recall_curve",
     # cachedTrace-backed graph query entries (round 14): the beam pass
