@@ -572,6 +572,52 @@ object AnnSearch {
     * ([[graft.streaming.StreamingIndex.pruneVersions]]): a segment lives
     * while any surviving manifest references it.
     */
+  /** Nearest-existing-centroid assignment of one append batch — THE one
+    * seam both append paths (flat [[appendToIvfIndexAt]] and PQ
+    * [[appendToIvfPqIndexAt]]) share, so assignment semantics cannot
+    * drift. Returns (vec_id, v-normalized, cluster), one row per BATCH
+    * row (duplicate ids stay distinct via a per-row uid — FAISS
+    * `add_with_ids` semantics).
+    *
+    * Shape that scales (round-17, found by the deep×wide STREAMED tier
+    * — the same class the round-15 wide ladder caught in the PQ encode,
+    * [[pqEncode]]): the previous cut ranked the batch × nc candidate
+    * blowup with a window whose every row carried BOTH d-dim arrays
+    * (batch vector + centroid), so the rank shuffle moved
+    * batch·nc·2d·8 B — ~450 GB for two 10k-row triggers at nc=707,
+    * d=2048; invisible at d=64. Here the blowup rows are projected SLIM
+    * (uid, cluster, cdist — ~24 B) before any shuffle: the argmin
+    * aggregates min(struct(cdist, cluster)) over slim rows (the
+    * window's exact (cdist, cluster)-ascending tiebreak, bit-identical
+    * assignments), and the winning cluster broadcast-joins back to the
+    * checkpointed batch. In-flight payload is O(batch·nc) slim rows +
+    * O(batch) wide rows — the d-dim arrays never ride the blowup
+    * through an exchange or a sort. The uid'd batch is checkpointed so
+    * the argmin pass and the re-join see the SAME generated ids, and
+    * released before return; the returned frame is itself checkpointed
+    * (callers release it after their version write).
+    */
+  private[graft] def assignToCentroids(spark: SparkSession,
+                                       batch: DataFrame,
+                                       centersDf: DataFrame): DataFrame = {
+    val uid = batch
+      .select(col("vec_id"), l2Normalize(col("v")).as("v"))
+      .withColumn("uid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    try {
+      val best = uid
+        .crossJoin(broadcast(centersDf))
+        .select(col("uid"), col("cluster"),
+          squaredL2(col("v"), col("center")).as("cdist"))
+        .groupBy(col("uid"))
+        .agg(min(struct(col("cdist"), col("cluster"))).as("best"))
+        .select(col("uid"), col("best").getField("cluster").as("cluster"))
+      uid.join(broadcast(best), "uid")
+        .select(col("vec_id"), col("v"), col("cluster"))
+        .localCheckpoint(true)
+    } finally Checkpoints.release(uid)
+  }
+
   private[graft] def appendToIvfIndexAt(spark: SparkSession, dir: String,
                                         batch: DataFrame, out: String,
                                         maxSegments: Int =
@@ -593,21 +639,17 @@ object AnnSearch {
         s"batch dim ${r.getInt(0)} != index dim $centerDim")
     }
     // assign each batch ROW to its nearest existing centroid (tiny
-    // broadcast of k centers, one map pass over the batch). The window
-    // partitions by a per-row uid, not vec_id: duplicate ids in one batch
-    // are appended as distinct rows (FAISS add_with_ids semantics), never
-    // silently collapsed. Overwrite clears any crashed attempt's
-    // leftovers at the segment path before this version's write.
+    // broadcast of k centers, one map pass over the batch) through the
+    // slim shared seam — see [[assignToCentroids]] for the shuffle-
+    // payload argument (the round-17 deep×wide streamed tier caught the
+    // previous window form moving batch·nc rows that each carried BOTH
+    // d-dim arrays). Keyed by a per-row uid, not vec_id: duplicate ids
+    // in one batch are appended as distinct rows (FAISS add_with_ids
+    // semantics), never silently collapsed. Overwrite clears any crashed
+    // attempt's leftovers at the segment path before this version's
+    // write.
     val segment = s"$out/segment"
-    val wb = Window.partitionBy("uid").orderBy(col("cdist"), col("cluster"))
-    val assigned = batch
-      .select(col("vec_id"), l2Normalize(col("v")).as("v"))
-      .withColumn("uid", monotonically_increasing_id())
-      .crossJoin(broadcast(centersDf))
-      .withColumn("cdist", squaredL2(col("v"), col("center")))
-      .withColumn("cr", row_number().over(wb))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
+    val assigned = assignToCentroids(spark, batch, centersDf)
     val tombSegs = ivfTombSegments(spark, dir)
     if (segments.length + 1 > maxSegments) {
       // compaction trigger ([[IndexStore.DefaultMaxSegments]]): fold the
@@ -649,6 +691,9 @@ object AnnSearch {
             ("tombstones", s, i.toLong)
           }))
     }
+    // the version is committed — the assignment's working checkpoint is
+    // dead; release deterministically ([[Checkpoints]])
+    Checkpoints.release(assigned)
   }
 
   /** DELETE from the persisted IVF index — FAISS `remove_ids` restated
@@ -1140,15 +1185,10 @@ object AnnSearch {
       r => require(r.getInt(0) == centerDim,
         s"batch dim ${r.getInt(0)} != index dim $centerDim")
     }
-    val wb = Window.partitionBy("uid").orderBy(col("cdist"), col("cluster"))
-    val assigned = batch
-      .select(col("vec_id"), l2Normalize(col("v")).as("v"))
-      .withColumn("uid", monotonically_increasing_id())
-      .crossJoin(broadcast(centersDf))
-      .withColumn("cdist", squaredL2(col("v"), col("center")))
-      .withColumn("cr", row_number().over(wb))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
+    // coarse assignment through the slim shared seam
+    // ([[assignToCentroids]] — the flat append's exact semantics and
+    // shuffle shape)
+    val assigned = assignToCentroids(spark, batch, centersDf)
     val encoded = pqEncode(spark, codebooksPath, assigned, m, nk)
     val segment = s"$out/segment"
     val tombSegs = ivfTombSegments(spark, dir)
@@ -1184,6 +1224,7 @@ object AnnSearch {
             ("tombstones", s, i.toLong)
           }))
     }
+    Checkpoints.release(assigned)
   }
 
   /** Load-or-build the PAYLOAD-CARRYING IVF layout: the same centroids
