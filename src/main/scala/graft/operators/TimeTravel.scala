@@ -224,6 +224,61 @@ object TimeTravel {
       nProbe = -1, expectedQ = nQueries.toLong)
   }
 
+  /** The GRAPH twin of [[ensureShardedChain]]: K per-shard graph
+    * chains, each version produced by the one beam-link append path
+    * over the same hash routing ([[graphBatchRows]]-sized batches so
+    * every shard's append takes the O(batch) incremental branch — the
+    * regime a streamed ingest runs).
+    */
+  private[graft] def ensureShardedGraphChain(spark: SparkSession,
+                                             sfDir: String): Seq[String] = {
+    val shards = ShardedSearch.DefaultShards
+    val base = ShardedSearch.buildShardedGraph(spark, sfDir, shards)
+    val rows = graphBatchRows(AnnSearch.embeddingCount(spark, sfDir))
+    val b1 = AnnSearch.injectionBatch(spark, sfDir, 1, Deltas(0), rows)
+    val b2 = AnnSearch.injectionBatch(spark, sfDir, 2, Deltas(1), rows)
+    (0 until shards).map { s =>
+      val root = IndexStore.indexDir(sfDir,
+        s"graph-asof-shard$shards-$s-v1", "embeddings")
+      if (!IndexStore.committed(s"$root/v0/manifest"))
+        GraphAnn.appendToGraphIndexAt(spark, base(s),
+          b1.filter(ShardedSearch.shardOf(col("vec_id"), shards) === s),
+          s"$root/v0")
+      if (!IndexStore.committed(s"$root/v1/manifest"))
+        GraphAnn.appendToGraphIndexAt(spark, s"$root/v0",
+          b2.filter(ShardedSearch.shardOf(col("vec_id"), shards) === s),
+          s"$root/v1")
+      root
+    }
+  }
+
+  /** `VERSION AS OF v` over the sharded GRAPH topology — the
+    * [[scatterGatherAsOf]] semantics on the beam family: every shard
+    * chain resolved at its own v (committed-manifest refusal per
+    * shard), beamed with knobs auto-derived from each version's own
+    * state, gathered through the shared rescore tail against the
+    * shards' stored vectors at the cut. Approximate by nature, so its
+    * correctness surface is the gate's frozen-answer invariance rows
+    * (the [[searchAsOfGraph]] convention), not a SQL oracle.
+    */
+  def scatterGatherAsOfGraph(spark: SparkSession, sfDir: String,
+                             version: Int = 0, nQueries: Int = 10,
+                             k: Int = 10): DataFrame = {
+    val roots = ensureShardedGraphChain(spark, sfDir)
+    val dirs = roots.map { r =>
+      val vDir = s"$r/v$version"
+      require(IndexStore.committed(s"$vDir/manifest"),
+        s"version $version is not committed under $r - as-of reads " +
+          "resolve committed manifests only")
+      vDir
+    }
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val corpus = dirs.map(d =>
+      IndexStore.loadSegments(spark, d, "vectors")
+        .select(col("vec_id"), col("v"))).reduce(_ unionAll _)
+    ShardedSearch.scatterGatherGraphAt(spark, dirs, queries, corpus, k)
+  }
+
   /** The zero-row as-of gate (`asof_violations`):
     *
     *  1. `historical_invariance` — the as-of-v0 answer, persisted at
@@ -282,7 +337,13 @@ object TimeTravel {
     *  12. `sharded_historical_isolation` — no batch-2 id in a sharded
     *      as-of-v0 result;
     *  13. `sharded_latest_advances` — the v1 cut's answer differs from
-    *      v0's (per-shard cuts are genuinely distinct topology states).
+    *      v0's (per-shard cuts are genuinely distinct topology states);
+    *  14-16. `sharded_graph_historical_invariance` /
+    *      `sharded_graph_historical_isolation` /
+    *      `sharded_graph_latest_advances` — the same cut semantics on
+    *      the GRAPH topology ([[scatterGatherAsOfGraph]], frozen-answer
+    *      discipline — the beam family's correctness surface), closing
+    *      the as-of × topology × family matrix.
     */
   def asofViolations(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
@@ -363,6 +424,19 @@ object TimeTravel {
     val sAdvanced = symDiff(
       scatterGatherAsOf(spark, sfDir, 1, nQueries, k), sV0Live)
 
+    // --- sharded GRAPH-topology as-of (invariants 14-16) ---
+    val sgRoots = ensureShardedGraphChain(spark, sfDir)
+    val sgFrozen = s"${sgRoots.head}/v0_asof_frozen"
+    if (!IndexStore.committed(sgFrozen))
+      IndexStore.saveDataset(
+        scatterGatherAsOfGraph(spark, sfDir, 0, nQueries, k).coalesce(1),
+        sgFrozen)
+    val sgV0Live = scatterGatherAsOfGraph(spark, sfDir, 0, nQueries, k)
+    val sgDrift = symDiff(spark.read.parquet(sgFrozen), sgV0Live)
+    val sgLeaked = sgV0Live.filter(col("id") >= 2L * ceil).count()
+    val sgAdvanced = symDiff(
+      scatterGatherAsOfGraph(spark, sfDir, 1, nQueries, k), sgV0Live)
+
     val viols = Seq(
       Option.when(drift != 0L)(
         ("historical_invariance", 0.0, drift.toDouble)),
@@ -389,7 +463,13 @@ object TimeTravel {
       Option.when(sLeaked != 0L)(
         ("sharded_historical_isolation", 0.0, sLeaked.toDouble)),
       Option.when(sAdvanced == 0L)(
-        ("sharded_latest_advances", 1.0, 0.0))).flatten
+        ("sharded_latest_advances", 1.0, 0.0)),
+      Option.when(sgDrift != 0L)(
+        ("sharded_graph_historical_invariance", 0.0, sgDrift.toDouble)),
+      Option.when(sgLeaked != 0L)(
+        ("sharded_graph_historical_isolation", 0.0, sgLeaked.toDouble)),
+      Option.when(sgAdvanced == 0L)(
+        ("sharded_graph_latest_advances", 1.0, 0.0))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

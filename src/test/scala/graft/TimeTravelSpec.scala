@@ -50,6 +50,21 @@ class TimeTravelSpec extends SparkSpec {
     assert(shardedV1 != sharded)
   }
 
+  test("sharded GRAPH as-of: the v0 and v1 cuts resolve distinct " +
+      "states, v0 never surfaces batch-2 ids, and resolution is " +
+      "idempotent") {
+    import org.apache.spark.sql.functions.col
+    val v0a = TimeTravel.scatterGatherAsOfGraph(spark, sf, 0)
+    val v0b = TimeTravel.scatterGatherAsOfGraph(spark, sf, 0)
+    val v1 = TimeTravel.scatterGatherAsOfGraph(spark, sf, 1)
+    val a = v0a.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a == v0b.collect().map(_.toSeq).toSeq)
+    assert(a != v1.collect().map(_.toSeq).toSeq)
+    val ceil = graft.operators.AnnSearch.embeddingIdCeiling(spark, sf)
+    assert(v0a.filter(col("id") >= 2L * ceil).count() == 0L)
+  }
+
   test("a sharded as-of read of an uncommitted version refuses — every " +
       "shard chain resolves committed manifests only") {
     val e = intercept[IllegalArgumentException] {
