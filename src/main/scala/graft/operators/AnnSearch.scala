@@ -408,6 +408,22 @@ object AnnSearch {
   private[graft] def ivfVectors(spark: SparkSession, dir: String): DataFrame =
     IndexStore.readUnion(spark, ivfLayout(spark, dir)._2)
 
+  /** The version's cluster count, cached per COMMITTED centroids path
+    * (immutable once committed — the [[IndexStore.readManifest]] cache's
+    * argument): saturated readers (`nProbe = -1`) derive it per dir, and
+    * without the cache a K-shard scatter-gather pays K count jobs per
+    * call for a number that never changes.
+    */
+  private val clusterCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private[graft] def clusterCountAt(spark: SparkSession,
+                                    dir: String): Int = {
+    val cPath = ivfLayout(spark, dir)._1
+    def load() = spark.read.parquet(cPath).count().toInt
+    if (!IndexStore.committed(cPath)) load()
+    else clusterCountCache.computeIfAbsent(cPath, _ => load()).intValue()
+  }
+
   /** The version's TOMBSTONE segment paths — the DELETE half of the index
     * lifecycle (the reference wraps its index in `IndexIDMap`,
     * `main.py:60-62`, precisely so entries are id-addressable — FAISS's

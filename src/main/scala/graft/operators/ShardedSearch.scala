@@ -366,8 +366,7 @@ object ShardedSearch {
                                      k: Int, nProbe: Int,
                                      expectedQ: Long): DataFrame = {
     val gathered = dirs.map { dir =>
-      val nc = spark.read.parquet(
-        AnnSearch.ivfLayout(spark, dir)._1).count().toInt
+      val nc = AnnSearch.clusterCountAt(spark, dir)
       val p = if (nProbe == -1) nc else math.min(nProbe, nc)
       AnnSearch.ivfSearchAt(spark, dir, queries, k, p, expectedQ)
         .select(col("query_id"), col("id"))

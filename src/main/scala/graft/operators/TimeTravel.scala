@@ -88,8 +88,7 @@ object TimeTravel {
       s"version $version is not committed under $root - as-of reads " +
         "resolve committed manifests only")
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val nc = spark.read.parquet(
-      AnnSearch.ivfLayout(spark, vDir)._1).count().toInt
+    val nc = AnnSearch.clusterCountAt(spark, vDir)
     val p = if (nProbe == -1) nc else nProbe
     AnnSearch.searchIndexAt(spark, vDir, queries, k, p,
       expectedQ = nQueries.toLong)
@@ -364,8 +363,7 @@ object TimeTravel {
     val leaked = v0Live.filter(col("id") >= 2L * ceil).count()
     val v1 = searchAsOf(spark, sfDir, 1, nQueries, k)
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val nc = spark.read.parquet(
-      AnnSearch.ivfLayout(spark, compacted)._1).count().toInt
+    val nc = AnnSearch.clusterCountAt(spark, compacted)
     val compactRead = AnnSearch.searchIndexAt(spark, compacted, queries,
       k, nc, expectedQ = nQueries.toLong)
     val compactDrift = symDiff(v1, compactRead)

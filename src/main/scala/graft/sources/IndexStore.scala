@@ -150,13 +150,34 @@ object IndexStore {
     * seq). The row count is the number of segments ever appended — at most
     * versions-retained × artifacts — so the collect is control-plane
     * metadata, never data.
+    *
+    * COMMITTED manifests are cached per JVM (plain Scala rows — no
+    * session or DataFrame pinned): the commit protocol makes a committed
+    * manifest immutable (written LAST, exactly once — replay
+    * short-circuits on the commit marker, version dirs are never
+    * reused), so re-reading it is a pure re-fetch of identical bytes.
+    * Without the cache every manifested read path (layout resolution,
+    * tombstone lookup, segment load) pays one Spark job per manifest
+    * per call — a K-shard scatter-gather over version chains was
+    * spending more jobs on manifest re-reads than on the searches
+    * (round 17, `search_asof_sharded`). An UNCOMMITTED path skips the
+    * cache entirely and keeps its read-fails-loudly behavior; a
+    * retention-vacuumed dir stays refused by its callers'
+    * `committed(...)` requires, which check the filesystem, not this
+    * cache.
     */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String, Long)]]()
+
   def readManifest(spark: SparkSession,
-                   versionDir: String): Seq[(String, String, Long)] =
-    spark.read.parquet(s"$versionDir/manifest")
+                   versionDir: String): Seq[(String, String, Long)] = {
+    def load() = spark.read.parquet(s"$versionDir/manifest")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(e => (e._1, e._3)).toSeq
+    if (!committed(s"$versionDir/manifest")) load()
+    else manifestCache.computeIfAbsent(versionDir, _ => load())
+  }
 
   /** seq-ordered segment paths of one artifact. */
   def manifestSegments(entries: Seq[(String, String, Long)],
