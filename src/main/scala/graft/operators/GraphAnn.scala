@@ -1176,6 +1176,21 @@ object GraphAnn {
       baseMan :+ (("tombstones", s"$out/seg/del/tombstones", seq)))
   }
 
+  /** The version's LIVE vector table — raw segments minus tombstoned
+    * ids (the graph twin of [[AnnSearch.ivfLiveVectors]]): what "the
+    * index holds" means once deletes exist, and the data of record a
+    * re-shard rebuilds from ([[ShardedSearch.reshardGraph]]).
+    */
+  private[graft] def graphLiveVectors(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    val vecs = artifact(spark, dir, "vectors")
+      .select(col("vec_id"), col("v"))
+    tombstones(spark, dir) match {
+      case None    => vecs
+      case Some(t) => vecs.join(broadcast(t), Seq("vec_id"), "left_anti")
+    }
+  }
+
   /** The version's deleted-id set, or None for an undeleted version so
     * the search plan stays join-free there.
     */

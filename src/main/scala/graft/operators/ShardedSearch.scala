@@ -354,6 +354,36 @@ object ShardedSearch {
     } finally Checkpoints.release(stored)
   }
 
+  /** Re-shard the GRAPH topology: rebuild a K′-shard graph topology
+    * FROM the stored shards' live vectors (tombstone-masked, appended
+    * rows included — [[reshardIvf]]'s data-of-record contract on the
+    * beam family). Each new shard rebuilds through the one NN-descent
+    * build path at its own n/K′ sizing — a re-shard is K′ independent
+    * builds of exactly the shape the deep×wide measurement priced
+    * (SCALING.md round-16: K feasible jobs, spill deleted), which is
+    * why changing K on a live graph deployment is an operation, not a
+    * migration.
+    */
+  def reshardGraph(spark: SparkSession, sfDir: String,
+                   srcDirs: Seq[String], shards: Int,
+                   tag: String): Seq[String] = {
+    // ONE pass over the K-way union (the [[reshardIvf]] checkpoint
+    // rule: at a real re-shard the union is corpus-sized and would
+    // otherwise re-scan once for the count + once per new shard)
+    val stored = srcDirs.map(d => GraphAnn.graphLiveVectors(spark, d))
+      .reduce(_ unionAll _).localCheckpoint(true)
+    try {
+      val deg = shardDegree(stored.count(), shards)
+      (0 until shards).map { s =>
+        val dir = IndexStore.indexDir(sfDir,
+          s"graphreshard$shards-$s-$tag-v1", "embeddings")
+        GraphAnn.buildGraphOver(spark,
+          stored.filter(shardOf(col("vec_id"), shards) === s), dir, deg)
+        dir
+      }
+    } finally Checkpoints.release(stored)
+  }
+
   /** Scatter-gather over EXPLICIT shard version dirs with an explicit
     * rescore corpus — the post-append / post-re-shard read path: probe
     * each dir (saturated when `nProbe` = -1, at the dir's own cluster
@@ -516,17 +546,41 @@ object ShardedSearch {
     val gRecall = exactPairs.join(gApprox, Seq("query_id", "id"),
       "left_semi").count().toDouble / math.max(1L, exactPairs.count())
     val gFloor = AnnSearch.DefaultRecallFloors("knn_graph")
+    // the GRAPH family's re-shard (round 17 — symmetry with
+    // `reshard_identity` above): a K′=2 graph topology rebuilt FROM the
+    // appended K=4 graph shards' stored vectors must hold exactly
+    // base ∪ batch (coverage/disjointness — the corpus survives the
+    // re-shard) and its merged beam must hold the family floor against
+    // the SAME exact truth (a beam has no saturation trick, so the
+    // re-shard contract is the merge theorem's approximate half at the
+    // new K)
+    val gResharded = reshardGraph(spark, sfDir, gAppended, 2, "gapp1")
+    val rIds = gResharded.map(d =>
+      IndexStore.loadSegments(spark, d, "vectors")
+        .select(col("vec_id"))).reduce(_ unionAll _)
+    val rCoverage = rIds.count().toDouble
+    val rDups = rIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count().toDouble
+    val rApprox = scatterGatherGraphAt(spark, gResharded, queries,
+      union, k).select(col("query_id"), col("id"))
+    val rRecall = exactPairs.join(rApprox, Seq("query_id", "id"),
+      "left_semi").count().toDouble / math.max(1L, exactPairs.count())
     val checks = Seq(
       ("append_scatter_gather", 0.0, satDiff.toDouble),
       ("append_coverage", want, coverage),
       ("append_disjoint", 0.0, dupIds),
       ("reshard_identity", 0.0, reDiff.toDouble),
       ("graph_append_coverage", want, gCoverage),
-      ("graph_append_disjoint", 0.0, gDups))
+      ("graph_append_disjoint", 0.0, gDups),
+      ("graph_reshard_coverage", want, rCoverage),
+      ("graph_reshard_disjoint", 0.0, rDups))
       .filter { case (_, wantV, got) => wantV != got } ++
       (if (gRecall >= gFloor) Seq.empty
        else Seq(("graph_append_recall", gFloor,
-         math.round(gRecall * 10000.0) / 10000.0)))
+         math.round(gRecall * 10000.0) / 10000.0))) ++
+      (if (rRecall >= gFloor) Seq.empty
+       else Seq(("graph_reshard_recall", gFloor,
+         math.round(rRecall * 10000.0) / 10000.0)))
     Checkpoints.release(union)
     Checkpoints.release(exact)
     checks.toDF("invariant", "expected", "actual").orderBy("invariant")

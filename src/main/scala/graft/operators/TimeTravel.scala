@@ -207,8 +207,24 @@ object TimeTravel {
     */
   def scatterGatherAsOf(spark: SparkSession, sfDir: String,
                         version: Int = 0, nQueries: Int = 10,
-                        k: Int = 10): DataFrame = {
-    val roots = ensureShardedChain(spark, sfDir)
+                        k: Int = 10): DataFrame =
+    scatterGatherChainAt(spark, ensureShardedChain(spark, sfDir), sfDir,
+      version, nQueries, k)
+
+  /** [[scatterGatherAsOf]] against EXPLICIT per-shard chain roots — the
+    * shared cut-resolution convention (the [[searchChainAt]] seam on
+    * the sharded topology), so the sharded retention gate below reads
+    * through exactly the path a user's sharded as-of read takes: every
+    * shard's chain resolved at its own v behind the committed-manifest
+    * refusal (ONE vacuumed shard version refuses the whole cut — a
+    * partial cut served silently would mix corpus states), then one
+    * scatter-gather at the cut against the shards' own stored live
+    * vectors.
+    */
+  private def scatterGatherChainAt(spark: SparkSession,
+                                   roots: Seq[String], sfDir: String,
+                                   version: Int, nQueries: Int,
+                                   k: Int): DataFrame = {
     val dirs = roots.map { r =>
       val vDir = s"$r/v$version"
       require(IndexStore.committed(s"$vDir/manifest"),
@@ -221,6 +237,38 @@ object TimeTravel {
       .select(col("vec_id"), col("v"))).reduce(_ unionAll _)
     ShardedSearch.scatterGatherAt(spark, dirs, queries, corpus, k,
       nProbe = -1, expectedQ = nQueries.toLong)
+  }
+
+  /** Build (once) the K per-shard 3-version RETENTION chains — the
+    * sharded twin of [[ensureRetentionChain]], one more version than
+    * the as-of chains so a `keep = 2` vacuum has something to doom,
+    * at a SEPARATE root per shard: the vacuum is destructive and the
+    * main sharded chains must stay readable for [[asofViolations]]'
+    * invariance legs. Replay-safe on v2's manifest per shard (the
+    * single-index chain's discipline: after the gate's vacuum has run,
+    * the v2 key keeps re-entries from rebuilding a chain whose base
+    * version was legitimately pruned).
+    */
+  private[graft] def ensureShardedRetentionChain(
+      spark: SparkSession, sfDir: String): Seq[String] = {
+    val shards = ShardedSearch.DefaultShards
+    val base = ShardedSearch.buildShardedIvf(spark, sfDir, shards)
+    val batches = Seq(
+      AnnSearch.injectionBatch(spark, sfDir, 1, Deltas(0)),
+      AnnSearch.injectionBatch(spark, sfDir, 2, Deltas(1)),
+      AnnSearch.injectionBatch(spark, sfDir, 3, 0.06))
+    (0 until shards).map { s =>
+      val root = IndexStore.indexDir(sfDir,
+        s"ivf-asof-shard$shards-ret-$s-v1", "embeddings")
+      if (!IndexStore.committed(s"$root/v2/manifest"))
+        batches.zipWithIndex.foldLeft(base(s)) { case (prev, (b, v)) =>
+          AnnSearch.appendToIvfIndexAt(spark, prev,
+            b.filter(ShardedSearch.shardOf(col("vec_id"), shards) === s),
+            s"$root/v$v")
+          s"$root/v$v"
+        }
+      root
+    }
   }
 
   /** The GRAPH twin of [[ensureShardedChain]]: K per-shard graph
@@ -343,6 +391,21 @@ object TimeTravel {
     *      the GRAPH topology ([[scatterGatherAsOfGraph]], frozen-answer
     *      discipline — the beam family's correctness surface), closing
     *      the as-of × topology × family matrix.
+    *
+    * The SHARDED × RETENTION legs (round 17, on the separate K-chain
+    * [[ensureShardedRetentionChain]] — the vacuum is destructive and
+    * runs per shard root, the shape a deployment's retention job takes):
+    *
+    *  17. `sharded_retention_refusal` — after every shard's chain is
+    *      vacuumed at keep = 2 (dooming each v0), the v0 CUT must
+    *      REFUSE: one missing shard manifest refuses the whole
+    *      scatter-gather, because a partial cut served silently would
+    *      mix corpus states across shards. Non-vacuity built in (a
+    *      no-op vacuum lets the read succeed and fires the row);
+    *  18. `sharded_retention_survivor_invariance` — the surviving v1/v2
+    *      cuts' answers, frozen BEFORE the vacuum, reproduce exactly
+    *      after it (per-shard refcounting kept every segment any
+    *      survivor's manifest references).
     */
   def asofViolations(spark: SparkSession, sfDir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
@@ -435,6 +498,35 @@ object TimeTravel {
     val sgAdvanced = symDiff(
       scatterGatherAsOfGraph(spark, sfDir, 1, nQueries, k), sgV0Live)
 
+    // --- sharded topology × retention (invariants 17/18 — the
+    // destructive per-shard chains; the vacuum runs per shard root,
+    // exactly the operation a 100 TB deployment's retention job
+    // schedules against each shard's chain independently) ---
+    val sRetRoots = ensureShardedRetentionChain(spark, sfDir)
+    val sRetFrozen = Seq(1, 2).map { v =>
+      val f = s"${sRetRoots.head}/frozen_cut_v$v"
+      if (!IndexStore.committed(f))
+        IndexStore.saveDataset(
+          scatterGatherChainAt(spark, sRetRoots, sfDir, v, nQueries, k)
+            .coalesce(1), f)
+      f
+    }
+    sRetRoots.foreach(r =>
+      graft.streaming.StreamingIndex.pruneVersions(spark, r, keep = 2))
+    // the pruned cut must REFUSE (one vacuumed shard version is enough
+    // — a partial cut is a mixed corpus state); doubles as the vacuum's
+    // non-vacuity check
+    val sRefused =
+      try {
+        scatterGatherChainAt(spark, sRetRoots, sfDir, 0, nQueries, k)
+          .count()
+        0.0
+      } catch { case _: IllegalArgumentException => 1.0 }
+    val sSurvivorDrift = sRetFrozen.zip(Seq(1, 2)).map { case (f, v) =>
+      symDiff(spark.read.parquet(f),
+        scatterGatherChainAt(spark, sRetRoots, sfDir, v, nQueries, k))
+    }.sum
+
     val viols = Seq(
       Option.when(drift != 0L)(
         ("historical_invariance", 0.0, drift.toDouble)),
@@ -467,7 +559,12 @@ object TimeTravel {
       Option.when(sgLeaked != 0L)(
         ("sharded_graph_historical_isolation", 0.0, sgLeaked.toDouble)),
       Option.when(sgAdvanced == 0L)(
-        ("sharded_graph_latest_advances", 1.0, 0.0))).flatten
+        ("sharded_graph_latest_advances", 1.0, 0.0)),
+      Option.when(sRefused != 1.0)(
+        ("sharded_retention_refusal", 1.0, sRefused)),
+      Option.when(sSurvivorDrift != 0L)(
+        ("sharded_retention_survivor_invariance", 0.0,
+          sSurvivorDrift.toDouble))).flatten
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

@@ -113,6 +113,29 @@ class ShardedSearchSpec extends SparkSpec {
       assert(out(s) == base(s), s"unowning shard $s was touched"))
   }
 
+  test("graph re-shard rebuilds from the stored LIVE vectors — " +
+      "tombstoned ids do not survive into the K'=2 topology") {
+    import org.apache.spark.sql.functions._
+    val shards = ShardedSearch.DefaultShards
+    val delIds = VectorSearch.normalized(spark, sf).select(col("vec_id"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(shards.toLong)) === 0)
+      .limit(5).localCheckpoint(true)
+    val deleted = ShardedSearch.deleteFromGraphShards(spark, sf, delIds,
+      shards, tag = "gdelrs1")
+    val re = ShardedSearch.reshardGraph(spark, sf, deleted, 2, "gdelrs1")
+    assert(re.size == 2)
+    val ids = re.map(d => graft.sources.IndexStore
+        .loadSegments(spark, d, "vectors").select(col("vec_id")))
+      .reduce(_ unionAll _)
+    assert(ids.join(delIds, Seq("vec_id"), "left_semi").count() == 0L,
+      "a tombstoned id re-appeared in the re-sharded topology")
+    val n = graft.operators.AnnSearch.embeddingCount(spark, sf)
+    assert(ids.count() == n - delIds.count(),
+      "re-shard coverage must be exactly the live corpus")
+    assert(ids.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
   test("default-probe sharded IVF is genuinely approximate machinery " +
       "with bounded candidates: <= K*k rows per query reach the gather") {
     // the non-saturated operating point must still return k full rows

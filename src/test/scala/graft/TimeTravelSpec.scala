@@ -94,6 +94,21 @@ class TimeTravelSpec extends SparkSpec {
       assert(graft.sources.IndexStore.committed(s"$root/v$v/manifest"), v)
   }
 
+  test("sharded retention chains: a keep=2 vacuum per shard dooms " +
+      "every v0 while each shard's survivors stay committed") {
+    val roots = TimeTravel.ensureShardedRetentionChain(spark, sf)
+    assert(roots.size == graft.operators.ShardedSearch.DefaultShards)
+    roots.foreach(r =>
+      graft.streaming.StreamingIndex.pruneVersions(spark, r, keep = 2))
+    roots.foreach { r =>
+      assert(!graft.sources.IndexStore.committed(s"$r/v0/manifest"),
+        s"$r: keep=2 over a 3-version chain must doom v0")
+      for (v <- Seq(1, 2))
+        assert(graft.sources.IndexStore.committed(s"$r/v$v/manifest"),
+          s"$r/v$v")
+    }
+  }
+
   test("graph-family as-of: v0 and v1 resolve distinct states, v0 never " +
       "sees batch-2 ids, and resolution is idempotent") {
     val v0 = TimeTravel.searchAsOfGraph(spark, sf, 0).collect()
