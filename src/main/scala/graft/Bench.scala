@@ -102,7 +102,11 @@ object Bench {
         // per-family tombstone versions — one chain per fingerprint).
         // asof_violations above also commits the sharded as-of chains,
         // so search_asof_sharded's timed reps read committed manifests
-        "shard_delete_violations")
+        "shard_delete_violations",
+        // round 17: the streamed sharded GRAPH ingest (K per-shard
+        // beam-link chains under one checkpoint — one chain per
+        // fingerprint; timed reps re-read the committed gate frame)
+        "streaming_graph_shard_append")
       .map { n =>
       // the build phase is where every fingerprint-cached gate computes
       // its proof, so its wall time here IS the entry's real (cold)

@@ -514,6 +514,14 @@ object SparkEntry {
     "streaming_shard_append" ->
       ((s, d) => Gates.cached(s, d, "streaming_shard_append")(
         graft.streaming.StreamingIndex.streamingShardedAppend(s, d))),
+    // the streamed sharded ingest on the GRAPH family: K per-shard
+    // beam-link chains per checkpointed trigger; zero rows = every
+    // chain advanced, coverage/disjointness held, and the merged beam
+    // scatter-gather over the final shard versions holds the family
+    // floor against the exact k-NN over the streamed corpus
+    "streaming_graph_shard_append" ->
+      ((s, d) => Gates.cached(s, d, "streaming_graph_shard_append")(
+        graft.streaming.StreamingIndex.streamingGraphShardedAppend(s, d))),
     // the graph-family chain: each micro-batch beam-searches the
     // PREDECESSOR version for its forward edges and folds an O(batch)
     // graph delta; zero rows = chain, count and final-version recall

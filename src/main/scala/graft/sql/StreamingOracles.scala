@@ -23,6 +23,13 @@ private[graft] object StreamingOracles {
         |  CAST(NULL AS DOUBLE) AS expected,
         |  CAST(NULL AS DOUBLE) AS actual
         |WHERE 1 = 0""".stripMargin,
+    // the streamed sharded ingest on the GRAPH family — same zero-row
+    // contract
+    "streaming_graph_shard_append" ->
+      """SELECT CAST(NULL AS VARCHAR) AS invariant,
+        |  CAST(NULL AS DOUBLE) AS expected,
+        |  CAST(NULL AS DOUBLE) AS actual
+        |WHERE 1 = 0""".stripMargin,
     // retention on the graph chain — same zero-row contract
     "graph_retention_violations" ->
       """SELECT CAST(NULL AS VARCHAR) AS invariant,

@@ -1002,6 +1002,125 @@ object StreamingIndex {
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
+  /** Streamed SHARDED ingest for the GRAPH family — the
+    * [[streamingShardedAppend]] contract on the beam topology: each
+    * checkpointed micro-batch hash-routes its rows and every graph
+    * shard beam-links its slice into its OWN version chain,
+    * v_s(n) = [[graft.operators.GraphAnn.appendToGraphIndexAt]](
+    * v_s(n-1), slice_s(n)) — K independent O(batch/K) appends per
+    * trigger, each under the single-index replay discipline. The
+    * per-trigger default (a fifth of the corpus, so an n/20 slice
+    * against an n/4 shard) keeps every shard append squarely in the
+    * INCREMENTAL beam-link regime a streamed ingest actually runs
+    * ([[graft.operators.GraphAnn.appendRebuilds]] — doubling-sized
+    * batches take the rebuild side, gated by
+    * `graph_append_violations`).
+    *
+    * Returns the zero-row violations contract:
+    *
+    *  - `version_chain` — every shard's chain reached v1 (two triggers);
+    *  - `vector_count` — the K final versions together hold base + both
+    *    batches;
+    *  - `shard_disjoint` — no vec_id indexed by two shards after the
+    *    stream (routing is a pure function of the id);
+    *  - `avg_recall` — the merged beam scatter-gather over the K final
+    *    versions holds the floor against the exact k-NN over the full
+    *    streamed corpus (a beam has no saturation trick, so the
+    *    streamed-write contract is the shard-merge theorem's
+    *    approximate half — the [[streamingGraphAppend]] convention).
+    */
+  def streamingGraphShardedAppend(spark: SparkSession, sfDir: String,
+                                  nQueries: Int = 10, k: Int = 10,
+                                  recallFloor: Double = 0.9,
+                                  batchRows: Long = 0L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.l2Normalize
+    import graft.operators.{AnnSearch, GraphAnn, ShardedSearch}
+    val shards = ShardedSearch.DefaultShards
+    val root = IndexStore.indexDir(sfDir,
+      if (batchRows > 0L) s"stream-gshard$shards-b$batchRows-v1"
+      else s"stream-gshard$shards-v1", "embeddings")
+    val landing = s"$root/landing"
+    val nEmb = AnnSearch.embeddingCount(spark, sfDir)
+    val bSize =
+      if (batchRows > 0L) math.min(batchRows, nEmb)
+      else math.max(1L, nEmb / 5L)
+    def shifted(kk: Int, delta: Double) =
+      AnnSearch.injectionBatch(spark, sfDir, kk, delta, rows = bSize)
+    def shardRoot(s: Int) = s"$root/s$s"
+    if (!(0 until shards).forall(s =>
+        latestVersion(shardRoot(s)).exists(_ >= 1L))) {
+      val bases = ShardedSearch.buildShardedGraph(spark, sfDir, shards)
+      stageInto(shifted(1, 0.01), landing, "batch0")
+      stageInto(shifted(2, 0.02), landing, "batch1")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row],
+                         batchId: Long) =>
+          (0 until shards).foreach { s =>
+            val sr = shardRoot(s)
+            latestVersion(sr).filter(_ > batchId).foreach { v =>
+              throw new IllegalStateException(
+                s"graph shard root $sr has committed version v$v > " +
+                  s"batch $batchId: checkpoint/root mismatch — " +
+                  "refusing to rewrite history")
+            }
+            val baseDir = latestVersion(sr, limit = batchId)
+              .map(v => s"$sr/v$v").getOrElse(bases(s))
+            GraphAnn.appendToGraphIndexAt(spark, baseDir,
+              b.toDF().filter(
+                ShardedSearch.shardOf(col("vec_id"), shards) === s),
+              s"$sr/v$batchId")
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val finals = (0 until shards).map { s =>
+      val v = latestVersion(shardRoot(s)).getOrElse(-1L)
+      (v, s"${shardRoot(s)}/v$v")
+    }
+    val chainBad = finals.count(_._1 != 1L)
+    val ids = finals.map(f =>
+      IndexStore.loadSegments(spark, f._2, "vectors")
+        .select(col("vec_id")).distinct()).reduce(_ unionAll _)
+    val nOut = ids.count()
+    val dups = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val union = AnnSearch.normalizedCorpus(spark, sfDir)
+      .unionAll(shifted(1, 0.01)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .unionAll(shifted(2, 0.02)
+        .select(col("vec_id"), l2Normalize(col("v")).as("v")))
+      .localCheckpoint(true)
+    val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    val approx = ShardedSearch.scatterGatherGraphAt(spark,
+      finals.map(_._2), queries, union, k)
+    val hits = exact.join(approx.select(col("query_id"), col("id")),
+      Seq("query_id", "id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    graft.operators.Checkpoints.release(union)
+    val viols = Seq(
+      Option.when(chainBad != 0)(
+        ("version_chain", 0.0, chainBad.toDouble)),
+      Option.when(nOut != nEmb + 2 * bSize)(
+        ("vector_count", (nEmb + 2 * bSize).toDouble, nOut.toDouble)),
+      Option.when(dups != 0L)(
+        ("shard_disjoint", 0.0, dups.toDouble)),
+      Option.when(recall < recallFloor)(
+        ("avg_recall", recallFloor,
+          math.round(recall * 10000.0) / 10000.0))).flatten
+    viols.toDF("invariant", "expected", "actual").orderBy("invariant")
+  }
+
   /** DELETE-AT-INGEST — the streaming twin of the batch tombstone gate
     * (`index_delete_violations`): add/delete requests land as files in
     * ONE stream (schema + `op` column), and each checkpointed micro-batch

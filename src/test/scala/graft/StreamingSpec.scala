@@ -364,6 +364,21 @@ class StreamingSpec extends SparkSpec {
       assert(IndexStore.committed(s"$root/s$s/v$v/manifest"), s"s$s/v$v")
   }
 
+  test("streamed sharded GRAPH ingest: K per-shard beam-link chains " +
+      "advance per trigger with zero violations") {
+    import graft.streaming.StreamingIndex
+    import graft.sources.IndexStore
+    assert(StreamingIndex.streamingGraphShardedAppend(spark, sf)
+      .collect().isEmpty)
+    // each graph shard's chain is two committed manifested versions
+    val root = IndexStore.indexDir(sf,
+      s"stream-gshard${graft.operators.ShardedSearch.DefaultShards}-v1",
+      "embeddings")
+    for (s <- 0 until graft.operators.ShardedSearch.DefaultShards;
+         v <- Seq(0L, 1L))
+      assert(IndexStore.committed(s"$root/s$s/v$v/manifest"), s"s$s/v$v")
+  }
+
   test("micro-batch-shaped streamed chains (batchRows pinned — the " +
       "deep×wide tier's shape) hold the same zero-row contracts on " +
       "their own chain roots") {
