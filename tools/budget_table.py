@@ -32,7 +32,7 @@ CACHE_READ = {
     # round-16 Gates-wrapped entries
     "shard_append_violations", "streaming_shard_append",
     # round-17 Gates-wrapped entries
-    "shard_delete_violations",
+    "shard_delete_violations", "streaming_graph_shard_append",
     # recallFrame/exactKnnPairs family (round 9)
     "ann_recall", "ann_recall_violations", "ann_recall_curve",
     # cachedTrace-backed graph query entries (round 14): the beam pass
