@@ -955,6 +955,20 @@ object Scaling {
           val tGraph = (System.nanoTime() - ts) / 1e9
           sGraph.foreach(r => System.err.println(
             s"[scaling] DEEPWIDE streaming-graph-append violation: $r"))
+          // the sharded GRAPH streamed chain (late round 17): K
+          // per-shard beam-link chains at the same micro-batch shape —
+          // the shard bases are the round-16 deepwide sharded builds
+          // (load-or-init), so this leg prices the streamed appends +
+          // gate legs, the steady-state ingest cost of the deployed
+          // topology
+          sweep()
+          ts = System.nanoTime()
+          val sGShard = StreamingIndex.streamingGraphShardedAppend(
+            spark, dwDir, recallFloor = 0.8, batchRows = bRows).collect()
+          val tGShard = (System.nanoTime() - ts) / 1e9
+          sGShard.foreach(r => System.err.println(
+            s"[scaling] DEEPWIDE streaming-graph-shard-append " +
+              s"violation: $r"))
           Seq(
             f"""{"query":"deepwide_streaming_ivf_append",""" +
               f""""t1":$tIvf%.2f,"tN":$tIvf%.2f,"factor":1,""" +
@@ -967,7 +981,11 @@ object Scaling {
             f"""{"query":"deepwide_streaming_graph_append",""" +
               f""""t1":$tGraph%.2f,"tN":$tGraph%.2f,"factor":1,""" +
               f""""exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
-              f""""batch":$bRows,"violations":${sGraph.length}}""")
+              f""""batch":$bRows,"violations":${sGraph.length}}""",
+            f"""{"query":"deepwide_streaming_graph_shard_append",""" +
+              f""""t1":$tGShard%.2f,"tN":$tGShard%.2f,"factor":1,""" +
+              f""""exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""batch":$bRows,"violations":${sGShard.length}}""")
         }
       graphRows ++ ivfRows ++ shardedRows ++ streamRows
     }
