@@ -154,6 +154,78 @@ object ShardedSearch {
     }
   }
 
+  /** Build (once) the K-shard IVF+PQ topology — FAISS `IndexShards` on
+    * the QUANTIZED family, with the FAISS training practice: the
+    * quantizers are trained ONCE (the fixture index's coarse centroids
+    * + PQ codebooks, both fit under the `max_points_per_centroid`
+    * bound) and SHARED by every shard, because per-shard training
+    * would make a vector's code depend on which shard the hash routed
+    * it to — recall would vary with topology and a re-shard would have
+    * to re-encode the corpus. Each shard dir holds the shared
+    * control-plane artifacts (centroids + codebooks, KB-sized copies)
+    * plus its OWN hash slice of the cluster-partitioned m-byte codes:
+    * the storage — the only corpus-sized artifact, and at 100 TB the
+    * thing that doesn't fit one node — is what shards. Codes are
+    * written LAST (the [[AnnSearch.buildIvfPqIndex]] commit-marker
+    * convention), and every shard dir is an ordinary IVF+PQ layout:
+    * the one existing ADC read path applies unchanged.
+    */
+  def buildShardedIvfPq(spark: SparkSession, sfDir: String,
+                        shards: Int = DefaultShards): Seq[String] = {
+    val src = AnnSearch.buildIvfPqIndex(spark, sfDir)
+    (0 until shards).map { s =>
+      val dir = IndexStore.indexDir(sfDir, s"ivfpqshard$shards-$s-v1",
+        "embeddings")
+      if (!IndexStore.committed(s"$dir/codes")) {
+        IndexStore.saveDataset(
+          spark.read.parquet(s"$src/centroids"), s"$dir/centroids")
+        IndexStore.saveDataset(
+          spark.read.parquet(s"$src/codebooks"), s"$dir/codebooks")
+        spark.read.parquet(s"$src/codes")
+          .filter(shardOf(col("vec_id"), shards) === s)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cluster").parquet(s"$dir/codes")
+      }
+      dir
+    }
+  }
+
+  /** IVF+PQ scatter-gather: ADC-probe each shard's code slice through
+    * the one existing read path ([[AnnSearch.ivfPqSearchAt]] — shared
+    * LUT arithmetic, probe tie-breaking, margin semantics), gather the
+    * ≤ Q·K·k rescored candidates, re-rank through the shared rescore
+    * tail. Because every shard shares the ONE trained quantizer pair,
+    * a vector's ADC distance is the same number in any shard — so the
+    * merge theorem's approximate half applies verbatim: the gathered
+    * candidate set is a SUPERSET of the unsharded margin (a global
+    * ADC-top-r candidate is ADC-top-r within its own shard), and the
+    * merged recall can only meet or beat the per-shard `ivf_pq` floor
+    * (gated in [[shardMergeViolations]]).
+    */
+  def shardedIvfPqKnn(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 10,
+                      shards: Int = DefaultShards, nProbe: Int = 0,
+                      rerank: Int = 40): DataFrame = {
+    val dirs = buildShardedIvfPq(spark, sfDir, shards)
+    val nc = AnnSearch.clusterCountAt(spark, dirs.head)
+    val m = Quantize.resolveM(spark, sfDir, 0)
+    val nk = Quantize.resolveCodes(spark, sfDir, 0)
+    val p = if (nProbe == -1) nc
+            else if (nProbe > 0) math.min(nProbe, nc)
+            else AnnSearch.autoProbe(nc)
+    val queries = queryFrame(spark, sfDir, nQueries)
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val gathered = dirs.map { dir =>
+      AnnSearch.ivfPqSearchAt(spark, dir, queries, normed, k, p, m, nk,
+          rerank, expectedQ = nQueries.toLong)
+        .select(col("query_id"), col("id"))
+    }.reduce(_ unionAll _)
+    VectorSearch.rescoreTopK(
+      gathered.join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("qu"), col("id")),
+      normed, k)
+  }
+
   /** Graph scatter-gather: beam each shard's graph (the one existing
     * search path, per-shard autoEf/autoHops at the SHARD's size),
     * gather the ≤ Q·K·k candidates, re-rank through the shared rescore
@@ -467,7 +539,13 @@ object ShardedSearch {
     *  8. `graph_sharded_recall` — [[shardedGraphKnn]] holds the
     *     `knn_graph` family floor (a beam has no saturation trick, so
     *     the merged answer's contract is the per-shard recall the
-    *     merge theorem's approximate half guarantees).
+    *     merge theorem's approximate half guarantees);
+    *  9. `pq_shard_coverage` / 10. `pq_shard_disjoint` /
+    *     11. `pq_sharded_recall` — the QUANTIZED family's sharded legs
+    *     (late round 17, [[buildShardedIvfPq]]): the K hash slices of
+    *     the shared-training code table cover the corpus disjointly,
+    *     and the merged default-probe ADC answer ([[shardedIvfPqKnn]])
+    *     holds the `ivf_pq` family floor.
     *
     * Passing state is zero rows; each violated invariant becomes one
     * (invariant, expected, actual) row.
@@ -728,6 +806,25 @@ object ShardedSearch {
     val gRecall = exactPairs.join(gApprox, Seq("query_id", "id"),
       "left_semi").count().toDouble / math.max(1L, exactPairs.count())
     val gFloor = AnnSearch.DefaultRecallFloors("knn_graph")
+    // the QUANTIZED family's sharded legs (late round 17): the K code
+    // slices together hold exactly the corpus (the trained quantizers
+    // are shared control-plane copies; the CODES are what shard), no
+    // vec_id coded in two shards, and the default-probe merged ADC
+    // answer holds the `ivf_pq` family floor against the same exact
+    // truth (shared training ⇒ the merge theorem's approximate half
+    // applies verbatim — the gathered margin is a superset of the
+    // unsharded one)
+    val pqDirs = buildShardedIvfPq(spark, sfDir, DefaultShards)
+    val pqIds = pqDirs.map(d => spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"))).reduce(_ unionAll _)
+    val pqCoverage = pqIds.count().toDouble
+    val pqDups = pqIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count().toDouble
+    val pqApprox = shardedIvfPqKnn(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("id"))
+    val pqRecall = exactPairs.join(pqApprox, Seq("query_id", "id"),
+      "left_semi").count().toDouble / math.max(1L, exactPairs.count())
+    val pqFloor = AnnSearch.DefaultRecallFloors("ivf_pq")
     val checks = Seq(
       ("exact_shard_invariance_k1",
         0.0, symDiff(shardedKnn(spark, sfDir, nQueries, k, 1)).toDouble),
@@ -740,14 +837,19 @@ object ShardedSearch {
         0.0, symDiff(shardedIvfKnn(spark, sfDir, nQueries, k,
           DefaultShards, nProbe = -1)).toDouble),
       ("graph_shard_coverage", n, gCoverage),
-      ("graph_shard_disjoint", 0.0, gDups))
+      ("graph_shard_disjoint", 0.0, gDups),
+      ("pq_shard_coverage", n, pqCoverage),
+      ("pq_shard_disjoint", 0.0, pqDups))
       .filter { case (_, want, got) => want != got } ++
       (if (recall >= floor) Seq.empty
        else Seq(("ann_sharded_recall", floor,
          math.round(recall * 10000.0) / 10000.0))) ++
       (if (gRecall >= gFloor) Seq.empty
        else Seq(("graph_sharded_recall", gFloor,
-         math.round(gRecall * 10000.0) / 10000.0)))
+         math.round(gRecall * 10000.0) / 10000.0))) ++
+      (if (pqRecall >= pqFloor) Seq.empty
+       else Seq(("pq_sharded_recall", pqFloor,
+         math.round(pqRecall * 10000.0) / 10000.0)))
     checks.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 }

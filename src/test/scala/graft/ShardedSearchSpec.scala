@@ -113,6 +113,36 @@ class ShardedSearchSpec extends SparkSpec {
       assert(out(s) == base(s), s"unowning shard $s was touched"))
   }
 
+  test("sharded IVF+PQ: shared-training code slices cover the corpus " +
+      "disjointly, and saturated probe + full rerank makes the merged " +
+      "ADC answer bit-identical to exact (the merge theorem through " +
+      "the quantized path)") {
+    import org.apache.spark.sql.functions._
+    val dirs = ShardedSearch.buildShardedIvfPq(spark, sf)
+    assert(dirs.size == ShardedSearch.DefaultShards)
+    dirs.foreach { d =>
+      for (a <- Seq("centroids", "codebooks", "codes"))
+        assert(graft.sources.IndexStore.committed(s"$d/$a"), s"$d/$a")
+    }
+    val ids = dirs.map(d => spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"))).reduce(_ unionAll _)
+    val n = graft.operators.AnnSearch.embeddingCount(spark, sf)
+    assert(ids.count() == n)
+    assert(ids.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0L)
+    // saturated probe scans every cluster; rerank >= shard size makes
+    // the exact rescore cover the whole margin — each shard's answer is
+    // its exact top-k, so the merge is bit-identical to the unsharded
+    // exact search
+    val got = ShardedSearch.shardedIvfPqKnn(spark, sf, nProbe = -1,
+      rerank = n.toInt + 1).collect().map(_.toSeq).toSeq
+    assert(got == exactRows)
+    // the default operating point still returns k full rows per query
+    val out = ShardedSearch.shardedIvfPqKnn(spark, sf)
+    out.groupBy("query_id").count().collect()
+      .foreach(r => assert(r.getLong(1) == 10L, r.toString))
+  }
+
   test("graph re-shard rebuilds from the stored LIVE vectors — " +
       "tombstoned ids do not survive into the K'=2 topology") {
     import org.apache.spark.sql.functions._
