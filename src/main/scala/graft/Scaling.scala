@@ -987,7 +987,59 @@ object Scaling {
               f""""exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
               f""""batch":$bRows,"violations":${sGShard.length}}""")
         }
-      graphRows ++ ivfRows ++ shardedRows ++ streamRows
+      // The QUANTIZED family's sharded topology at the deep×wide point
+      // (late round 17): compose (or re-read) the production IVF+PQ
+      // index over the 500k × 2048 corpus — ONE trained quantizer
+      // pair, K hash-sliced cluster-partitioned code tables — then
+      // gauge the merged default-probe ADC answer against the
+      // committed exact truth. `cold` records whether THIS run paid
+      // the compose + slicing.
+      val pqShardRows =
+        if (!sys.env.get("SPARK_GRAFT_DEEPWIDE_PQSHARD").contains("1"))
+          Seq.empty
+        else {
+          import graft.operators.ShardedSearch
+          val kShards = ShardedSearch.DefaultShards
+          val firstDir = graft.sources.IndexStore.indexDir(dwDir,
+            s"ivfpqshard$kShards-0-v1", "embeddings")
+          val cold =
+            !graft.sources.IndexStore.committed(s"$firstDir/codes")
+          sweep()
+          var ts = System.nanoTime()
+          val pqsDirs = ShardedSearch.buildShardedIvfPq(spark, dwDir,
+            kShards)
+          val tBuild = (System.nanoTime() - ts) / 1e9
+          val pqsIds = pqsDirs.map(d => spark.read.parquet(s"$d/codes")
+            .select(col("vec_id"))).reduce(_ unionAll _)
+          val cov = pqsIds.count()
+          val dups = pqsIds.groupBy("vec_id")
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+          sweep()
+          ts = System.nanoTime()
+          val pqsApprox = ShardedSearch.shardedIvfPqKnn(spark, dwDir)
+            .select(col("query_id"), col("id")).localCheckpoint(true)
+          val pqsHits = exact.join(pqsApprox, Seq("query_id", "id"),
+            "left_semi").count()
+          val pqsRecall = pqsHits.toDouble / exact.count()
+          val tSearch = (System.nanoTime() - ts) / 1e9
+          val pqsFloor = AnnSearch.DefaultRecallFloors("ivf_pq")
+          val pqsViols = (if (cov == n) 0 else 1) +
+            (if (dups == 0L) 0 else 1) +
+            (if (pqsRecall >= pqsFloor) 0 else 1)
+          if (pqsViols > 0) System.err.println(
+            s"[scaling] DEEPWIDE pq-shard violation: cov $cov/$n, " +
+              s"dups $dups, recall $pqsRecall (floor $pqsFloor)")
+          Seq(
+            f"""{"query":"deepwide_pq_shard_build","t1":$tBuild%.2f,""" +
+              f""""tN":$tBuild%.2f,"factor":1,"exponent":0.0,"n1":$n,""" +
+              f""""nN":$n,"dim":$wideDim,"shards":$kShards,""" +
+              f""""cold":$cold}""",
+            f"""{"query":"deepwide_pq_shard_recall",""" +
+              f""""t1":$tSearch%.2f,"tN":$tSearch%.2f,"factor":1,""" +
+              f""""exponent":0.0,"n1":$n,"nN":$n,"dim":$wideDim,""" +
+              f""""recall":$pqsRecall%.4f,"violations":$pqsViols}""")
+        }
+      graphRows ++ ivfRows ++ shardedRows ++ streamRows ++ pqShardRows
     }
 
     // skew tier: synthetic zipfian volume scaled by the ladder factor

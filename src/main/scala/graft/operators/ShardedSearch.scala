@@ -173,21 +173,29 @@ object ShardedSearch {
   def buildShardedIvfPq(spark: SparkSession, sfDir: String,
                         shards: Int = DefaultShards): Seq[String] = {
     val src = AnnSearch.buildIvfPqIndex(spark, sfDir)
-    (0 until shards).map { s =>
-      val dir = IndexStore.indexDir(sfDir, s"ivfpqshard$shards-$s-v1",
-        "embeddings")
-      if (!IndexStore.committed(s"$dir/codes")) {
-        IndexStore.saveDataset(
-          spark.read.parquet(s"$src/centroids"), s"$dir/centroids")
-        IndexStore.saveDataset(
-          spark.read.parquet(s"$src/codebooks"), s"$dir/codebooks")
-        spark.read.parquet(s"$src/codes")
-          .filter(shardOf(col("vec_id"), shards) === s)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("cluster").parquet(s"$dir/codes")
-      }
-      dir
+    val dirs = (0 until shards).map(s =>
+      IndexStore.indexDir(sfDir, s"ivfpqshard$shards-$s-v1",
+        "embeddings"))
+    if (dirs.exists(d => !IndexStore.committed(s"$d/codes"))) {
+      // ONE pass over the code table (the [[reshardIvf]] checkpoint
+      // rule): the K slice writes each filter the SAME frame, and the
+      // codes are the only corpus-sized artifact here — materialize
+      // once, slice K times from the checkpointed blocks, release when
+      // the last shard has committed
+      val codes = spark.read.parquet(s"$src/codes").localCheckpoint(true)
+      try dirs.zipWithIndex.foreach { case (dir, s) =>
+        if (!IndexStore.committed(s"$dir/codes")) {
+          IndexStore.saveDataset(
+            spark.read.parquet(s"$src/centroids"), s"$dir/centroids")
+          IndexStore.saveDataset(
+            spark.read.parquet(s"$src/codebooks"), s"$dir/codebooks")
+          codes.filter(shardOf(col("vec_id"), shards) === s)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("cluster").parquet(s"$dir/codes")
+        }
+      } finally Checkpoints.release(codes)
     }
+    dirs
   }
 
   /** IVF+PQ scatter-gather: ADC-probe each shard's code slice through
