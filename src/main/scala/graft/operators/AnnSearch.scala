@@ -925,7 +925,7 @@ object AnnSearch {
     // the ONE shared pruning tail (NULL adist ranks last there) — a local
     // copy of the window would let margin semantics drift from SQ8/PQ
     VectorSearch.rescoreTopK(
-      VectorSearch.pruneCandidates(adist, rerank),
+      VectorSearch.pruneCandidates(adist, rerank, Some(queries)),
       VectorSearch.normalized(spark, sfDir), k)
   }
 
@@ -1055,11 +1055,38 @@ object AnnSearch {
                                    queries: DataFrame, normed: DataFrame,
                                    k: Int, nProbe: Int, m: Int, nk: Int,
                                    rerank: Int, expectedQ: Long,
-                                   forceJoin: Boolean = false): DataFrame = {
+                                   forceJoin: Boolean = false,
+                                   lutsIn: Option[DataFrame] = None)
+      : DataFrame =
+    VectorSearch.rescoreTopK(
+      ivfPqMarginAt(spark, dir, queries, nProbe, m, nk, rerank,
+        expectedQ, forceJoin, lutsIn),
+      normed, k)
+
+  /** The ADC half of [[ivfPqSearchAt]]: probe-pruned LUT scan +
+    * rerank-margin prune, WITHOUT the exact rescore — (query_id, qu,
+    * id) rows. Split out for the sharded topology
+    * ([[ShardedSearch.shardedIvfPqKnn]]): gathering each shard's
+    * MARGIN and rescoring the union ONCE costs one full-precision
+    * corpus pass instead of K+1, and the gathered margin is a superset
+    * of the per-shard top-k gather, so the merge can only improve.
+    */
+  private[graft] def ivfPqMarginAt(spark: SparkSession, dir: String,
+                                   queries: DataFrame,
+                                   nProbe: Int, m: Int, nk: Int,
+                                   rerank: Int, expectedQ: Long,
+                                   forceJoin: Boolean = false,
+                                   lutsIn: Option[DataFrame] = None)
+      : DataFrame = {
     val (centroidsPath, codebooksPath, segments) = ivfPqLayout(spark, dir)
     val centersDf = spark.read.parquet(centroidsPath)
-    val luts = Quantize.pqLutsAt(spark, codebooksPath, queries, m, nk)
-      .select(col("query_id"), col("lut"))
+    // `lutsIn`: a caller that probes several dirs sharing ONE trained
+    // codebook (the sharded topology) builds the Q-row LUT table once
+    // and passes it in — K identical Q·m·nk constructions collapsed to
+    // one ([[ShardedSearch.shardedIvfPqKnn]])
+    val luts = lutsIn.getOrElse(
+      Quantize.pqLutsAt(spark, codebooksPath, queries, m, nk)
+        .select(col("query_id"), col("lut")))
     def adistOf(probeLutCodes: DataFrame): DataFrame = probeLutCodes
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
@@ -1079,18 +1106,28 @@ object AnnSearch {
         segments.map(seg => adistOf(p.join(spark.read.parquet(seg),
           "cluster"))).reduce(_ unionAll _)
       } else {
+        // the LUT rides per QUERY, not per probe row: joining luts into
+        // the probe side before the broadcast denormalizes the m·nk
+        // doubles across every probed cluster — Q·nProbe·(m·nk·8 B)
+        // of broadcast, ~0.5 MB/row at d=2048 (m=256, nk=256), which
+        // OOM'd a 24 g heap on the K-shard scatter-gather at the
+        // deep×wide point (invisible at d=64 where a LUT is 4 KB).
+        // Broadcasting the slim probe rows and the Q-row LUT table
+        // SEPARATELY keeps both map-side joins and the ADC scan one
+        // pipelined pass; the LUT is materialized per candidate row
+        // only inside the stage, never staged or shuffled.
         val (probedClusters, p) = probe(spark, queries, centersDf, nProbe)
-        adistOf(broadcast(p.join(luts, "query_id"))
+        adistOf(broadcast(p)
           .join(IndexStore.readUnion(spark, segments)
-            .filter(col("cluster").isin(probedClusters: _*)), "cluster"))
+            .filter(col("cluster").isin(probedClusters: _*)), "cluster")
+          .join(broadcast(luts), "query_id"))
       }
     // tombstone exclusion on the ADC candidates before the margin prune
     // (a deleted id must not burn rerank slots either); a no-op plan-wise
     // on undeleted versions, then the ONE shared pruning tail — margin
     // semantics identical to SQ8/PQ
-    VectorSearch.rescoreTopK(
-      VectorSearch.pruneCandidates(
-        excludeTombstoned(spark, dir, adist, "id"), rerank), normed, k)
+    VectorSearch.pruneCandidates(
+      excludeTombstoned(spark, dir, adist, "id"), rerank, Some(queries))
   }
 
   /** PQ-encode an explicit centroid-assigned frame (vec_id, v, cluster)

@@ -255,11 +255,16 @@ object Quantize {
     */
   def pqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
             k: Int = 10, m: Int = 0, nCodes: Int = 0,
-            rerank: Int = 40): DataFrame =
+            rerank: Int = 40): DataFrame = {
+    val normed = VectorSearch.normalized(spark, sfDir)
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qu"))
     VectorSearch.rescoreTopK(
       VectorSearch.pruneCandidates(
-        pqAdist(spark, sfDir, nQueries, m, nCodes), rerank),
-      VectorSearch.normalized(spark, sfDir), k)
+        pqAdist(spark, sfDir, nQueries, m, nCodes), rerank,
+        Some(queries)),
+      normed, k)
+  }
 
   /** The ADC scan of [[pqKnn]] — (query_id, qu, id, adist) BEFORE the
     * rerank-margin prune. Split out because the margin is the only thing
@@ -343,7 +348,8 @@ object Quantize {
           transform(col("qv"), x => x.cast("double") / col("scale")))
           .as("adist"))
     VectorSearch.rescoreTopK(
-      VectorSearch.pruneCandidates(adist, rerank), normed, k)
+      VectorSearch.pruneCandidates(adist, rerank, Some(queries)),
+      normed, k)
   }
 
   /** PQ operating-point sweep: the m = d/8 subspace rule PRICED, not

@@ -223,15 +223,33 @@ object ShardedSearch {
             else AnnSearch.autoProbe(nc)
     val queries = queryFrame(spark, sfDir, nQueries)
     val normed = VectorSearch.normalized(spark, sfDir)
-    val gathered = dirs.map { dir =>
-      AnnSearch.ivfPqSearchAt(spark, dir, queries, normed, k, p, m, nk,
-          rerank, expectedQ = nQueries.toLong)
-        .select(col("query_id"), col("id"))
-    }.reduce(_ unionAll _)
-    VectorSearch.rescoreTopK(
-      gathered.join(broadcast(queries), "query_id")
-        .select(col("query_id"), col("qu"), col("id")),
-      normed, k)
+    // ONE LUT table for the whole topology (shared training makes the
+    // K per-shard tables identical), one MATERIALIZED slim margin per
+    // shard probed sequentially, and ONE exact rescore of the gathered
+    // union: a single K-way union plan runs K full ADC subplans in one
+    // job — K× the LUT construction and K× the in-flight wide rows,
+    // which OOM'd a 24 g heap at the deep×wide point — and rescoring
+    // per shard pays K+1 full-precision corpus passes where the
+    // gathered margin needs one. Sequential per-shard jobs bound peak
+    // memory to ONE shard's ADC plan (the deployment shape: each
+    // shard's scan runs on its own executors and only ≤ Q·rerank id
+    // rows travel), and the gathered margin is a SUPERSET of the
+    // per-shard top-k gather, so the one-rescore merge can only
+    // improve on it.
+    val luts = Quantize.pqLutsAt(spark, s"${dirs.head}/codebooks",
+        queries, m, nk)
+      .select(col("query_id"), col("lut")).localCheckpoint(true)
+    try {
+      val gathered = dirs.map { dir =>
+        AnnSearch.ivfPqMarginAt(spark, dir, queries, p, m, nk,
+            rerank, expectedQ = nQueries.toLong, lutsIn = Some(luts))
+          .select(col("query_id"), col("id")).localCheckpoint(true)
+      }.reduce(_ unionAll _)
+      VectorSearch.rescoreTopK(
+        gathered.join(broadcast(queries), "query_id")
+          .select(col("query_id"), col("qu"), col("id")),
+        normed, k)
+    } finally Checkpoints.release(luts)
   }
 
   /** Graph scatter-gather: beam each shard's graph (the one existing

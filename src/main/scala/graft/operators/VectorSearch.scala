@@ -52,12 +52,28 @@ object VectorSearch {
     * rerank slots — asc_nulls_last matches DuckDB's ASC default and the
     * "NULL ranks last in any distance ordering" contract.
     */
-  private[graft] def pruneCandidates(adist: DataFrame,
-                                     rerank: Int): DataFrame = {
+  private[graft] def pruneCandidates(adist: DataFrame, rerank: Int,
+                                     queries: Option[DataFrame] = None)
+      : DataFrame = {
     val wr = Window.partitionBy("query_id")
       .orderBy(col("adist").asc_nulls_last, col("id"))
-    adist.withColumn("rr", row_number().over(wr))
+    // rank on SLIM rows: the d-dim query vector must not ride the rank
+    // exchange — Q·candidates·d·8 B at width (~10 GB for 620k ADC rows
+    // at d=2048; the round-17 append-assignment defect class, found
+    // again by the deep×wide sharded-PQ leg). qu re-attaches AFTER the
+    // prune: from the caller's Q-row query frame when supplied, else
+    // from a map-side-combined first(qu) projection of the input (the
+    // combiner emits ≤ Q rows per task, so the wide column never rides
+    // an exchange either way — the price of omitting `queries` is one
+    // re-evaluation of the input subplan, acceptable only where that
+    // input is a checkpoint read).
+    val qus = queries.getOrElse(
+      adist.groupBy(col("query_id")).agg(first(col("qu")).as("qu")))
+      .select(col("query_id"), col("qu"))
+    adist.select(col("query_id"), col("id"), col("adist"))
+      .withColumn("rr", row_number().over(wr))
       .filter(col("rr") <= rerank)
+      .join(broadcast(qus), "query_id")
       .select(col("query_id"), col("qu"), col("id"))
   }
 
