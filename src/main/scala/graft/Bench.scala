@@ -107,6 +107,12 @@ object Bench {
         // beam-link chains under one checkpoint — one chain per
         // fingerprint; timed reps re-read the committed gate frame)
         "streaming_graph_shard_append")
+      // triage mode (SPARK_GRAFT_ONLY): warm only the selected entries —
+      // committed artifacts persist on disk across JVMs, so the other
+      // entries' builds are no-ops the triage run shouldn't wait ~6 min
+      // for; the selected entries' own gate caches still warm here
+      // exactly as in a full run. Full-suite behavior is unchanged.
+      .filter(n => only.forall(_.contains(n)))
       .map { n =>
       // the build phase is where every fingerprint-cached gate computes
       // its proof, so its wall time here IS the entry's real (cold)

@@ -12,7 +12,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.sources.IndexStore.readCached(spark, s"$sfDir/$name.parquet")
 
   /** `events` with `ts` as a proper TimestampType (µs).
     *

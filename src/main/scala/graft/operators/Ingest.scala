@@ -119,7 +119,7 @@ object Ingest {
     if (!IndexStore.committed(snapDir))
       IndexStore.saveDataset(
         partials(orders.filter(col("o_orderdate") < cutoff)), snapDir)
-    val snap = spark.read.parquet(snapDir)
+    val snap = IndexStore.readCached(spark, snapDir)
     val delta = partials(orders.filter(col("o_orderdate") >= cutoff))
     snap.unionByName(delta)
       .groupBy(col("status"), col("yr"))

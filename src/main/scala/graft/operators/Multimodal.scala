@@ -174,7 +174,7 @@ object Multimodal {
     val dir = IndexStore.indexDir(sfDir, "media-fixture-v1", "documents")
     if (!IndexStore.committed(s"$dir/media"))
       IndexStore.saveDataset(buildMediaTable(spark, sfDir), s"$dir/media")
-    spark.read.parquet(s"$dir/media")
+    IndexStore.readCached(spark, s"$dir/media")
   }
 
   /** The decode stage proper (unordered): one mapPartitions pass over the
@@ -427,7 +427,7 @@ object Multimodal {
               col("decoded_bytes")).as("meta")),
         s"$dir/audio")
     }
-    spark.read.parquet(s"$dir/audio")
+    IndexStore.readCached(spark, s"$dir/audio")
   }
 
   /** Frame-level audio features over the opaque PCM column: byte-

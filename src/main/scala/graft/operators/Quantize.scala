@@ -281,7 +281,7 @@ object Quantize {
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qu"))
     val luts = pqLutsAt(spark, s"$dir/codebooks", queries, mm, nk)
-    spark.read.parquet(s"$dir/codes")
+    IndexStore.readCached(spark, s"$dir/codes")
       .join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("id"),
         expr(s"""aggregate(sequence(0, ${mm - 1}), 0D, (acc, j) ->
@@ -302,7 +302,7 @@ object Quantize {
                                   codebooksPath: String,
                                   queries: DataFrame, m: Int,
                                   nk: Int): DataFrame = {
-    val books = spark.read.parquet(codebooksPath)
+    val books = IndexStore.readCached(spark, codebooksPath)
     // one row per (query, subspace, code): squared L2 between the query's
     // subspace slice and that code's center — the same left-fold order as
     // a sequential loop, so distances are bit-identical to a driver build
@@ -337,7 +337,7 @@ object Quantize {
   def sqKnn(spark: SparkSession, sfDir: String, nQueries: Int = 10,
             k: Int = 10, rerank: Int = 40): DataFrame = {
     val dir = buildSqIndex(spark, sfDir)
-    val qvecs = spark.read.parquet(s"$dir/qvectors")
+    val qvecs = IndexStore.readCached(spark, s"$dir/qvectors")
     val normed = VectorSearch.normalized(spark, sfDir)
     val queries = normed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qu"))
