@@ -419,7 +419,7 @@ object AnnSearch {
   private[graft] def clusterCountAt(spark: SparkSession,
                                     dir: String): Int = {
     val cPath = ivfLayout(spark, dir)._1
-    def load() = spark.read.parquet(cPath).count().toInt
+    def load() = IndexStore.readCached(spark, cPath).count().toInt
     if (!IndexStore.committed(cPath)) load()
     else clusterCountCache.computeIfAbsent(cPath, _ => load()).intValue()
   }
@@ -500,7 +500,7 @@ object AnnSearch {
                                         queries: DataFrame, k: Int,
                                         nProbe: Int): DataFrame = {
     val (centroidsPath, _) = ivfLayout(spark, dir)
-    val centersDf = spark.read.parquet(centroidsPath)
+    val centersDf = IndexStore.readCached(spark, centroidsPath)
     val (probedClusters, probes) = probe(spark, queries, centersDf, nProbe)
     // tombstone exclusion ABOVE the isin-filtered scan: the static
     // PartitionFilters stay on the scan, the anti-join only thins rows
@@ -534,11 +534,11 @@ object AnnSearch {
                                        nProbe: Int,
                                        expectedQ: Long = 0L): DataFrame = {
     val (centroidsPath, segments) = ivfLayout(spark, dir)
-    val centersDf = spark.read.parquet(centroidsPath)
+    val centersDf = IndexStore.readCached(spark, centroidsPath)
     val probes = probeFrame(queries, centersDf, nProbe)
     val p = probeSide(probes, expectedQ, nProbe, centroidDim(centersDf))
     val cands = segments.map { seg =>
-      p.join(spark.read.parquet(seg), "cluster")
+      p.join(IndexStore.readCached(spark, seg), "cluster")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),
           squaredL2(col("qu"), col("v")).as("dist"))
@@ -646,7 +646,7 @@ object AnnSearch {
     require(IndexStore.committed(centroidsPath) &&
       segments.forall(IndexStore.committed),
       s"append base $dir is not a committed index version")
-    val centersDf = spark.read.parquet(centroidsPath)
+    val centersDf = IndexStore.readCached(spark, centroidsPath)
     // the batch's dimension must match the index — a mismatch would make
     // every squaredL2 NULL and silently dump the whole batch in cluster 0
     val centerDim = centersDf.select(size(col("center"))).head.getInt(0)
@@ -838,7 +838,7 @@ object AnnSearch {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(s"$out/vectors")
     IndexStore.saveDataset(
-      spark.read.parquet(centroidsPath), s"$out/centroids")
+      IndexStore.readCached(spark, centroidsPath), s"$out/centroids")
   }
 
   /** IVF + SQ8 composed index — the 100 TB shape: the coarse quantizer's
@@ -859,10 +859,10 @@ object AnnSearch {
         !IndexStore.committed(s"$dir/vectors")) {
       val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
       IndexStore.saveDataset(
-        spark.read.parquet(s"$ivfDir/centroids"), s"$dir/centroids")
+        IndexStore.readCached(spark, s"$ivfDir/centroids"), s"$dir/centroids")
       // quantize passes the cluster column through — one map pass over the
       // assigned table, no self-join to re-attach the partition key
-      Quantize.quantize(spark.read.parquet(s"$ivfDir/vectors"))
+      Quantize.quantize(IndexStore.readCached(spark, s"$ivfDir/vectors"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cluster").parquet(s"$dir/vectors")
     }
@@ -898,7 +898,7 @@ object AnnSearch {
                           forceJoin: Boolean): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = buildIvfSqIndex(spark, sfDir, nc)
-    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val centersDf = IndexStore.readCached(spark, s"$dir/centroids")
     val queries = queryVectors(spark, sfDir, nQueries)
     val np = resolveProbe(nc, nProbe)
     val (probes, assigned) =
@@ -910,10 +910,10 @@ object AnnSearch {
         (probeSide(probeFrame(queries, centersDf, np),
           if (forceJoin) 0L else nQueries.toLong, np,
           centroidDim(centersDf)),
-          spark.read.parquet(s"$dir/vectors"))
+          IndexStore.readCached(spark, s"$dir/vectors"))
       else {
         val (probedClusters, p) = probe(spark, queries, centersDf, np)
-        (broadcast(p), spark.read.parquet(s"$dir/vectors")
+        (broadcast(p), IndexStore.readCached(spark, s"$dir/vectors")
           .filter(col("cluster").isin(probedClusters: _*)))
       }
     val adist = probes.join(assigned, "cluster")
@@ -978,11 +978,11 @@ object AnnSearch {
   private def composeIvfPq(spark: SparkSession, ivfDir: String,
                            pqDir: String, out: String): Unit = {
     IndexStore.saveDataset(
-      spark.read.parquet(s"$ivfDir/centroids"), s"$out/centroids")
+      IndexStore.readCached(spark, s"$ivfDir/centroids"), s"$out/centroids")
     IndexStore.saveDataset(
-      spark.read.parquet(s"$pqDir/codebooks"), s"$out/codebooks")
-    spark.read.parquet(s"$pqDir/codes")
-      .join(spark.read.parquet(s"$ivfDir/vectors")
+      IndexStore.readCached(spark, s"$pqDir/codebooks"), s"$out/codebooks")
+    IndexStore.readCached(spark, s"$pqDir/codes")
+      .join(IndexStore.readCached(spark, s"$ivfDir/vectors")
         .select(col("vec_id"), col("cluster")), "vec_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(s"$out/codes")
@@ -1079,7 +1079,7 @@ object AnnSearch {
                                    lutsIn: Option[DataFrame] = None)
       : DataFrame = {
     val (centroidsPath, codebooksPath, segments) = ivfPqLayout(spark, dir)
-    val centersDf = spark.read.parquet(centroidsPath)
+    val centersDf = IndexStore.readCached(spark, centroidsPath)
     // `lutsIn`: a caller that probes several dirs sharing ONE trained
     // codebook (the sharded topology) builds the Q-row LUT table once
     // and passes it in — K identical Q·m·nk constructions collapsed to
@@ -1103,7 +1103,7 @@ object AnnSearch {
           if (forceJoin) 0L else expectedQ, nProbe, lutDim)
         // per-segment join with the union ABOVE it, as in
         // [[ivfSearchJoinedAt]]: DPP attaches to each partitioned scan
-        segments.map(seg => adistOf(p.join(spark.read.parquet(seg),
+        segments.map(seg => adistOf(p.join(IndexStore.readCached(spark, seg),
           "cluster"))).reduce(_ unionAll _)
       } else {
         // the LUT rides per QUERY, not per probe row: joining luts into
@@ -1153,7 +1153,7 @@ object AnnSearch {
     */
   private def pqEncode(spark: SparkSession, codebooksPath: String,
                        rows: DataFrame, m: Int, nk: Int): DataFrame = {
-    val books = spark.read.parquet(codebooksPath)
+    val books = IndexStore.readCached(spark, codebooksPath)
     val subLen = books.select(size(col("center"))).head.getInt(0)
     // NEVER materialize the batch × (m·nk) codebook blowup (57,344 book
     // rows at d=2048). The first cut carried the 8·d B vector through
@@ -1232,7 +1232,7 @@ object AnnSearch {
       IndexStore.committed(codebooksPath) &&
       segments.forall(IndexStore.committed),
       s"append base $dir is not a committed index version")
-    val centersDf = spark.read.parquet(centroidsPath)
+    val centersDf = IndexStore.readCached(spark, centroidsPath)
     val centerDim = centersDf.select(size(col("center"))).head.getInt(0)
     batch.select(size(col("v"))).limit(1).collect().headOption.foreach {
       r => require(r.getInt(0) == centerDim,
@@ -1297,10 +1297,10 @@ object AnnSearch {
         !IndexStore.committed(s"$dir/vectors")) {
       val base = loadOrBuildIvf(spark, sfDir, nClusters)
       IndexStore.saveDataset(
-        spark.read.parquet(s"$base/centroids"), s"$dir/centroids")
+        IndexStore.readCached(spark, s"$base/centroids"), s"$dir/centroids")
       val labels = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("label").cast("int").as("label"))
-      spark.read.parquet(s"$base/vectors").join(labels, "vec_id")
+      IndexStore.readCached(spark, s"$base/vectors").join(labels, "vec_id")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cluster").parquet(s"$dir/vectors")
     }
@@ -1385,7 +1385,7 @@ object AnnSearch {
                                 forceJoin: Boolean): DataFrame = {
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = loadOrBuildFilteredIvf(spark, sfDir, nc)
-    val centersDf = spark.read.parquet(s"$dir/centroids")
+    val centersDf = IndexStore.readCached(spark, s"$dir/centroids")
     val queries = queryVectors(spark, sfDir, nQueries)
     val np = filteredProbe(resolveProbe(nc, nProbe), nc,
       labelSelectivity(spark, sfDir, label))
@@ -1394,10 +1394,10 @@ object AnnSearch {
         (probeSide(probeFrame(queries, centersDf, np),
           if (forceJoin) 0L else nQueries.toLong, np,
           centroidDim(centersDf)),
-          spark.read.parquet(s"$dir/vectors"))
+          IndexStore.readCached(spark, s"$dir/vectors"))
       else {
         val (probedClusters, p) = probe(spark, queries, centersDf, np)
-        (broadcast(p), spark.read.parquet(s"$dir/vectors")
+        (broadcast(p), IndexStore.readCached(spark, s"$dir/vectors")
           .filter(col("cluster").isin(probedClusters: _*)))
       }
     VectorSearch.topK(
@@ -1428,9 +1428,9 @@ object AnnSearch {
     graft.GraftFunctions.register(spark)
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = loadOrBuildIvf(spark, sfDir, nc)
-    spark.read.parquet(s"$dir/centroids")
+    IndexStore.readCached(spark, s"$dir/centroids")
       .createOrReplaceTempView("ivf_centroids_sql")
-    spark.read.parquet(s"$dir/vectors")
+    IndexStore.readCached(spark, s"$dir/vectors")
       .createOrReplaceTempView("ivf_vectors_sql")
     Tables.load(spark, sfDir, "embeddings")
       .createOrReplaceTempView("ivf_emb_sql")
@@ -1484,9 +1484,9 @@ object AnnSearch {
     graft.GraftFunctions.register(spark)
     val nc = resolveClusters(spark, sfDir, nClusters)
     val dir = loadOrBuildFilteredIvf(spark, sfDir, nc)
-    spark.read.parquet(s"$dir/centroids")
+    IndexStore.readCached(spark, s"$dir/centroids")
       .createOrReplaceTempView("ivf_flt_centroids_sql")
-    spark.read.parquet(s"$dir/vectors")
+    IndexStore.readCached(spark, s"$dir/vectors")
       .createOrReplaceTempView("ivf_flt_vectors_sql")
     Tables.load(spark, sfDir, "embeddings")
       .createOrReplaceTempView("ivf_emb_sql")
@@ -1603,7 +1603,7 @@ object AnnSearch {
       IndexStore.saveDataset(
         VectorSearch.knnSearch(spark, sfDir, nQueries, k).coalesce(1),
         dir)
-    spark.read.parquet(dir)
+    IndexStore.readCached(spark, dir)
   }
 
   private val exactCache = new Checkpoints.FrameCache
@@ -1787,7 +1787,7 @@ object AnnSearch {
       math.round(hits / denom * 10000.0) / 10000.0
     }
     val ivfDir = loadOrBuildIvf(spark, sfDir, nc)
-    val centersDf = spark.read.parquet(s"$ivfDir/centroids")
+    val centersDf = IndexStore.readCached(spark, s"$ivfDir/centroids")
     val queries = queryVectors(spark, sfDir, nQueries)
     val n = embeddingCount(spark, sfDir)
     val probePoints = Seq(math.max(1, nc / 8), autoProbe(nc), nc).distinct
@@ -1799,7 +1799,7 @@ object AnnSearch {
     // point is then a `cr <= p` filter plus the (cheap) ranking tail,
     // not a re-probe + re-scan
     val probes = probeFrameRanked(queries, centersDf).localCheckpoint(true)
-    val clusterSizes = spark.read.parquet(s"$ivfDir/vectors")
+    val clusterSizes = IndexStore.readCached(spark, s"$ivfDir/vectors")
       .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // GAUGE-ONLY driver collect, Q·nc slim (cluster, rank) pairs — the
@@ -1821,14 +1821,14 @@ object AnnSearch {
     // the same rows per cluster at ~3.5× fewer bytes; pq's ADC scans
     // every code, so its one frame is rerank-independent already)
     val ivfCand = probes
-      .join(spark.read.parquet(s"$ivfDir/vectors"), "cluster")
+      .join(IndexStore.readCached(spark, s"$ivfDir/vectors"), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("cr"), col("vec_id").as("id"),
         squaredL2(col("qu"), col("v")).as("dist"))
       .localCheckpoint(true)
     val sqDir = buildIvfSqIndex(spark, sfDir, nc)
     val sqCand = probes
-      .join(spark.read.parquet(s"$sqDir/vectors"), "cluster")
+      .join(IndexStore.readCached(spark, s"$sqDir/vectors"), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("cr"), col("qu"),
         col("vec_id").as("id"),
@@ -1981,14 +1981,24 @@ object AnnSearch {
     appendToIvfIndex(spark, sfDir, batch, out, nc)
     val nBase = embeddingCount(spark, sfDir)
     val nBatch = if (batchRows <= 0L) nBase else batchRows
-    val nOut = ivfVectors(spark, out).count()
     // exact top-k over the appended corpus (base ∪ batch, both normalized
-    // exactly as the index stores them)
+    // exactly as the index stores them) — disk-committed per fingerprint
+    // ([[appendUnionExact]], r17: the brute force re-ran per call)
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
-    val recall = probeRecall(spark, out, union,
+    val exact = appendUnionExact(spark, sfDir, union, nQueries, k,
+      batchTag = tag)
+    val approx = ivfSearchAt(spark, out,
       queryVectors(spark, sfDir, nQueries), k, resolveProbe(nc, 0),
       expectedQ = nQueries.toLong)
+    // ONE action for the scalar checks (r17: was three sequential jobs)
+    val g = Actions.gauges(
+      "n_out" -> ivfVectors(spark, out).agg(count(lit(1))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(nOut != nBase + nBatch)(
         ("vector_count", (nBase + nBatch).toDouble, nOut.toDouble)),
@@ -2029,18 +2039,25 @@ object AnnSearch {
     appendToIvfPqIndex(spark, sfDir, batch, out, nc, m, nk)
     val nBase = embeddingCount(spark, sfDir)
     val codes = IndexStore.readUnion(spark, ivfPqLayout(spark, out)._3)
-    val nOut = codes.count()
-    val badWidth = codes.filter(size(col("codes")) =!= m).count()
     val union = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val queries = queryVectors(spark, sfDir, nQueries)
-    val exact = unionExactTopK(union, queries, k)
+    // the committed appended-corpus truth ([[appendUnionExact]]) + ONE
+    // action for the scalar checks (r17: was four sequential jobs)
+    val exact = appendUnionExact(spark, sfDir, union, nQueries, k)
     val approx = ivfPqSearchAt(spark, out, queries, union, k,
       resolveProbe(nc, 0), m, nk, rerank = 40,
       expectedQ = nQueries.toLong)
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+    val g = Actions.gauges(
+      "n_out" -> codes.agg(count(lit(1))),
+      "bad_width" -> codes.filter(size(col("codes")) =!= m)
+        .agg(count(lit(1))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val badWidth = g("bad_width").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(nOut != 2 * nBase)(
         ("vector_count", 2.0 * nBase, nOut.toDouble)),
@@ -2093,13 +2110,25 @@ object AnnSearch {
     if (!IndexStore.committed(s"$refit/centroids") ||
         !IndexStore.committed(s"$refit/vectors"))
       buildIvfOver(spark, union, nc2, refit)
-    val nAppended = ivfVectors(spark, appended).count()
-    val nRefit = ivfVectors(spark, refit).count()
     val queries = queryVectors(spark, sfDir, nQueries)
-    val before = probeRecall(spark, appended, union, queries, k,
-      resolveProbe(nc, 0), expectedQ = nQueries.toLong)
-    val after = probeRecall(spark, refit, union, queries, k,
-      resolveProbe(nc2, 0), expectedQ = nQueries.toLong)
+    // the committed appended-corpus truth + ONE action for all six
+    // scalar checks (r17: was six sequential jobs)
+    val exact = appendUnionExact(spark, sfDir, union, nQueries, k)
+    def hitsAt(dir: String, p: Int): DataFrame =
+      exact.join(
+        ivfSearchAt(spark, dir, queries, k, p, nQueries.toLong)
+          .select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1)))
+    val g = Actions.gauges(
+      "n_appended" -> ivfVectors(spark, appended).agg(count(lit(1))),
+      "n_refit" -> ivfVectors(spark, refit).agg(count(lit(1))),
+      "hits_before" -> hitsAt(appended, resolveProbe(nc, 0)),
+      "hits_after" -> hitsAt(refit, resolveProbe(nc2, 0)),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nAppended = g("n_appended").toLong
+    val nRefit = g("n_refit").toLong
+    val before = g("hits_before") / g("n_exact")
+    val after = g("hits_after") / g("n_exact")
     val viols = Seq(
       Option.when(nRefit != nAppended)(
         ("vector_count", nAppended.toDouble, nRefit.toDouble)),
@@ -2227,28 +2256,44 @@ object AnnSearch {
       "embeddings")
     deleteFromIvfIndexAt(spark, appended, delIds, deleted)
     val nBase = embeddingCount(spark, sfDir)
-    val nDel = delIds.count()
-    val nLiveExpected = 2 * nBase - nDel
     val queries = queryVectors(spark, sfDir, nQueries)
     val res = ivfSearchAt(spark, deleted, queries, k,
       resolveProbe(nc, 0), expectedQ = nQueries.toLong)
-    val deletedInResults = res
-      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .count()
-    val nLive = ivfLiveVectors(spark, deleted).count()
     val compacted = IndexStore.indexDir(sfDir, s"ivf$nc-delc-v2",
       "embeddings")
     if (!IndexStore.committed(s"$compacted/centroids") ||
         !IndexStore.committed(s"$compacted/vectors"))
       compactIvfTo(spark, deleted, compacted)
-    val nCompact = ivfVectors(spark, compacted).count()
     // the live corpus: base ∪ batch minus the deleted ids, normalized
-    // exactly as the index stores them
+    // exactly as the index stores them; its exact truth is a pure
+    // fixture function — disk-committed ([[appendUnionExact]], shared
+    // with the PQ delete gate's identical live corpus)
     val live = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .join(delIds, Seq("vec_id"), "left_anti")
-    val recall = probeRecall(spark, compacted, live, queries, k,
+    val exact = appendUnionExact(spark, sfDir, live, nQueries, k,
+      batchTag = "-del")
+    val postCompact = ivfSearchAt(spark, compacted, queries, k,
       resolveProbe(nc, 0), expectedQ = nQueries.toLong)
+    // ONE action for the six scalar checks (r17: was six sequential jobs)
+    val g = Actions.gauges(
+      "n_del" -> delIds.agg(count(lit(1))),
+      "deleted_in_results" -> res
+        .join(delIds.select(col("vec_id").as("id")), Seq("id"),
+          "left_semi")
+        .agg(count(lit(1))),
+      "n_live" -> ivfLiveVectors(spark, deleted).agg(count(lit(1))),
+      "n_compact" -> ivfVectors(spark, compacted).agg(count(lit(1))),
+      "hits" -> exact.join(
+        postCompact.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nDel = g("n_del").toLong
+    val nLiveExpected = 2 * nBase - nDel
+    val deletedInResults = g("deleted_in_results").toLong
+    val nLive = g("n_live").toLong
+    val nCompact = g("n_compact").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(deletedInResults != 0L)(
         ("deleted_in_results", 0.0, deletedInResults.toDouble)),
@@ -2296,8 +2341,6 @@ object AnnSearch {
       "embeddings")
     deleteFromIvfPqIndexAt(spark, appended, delIds, deleted)
     val nBase = embeddingCount(spark, sfDir)
-    val nDel = delIds.count()
-    val nLiveExpected = 2 * nBase - nDel
     val live = normalizedVec(spark, sfDir).select(col("vec_id"), col("v"))
       .unionAll(batch.select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .join(delIds, Seq("vec_id"), "left_anti")
@@ -2305,15 +2348,28 @@ object AnnSearch {
     val approx = ivfPqSearchAt(spark, deleted, queries, live, k,
       resolveProbe(nc, 0), m, nk, rerank = 40,
       expectedQ = nQueries.toLong)
-    val deletedInResults = approx
-      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .count()
-    val nLive = excludeTombstoned(spark, deleted,
-      IndexStore.readUnion(spark, ivfPqLayout(spark, deleted)._3)).count()
-    val exact = unionExactTopK(live, queries, k)
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+    // the SAME committed live-corpus truth as the flat delete gate
+    // (identical corpus — one artifact serves both) + ONE action for
+    // the five scalar checks (r17: was five sequential jobs)
+    val exact = appendUnionExact(spark, sfDir, live, nQueries, k,
+      batchTag = "-del")
+    val g = Actions.gauges(
+      "n_del" -> delIds.agg(count(lit(1))),
+      "deleted_in_results" -> approx
+        .join(delIds.select(col("vec_id").as("id")), Seq("id"),
+          "left_semi")
+        .agg(count(lit(1))),
+      "n_live" -> excludeTombstoned(spark, deleted,
+        IndexStore.readUnion(spark, ivfPqLayout(spark, deleted)._3))
+        .agg(count(lit(1))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nDel = g("n_del").toLong
+    val nLiveExpected = 2 * nBase - nDel
+    val deletedInResults = g("deleted_in_results").toLong
+    val nLive = g("n_live").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(deletedInResults != 0L)(
         ("deleted_in_results", 0.0, deletedInResults.toDouble)),
@@ -2325,22 +2381,54 @@ object AnnSearch {
     viols.toDF("invariant", "expected", "actual").orderBy("invariant")
   }
 
+  /** Disk-committed exact truth over the APPENDED corpus (base ∪ the
+    * deterministic growth batch) per (fixture fingerprint, Q, k, batch
+    * tag) — the [[exactKnnAt]] discipline applied to the append/refit
+    * gates' denominator, shared by BOTH index families (the graph gates
+    * had a per-JVM cache; the IVF gates re-ran the brute force per
+    * call). The truth is a pure function of the fixture, so committing
+    * it once per fingerprint weakens no gate: the alarms re-run the
+    * INDEX path per call, only the bit-identical denominator is read.
+    * `union` is consumed only on the first (building) call.
+    */
+  private[graft] def appendUnionExact(spark: SparkSession, sfDir: String,
+                                      union: DataFrame, nQueries: Int,
+                                      k: Int,
+                                      batchTag: String = ""): DataFrame = {
+    val dir = IndexStore.indexDir(sfDir,
+      s"exact-app-$nQueries-$k$batchTag-v1", "embeddings")
+    if (!IndexStore.committed(dir)) {
+      val truth = unionExactTopK(union,
+        queryVectors(spark, sfDir, nQueries), k)
+      IndexStore.saveDataset(truth.coalesce(1), dir)
+      Checkpoints.release(truth)
+    }
+    IndexStore.readCached(spark, dir)
+  }
+
   /** Average recall@k of probing the index at `dir` against the exact
     * k-NN over an explicit normalized corpus — the shared measurement of
     * both append gates (batch and streamed). `expectedQ` is the CALLER's
     * known query count (required, no default): a recall gauge over a
     * large query batch must take the driver-safe joined probe exactly
-    * like a search would.
+    * like a search would. `exactOverride` supplies an already-committed
+    * truth frame (the append/refit gates' [[appendUnionExact]]) so the
+    * brute force isn't re-run per call; the numerator and denominator
+    * fold into ONE action ([[Actions.gauges]], r17 — was two).
     */
   private[graft] def probeRecall(spark: SparkSession, dir: String,
                                  union: DataFrame, queries: DataFrame,
                                  k: Int, nProbe: Int,
-                                 expectedQ: Long): Double = {
-    val exact = unionExactTopK(union, queries, k)
+                                 expectedQ: Long,
+                                 exactOverride: Option[DataFrame] = None)
+      : Double = {
+    val exact = exactOverride.getOrElse(unionExactTopK(union, queries, k))
     val approx = ivfSearchAt(spark, dir, queries, k, nProbe, expectedQ)
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    hits.toDouble / exact.count()
+    val g = Actions.gauges(
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    g("hits") / g("n_exact")
   }
 
   /** Exact top-k (query_id, id) over an explicit normalized corpus — the

@@ -530,10 +530,24 @@ object GraphAnn {
     dir
   }
 
-  private def meta(spark: SparkSession, dir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").head
-    (r.getAs[Int]("degree"), r.getAs[Int]("buckets"))
-  }
+  // (degree, buckets) per version dir, cached per JVM: a version dir is
+  // immutable once committed (manifest written last) and a same-dir
+  // rebuild is a deterministic replay writing identical meta — the
+  // head() job per beam call was pure re-fetch (r17; the
+  // [[IndexStore.readManifest]] discipline applied to the meta row)
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private def meta(spark: SparkSession, dir: String): (Int, Int) =
+    metaCache.computeIfAbsent(dir, _ => {
+      val r = IndexStore.readCached(spark, s"$dir/meta").head
+      (r.getAs[Int]("degree"), r.getAs[Int]("buckets"))
+    })
+
+  // seed-vector dimensionality per version dir (same immutability
+  // argument): searchTraceAt's control-plane d probe was one head()
+  // job per beam call
+  private val seedDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def artifact(spark: SparkSession, dir: String,
                        name: String): DataFrame =
@@ -592,17 +606,22 @@ object GraphAnn {
   private[graft] def searchTraceAt(spark: SparkSession, dir: String,
                                    queries: DataFrame, ef: Int,
                                    hops: Int,
-                                   pruneToEf: Boolean = true): DataFrame = {
+                                   pruneToEf: Boolean = true,
+                                   expectedQ: Long = -1L): DataFrame = {
     val (deg, b) = meta(spark, dir)
     val graphView = artifact(spark, dir, "graph")
       .select(col("bucket"), col("src"), col("dst"))
     val vectors = artifact(spark, dir, "vectors")
     val seeds = artifact(spark, dir, "seeds")
       .select(col("vec_id").as("id"), col("v").as("sv"))
-    // control-plane pricing inputs: Q (one count of the query frame)
-    // and d (one head row of the tiny seed table)
-    val qCount = math.max(1L, queries.count())
-    val d = seeds.head.getAs[scala.collection.Seq[Double]]("sv").length
+    // control-plane pricing inputs: Q (threaded in by callers that know
+    // it — the [[AnnSearch.ivfSearchAt]] expectedQ discipline — else one
+    // count of the query frame) and d (one head row of the tiny seed
+    // table, cached per immutable version dir)
+    val qCount =
+      if (expectedQ > 0L) expectedQ else math.max(1L, queries.count())
+    val d: Int = seedDimCache.computeIfAbsent(dir, _ =>
+      seeds.head.getAs[scala.collection.Seq[Double]]("sv").length).intValue()
     def hinted(df: DataFrame, approxBytes: Long): DataFrame =
       if (approxBytes > AnnSearch.BroadcastProbeByteLimit) df
       else broadcast(df)
@@ -619,18 +638,37 @@ object GraphAnn {
       else df.withColumn("_r", row_number().over(
           Window.partitionBy("query_id").orderBy(col("dist"), col("id"))))
         .filter(col("_r") <= ef).drop("_r")
+    val dbg = sys.env.contains("SPARK_GRAFT_BEAM_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[beam] $tag ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     var visited = pruned(q.join(broadcast(seeds))
       .select(col("query_id"), col("id"),
         squaredL2(col("qu"), col("sv")).as("dist"),
         lit(0).as("hop")))
       .localCheckpoint(true)
+    lap("seed")
     for (h <- 1 to hops) {
-      val wf = Window.partitionBy("query_id")
-        .orderBy(col("dist"), col("id"))
-      val frontier = visited.withColumn("_r", row_number().over(wf))
-        .filter(col("_r") <= ef)
-        .select(col("query_id"), col("id"),
+      // pruned mode: `visited` IS the per-query top-ef beam already (the
+      // prune invariant — both the seed frame and every `next` pass
+      // through pruned()), so re-windowing it to top-ef was an identity
+      // costing one exchange + window per hop (r17). Unpruned mode keeps
+      // the explicit cut: there `visited` is the full trace.
+      val frontier = {
+        val base =
+          if (pruneToEf) visited
+          else {
+            val wf = Window.partitionBy("query_id")
+              .orderBy(col("dist"), col("id"))
+            visited.withColumn("_r", row_number().over(wf))
+              .filter(col("_r") <= ef)
+          }
+        base.select(col("query_id"), col("id"),
           pmod(col("id"), lit(b)).as("fbucket"))
+      }
       // expansion: beam × adjacency — the (priced) broadcast side is
       // Q·ef rows, the graph scan prunes on the bucket partition column
       val exp = graphView
@@ -666,19 +704,20 @@ object GraphAnn {
       // node is by definition not in it — so the union never duplicates
       // and the beam cut needs no dedup pass
       val next = pruned(visited.unionAll(scored)).localCheckpoint(true)
-      // early exit. Unpruned: a hop that scored nothing fresh means the
-      // beam's closed neighborhood is fully explored. Pruned: no NEW
-      // ENTRANT into any query's kept set — count equality is not
-      // enough there (an entrant can displace a kept row at constant
-      // size), and re-scored pruned nodes keep `fresh` nonempty
-      // forever, so the set check is also what terminates converged
-      // searches. Both checks are control-plane over already
-      // checkpointed frames.
+      lap(s"hop $h checkpoint")
+      // early exit: no NEW ENTRANT into any query's kept set, which is
+      // final — an unchanged set re-expands the same frontier forever.
+      // Every `scored` row carries hop = h and every `visited` row
+      // hop < h, and scored/visited are disjoint (above), so "a new
+      // entrant survived" ⇔ "`next` holds a hop = h row" in BOTH modes
+      // (unpruned keeps every scored row; pruned keeps exactly the
+      // entrants). The hop filter is a shuffle-free scan of the frame
+      // just checkpointed — r17, replacing a per-hop anti-join (pruned)
+      // / two counts (unpruned). The final hop skips the check: the
+      // loop exits regardless, and the trace is returned as-is.
       val converged =
-        if (pruneToEf)
-          next.join(visited.select(col("query_id"), col("id")),
-            Seq("query_id", "id"), "left_anti").isEmpty
-        else next.count() == visited.count()
+        h < hops && next.filter(col("hop") === h).isEmpty
+      lap(s"hop $h converged=$converged")
       // `next` is eagerly materialized, so the superseded hop's blocks
       // are dead — release them now instead of holding hops+1
       // checkpoint generations until a GC (see [[Checkpoints]])
@@ -696,9 +735,11 @@ object GraphAnn {
     * cannot be ranked.
     */
   def graphSearchAt(spark: SparkSession, dir: String, queries: DataFrame,
-                    k: Int, ef: Int, hops: Int): DataFrame =
+                    k: Int, ef: Int, hops: Int,
+                    expectedQ: Long = -1L): DataFrame =
     rankTail(spark, dir,
-      searchTraceAt(spark, dir, queries, ef, hops), k)
+      searchTraceAt(spark, dir, queries, ef, hops,
+        expectedQ = expectedQ), k)
 
   /** [[graphSearchAt]] with the beam knobs auto-derived from the
     * version's OWN state (its persisted degree, its node count) — the
@@ -707,12 +748,17 @@ object GraphAnn {
     * from the artifact exactly as they would have at that version's
     * write time.
     */
+  // node count per version dir, cached per JVM (the [[metaCache]]
+  // immutability argument: committed version dirs never change)
+  private val nodeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def graphSearchAtAuto(spark: SparkSession, dir: String,
                                        queries: DataFrame,
                                        k: Int): DataFrame = {
     val (deg, _) = meta(spark, dir)
-    val n = artifact(spark, dir, "vectors")
-      .select("vec_id").distinct().count()
+    val n: Long = nodeCountCache.computeIfAbsent(dir, _ =>
+      artifact(spark, dir, "vectors")
+        .select("vec_id").distinct().count()).longValue()
     graphSearchAt(spark, dir, queries, k, autoEf(n), autoHops(n, deg))
   }
 
@@ -1165,7 +1211,7 @@ object GraphAnn {
   def deleteFromGraphIndex(spark: SparkSession, base: String,
                            delIds: DataFrame, out: String): Unit = {
     if (IndexStore.committed(s"$out/manifest")) return
-    spark.read.parquet(s"$base/meta")
+    IndexStore.readCached(spark, s"$base/meta")
       .write.mode("overwrite").parquet(s"$out/meta")
     delIds.select(col("vec_id")).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/seg/del/tombstones")
@@ -1298,22 +1344,16 @@ object GraphAnn {
     * once per JVM instead of once per gate (the
     * [[AnnSearch.exactKnnPairs]] discipline applied here).
     */
-  // session-instance keyed + evicting (Checkpoints.FrameCache): the
-  // cached handle pins the SparkSession that checkpointed it, so a
-  // stop-and-recreate in the same JVM must MISS, and a superseded
-  // fingerprint or dead session releases the stale frame's blocks.
-  // `batchTag` disambiguates truths over different append batches (the
-  // sliced O(batch) regime vs the doubling fixture batch union to
-  // different corpora).
-  private val appendExactCache = new Checkpoints.FrameCache
+  // r17: delegates to the DISK-committed shared truth
+  // ([[AnnSearch.appendUnionExact]]) — the graph and IVF append/refit
+  // gates measure against the SAME grown corpus, so one committed
+  // artifact per (fingerprint, Q, k, batchTag) serves both families and
+  // survives across JVMs (the per-JVM FrameCache it replaces re-ran the
+  // brute force once per session).
   private def appendUnionExact(spark: SparkSession, sfDir: String,
                                union: DataFrame, nQueries: Int,
                                k: Int, batchTag: String = ""): DataFrame =
-    appendExactCache.getOrCompute(spark,
-      s"$sfDir#$nQueries#$k#$batchTag",
-      IndexStore.sourceFingerprint(sfDir, "embeddings"))(
-      AnnSearch.unionExactTopK(union,
-        AnnSearch.fixtureQueries(spark, sfDir, nQueries), k))
+    AnnSearch.appendUnionExact(spark, sfDir, union, nQueries, k, batchTag)
 
   /** HARD gate for graph REFIT — the lifecycle step after appends (the
     * [[AnnSearch.ivfRefitViolations]] contract, zero rows = passing,
@@ -1349,24 +1389,34 @@ object GraphAnn {
     val refit = IndexStore.indexDir(sfDir,
       s"knngraph$refitDeg-refit-v4", "embeddings")
     buildGraphOver(spark, union, refit, refitDeg)
-    val nRefit = artifact(spark, refit, "vectors")
-      .select("vec_id").distinct().count()
-    val orphans = artifact(spark, refit, "vectors")
-      .select(col("vec_id").as("src")).distinct()
-      .join(artifact(spark, refit, "graph").select("src").distinct(),
-        Seq("src"), "left_anti").count()
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val exact = appendUnionExact(spark, sfDir, union, nQueries, k)
     val hops = autoHops(2 * n, deg)
-    def recallOf(dir: String): Double = {
-      val approx = graphSearchAt(spark, dir, queries, k, autoEf(2 * n),
-        hops)
-      exact.join(approx.select(col("query_id"), col("id")),
-        Seq("query_id", "id"), "left_semi").count().toDouble /
-        exact.count()
-    }
-    val appendedRecall = recallOf(appended)
-    val refitRecall = recallOf(refit)
+    val appendedBeam = graphSearchAt(spark, appended, queries, k,
+      autoEf(2 * n), hops, expectedQ = nQueries.toLong)
+    val refitBeam = graphSearchAt(spark, refit, queries, k,
+      autoEf(2 * n), hops, expectedQ = nQueries.toLong)
+    def hitsOf(beam: DataFrame): DataFrame =
+      exact.join(beam.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1)))
+    // ONE action for every scalar check (r17: was six sequential jobs —
+    // [[Actions.gauges]]); the two beam traces still run their own
+    // internal jobs first
+    val g = Actions.gauges(
+      "n_refit" -> artifact(spark, refit, "vectors")
+        .agg(countDistinct(col("vec_id"))),
+      "orphans" -> artifact(spark, refit, "vectors")
+        .select(col("vec_id").as("src")).distinct()
+        .join(artifact(spark, refit, "graph").select("src").distinct(),
+          Seq("src"), "left_anti")
+        .agg(count(lit(1))),
+      "appended_hits" -> hitsOf(appendedBeam),
+      "refit_hits" -> hitsOf(refitBeam),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nRefit = g("n_refit").toLong
+    val orphans = g("orphans").toLong
+    val appendedRecall = g("appended_hits") / g("n_exact")
+    val refitRecall = g("refit_hits") / g("n_exact")
     def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
     val viols = Seq(
       Option.when(nRefit != 2 * n)(
@@ -1416,30 +1466,44 @@ object GraphAnn {
     compactGraphTo(spark, delOut, cmpOut)
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val hops = autoHops(n, deg)
-    val excluded = graphSearchAt(spark, delOut, queries, k, autoEf(n),
-      hops)
-      .join(dead.select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .count()
-    val nDead = dead.count()
-    val liveN = artifact(spark, cmpOut, "vectors")
-      .select("vec_id").distinct().count()
-    val deadEdges = artifact(spark, cmpOut, "graph")
-      .select(col("src"), col("dst"))
-      .join(dead.select(col("vec_id").as("src")), Seq("src"), "left_semi")
-      .count() +
-      artifact(spark, cmpOut, "graph")
+    val live = AnnSearch.normalizedCorpus(spark, sfDir)
+      .join(dead, Seq("vec_id"), "left_anti")
+    // disk-committed deterministic live-corpus truth (the
+    // [[AnnSearch.appendUnionExact]] discipline, graph-delete tag)
+    val exact = AnnSearch.appendUnionExact(spark, sfDir, live, nQueries,
+      k, batchTag = "-gdel")
+    val tombSearch = graphSearchAt(spark, delOut, queries, k, autoEf(n),
+      hops, expectedQ = nQueries.toLong)
+    val approx = graphSearchAt(spark, cmpOut, queries, k, autoEf(n),
+      hops, expectedQ = nQueries.toLong)
+    // ONE action for every scalar check (r17: was seven sequential jobs
+    // — [[Actions.gauges]]); the two beam traces above still run their
+    // own internal jobs first
+    val g = Actions.gauges(
+      "excluded" -> tombSearch
+        .join(dead.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .agg(count(lit(1))),
+      "n_dead" -> dead.agg(count(lit(1))),
+      "live_n" -> artifact(spark, cmpOut, "vectors")
+        .agg(countDistinct(col("vec_id"))),
+      "dead_src" -> artifact(spark, cmpOut, "graph")
+        .select(col("src"), col("dst"))
+        .join(dead.select(col("vec_id").as("src")), Seq("src"),
+          "left_semi")
+        .agg(count(lit(1))),
+      "dead_dst" -> artifact(spark, cmpOut, "graph")
         .select(col("src"), col("dst"))
         .join(dead.select(col("vec_id").as("dst")), Seq("dst"),
           "left_semi")
-        .count()
-    val live = AnnSearch.normalizedCorpus(spark, sfDir)
-      .join(dead, Seq("vec_id"), "left_anti")
-    val exact = AnnSearch.unionExactTopK(live, queries, k)
-    val approx = graphSearchAt(spark, cmpOut, queries, k, autoEf(n),
-      hops)
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+        .agg(count(lit(1))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val excluded = g("excluded").toLong
+    val nDead = g("n_dead").toLong
+    val liveN = g("live_n").toLong
+    val deadEdges = g("dead_src").toLong + g("dead_dst").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(excluded != 0L)(
         ("excluded_in_results", 0.0, excluded.toDouble)),
@@ -1491,29 +1555,14 @@ object GraphAnn {
     val batch = if (batchRows <= 0L) fullBatch
                 else fullBatch.orderBy("vec_id").limit(batchRows.toInt)
     appendToGraphIndex(spark, sfDir, batch, out)
-    val nOut = artifact(spark, out, "vectors")
-      .select("vec_id").distinct().count()
-    val orphans = artifact(spark, out, "vectors")
-      .select(col("vec_id").as("src")).distinct()
-      .join(artifact(spark, out, "graph").select("src").distinct(),
-        Seq("src"), "left_anti").count()
-    // degree is measured on the DELTA SEGMENT the append WROTE (read
-    // back from disk via the manifest, filtered to this version's own
-    // paths) — asserting on resolvedGraph would be vacuous: it applies
-    // the same topM cap the invariant checks, so it could never exceed
-    // the bound regardless of what was persisted
-    val maxDeg = IndexStore.readUnion(spark,
-        IndexStore.manifestSegments(
-          IndexStore.readManifest(spark, out), "graph")
-          .filter(_.startsWith(out)))
-      .select(col("src"), col("dst")).dropDuplicates("src", "dst")
-      .groupBy("src").agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).head.getLong(0)
+    // control-plane batch size, no job: the growth batch is the corpus
+    // shifted ([[AnnSearch.appendBatch]] — count = n, fingerprint-cached)
+    // or its `batchRows`-smallest slice
+    val bCount = if (batchRows <= 0L) n else math.min(batchRows, n)
     // the persisted bound depends on the append regime: a beam-link
     // delta is topM(deg); a doubling rebuild's segments live under the
     // full build's bidirectional 2·deg (HNSW maxM0) — recompute the
     // same deterministic switch the append took
-    val bCount = batch.count()
     val degBound =
       if (appendRebuilds(n, bCount)) 2 * deg else deg
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
@@ -1522,10 +1571,35 @@ object GraphAnn {
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val exact = appendUnionExact(spark, sfDir, union, nQueries, k, tag)
     val approx = graphSearchAt(spark, out, queries, k, autoEf(n + bCount),
-      autoHops(n + bCount, deg))
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+      autoHops(n + bCount, deg), expectedQ = nQueries.toLong)
+    // ONE action for every scalar check (r17: was five sequential jobs —
+    // [[Actions.gauges]]); degree is measured on the DELTA SEGMENT the
+    // append WROTE (read back from disk via the manifest, filtered to
+    // this version's own paths) — asserting on resolvedGraph would be
+    // vacuous: it applies the same topM cap the invariant checks, so it
+    // could never exceed the bound regardless of what was persisted
+    val g = Actions.gauges(
+      "n_out" -> artifact(spark, out, "vectors")
+        .agg(countDistinct(col("vec_id"))),
+      "orphans" -> artifact(spark, out, "vectors")
+        .select(col("vec_id").as("src")).distinct()
+        .join(artifact(spark, out, "graph").select("src").distinct(),
+          Seq("src"), "left_anti")
+        .agg(count(lit(1))),
+      "max_deg" -> IndexStore.readUnion(spark,
+          IndexStore.manifestSegments(
+            IndexStore.readManifest(spark, out), "graph")
+            .filter(_.startsWith(out)))
+        .select(col("src"), col("dst")).dropDuplicates("src", "dst")
+        .groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val orphans = g("orphans").toLong
+    val maxDeg = g("max_deg").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(nOut != n + bCount)(
         ("vector_count", (n + bCount).toDouble, nOut.toDouble)),
@@ -1573,19 +1647,25 @@ object GraphAnn {
                            perLeg: Int = 50,
                            recallFloor: Double = 0.9): DataFrame = {
     import spark.implicits._
-    def legRecall(dir: String, corpus: DataFrame, queries: DataFrame,
-                  n: Long): (Int, Double) = {
+    // per leg: checkpoint the exact truth, run the beam (its own internal
+    // jobs), and RETURN the gauge frames — the two legs' four scalar
+    // checks then fold into one action ([[Actions.gauges]], r17; was
+    // four sequential count() jobs)
+    def legFrames(dir: String, corpus: DataFrame, queries: DataFrame,
+                  n: Long, q: Long)
+        : (Int, DataFrame, DataFrame, DataFrame) = {
       val deg = autoDegree(n)
       val hops = autoHops(n, deg)
       val ef = autoEf(n)
       val exact = AnnSearch.unionExactTopK(corpus, queries, perLeg)
-      val beamed = graphSearchAt(spark, dir, queries, perLeg, ef, hops)
+      val beamed = graphSearchAt(spark, dir, queries, perLeg, ef, hops,
+          expectedQ = q)
         .select(col("query_id"), col("id"))
-      val hits = exact.join(beamed, Seq("query_id", "id"), "left_semi")
-        .count()
-      val r = hits.toDouble / math.max(1L, exact.count())
-      Checkpoints.release(exact)
-      (ef, r)
+      (ef,
+        exact.join(beamed, Seq("query_id", "id"), "left_semi")
+          .agg(count(lit(1))),
+        exact.agg(greatest(count(lit(1)), lit(1L))),
+        exact)
     }
     val nDoc = AnnSearch.tableCount(spark, sfDir, "documents")
     // the SAME normalized corpus the doc-space graph was built over
@@ -1596,14 +1676,21 @@ object GraphAnn {
       Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text")), DocGraphDim)
       .select(col("doc_id").as("vec_id"), col("v"))
-    val (docEf, hybridRecall) = legRecall(
+    val (docEf, docHits, docDen, docExact) = legFrames(
       loadOrBuildDocGraph(spark, sfDir, DocGraphDim), docCorpus,
-      TfIdf.hybridQueryVec(spark, sfDir), nDoc)
+      TfIdf.hybridQueryVec(spark, sfDir), nDoc, q = 1L)
     val nEmb = AnnSearch.embeddingCount(spark, sfDir)
-    val (embEf, mmrRecall) = legRecall(
+    val (embEf, embHits, embDen, embExact) = legFrames(
       ensureGraphIndex(spark, sfDir),
       AnnSearch.normalizedCorpus(spark, sfDir),
-      AnnSearch.fixtureQueries(spark, sfDir, 10), nEmb)
+      AnnSearch.fixtureQueries(spark, sfDir, 10), nEmb, q = 10L)
+    val g = Actions.gauges(
+      "doc_hits" -> docHits, "doc_den" -> docDen,
+      "emb_hits" -> embHits, "emb_den" -> embDen)
+    Checkpoints.release(docExact)
+    Checkpoints.release(embExact)
+    val hybridRecall = g("doc_hits") / g("doc_den")
+    val mmrRecall = g("emb_hits") / g("emb_den")
     def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
     val viols = Seq(
       Option.when(docEf >= nDoc)(

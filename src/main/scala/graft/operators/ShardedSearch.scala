@@ -182,13 +182,13 @@ object ShardedSearch {
       // codes are the only corpus-sized artifact here — materialize
       // once, slice K times from the checkpointed blocks, release when
       // the last shard has committed
-      val codes = spark.read.parquet(s"$src/codes").localCheckpoint(true)
+      val codes = IndexStore.readCached(spark, s"$src/codes").localCheckpoint(true)
       try dirs.zipWithIndex.foreach { case (dir, s) =>
         if (!IndexStore.committed(s"$dir/codes")) {
           IndexStore.saveDataset(
-            spark.read.parquet(s"$src/centroids"), s"$dir/centroids")
+            IndexStore.readCached(spark, s"$src/centroids"), s"$dir/centroids")
           IndexStore.saveDataset(
-            spark.read.parquet(s"$src/codebooks"), s"$dir/codebooks")
+            IndexStore.readCached(spark, s"$src/codebooks"), s"$dir/codebooks")
           codes.filter(shardOf(col("vec_id"), shards) === s)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("cluster").parquet(s"$dir/codes")
@@ -268,11 +268,16 @@ object ShardedSearch {
     val shardN = math.max(1L, (n + shards - 1) / shards)
     val deg = shardDegree(n, shards)
     val queries = queryFrame(spark, sfDir, nQueries)
-    val gathered = dirs.map { dir =>
+    // the K iterative per-shard beams overlapped (Actions.par, guide
+    // §2.6): each beam is a chain of small hop jobs, so running the
+    // shards' chains concurrently back-fills the executor instead of
+    // serializing K× the hop latency; results keep `dirs` order
+    val gathered = Actions.par(dirs.map(dir => () =>
       GraphAnn.graphSearchAt(spark, dir, queries, k,
-          GraphAnn.autoEf(shardN), GraphAnn.autoHops(shardN, deg))
+          GraphAnn.autoEf(shardN), GraphAnn.autoHops(shardN, deg),
+          expectedQ = nQueries.toLong)
         .select(col("query_id"), col("id"))
-    }.reduce(_ unionAll _)
+    )).reduce(_ unionAll _)
     VectorSearch.rescoreTopK(
       gathered.join(broadcast(queries), "query_id")
         .select(col("query_id"), col("qu"), col("id")),
@@ -406,10 +411,11 @@ object ShardedSearch {
                                           queries: DataFrame,
                                           corpus: DataFrame,
                                           k: Int): DataFrame = {
-    val gathered = dirs.map { dir =>
+    // K iterative beams overlapped (the [[shardedGraphKnn]] rationale)
+    val gathered = Actions.par(dirs.map(dir => () =>
       GraphAnn.graphSearchAtAuto(spark, dir, queries, k)
         .select(col("query_id"), col("id"))
-    }.reduce(_ unionAll _)
+    )).reduce(_ unionAll _)
     VectorSearch.rescoreTopK(
       gathered.join(broadcast(queries), "query_id")
         .select(col("query_id"), col("qu"), col("id")),
@@ -493,12 +499,16 @@ object ShardedSearch {
                                      queries: DataFrame, corpus: DataFrame,
                                      k: Int, nProbe: Int,
                                      expectedQ: Long): DataFrame = {
-    val gathered = dirs.map { dir =>
+    // per-shard leg construction overlapped (Actions.par, guide §2.6):
+    // each leg's collect-probe embeds a control-plane job, and K of
+    // them were running back-to-back; results keep `dirs` order so the
+    // gathered union is deterministic
+    val gathered = Actions.par(dirs.map(dir => () => {
       val nc = AnnSearch.clusterCountAt(spark, dir)
       val p = if (nProbe == -1) nc else math.min(nProbe, nc)
       AnnSearch.ivfSearchAt(spark, dir, queries, k, p, expectedQ)
         .select(col("query_id"), col("id"))
-    }.reduce(_ unionAll _)
+    })).reduce(_ unionAll _)
     VectorSearch.rescoreTopK(
       gathered.join(broadcast(queries), "query_id")
         .select(col("query_id"), col("qu"), col("id")),
@@ -530,11 +540,13 @@ object ShardedSearch {
             else if (nProbe > 0) nProbe
             else AnnSearch.autoProbe(nc)
     val queries = queryFrame(spark, sfDir, nQueries)
-    val gathered = dirs.map { dir =>
+    // per-shard legs overlapped (Actions.par — the scatterGatherAt
+    // rationale); input order preserved, union deterministic
+    val gathered = Actions.par(dirs.map(dir => () =>
       AnnSearch.ivfSearchAt(spark, dir, queries, k, math.min(p, nc),
           expectedQ = nQueries.toLong)
         .select(col("query_id"), col("id"))
-    }.reduce(_ unionAll _)
+    )).reduce(_ unionAll _)
     // global re-rank: exact rescore of the bounded candidate set — the
     // single rounding point, so a saturated-probe run is bit-identical
     // to the unsharded exact search (no double-rounded tie-breaks)
@@ -616,20 +628,29 @@ object ShardedSearch {
         .select(col("query_id"), col("vec_id").as("id"),
           squaredL2(col("qu"), col("v")).as("dist")), k)
       .localCheckpoint(true)
-    def symDiff(other: DataFrame): Long =
-      exact.exceptAll(other).count() + other.exceptAll(exact).count()
-    val satDiff = symDiff(scatterGatherAt(spark, appended, queries,
-      union, k, nProbe = -1, expectedQ = nQueries.toLong))
+    // r17 job structure: the four scatter-gathers are checkpointed once
+    // (each symDiff side used to re-run the whole probe/beam plan) and
+    // every scalar folds into ONE [[Actions.gauges]] action — the gate
+    // was ~15 sequential count() jobs
+    def symDiffFrame(other: DataFrame): DataFrame =
+      exact.exceptAll(other).select(lit(1L).as("one"))
+        .unionAll(other.exceptAll(exact).select(lit(1L).as("one")))
+        .agg(count(lit(1)))
+    def dupFrame(ids: DataFrame): DataFrame =
+      ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)))
+    val sat = scatterGatherAt(spark, appended, queries,
+      union, k, nProbe = -1, expectedQ = nQueries.toLong)
+      .localCheckpoint(true)
     val ids = appended.map(d => AnnSearch.ivfVectors(spark, d)
       .select(col("vec_id"))).reduce(_ unionAll _)
-    val want = AnnSearch.embeddingCount(spark, sfDir).toDouble +
-      batch.count()
-    val coverage = ids.count().toDouble
-    val dupIds = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count().toDouble
+    // the injection batch is the full corpus re-based (rows = n,
+    // fingerprint-cached) — control-plane, no count job
+    val want = 2.0 * AnnSearch.embeddingCount(spark, sfDir)
     val resharded = reshardIvf(spark, sfDir, appended, 2, "app1")
-    val reDiff = symDiff(scatterGatherAt(spark, resharded, queries,
-      union, k, nProbe = -1, expectedQ = nQueries.toLong))
+    val re = scatterGatherAt(spark, resharded, queries,
+      union, k, nProbe = -1, expectedQ = nQueries.toLong)
+      .localCheckpoint(true)
     // the GRAPH family's write legs (round 17 — symmetry with the IVF
     // shard writes above): the same batch hash-routed into the K graph
     // shards through the one beam-link append path, then coverage,
@@ -641,14 +662,10 @@ object ShardedSearch {
     val gIds = gAppended.map(d =>
       IndexStore.loadSegments(spark, d, "vectors")
         .select(col("vec_id")).distinct()).reduce(_ unionAll _)
-    val gCoverage = gIds.count().toDouble
-    val gDups = gIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count().toDouble
     val exactPairs = exact.select(col("query_id"), col("id"))
     val gApprox = scatterGatherGraphAt(spark, gAppended, queries,
       union, k).select(col("query_id"), col("id"))
-    val gRecall = exactPairs.join(gApprox, Seq("query_id", "id"),
-      "left_semi").count().toDouble / math.max(1L, exactPairs.count())
+      .localCheckpoint(true)
     val gFloor = AnnSearch.DefaultRecallFloors("knn_graph")
     // the GRAPH family's re-shard (round 17 — symmetry with
     // `reshard_identity` above): a K′=2 graph topology rebuilt FROM the
@@ -662,13 +679,35 @@ object ShardedSearch {
     val rIds = gResharded.map(d =>
       IndexStore.loadSegments(spark, d, "vectors")
         .select(col("vec_id"))).reduce(_ unionAll _)
-    val rCoverage = rIds.count().toDouble
-    val rDups = rIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count().toDouble
     val rApprox = scatterGatherGraphAt(spark, gResharded, queries,
       union, k).select(col("query_id"), col("id"))
-    val rRecall = exactPairs.join(rApprox, Seq("query_id", "id"),
-      "left_semi").count().toDouble / math.max(1L, exactPairs.count())
+      .localCheckpoint(true)
+    def hitsFrame(approx: DataFrame): DataFrame =
+      exactPairs.join(approx, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)))
+    val g = Actions.gauges(
+      "sat_diff" -> symDiffFrame(sat),
+      "coverage" -> ids.agg(count(lit(1))),
+      "dup_ids" -> dupFrame(ids),
+      "re_diff" -> symDiffFrame(re),
+      "g_coverage" -> gIds.agg(count(lit(1))),
+      "g_dups" -> dupFrame(gIds),
+      "g_hits" -> hitsFrame(gApprox),
+      "r_coverage" -> rIds.agg(count(lit(1))),
+      "r_dups" -> dupFrame(rIds),
+      "r_hits" -> hitsFrame(rApprox),
+      "n_exact" -> exactPairs.agg(greatest(count(lit(1)), lit(1L))))
+    Seq(sat, re, gApprox, rApprox).foreach(Checkpoints.release)
+    val satDiff = g("sat_diff").toLong
+    val coverage = g("coverage")
+    val dupIds = g("dup_ids")
+    val reDiff = g("re_diff").toLong
+    val gCoverage = g("g_coverage")
+    val gDups = g("g_dups")
+    val gRecall = g("g_hits") / g("n_exact")
+    val rCoverage = g("r_coverage")
+    val rDups = g("r_dups")
+    val rRecall = g("r_hits") / g("n_exact")
     val checks = Seq(
       ("append_scatter_gather", 0.0, satDiff.toDouble),
       ("append_coverage", want, coverage),
@@ -731,7 +770,6 @@ object ShardedSearch {
       .localCheckpoint(true)
     val deleted = deleteFromShards(spark, sfDir, delIds, shards)
     val gDeleted = deleteFromGraphShards(spark, sfDir, delIds, shards)
-    val nDel = delIds.count()
     val n = AnnSearch.embeddingCount(spark, sfDir)
     val queries = queryFrame(spark, sfDir, nQueries)
     // the survivor corpus, normalized exactly as the shards store it —
@@ -747,28 +785,47 @@ object ShardedSearch {
     val sg = scatterGatherAt(spark, deleted, queries, live, k,
       nProbe = -1, expectedQ = nQueries.toLong).localCheckpoint(true)
     val delAsId = delIds.select(col("vec_id").as("id"))
-    val ivfLeaked = sg.join(delAsId, Seq("id"), "left_semi").count()
-    val ivfDiff = exact.exceptAll(sg).count() + sg.exceptAll(exact).count()
-    val ivfLive = deleted.map(d =>
-      AnnSearch.ivfLiveVectors(spark, d).count()).sum
     val gApprox = scatterGatherGraphAt(spark, gDeleted, queries, live, k)
       .localCheckpoint(true)
-    val gLeaked = gApprox.join(delAsId, Seq("id"), "left_semi").count()
-    val gLive = gDeleted.map { d =>
+    // per-shard live frames unioned so the K counts fold into one gauge
+    val ivfLiveAll = deleted.map(d =>
+      AnnSearch.ivfLiveVectors(spark, d).select(lit(1L).as("one")))
+      .reduce(_ unionAll _)
+    val gLiveAll = gDeleted.map { d =>
       val vecs = IndexStore.loadSegments(spark, d, "vectors")
         .select(col("vec_id")).distinct()
       val tsegs = IndexStore.manifestSegments(
         IndexStore.readManifest(spark, d), "tombstones")
-      if (tsegs.isEmpty) vecs.count()
-      else vecs.join(IndexStore.readUnion(spark, tsegs)
-        .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
-        .count()
-    }.sum
+      (if (tsegs.isEmpty) vecs
+       else vecs.join(IndexStore.readUnion(spark, tsegs)
+         .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
+        .select(lit(1L).as("one"))
+    }.reduce(_ unionAll _)
     val exactPairs = exact.select(col("query_id"), col("id"))
-    val gRecall = exactPairs.join(
+    // ONE action for the seven scalar checks (r17: was ~12 sequential
+    // jobs — the K per-shard live counts each had their own)
+    val g = Actions.gauges(
+      "ivf_leaked" -> sg.join(delAsId, Seq("id"), "left_semi")
+        .agg(count(lit(1))),
+      "ivf_diff" -> exact.exceptAll(sg).select(lit(1L).as("one"))
+        .unionAll(sg.exceptAll(exact).select(lit(1L).as("one")))
+        .agg(count(lit(1))),
+      "ivf_live" -> ivfLiveAll.agg(count(lit(1))),
+      "g_leaked" -> gApprox.join(delAsId, Seq("id"), "left_semi")
+        .agg(count(lit(1))),
+      "g_live" -> gLiveAll.agg(count(lit(1))),
+      "g_hits" -> exactPairs.join(
         gApprox.select(col("query_id"), col("id")),
-        Seq("query_id", "id"), "left_semi").count().toDouble /
-      math.max(1L, exactPairs.count())
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exactPairs.agg(greatest(count(lit(1)), lit(1L))),
+      "n_del" -> delIds.agg(count(lit(1))))
+    val nDel = g("n_del").toLong
+    val ivfLeaked = g("ivf_leaked").toLong
+    val ivfDiff = g("ivf_diff").toLong
+    val ivfLive = g("ivf_live").toLong
+    val gLeaked = g("g_leaked").toLong
+    val gLive = g("g_live").toLong
+    val gRecall = g("g_hits") / g("n_exact")
     val gFloor = AnnSearch.DefaultRecallFloors("knn_graph")
     val wantLive = (n - nDel).toDouble
     val checks = Seq(
@@ -808,7 +865,7 @@ object ShardedSearch {
     }
     val n = AnnSearch.embeddingCount(spark, sfDir).toDouble
     val dirs = buildShardedIvf(spark, sfDir, DefaultShards)
-    val shardIds = dirs.map(d => spark.read.parquet(s"$d/vectors")
+    val shardIds = dirs.map(d => IndexStore.readCached(spark, s"$d/vectors")
       .select(col("vec_id"))).reduce(_ unionAll _)
     val coverage = shardIds.count().toDouble
     val dupIds = shardIds.groupBy("vec_id").agg(count(lit(1)).as("c"))
@@ -841,7 +898,7 @@ object ShardedSearch {
     // applies verbatim — the gathered margin is a superset of the
     // unsharded one)
     val pqDirs = buildShardedIvfPq(spark, sfDir, DefaultShards)
-    val pqIds = pqDirs.map(d => spark.read.parquet(s"$d/codes")
+    val pqIds = pqDirs.map(d => IndexStore.readCached(spark, s"$d/codes")
       .select(col("vec_id"))).reduce(_ unionAll _)
     val pqCoverage = pqIds.count().toDouble
     val pqDups = pqIds.groupBy("vec_id").agg(count(lit(1)).as("c"))

@@ -418,19 +418,25 @@ object TimeTravel {
     val compacted = s"$root/v1_compacted"
     if (!IndexStore.committed(s"$compacted/vectors"))
       AnnSearch.compactIvfTo(spark, s"$root/v1", compacted)
-    def symDiff(a: DataFrame, b: DataFrame): Long =
-      a.exceptAll(b).count() + b.exceptAll(a).count()
+    // r17 job structure: every live as-of read referenced by more than
+    // one invariant is checkpointed ONCE (it used to re-execute its
+    // whole probe/beam plan per symDiff side), every scalar below is a
+    // single-row aggregate, and ALL of them fold into one
+    // [[Actions.gauges]] action at the end — the gate was ~34
+    // sequential count() jobs, several re-running scatter-gathers.
+    def symDiffFrame(a: DataFrame, b: DataFrame): DataFrame =
+      a.exceptAll(b).select(lit(1L).as("one"))
+        .unionAll(b.exceptAll(a).select(lit(1L).as("one")))
+        .agg(count(lit(1)))
     val v0Live = searchAsOf(spark, sfDir, 0, nQueries, k)
-    val drift = symDiff(spark.read.parquet(v0Frozen), v0Live)
+      .localCheckpoint(true)
     val ceil = AnnSearch.embeddingIdCeiling(spark, sfDir)
-    val leaked = v0Live.filter(col("id") >= 2L * ceil).count()
     val v1 = searchAsOf(spark, sfDir, 1, nQueries, k)
+      .localCheckpoint(true)
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val nc = AnnSearch.clusterCountAt(spark, compacted)
     val compactRead = AnnSearch.searchIndexAt(spark, compacted, queries,
       k, nc, expectedQ = nQueries.toLong)
-    val compactDrift = symDiff(v1, compactRead)
-    val advanced = symDiff(v1, v0Live)
 
     // --- as-of × retention (invariants 5/6, the separate 3-version
     // chain: the vacuum below is destructive) ---
@@ -454,10 +460,6 @@ object TimeTravel {
         searchChainAt(spark, retRoot, sfDir, 0, nQueries, k).count()
         0.0
       } catch { case _: IllegalArgumentException => 1.0 }
-    val survivorDrift = retFrozen.zip(Seq(1, 2)).map { case (f, v) =>
-      symDiff(spark.read.parquet(f),
-        searchChainAt(spark, retRoot, sfDir, v, nQueries, k))
-    }.sum
 
     // --- graph-family as-of (invariants 7/8/9) ---
     val gRoot = ensureGraphChain(spark, sfDir)
@@ -466,10 +468,7 @@ object TimeTravel {
       IndexStore.saveDataset(
         searchAsOfGraph(spark, sfDir, 0, nQueries, k).coalesce(1), gFrozen)
     val gV0Live = searchAsOfGraph(spark, sfDir, 0, nQueries, k)
-    val gDrift = symDiff(spark.read.parquet(gFrozen), gV0Live)
-    val gLeaked = gV0Live.filter(col("id") >= 2L * ceil).count()
-    val gAdvanced = symDiff(
-      searchAsOfGraph(spark, sfDir, 1, nQueries, k), gV0Live)
+      .localCheckpoint(true)
 
     // --- sharded-topology as-of (invariants 10-13) ---
     val sRoots = ensureShardedChain(spark, sfDir)
@@ -479,11 +478,7 @@ object TimeTravel {
         scatterGatherAsOf(spark, sfDir, 0, nQueries, k).coalesce(1),
         sFrozen)
     val sV0Live = scatterGatherAsOf(spark, sfDir, 0, nQueries, k)
-    val sIdentity = symDiff(v0Live, sV0Live)
-    val sDrift = symDiff(spark.read.parquet(sFrozen), sV0Live)
-    val sLeaked = sV0Live.filter(col("id") >= 2L * ceil).count()
-    val sAdvanced = symDiff(
-      scatterGatherAsOf(spark, sfDir, 1, nQueries, k), sV0Live)
+      .localCheckpoint(true)
 
     // --- sharded GRAPH-topology as-of (invariants 14-16) ---
     val sgRoots = ensureShardedGraphChain(spark, sfDir)
@@ -493,10 +488,7 @@ object TimeTravel {
         scatterGatherAsOfGraph(spark, sfDir, 0, nQueries, k).coalesce(1),
         sgFrozen)
     val sgV0Live = scatterGatherAsOfGraph(spark, sfDir, 0, nQueries, k)
-    val sgDrift = symDiff(spark.read.parquet(sgFrozen), sgV0Live)
-    val sgLeaked = sgV0Live.filter(col("id") >= 2L * ceil).count()
-    val sgAdvanced = symDiff(
-      scatterGatherAsOfGraph(spark, sfDir, 1, nQueries, k), sgV0Live)
+      .localCheckpoint(true)
 
     // --- sharded topology × retention (invariants 17/18 — the
     // destructive per-shard chains; the vacuum runs per shard root,
@@ -522,10 +514,64 @@ object TimeTravel {
           .count()
         0.0
       } catch { case _: IllegalArgumentException => 1.0 }
-    val sSurvivorDrift = sRetFrozen.zip(Seq(1, 2)).map { case (f, v) =>
-      symDiff(spark.read.parquet(f),
-        scatterGatherChainAt(spark, sRetRoots, sfDir, v, nQueries, k))
-    }.sum
+
+    // ONE action for all remaining invariant scalars
+    def leakFrame(df: DataFrame): DataFrame =
+      df.filter(col("id") >= 2L * ceil).agg(count(lit(1)))
+    val g = Actions.gauges(
+      "drift" -> symDiffFrame(IndexStore.readCached(spark, v0Frozen),
+        v0Live),
+      "leaked" -> leakFrame(v0Live),
+      "compact_drift" -> symDiffFrame(v1, compactRead),
+      "advanced" -> symDiffFrame(v1, v0Live),
+      "survivor_drift_1" -> symDiffFrame(
+        IndexStore.readCached(spark, retFrozen.head),
+        searchChainAt(spark, retRoot, sfDir, 1, nQueries, k)),
+      "survivor_drift_2" -> symDiffFrame(
+        IndexStore.readCached(spark, retFrozen(1)),
+        searchChainAt(spark, retRoot, sfDir, 2, nQueries, k)),
+      "g_drift" -> symDiffFrame(IndexStore.readCached(spark, gFrozen),
+        gV0Live),
+      "g_leaked" -> leakFrame(gV0Live),
+      "g_advanced" -> symDiffFrame(
+        searchAsOfGraph(spark, sfDir, 1, nQueries, k), gV0Live),
+      "s_identity" -> symDiffFrame(v0Live, sV0Live),
+      "s_drift" -> symDiffFrame(IndexStore.readCached(spark, sFrozen),
+        sV0Live),
+      "s_leaked" -> leakFrame(sV0Live),
+      "s_advanced" -> symDiffFrame(
+        scatterGatherAsOf(spark, sfDir, 1, nQueries, k), sV0Live),
+      "sg_drift" -> symDiffFrame(IndexStore.readCached(spark, sgFrozen),
+        sgV0Live),
+      "sg_leaked" -> leakFrame(sgV0Live),
+      "sg_advanced" -> symDiffFrame(
+        scatterGatherAsOfGraph(spark, sfDir, 1, nQueries, k), sgV0Live),
+      "s_survivor_drift_1" -> symDiffFrame(
+        IndexStore.readCached(spark, sRetFrozen.head),
+        scatterGatherChainAt(spark, sRetRoots, sfDir, 1, nQueries, k)),
+      "s_survivor_drift_2" -> symDiffFrame(
+        IndexStore.readCached(spark, sRetFrozen(1)),
+        scatterGatherChainAt(spark, sRetRoots, sfDir, 2, nQueries, k)))
+    Seq(v0Live, v1, gV0Live, sV0Live, sgV0Live)
+      .foreach(Checkpoints.release)
+    val drift = g("drift").toLong
+    val leaked = g("leaked").toLong
+    val compactDrift = g("compact_drift").toLong
+    val advanced = g("advanced").toLong
+    val survivorDrift =
+      g("survivor_drift_1").toLong + g("survivor_drift_2").toLong
+    val gDrift = g("g_drift").toLong
+    val gLeaked = g("g_leaked").toLong
+    val gAdvanced = g("g_advanced").toLong
+    val sIdentity = g("s_identity").toLong
+    val sDrift = g("s_drift").toLong
+    val sLeaked = g("s_leaked").toLong
+    val sAdvanced = g("s_advanced").toLong
+    val sgDrift = g("sg_drift").toLong
+    val sgLeaked = g("sg_leaked").toLong
+    val sgAdvanced = g("sg_advanced").toLong
+    val sSurvivorDrift =
+      g("s_survivor_drift_1").toLong + g("s_survivor_drift_2").toLong
 
     val viols = Seq(
       Option.when(drift != 0L)(
