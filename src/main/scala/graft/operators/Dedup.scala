@@ -69,15 +69,32 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as("sh"))
       .distinct()
 
-  /** Shingles keyed by a 48-bit hash — 8-byte join/shuffle keys instead of
-    * strings for the set-intersection joins. 48 bits keeps the collision
-    * expectation ≪ 1 at fixture scale (~10⁵ distinct shingles → ~4e-5),
-    * so counts match the string-keyed oracle; at larger corpora widen to
-    * 64-bit the same way.
+  /** Distinct 64-bit shingle-hash set per document, WITHOUT building
+    * shingle strings: per-token xxhash64, then each n-window folds its
+    * token hashes with xxhash64(acc, x) (order-sensitive, overflow-free
+    * under ANSI). Tokens cannot contain the split character, so the
+    * joined string and the token tuple determine each other — hash
+    * equality matches the oracle's raw-string equality w.h.p. (the
+    * hash exists ONLY for equality; collision expectation ≪ 1).
+    * Measured r17: building + hashing the concat_ws shingle strings was
+    * ~3.5× the cost of this combine at sf0.1, and the old string-keyed
+    * distinct shuffled strings where this shuffles 8-byte keys.
+    * [[shingleTable]] keeps its md5-derived keys: the md5 there is
+    * already computed for the semantic minhash input `x` (and it is a
+    * PERSISTED artifact).
     */
-  private def hashShingleCol(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-      conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+  private[graft] def shingleHashes(corpus: DataFrame,
+                                   n: Int = 3): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), explode(
+        when(size(col("hs")) >= n,
+          transform(sequence(lit(1), size(col("hs")) - (n - 1)),
+            k => aggregate(slice(col("hs"), k, lit(n)), lit(0L),
+              (acc, x) => xxhash64(acc, x))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+      .distinct()
 
   /** Both hash views of a shingle set in one projection: the 48-bit
     * set-intersection key `h` and the 32-bit minhash input `x`. This is
@@ -129,7 +146,7 @@ object Dedup {
       IndexStore.saveDataset(
         shingleTable(shingles(nearDupCorpus(spark, sfDir))),
         s"$dir/shingles")
-    spark.read.parquet(s"$dir/shingles")
+    IndexStore.readCached(spark, s"$dir/shingles")
   }
 
   /** Exact dedup: group by whitespace-normalized lowercase text, keep the
@@ -383,7 +400,7 @@ object Dedup {
     val corpus = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     IndexStore.saveDataset(shingleTable(shingles(corpus)), s"$dir/shingles")
-    val stored = spark.read.parquet(s"$dir/shingles")
+    val stored = IndexStore.readCached(spark, s"$dir/shingles")
     IndexStore.saveDataset(
       bandKeysFromHashes(stored.select(col("doc_id"), col("x"))),
       s"$dir/bands")
@@ -405,9 +422,9 @@ object Dedup {
                        threshold: Double = 0.5): DataFrame = {
     val dir = ensureIncrementalArtifacts(spark, sfDir)
     dedupBatchAgainstIndex(
-      spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/shingles"),
-      spark.read.parquet(s"$dir/batch_shingles"), threshold)
+      IndexStore.readCached(spark, s"$dir/bands"),
+      IndexStore.readCached(spark, s"$dir/shingles"),
+      IndexStore.readCached(spark, s"$dir/batch_shingles"), threshold)
   }
 
   /** The batch-vs-corpus core over persisted signature artifacts: band
@@ -611,8 +628,15 @@ object Dedup {
     val edges = pairs.unionAll(
       pairs.select(pairs.columns.map(col).reverse: _*)).toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels at min(id, min neighbor) — exactly what round 1's
+    // neighbor-min would compute from identity labels, for the same
+    // one aggregation the identity init paid for its distinct() (r17):
+    // shallow components (the dominant near-dup shape, 2-node pairs)
+    // then converge one full round earlier. Still a node id, still
+    // ≥ the component minimum — the fixed-point argument is unchanged.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nl"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nl")).as("label"))
       .localCheckpoint(true)
     // the superseded round's checkpoint blocks are released as soon as
     // the next round is materialized ([[Checkpoints]]); `labels` after
@@ -727,7 +751,7 @@ object Dedup {
       require(IndexStore.committed(s"$dir/$d"),
         s"$dir/$d is not a committed dataset — build/run the batch first")
     }
-    val batch = spark.read.parquet(s"$dir/batch_shingles")
+    val batch = IndexStore.readCached(spark, s"$dir/batch_shingles")
     val kept = keepIds.fold(batch)(ids =>
       batch.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
         "left_semi"))
@@ -888,9 +912,9 @@ object Dedup {
                                  n: Int): (DataFrame, DataFrame) = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val train = hashShingleCol(shingles(docs.filter(col("doc_id") % 10 =!= 0), n))
+    val train = shingleHashes(docs.filter(col("doc_id") % 10 =!= 0), n)
       .select(col("doc_id").as("train_doc"), col("h"))
-    val eval = hashShingleCol(shingles(docs.filter(col("doc_id") % 10 === 0), n))
+    val eval = shingleHashes(docs.filter(col("doc_id") % 10 === 0), n)
       .select(col("doc_id").as("eval_doc"), col("h").as("h2"))
     (train, eval)
   }
@@ -1057,6 +1081,27 @@ object Dedup {
       .toDF("doc_id", "pos", "sh")
   }
 
+  /** [[positionalShingles]] with HASHED shingles — the same window
+    * arithmetic (sequence(1, size − (n−1)), 0-based pos via posexplode)
+    * over the same raw split, emitting the [[shingleHashes]] token-hash
+    * combine instead of the concat_ws string. For consumers that need
+    * only shingle EQUALITY at a position ([[substringRunsOver]]);
+    * [[TextSearch.phraseSearch]] needs the strings and keeps the
+    * sibling above. Any window-arithmetic fix must land in BOTH.
+    */
+  private[graft] def positionalShingleHashes(corpus: DataFrame,
+                                             n: Int): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("hs")) >= n,
+          transform(sequence(lit(1), size(col("hs")) - (n - 1)),
+            k => aggregate(slice(col("hs"), k, lit(n)), lit(0L),
+              (acc, x) => xxhash64(acc, x))))
+          .otherwise(array().cast("array<bigint>"))))
+      .toDF("doc_id", "pos", "h")
+
   /** [[substringRuns]] over an arbitrary (doc_id, text) corpus —
     * `private[graft]` so property tests can cross-check the
     * diagonal-island result against brute-force longest-common-run DP on
@@ -1066,9 +1111,11 @@ object Dedup {
                                        minRunTokens: Long,
                                        maxShingleFreq: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = positionalShingles(corpus, n)
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    // hashed positional shingles (the [[shingleHashes]] rationale: the
+    // oracle joins raw shingle strings, so the key exists only for
+    // equality — and building + md5-ing the concat_ws strings was the
+    // operator's single hottest expression, ~3.5× this combine)
+    val sh = positionalShingleHashes(corpus, n)
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > maxShingleFreq).select(col("h"))
     // the capped shingle table feeds BOTH sides of the self-join — cut
@@ -1153,7 +1200,7 @@ object Dedup {
                              nBands: Int, bandBits: Int): Unit = {
     val bandCols = srpBandStructs(dim, nBands, bandBits, col("u"))
     IndexStore.saveDataset(
-      spark.read.parquet(s"$dir/vectors")
+      IndexStore.readCached(spark, s"$dir/vectors")
         .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("vec_id"), col("bk.band").as("band"),
           col("bk.key").as("key")),
@@ -1198,8 +1245,8 @@ object Dedup {
       persistSrpSigs(spark, dir, embeddingDim(spark, sfDir), nBands,
         bandBits)
     }
-    val normed = spark.read.parquet(s"$dir/vectors")
-    val slim = spark.read.parquet(s"$dir/sigs")
+    val normed = IndexStore.readCached(spark, s"$dir/vectors")
+    val slim = IndexStore.readCached(spark, s"$dir/sigs")
     val cand = slim.select(col("vec_id").as("id_a"), col("band"), col("key"))
       .join(slim.select(col("vec_id").as("id_b"), col("band").as("b2"),
           col("key").as("k2")),
@@ -1274,9 +1321,9 @@ object Dedup {
       .select(col("eval_id"), col("ue"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     val cand = evalSigs
-      .join(spark.read.parquet(s"$dir/sigs"), Seq("band", "key"))
+      .join(IndexStore.readCached(spark, s"$dir/sigs"), Seq("band", "key"))
       .select(col("eval_id"), col("ue"), col("vec_id")).distinct()
-    cand.join(spark.read.parquet(s"$dir/vectors"), "vec_id")
+    cand.join(IndexStore.readCached(spark, s"$dir/vectors"), "vec_id")
       .withColumn("cos", dot(col("u"), col("ue")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("train_id"), col("eval_id"),

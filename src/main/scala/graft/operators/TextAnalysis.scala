@@ -886,9 +886,15 @@ object TextAnalysis {
     var pr = nodes.withColumn("r", lit(1.0) / lit(n))
     // superseded-round checkpoints released once the next round is
     // materialized ([[Checkpoints]]); round 0's pr is a projection over
-    // `nodes`, so there is nothing to release until round 2
+    // `nodes`, so there is nothing to release until round 2.
+    // Checkpoint CADENCE 3 (r17): the cut exists to bound lineage, not
+    // for reuse — each round is consumed exactly once by the next, so
+    // materializing every third round keeps plans ≤ 3 join+agg rounds
+    // deep while running 10 rounds in ~4 jobs instead of 10 (the
+    // recurrence, and therefore the oracle's unrolled 10 rounds, is
+    // unchanged).
     var prevCp: Option[DataFrame] = None
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = edges
         .join(pr.withColumnRenamed("tok", "w1"), "w1")
         .groupBy(col("w2").as("tok"))
@@ -896,9 +902,11 @@ object TextAnalysis {
       pr = nodes.join(contrib, Seq("tok"), "left")
         .select(col("tok"),
           (base + lit(damping) * coalesce(col("x"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
-      prevCp.foreach(Checkpoints.release)
-      prevCp = Some(pr)
+      if (i % 3 == 0 || i == iters) {
+        pr = pr.localCheckpoint(true)
+        prevCp.foreach(Checkpoints.release)
+        prevCp = Some(pr)
+      }
     }
     // the returned ranking reads only the final round's checkpoint —
     // after >=1 iteration the edge/node working sets are dead
@@ -1122,9 +1130,11 @@ object TextAnalysis {
                    n: Int = 3): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val hashed = Dedup.shingles(docs, n)
-      .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    // hashed distinct shingles ([[Dedup.shingleHashes]]: the oracle
+    // groups by the raw shingle string; the hash exists only for
+    // equality, and the string-shingle build + string-keyed distinct
+    // were the operator's hottest stage)
+    val hashed = Dedup.shingleHashes(docs, n)
     val first = hashed.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_doc"))
     hashed.join(first, "h")
