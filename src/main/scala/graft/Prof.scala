@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiling main for optimization-round measurements (not part
+  * of the driver contract; deleted when the round's evidence is
+  * committed). Usage: runMain graft.Prof <experiment> [sfDir]
+  */
+object Prof {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[prof] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val exp = args.headOption.getOrElse("schema")
+    val sfDir =
+      if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    exp match {
+      case "schema" =>
+        // cost of spark.read.parquet schema inference per call
+        (1 to 3).foreach { i =>
+          t(s"read documents $i") {
+            spark.read.parquet(s"$sfDir/documents.parquet").schema
+          }
+          t(s"read embeddings $i") {
+            spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+          }
+          t(s"read lineitem $i") {
+            spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+          }
+        }
+        // and the cost of a trivial action per call (the per-query floor)
+        (1 to 3).foreach { i =>
+          t(s"count documents $i") {
+            spark.read.parquet(s"$sfDir/documents.parquet").count()
+          }
+        }
+        // explicit schema: skips footer-based inference per call
+        val sch = spark.read.parquet(s"$sfDir/documents.parquet").schema
+        (1 to 3).foreach { i =>
+          t(s"read documents schema'd $i") {
+            spark.read.schema(sch).parquet(s"$sfDir/documents.parquet")
+              .schema
+          }
+          t(s"count documents schema'd $i") {
+            spark.read.schema(sch).parquet(s"$sfDir/documents.parquet")
+              .count()
+          }
+        }
+      case "gav" =>
+        // graph_append_violations, piece by piece (entry is warm after
+        // the first call: FrameCache + committed artifacts)
+        t("gav cold")(SparkEntry.queries("graph_append_violations")(
+          spark, sfDir).count())
+        (1 to 3).foreach { i =>
+          t(s"gav warm $i")(SparkEntry.queries("graph_append_violations")(
+            spark, sfDir).count())
+        }
+      case "iav" =>
+        t("iav cold")(SparkEntry.queries("ivf_append_violations")(
+          spark, sfDir).count())
+        (1 to 3).foreach { i =>
+          t(s"iav warm $i")(SparkEntry.queries("ivf_append_violations")(
+            spark, sfDir).count())
+        }
+      case "gavparts" =>
+        import org.apache.spark.sql.functions._
+        import graft.operators._
+        import graft.sources.IndexStore
+        // warm the committed artifacts + caches
+        t("gav full cold")(SparkEntry.queries("graph_append_violations")(
+          spark, sfDir).count())
+        val n = 2000L
+        val deg = GraphAnn.autoDegree(n)
+        val out = IndexStore.indexDir(sfDir, s"knngraph$deg-app-v5",
+          "embeddings")
+        val queries = AnnSearch.fixtureQueries(spark, sfDir, 10)
+        (1 to 3).foreach { i =>
+          t(s"beam trace $i") {
+            val tr = GraphAnn.searchTraceAt(spark, out, queries,
+              GraphAnn.autoEf(2 * n), GraphAnn.autoHops(2 * n, deg),
+              expectedQ = 10L)
+            tr.write.format("noop").mode("overwrite").save()
+            Checkpoints.release(tr)
+          }
+          t(s"graphSearchAt+count $i") {
+            GraphAnn.graphSearchAt(spark, out, queries, 10,
+              GraphAnn.autoEf(2 * n), GraphAnn.autoHops(2 * n, deg),
+              expectedQ = 10L).count()
+          }
+          t(s"gav full warm $i")(
+            SparkEntry.queries("graph_append_violations")(
+              spark, sfDir).count())
+        }
+      case "subruns" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.unionAll(docs.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+        val n = 5
+        (1 to 2).foreach { it =>
+          val sh = t(s"shingle+hash build $it") {
+            val s = graft.operators.Dedup.positionalShingles(corpus, n)
+              .select(col("doc_id"), col("pos"),
+                xxhash64(col("sh")).as("h"))
+            s.write.format("noop").mode("overwrite").save(); s
+          }
+          // token-hash variant: per-token xxhash64 then polynomial
+          // combine over each 5-window — no shingle strings built
+          t(s"tokhash build $it") {
+            val s2 = corpus
+              .select(col("doc_id"),
+                transform(split(col("text"), " "),
+                  x => xxhash64(x)).as("hs"))
+              .select(col("doc_id"), posexplode(
+                when(size(col("hs")) >= n,
+                  transform(sequence(lit(1), size(col("hs")) - (n - 1)),
+                    k => aggregate(slice(col("hs"), k, lit(n)), lit(0L),
+                      (acc, x) => xxhash64(acc, x))))
+                  .otherwise(array().cast("array<bigint>"))))
+            s2.write.format("noop").mode("overwrite").save()
+          }
+          val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1000L).select(col("h"))
+          val cold = t(s"cap+checkpoint $it") {
+            sh.join(hot, Seq("h"), "left_anti").localCheckpoint(true)
+          }
+          t(s"join+islands $it") {
+            val a = cold.select(col("doc_id").as("doc_a"),
+              col("pos").as("pos_a"), col("h"))
+            val b = cold.select(col("doc_id").as("doc_b"),
+              col("pos").as("pos_b"), col("h").as("h2"))
+            val w = Window.partitionBy("doc_a", "doc_b", "diag")
+              .orderBy("pos_a")
+            a.join(b, col("h") === col("h2") &&
+                col("doc_a") < col("doc_b"))
+              .select(col("doc_a"), col("doc_b"), col("pos_a"),
+                (col("pos_a") - col("pos_b")).as("diag"))
+              .withColumn("island",
+                col("pos_a") - row_number().over(w))
+              .groupBy(col("doc_a"), col("doc_b"), col("diag"),
+                col("island"))
+              .agg(count(lit(1)).as("len"))
+              .groupBy(col("doc_a"), col("doc_b"))
+              .agg((max(col("len")) + (n - 1)).as("run_tokens"),
+                count(lit(1)).as("n_runs"))
+              .filter(col("run_tokens") >= 20L)
+              .write.format("noop").mode("overwrite").save()
+          }
+          graft.operators.Checkpoints.release(cold)
+        }
+      case name if SparkEntry.queries.contains(name) =>
+        t(s"$name cold")(SparkEntry.queries(name)(spark, sfDir).count())
+        (1 to 3).foreach { i =>
+          t(s"$name warm $i")(SparkEntry.queries(name)(spark, sfDir)
+            .count())
+        }
+      case other => sys.error(s"unknown experiment $other")
+    }
+    spark.stop()
+  }
+}
