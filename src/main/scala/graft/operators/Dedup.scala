@@ -586,15 +586,16 @@ object Dedup {
       .select(col("doc_id"), col("component"), col("quality"))
     val w = Window.partitionBy("component")
       .orderBy(col("quality").desc, col("doc_id"))
-    val keepers = members.withColumn("rn", row_number().over(w))
+    // member count as a second window over the SAME partitioning (one
+    // WindowExec pass, no extra exchange) instead of a separate
+    // aggregate + join back (r17: two exchanges removed; rows identical)
+    members
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("component")))
       .filter(col("rn") === 1)
       .select(col("component"), col("doc_id").as("keep_doc"),
-        col("quality").as("keep_quality"))
-    val counts = members.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"))
-    keepers.join(counts, "component")
-      .select(col("component"), col("keep_doc"), col("keep_quality"),
-        col("n_members"))
+        col("quality").as("keep_quality"), col("n_members"))
       .orderBy("component")
   }
 

@@ -785,21 +785,29 @@ object StreamingIndex {
     val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
-    val nOut = IndexStore.loadSegments(spark, finalDir, "vectors")
-      .select("vec_id").distinct().count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(shifted(1, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .unionAll(shifted(2, 0.02)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    // disk-committed streamed-corpus truth (shared with the sharded
+    // graph chain — same injection slices) + ONE action for the scalar
+    // checks ([[graft.operators.Actions.gauges]], r17)
+    val exact = AnnSearch.appendUnionExact(spark, sfDir, union,
+      nQueries, k, batchTag = s"-sinj$bSize")
     val approx = GraphAnn.graphSearchAt(spark, finalDir, queries, k,
       GraphAnn.autoEf(nBase + 2 * bSize),
-      GraphAnn.autoHops(nBase + 2 * bSize, GraphAnn.autoDegree(nBase)))
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+      GraphAnn.autoHops(nBase + 2 * bSize, GraphAnn.autoDegree(nBase)),
+      expectedQ = nQueries.toLong)
+    val g = graft.operators.Actions.gauges(
+      "n_out" -> IndexStore.loadSegments(spark, finalDir, "vectors")
+        .agg(countDistinct(col("vec_id"))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),
@@ -862,15 +870,26 @@ object StreamingIndex {
     }
     val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
-    val nOut = AnnSearch.ivfVectors(spark, finalDir).count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(shifted(1, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .unionAll(shifted(2, 0.02)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
-    val recall = AnnSearch.probeRecall(spark, finalDir, union,
+    // disk-committed streamed-corpus truth (shared with the sharded
+    // chain — identical corpus) + ONE action for the scalar checks
+    val exact = AnnSearch.appendUnionExact(spark, sfDir, union,
+      nQueries, k, batchTag = s"-sinj$bSize")
+    val approx = AnnSearch.searchIndexAt(spark, finalDir,
       AnnSearch.fixtureQueries(spark, sfDir, nQueries), k,
       AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
+    val g = graft.operators.Actions.gauges(
+      "n_out" -> AnnSearch.ivfVectors(spark, finalDir)
+        .agg(count(lit(1))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val recall = g("hits") / g("n_exact")
     val wantN = nBase + 2 * bSize
     val viols = Seq(
       Option.when(vLast != 1L)(
@@ -970,9 +989,6 @@ object StreamingIndex {
       .select(col("vec_id"))).reduce(_ unionAll _)
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
     val bSize = if (batchRows > 0L) math.min(batchRows, nBase) else nBase
-    val nOut = ids.count()
-    val dups = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(shifted(1, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
@@ -980,6 +996,8 @@ object StreamingIndex {
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .localCheckpoint(true)
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
+    // the identity leg compares FULL rows (distance, rank) so its exact
+    // frame stays a live checkpoint, not the pair-only committed truth
     val exact = VectorSearch.topK(
       union.join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),
@@ -987,9 +1005,21 @@ object StreamingIndex {
       .localCheckpoint(true)
     val got = ShardedSearch.scatterGatherAt(spark, finals.map(_._2),
       queries, union, k, nProbe = -1, expectedQ = nQueries.toLong)
-    val diff = exact.exceptAll(got).count() + got.exceptAll(exact).count()
+      .localCheckpoint(true)
+    // ONE action for the scalar checks (r17: was four sequential jobs)
+    val g = graft.operators.Actions.gauges(
+      "n_out" -> ids.agg(count(lit(1))),
+      "dups" -> ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1))),
+      "diff" -> exact.exceptAll(got).select(lit(1L).as("one"))
+        .unionAll(got.exceptAll(exact).select(lit(1L).as("one")))
+        .agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val dups = g("dups").toLong
+    val diff = g("diff").toLong
     graft.operators.Checkpoints.release(union)
     graft.operators.Checkpoints.release(exact)
+    graft.operators.Checkpoints.release(got)
     val viols = Seq(
       Option.when(chainBad != 0)(
         ("version_chain", 0.0, chainBad.toDouble)),
@@ -1091,9 +1121,6 @@ object StreamingIndex {
     val ids = finals.map(f =>
       IndexStore.loadSegments(spark, f._2, "vectors")
         .select(col("vec_id")).distinct()).reduce(_ unionAll _)
-    val nOut = ids.count()
-    val dups = ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count()
     val union = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(shifted(1, 0.01)
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
@@ -1101,12 +1128,22 @@ object StreamingIndex {
         .select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .localCheckpoint(true)
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
-    val exact = AnnSearch.unionExactTopK(union, queries, k)
+    // disk-committed streamed-corpus truth (the [[streamingGraphAppend]]
+    // tag — identical corpus) + ONE action for the scalar checks
+    val exact = AnnSearch.appendUnionExact(spark, sfDir, union,
+      nQueries, k, batchTag = s"-sinj$bSize")
     val approx = ShardedSearch.scatterGatherGraphAt(spark,
       finals.map(_._2), queries, union, k)
-    val hits = exact.join(approx.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+    val g = graft.operators.Actions.gauges(
+      "n_out" -> ids.agg(count(lit(1))),
+      "dups" -> ids.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1))),
+      "hits" -> exact.join(approx.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nOut = g("n_out").toLong
+    val dups = g("dups").toLong
+    val recall = g("hits") / g("n_exact")
     graft.operators.Checkpoints.release(union)
     val viols = Seq(
       Option.when(chainBad != 0)(
@@ -1214,20 +1251,31 @@ object StreamingIndex {
     val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
     val nBase = AnnSearch.embeddingCount(spark, sfDir)
-    val nDel = delIds.count()
-    val nLiveExpected = 2 * nBase - nDel
-    val nLive = AnnSearch.ivfLiveVectors(spark, finalDir).count()
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val res = AnnSearch.searchIndexAt(spark, finalDir, queries, k,
       AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
-    val deletedInResults = res
-      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .count()
     val live = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(adds.select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .join(delIds, Seq("vec_id"), "left_anti")
-    val recall = AnnSearch.probeRecall(spark, finalDir, live, queries, k,
-      AnnSearch.defaultProbe(spark, sfDir), expectedQ = nQueries.toLong)
+    // disk-committed live-corpus truth + ONE action for the scalar
+    // checks ([[graft.operators.Actions.gauges]], r17: was five jobs)
+    val exact = AnnSearch.appendUnionExact(spark, sfDir, live,
+      nQueries, k, batchTag = "-sivfdel")
+    val g = graft.operators.Actions.gauges(
+      "n_del" -> delIds.agg(count(lit(1))),
+      "n_live" -> AnnSearch.ivfLiveVectors(spark, finalDir)
+        .agg(count(lit(1))),
+      "deleted_in_results" -> res
+        .join(delIds.select(col("vec_id").as("id")), Seq("id"),
+          "left_semi").agg(count(lit(1))),
+      "hits" -> exact.join(res.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nDel = g("n_del").toLong
+    val nLiveExpected = 2 * nBase - nDel
+    val nLive = g("n_live").toLong
+    val deletedInResults = g("deleted_in_results").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),
@@ -1350,8 +1398,6 @@ object StreamingIndex {
     }
     val vLast = latestVersion(root).getOrElse(-1L)
     val finalDir = s"$root/v$vLast"
-    val nDel = delIds.count()
-    val nLiveExpected = nBase + 2 * bSize - nDel
     // live = distinct vectors minus tombstones, both straight off the
     // final version's manifest (merge-on-read, no resolution needed for
     // a count)
@@ -1359,29 +1405,41 @@ object StreamingIndex {
       .select("vec_id").distinct()
     val tombSegs = IndexStore.manifestSegments(
       IndexStore.readManifest(spark, finalDir), "tombstones")
-    val nLive =
-      if (tombSegs.isEmpty) vecIds.count()
+    val liveIds =
+      if (tombSegs.isEmpty) vecIds
       else vecIds.join(
         IndexStore.readUnion(spark, tombSegs).select("vec_id").distinct(),
-        Seq("vec_id"), "left_anti").count()
+        Seq("vec_id"), "left_anti")
     val queries = AnnSearch.fixtureQueries(spark, sfDir, nQueries)
     val nGrown = nBase + 2 * bSize
     val ef = GraphAnn.autoEf(nGrown)
     val hops = GraphAnn.autoHops(nGrown, GraphAnn.autoDegree(nBase))
     val res = GraphAnn.graphSearchAt(spark, finalDir, queries, k, ef,
-      hops)
-    val deletedInResults = res
-      .join(delIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .count()
+      hops, expectedQ = nQueries.toLong)
     val live = AnnSearch.normalizedCorpus(spark, sfDir)
       .unionAll(adds.select(col("vec_id"), l2Normalize(col("v")).as("v")))
       .unionAll(adds2.select(col("vec_id"),
         l2Normalize(col("v")).as("v")))
       .join(delIds, Seq("vec_id"), "left_anti")
-    val exact = AnnSearch.unionExactTopK(live, queries, k)
-    val hits = exact.join(res.select(col("query_id"), col("id")),
-      Seq("query_id", "id"), "left_semi").count()
-    val recall = hits.toDouble / exact.count()
+    // disk-committed live-corpus truth + ONE action for the scalar
+    // checks ([[graft.operators.Actions.gauges]], r17: was five jobs;
+    // the beam above still runs its own internal jobs first)
+    val exact = AnnSearch.appendUnionExact(spark, sfDir, live,
+      nQueries, k, batchTag = "-sgdel")
+    val g = graft.operators.Actions.gauges(
+      "n_del" -> delIds.agg(count(lit(1))),
+      "n_live" -> liveIds.agg(count(lit(1))),
+      "deleted_in_results" -> res
+        .join(delIds.select(col("vec_id").as("id")), Seq("id"),
+          "left_semi").agg(count(lit(1))),
+      "hits" -> exact.join(res.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_semi").agg(count(lit(1))),
+      "n_exact" -> exact.agg(count(lit(1))))
+    val nDel = g("n_del").toLong
+    val nLiveExpected = nBase + 2 * bSize - nDel
+    val nLive = g("n_live").toLong
+    val deletedInResults = g("deleted_in_results").toLong
+    val recall = g("hits") / g("n_exact")
     val viols = Seq(
       Option.when(vLast != 1L)(
         ("version_chain", 1.0, vLast.toDouble)),

@@ -60,9 +60,20 @@ object StreamingOps extends Serializable {
                           statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     def run(): Unit = {
+      val t0 = System.nanoTime()
       val q = df.writeStream.outputMode(mode).format("memory")
         .queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
+          System.err.println(f"[stream] $name start->drained " +
+            f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[stream] $name batch ${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+          }
+        }
+        q.stop()
+      }
     }
     statePartitions match {
       case None => run() // no conf touched on the default path
