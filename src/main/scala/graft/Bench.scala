@@ -160,6 +160,22 @@ object Bench {
     // single-shot mode for quick triage).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    // Noise hardening (r18, VERDICT r17 "what's wrong" #1): the box
+    // swings 1.4-2.5× between sweeps and 3 reps cannot reject a 2× swing
+    // on sub-second entries — the entire false-regression cluster of
+    // r16/r17 sits there. Entries whose base-rep median lands under
+    // SUB1_THRESHOLD seconds get topped up to SPARK_GRAFT_REPS_SUB1
+    // reps (default 5) and report the median of ALL reps. Additions
+    // only: same timed action, same sweep discipline, same JSON keys —
+    // expensive entries' rep count is unchanged so totals stay
+    // comparable, and the extra reps are cheap by construction (<1 s
+    // each). Set SPARK_GRAFT_REPS_SUB1=<reps> to disable (equal) or
+    // widen the top-up.
+    val repsSub1 = sys.env.getOrElse("SPARK_GRAFT_REPS_SUB1",
+      math.max(reps, 5).toString).toInt
+    require(repsSub1 >= reps,
+      s"SPARK_GRAFT_REPS_SUB1 must be >= SPARK_GRAFT_REPS, got $repsSub1")
+    val Sub1Threshold = 1.0
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // a swallowed exception would masquerade as a fast success — track
@@ -171,7 +187,7 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         sweep()
         val t0 = System.nanoTime()
         val ok =
@@ -182,7 +198,15 @@ object Bench {
               false
           }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.sorted
+      }
+      val base = (1 to reps).flatMap(_ => rep())
+      // sub-second top-up (see repsSub1 above): median of the base reps
+      // decides, so one lucky/unlucky rep can't flip the eligibility
+      val times = (if (base.nonEmpty &&
+          base.sorted.apply(base.length / 2) < Sub1Threshold &&
+          repsSub1 > reps)
+        base ++ (1 to (repsSub1 - reps)).flatMap(_ => rep())
+      else base).sorted
       // sorted index len/2 = the true median for odd rep counts, the
       // upper-middle for even ones (conservative: never the lucky run)
       if (times.isEmpty) None
@@ -202,7 +226,7 @@ object Bench {
     val builds = buildCold.map { case (k, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"build_cold":$builds,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"build_cold":$builds,"reps":$reps,"reps_sub1":$repsSub1,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full line: the driver scrapes a bounded stdout tail,
     // which truncates the per-query map past ~66 entries — the file is the

@@ -27,6 +27,41 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     exp match {
+      case "sqlhopbefore" =>
+        // r18 plan evidence: the ROUND-17 sql_ann_graph hop statement,
+        // verbatim, explained against the same views the entry registers
+        // — the "before" shape (frontier re-rank window + DISTINCT +
+        // unhinted anti-join) the r18 restructure replaced
+        import graft.operators.{AnnSearch, GraphAnn}
+        SparkEntry.queries("sql_ann_graph")(spark, sfDir).count()
+        val n = AnnSearch.embeddingCount(spark, sfDir)
+        val dirG = GraphAnn.ensureGraphIndex(spark, sfDir)
+        val b = graft.sources.IndexStore.readCached(spark, s"$dirG/meta")
+          .head.getAs[Int]("buckets")
+        val e = GraphAnn.autoEf(n)
+        println(spark.sql(
+          s"""WITH frontier AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT query_id, id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY dist, id) AS r
+             |    FROM graph_visited_sql
+             |  ) WHERE r <= $e
+             |), fresh AS (
+             |  SELECT DISTINCT e.query_id, e.id FROM (
+             |    SELECT /*+ BROADCAST(f) */ f.query_id, g.dst AS id
+             |    FROM frontier f JOIN graph_adj_sql g
+             |      ON g.bucket = pmod(f.id, $b) AND g.src = f.id
+             |  ) e LEFT ANTI JOIN graph_visited_sql v
+             |    ON v.query_id = e.query_id AND v.id = e.id
+             |)
+             |SELECT /*+ BROADCAST(f) */ f.query_id, f.id,
+             |  graft_squared_l2(q.qu, v.v) AS dist
+             |FROM fresh f JOIN graph_queries_sql q
+             |  ON q.query_id = f.query_id
+             |JOIN graph_vec_sql v
+             |  ON v.bucket = pmod(f.id, $b) AND v.vec_id = f.id"""
+            .stripMargin).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       case "schema" =>
         // cost of spark.read.parquet schema inference per call
         (1 to 3).foreach { i =>

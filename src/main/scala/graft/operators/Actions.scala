@@ -42,6 +42,13 @@ private[graft] object Actions {
     */
   def par[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.lengthCompare(2) < 0) return thunks.map(_())
+    // nested par would deadlock: the fixed pool's threads would block in
+    // invokeAll on tasks queued behind themselves. No current call site
+    // nests (r17 audit) — fail fast if a future one does, instead of
+    // hanging the driver.
+    require(!Thread.currentThread().getName.startsWith("graft-par"),
+      "Actions.par must not be called from inside an Actions.par thunk " +
+        "(fixed-pool self-deadlock); run the inner legs inline")
     import scala.jdk.CollectionConverters._
     val futures = pool.invokeAll(
       thunks.map(t => new java.util.concurrent.Callable[A] {
@@ -52,6 +59,10 @@ private[graft] object Actions {
 
   def gauges(pairs: (String, DataFrame)*): Map[String, Double] = {
     require(pairs.nonEmpty, "gauges: at least one frame")
+    // duplicate names would silently collapse in toMap below and a check
+    // would vanish — make the contract structural
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"gauges: duplicate gauge names in ${pairs.map(_._1).mkString(", ")}")
     val unioned = pairs.map { case (name, df) =>
       df.select(lit(name).as("gauge"),
         col(df.columns.head).cast("double").as("value"))

@@ -1086,9 +1086,10 @@ object Dedup {
     * arithmetic (sequence(1, size − (n−1)), 0-based pos via posexplode)
     * over the same raw split, emitting the [[shingleHashes]] token-hash
     * combine instead of the concat_ws string. For consumers that need
-    * only shingle EQUALITY at a position ([[substringRunsOver]]);
-    * [[TextSearch.phraseSearch]] needs the strings and keeps the
-    * sibling above. Any window-arithmetic fix must land in BOTH.
+    * only shingle EQUALITY at a position ([[substringRunsOver]];
+    * [[TextSearch.phraseSearch]] inlines the same combine plus its
+    * empty-window validity bit). Any window-arithmetic fix must land in
+    * all three.
     */
   private[graft] def positionalShingleHashes(corpus: DataFrame,
                                              n: Int): DataFrame =

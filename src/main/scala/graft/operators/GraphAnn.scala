@@ -670,13 +670,24 @@ object GraphAnn {
           pmod(col("id"), lit(b)).as("fbucket"))
       }
       // expansion: beam × adjacency — the (priced) broadcast side is
-      // Q·ef rows, the graph scan prunes on the bucket partition column
+      // Q·ef rows, the graph scan prunes on the bucket partition column.
+      // NO distinct here (r18): a node reached from several in-beam
+      // predecessors yields duplicate (query_id, dst) rows, which flow
+      // through the anti-join and the fetch (bounded ×deg inflation of
+      // slim rows) and collapse in the SAME exchange that cuts the beam
+      // below — the expansion dedup's own shuffle round is gone.
       val exp = graphView
         .join(hinted(frontier, frontierBytes),
           graphView("bucket") === frontier("fbucket") &&
             graphView("src") === frontier("id"))
-        .select(col("query_id"), col("dst").as("id")).distinct()
-      val fresh = exp.join(visited.select(col("query_id"), col("id")),
+        .select(col("query_id"), col("dst").as("id"))
+      // the work-bounding anti-join (don't fetch/score already-kept
+      // nodes): the build side is the beam itself — Q·ef slim rows,
+      // priced like the frontier (it previously planned as a sort-merge
+      // anti join re-shuffling BOTH sides once the distinct above was
+      // removed; hinted it is one broadcast, no exchange)
+      val fresh = exp.join(
+        hinted(visited.select(col("query_id"), col("id")), frontierBytes),
         Seq("query_id", "id"), "left_anti")
       // fetch-then-attach: broadcast ONLY the slim (query_id, id,
       // bucket) triples into the bucket-pruned vector scan, and attach
@@ -701,9 +712,24 @@ object GraphAnn {
           lit(h).as("hop"))
       // `scored` and `visited` are disjoint on (query_id, id): fresh is
       // anti-joined against the KEPT set, and a pruned-then-rescored
-      // node is by definition not in it — so the union never duplicates
-      // and the beam cut needs no dedup pass
-      val next = pruned(visited.unionAll(scored)).localCheckpoint(true)
+      // node is by definition not in it. Duplicates exist only WITHIN
+      // `scored` (one row per in-beam predecessor, bit-identical: same
+      // vectors → same dist, same hop = h), so the min/min aggregate
+      // below is exactly the removed expansion distinct. One explicit
+      // repartition on query_id lets the dedup aggregate AND the prune
+      // window reuse a single exchange (guide §2.4: HashPartitioning
+      // (query_id) satisfies both ClusteredDistributions) — the hop's
+      // three shuffle rounds (expansion distinct, anti-join, prune
+      // window) are now this one.
+      val nextPlan = pruned(
+        visited.unionAll(scored)
+          .repartition(col("query_id"))
+          .groupBy(col("query_id"), col("id"))
+          .agg(min(col("dist")).as("dist"), min(col("hop")).as("hop")))
+      if (dbg && h == 1 && sys.env.contains("SPARK_GRAFT_BEAM_PLAN"))
+        System.err.println(nextPlan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      val next = nextPlan.localCheckpoint(true)
       lap(s"hop $h checkpoint")
       // early exit: no NEW ENTRANT into any query's kept set, which is
       // final — an unchanged set re-expands the same frontier forever.
@@ -908,15 +934,17 @@ object GraphAnn {
     * entry, completing the SQL-twin symmetry (every other flagship
     * family has one: knn / ivf / filtered / bm25 / minhash /
     * dup_groups / hybrid / mmr). The persisted index is exposed as
-    * views and each beam hop is ONE ANSI statement — a (frontier,
-    * fresh, score, union) step over the previous hop's view — run from
-    * a driver loop that is control-plane only, exactly the
-    * programmatic path's structure. The per-hop frame is eagerly
+    * views and each beam hop is TWO ANSI statements — an (expansion,
+    * freshness, score) step over the previous hop's view, then the
+    * beam cut (dedup + top-ef prune sharing one repartition exchange,
+    * r18) over the union — run from a driver loop that is
+    * control-plane only, exactly the programmatic path's structure
+    * (its pruneToEf beam restated in SQL). The per-hop frame is eagerly
     * materialized and re-exposed as the next hop's view, with the
     * SAME hop count, beam width, tie-breaks and distance expression
     * as [[graphKnn]], so the rows are BIT-IDENTICAL (spec-asserted;
     * the operator's convergence early-exit changes nothing — a
-    * converged beam's later hops expand only already-visited nodes).
+    * converged pruned beam is a fixed point of the hop step).
     *
     * Why not one statement of chained CTEs like `sql_dup_groups`:
     * each hop references its predecessor THREE times (frontier rank,
@@ -960,33 +988,56 @@ object GraphAnn {
          |  transform(embedding, x -> CAST(x AS DOUBLE))) AS qu
          |FROM graph_emb_sql WHERE vec_id < $nQueries""".stripMargin)
       .createOrReplaceTempView("graph_queries_sql")
-    var visited = spark.sql(
+    // the visited view IS the per-query top-ef beam (r18 — the
+    // programmatic path's pruneToEf discipline restated in SQL): the
+    // seed frame and every hop's union are cut to ef rows per query by
+    // the prune statement below, so the hop statement expands the view
+    // WHOLE — the old per-hop frontier re-rank (one window + exchange
+    // over the growing trace) was an identity over a pruned view and is
+    // gone. Pruning is EXACT for the final top-k ranking (ef ≥ k + 1 by
+    // [[DefaultEf]]): a fixed row's rank only degrades as better rows
+    // arrive, so a row outside the top-ef can never re-enter the final
+    // top-k — [[searchTraceAt]]'s argument, and the spec's
+    // bit-identity anchor.
+    val pruneSql =
+      s"""SELECT query_id, id, dist FROM (
+         |  SELECT query_id, id, dist, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, id) AS r
+         |  FROM (
+         |    SELECT query_id, id, min(dist) AS dist
+         |    FROM (SELECT /*+ REPARTITION(query_id) */ *
+         |          FROM graph_next_sql)
+         |    GROUP BY query_id, id
+         |  )
+         |) WHERE r <= $e"""
+    spark.sql(
       s"""SELECT q.query_id, s.vec_id AS id,
          |  graft_squared_l2(q.qu, s.v) AS dist
          |FROM graph_queries_sql q CROSS JOIN graph_seeds_sql s"""
         .stripMargin)
-      .localCheckpoint(true)
+      .createOrReplaceTempView("graph_next_sql")
+    var visited = spark.sql(pruneSql.stripMargin).localCheckpoint(true)
     for (h <- 1 to hops) {
       visited.createOrReplaceTempView("graph_visited_sql")
-      // the hop's TRANSFORMATION (frontier rank -> expansion ->
-      // freshness -> score) is one ANSI statement; the accumulation is
-      // Dataset.unionAll glue because a single statement would
-      // reference the materialized visited view on BOTH union branches
-      // (once directly, once through the anti-join) with the same
-      // expression ids — Spark's union constraint rewrite trips over
-      // the shared LogicalRDD attributes (NoSuchElementException in
-      // UnionBase.rewriteConstraints); unionAll re-instances them
+      // the hop's TRANSFORMATION (expansion -> freshness -> score) is
+      // one ANSI statement; the accumulation is Dataset.unionAll glue
+      // because a single statement would reference the materialized
+      // visited view on BOTH union branches (once directly, once
+      // through the anti-join) with the same expression ids — Spark's
+      // union constraint rewrite trips over the shared LogicalRDD
+      // attributes (NoSuchElementException in
+      // UnionBase.rewriteConstraints); unionAll re-instances them.
+      // No DISTINCT in the expansion (r18): duplicate (query_id, dst)
+      // rows — one per in-beam predecessor — are bit-identical after
+      // scoring and collapse in the prune statement's GROUP BY, inside
+      // the SAME repartition exchange that cuts the beam; the anti-join
+      // rides a broadcast of the Q·ef visited view instead of a
+      // sort-merge re-shuffle. One exchange per hop (was 3-4).
       val scored = spark.sql(
-        s"""WITH frontier AS (
-           |  SELECT query_id, id FROM (
-           |    SELECT query_id, id, row_number() OVER (
-           |      PARTITION BY query_id ORDER BY dist, id) AS r
-           |    FROM graph_visited_sql
-           |  ) WHERE r <= $e
-           |), fresh AS (
-           |  SELECT DISTINCT e.query_id, e.id FROM (
+        s"""WITH fresh AS (
+           |  SELECT /*+ BROADCAST(v) */ e.query_id, e.id FROM (
            |    SELECT /*+ BROADCAST(f) */ f.query_id, g.dst AS id
-           |    FROM frontier f JOIN graph_adj_sql g
+           |    FROM graph_visited_sql f JOIN graph_adj_sql g
            |      ON g.bucket = pmod(f.id, $b) AND g.src = f.id
            |  ) e LEFT ANTI JOIN graph_visited_sql v
            |    ON v.query_id = e.query_id AND v.id = e.id
@@ -998,7 +1049,12 @@ object GraphAnn {
            |JOIN graph_vec_sql v
            |  ON v.bucket = pmod(f.id, $b) AND v.vec_id = f.id"""
           .stripMargin)
-      val next = visited.unionAll(scored).localCheckpoint(true)
+      visited.unionAll(scored).createOrReplaceTempView("graph_next_sql")
+      val nextPlan = spark.sql(pruneSql.stripMargin)
+      if (h == 1 && sys.env.contains("SPARK_GRAFT_BEAM_PLAN"))
+        System.err.println(nextPlan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      val next = nextPlan.localCheckpoint(true)
       Checkpoints.release(visited)
       visited = next
     }

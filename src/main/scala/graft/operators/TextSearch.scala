@@ -49,29 +49,85 @@ object TextSearch {
     * returns every doc containing it verbatim, with its occurrence count
     * and first position.
     *
-    * Scale shape: positional trigrams are a narrow array-expression
-    * explode (the [[TextAnalysis]] bigram pattern, no self-join on
-    * positions); the phrase is a 1-row broadcast; matching is a
-    * broadcast-semi join + per-doc aggregate — one shuffle, keyed by
-    * doc.
+    * Scale shape: positional trigram HASHES are a narrow
+    * array-expression explode (the [[TextAnalysis]] bigram pattern, no
+    * self-join on positions); the phrase resolves to one 8-byte hash on
+    * the driver (control plane — two tiny aggregate jobs over the
+    * checkpointed slim stream, plus a string-resolution job only when
+    * counts tie); matching is a literal filter + per-doc aggregate —
+    * one shuffle, keyed by doc, carrying longs.
     */
   def phraseSearch(spark: SparkSession, sfDir: String,
                    n: Int = 3): DataFrame = {
-    val grams = Dedup.positionalShingles(
-        Tables.load(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text")), n)
-      .withColumnRenamed("sh", "gram")
-      // the raw split can hold empty tokens at double spaces; a phrase
-      // containing one is an artifact, not corpus text
-      .filter(!col("gram").contains("  ") &&
-        !col("gram").startsWith(" ") && !col("gram").endsWith(" "))
-      // the gram stream feeds BOTH the phrase selection and the match
-      // join — cut the lineage once so tokenize + explode run one time
+    // r18 (guide §2.3 "shuffle keys, not payloads" — the substring_runs
+    // token-hash discipline, [[Dedup.positionalShingleHashes]]): the
+    // checkpointed gram stream and every shuffle carry an 8-byte
+    // xxhash64 fold instead of the ~25-byte gram STRING; building the
+    // concat_ws strings was the operator's hottest expression (measured
+    // 3.5× the hash combine in r17's probe). Gram strings are
+    // materialized ONLY to break count ties among the top hashes (the
+    // oracle's ORDER BY count DESC, gram tie-break), over the tied
+    // occurrences alone. Hash equality stands in for string equality
+    // w.h.p. — the same ≥48-bit margin argument as substring_runs,
+    // oracle-checked at every SF.
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val l = split(col("text"), " ")
+    val slim = corpus
+      .select(col("doc_id"), l.as("l"),
+        transform(l, x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("l")) >= n,
+          transform(sequence(lit(1), size(col("l")) - (n - 1)), k =>
+            struct(
+              aggregate(slice(col("hs"), k, lit(n)), lit(0L),
+                (acc, x) => xxhash64(acc, x)).as("h"),
+              // the raw split holds empty tokens at double/leading/
+              // trailing spaces; a phrase containing one is an artifact,
+              // not corpus text (≡ the oracle's three LIKE filters on
+              // the concatenated gram — tokens cannot contain spaces,
+              // so "window has an empty token" ⇔ "gram has a doubled/
+              // leading/trailing space")
+              exists(slice(col("l"), k, lit(n)),
+                x => x === lit("")).as("bad"))))
+          .otherwise(array().cast(
+            "array<struct<h:bigint,bad:boolean>>"))))
+      .toDF("doc_id", "pos", "s")
+      .filter(!col("s").getField("bad"))
+      .select(col("doc_id"), col("pos"), col("s").getField("h").as("h"))
+      // the slim stream feeds the selection counts AND the match scan —
+      // cut the lineage once so tokenize + hash run one time
       .localCheckpoint(true)
-    val phrase = grams.groupBy(col("gram")).count()
-      .orderBy(col("count").desc, col("gram")).limit(1)
-      .select(col("gram").as("q"))
-    grams.join(broadcast(phrase), col("gram") === col("q"))
+    val counts = slim.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val maxRow = counts.agg(max(col("c"))).head
+    val qh: Long =
+      if (maxRow.isNullAt(0)) 0L // empty corpus: no gram matches below
+      else {
+        val cMax = maxRow.getLong(0)
+        val tied = counts.filter(col("c") === cMax)
+          .select(col("h")).collect().map(_.getLong(0)).toSeq
+        if (tied.size == 1) tied.head
+        else {
+          // resolve ONLY the tied hashes to gram strings (one occurrence
+          // per hash suffices — all occurrences of a hash are the same
+          // gram w.h.p.) and take the oracle's lexicographic minimum in
+          // Spark's own string ordering
+          val occ = slim.filter(col("h").isin(tied: _*))
+            .groupBy(col("h"))
+            .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+            .select(col("h"), col("o").getField("doc_id").as("doc_id"),
+              col("o").getField("pos").as("pos"))
+          occ.join(corpus, "doc_id")
+            .select(col("h"), concat_ws(" ",
+              slice(split(col("text"), " "), col("pos") + 1, lit(n)))
+              .as("gram"))
+            .orderBy(col("gram")).limit(1)
+            .select(col("h")).head.getLong(0)
+        }
+      }
+    Checkpoints.release(counts)
+    slim.filter(col("h") === qh)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"),
         min(col("pos")).cast("long").as("first_pos"))

@@ -82,12 +82,54 @@ object IndexStore {
     * branches on).
     */
   def readCached(spark: SparkSession, path: String): DataFrame = {
+    ensureWriteInvalidator(spark)
     val cached = schemaCache.get(path)
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
       schemaCache.put(path, df.schema)
       df
+    }
+  }
+
+  // Structural closure of the cache's write seam (r18): ~60 artifact
+  // writes go through raw `.write.parquet` into fresh committed-guarded
+  // version dirs — safe by the immutable-dir convention, but only by
+  // convention. A per-session QueryExecutionListener invalidates the
+  // cached schema of EVERY parquet path this session writes, so a future
+  // in-place overwrite cannot serve a stale schema. (Listener delivery is
+  // async — the convention stays the primary guarantee; this removes the
+  // correctness dependence on it for any read that follows the write by
+  // more than a listener-bus beat.)
+  private val invalidatorSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private def ensureWriteInvalidator(spark: SparkSession): Unit = {
+    if (invalidatorSessions.contains(spark)) return
+    invalidatorSessions.synchronized {
+      if (invalidatorSessions.contains(spark)) return
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private def invalidate(
+              qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+            qe.analyzed.foreach {
+              case c: org.apache.spark.sql.execution.datasources
+                  .InsertIntoHadoopFsRelationCommand =>
+                schemaCache.remove(c.outputPath.toString)
+                // writers pass the path string; outputPath may carry a
+                // `file:` scheme — drop it so both spellings invalidate
+                schemaCache.remove(c.outputPath.toUri.getPath)
+              case _ => ()
+            }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = invalidate(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = invalidate(qe)
+        })
+      invalidatorSessions.add(spark)
     }
   }
 
