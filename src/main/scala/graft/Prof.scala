@@ -198,9 +198,34 @@ object Prof {
           }
           graft.operators.Checkpoints.release(cold)
         }
-      case name if SparkEntry.queries.contains(name) =>
-        t(s"$name cold")(SparkEntry.queries(name)(spark, sfDir).count())
+      case "chunkparts" =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.{TextAnalysis, VectorSearch}
+        val docs = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
         (1 to 3).foreach { i =>
+          t(s"chunkTokens $i") {
+            TextAnalysis.chunkTokens(docs, TextAnalysis.DefaultChunkSize,
+                TextAnalysis.DefaultChunkStride)
+              .write.format("noop").mode("overwrite").save()
+          }
+          t(s"chunk textEmbed $i") {
+            VectorSearch.textEmbed(
+              TextAnalysis.chunkTokens(docs, TextAnalysis.DefaultChunkSize,
+                  TextAnalysis.DefaultChunkStride)
+                .select((col("doc_id") * VectorSearch.ChunkKeyBase +
+                    col("chunk_ix"))
+                  .as("doc_id"), col("chunk_text").as("text")), 16)
+              .write.format("noop").mode("overwrite").save()
+          }
+          t(s"full query $i") {
+            SparkEntry.queries("chunk_embed_search")(spark, sfDir).count()
+          }
+        }
+      case name if SparkEntry.queries.contains(name) =>
+        val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "3").toInt
+        t(s"$name cold")(SparkEntry.queries(name)(spark, sfDir).count())
+        (1 to reps).foreach { i =>
           t(s"$name warm $i")(SparkEntry.queries(name)(spark, sfDir)
             .count())
         }

@@ -629,6 +629,18 @@ object Dedup {
     val edges = pairs.unionAll(
       pairs.select(pairs.columns.map(col).reverse: _*)).toDF("src", "dst")
       .localCheckpoint(true)
+    // priced broadcast for the per-round label lookups (r18 — the
+    // [[GraphAnn.searchTraceAt]] hinted() discipline): the label/
+    // neighbor-min frames are ≤ node-count rows (nodes ≤ edge rows), so
+    // a cheap count over the just-materialized checkpoint prices them.
+    // Under the limit each round's three label joins ride broadcasts —
+    // one exchange per round (the neighbor-min aggregate) instead of
+    // the 5-6 a sort-merge plan pays over unknown-stats checkpoints; at
+    // corpus scale the hint drops and the plan is exactly the old one.
+    val nEdges = edges.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (nEdges * 32L > AnnSearch.BroadcastProbeByteLimit) df
+      else broadcast(df)
     // seed labels at min(id, min neighbor) — exactly what round 1's
     // neighbor-min would compute from identity labels, for the same
     // one aggregation the identity init paid for its distinct() (r17):
@@ -647,10 +659,12 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      val neighborMin = edges
+        .join(hinted(labels), edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
       val stepped = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .join(hinted(neighborMin), labels("id") === neighborMin("src"),
+          "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label")))
             .as("l1"), col("label").as("old_label"))
@@ -658,7 +672,8 @@ object Dedup {
       // always a node id (labels start as ids and only copy node ids),
       // so the lookup join always hits
       val jumped = stepped
-        .join(labels.select(col("id").as("jid"), col("label").as("jl")),
+        .join(hinted(
+            labels.select(col("id").as("jid"), col("label").as("jl"))),
           stepped("l1") === col("jid"), "left")
         .select(col("id"),
           least(col("l1"), coalesce(col("jl"), col("l1")))

@@ -132,28 +132,50 @@ object VectorSearch {
     * text-search intent, `README.md:19-22`; a real deployment swaps this
     * column for the model's).
     *
-    * Shape: explode → groupBy(doc_id, bucket) count → per-doc assembly of
-    * the dense array via a (bucket → count) map. Plan width is O(1) in
-    * `dim` — the obvious alternative (one `sum(when(j = k))` column per
-    * bucket) is a dim-wide aggregate whose generated code explodes past
-    * dim ≈ 100; this form runs identically at dim=16 and dim=4096. Both
-    * aggregates are partial (map-side combine), keys are (doc, bucket)
-    * so the first shuffle carries ≤ doc·distinct-bucket rows, never raw
-    * tokens.
+    * Shape is dim-branched (r18). At flagship widths (dim ≤
+    * [[WideEmbedDimMax]], every in-repo caller) the count vector is ONE
+    * dim-wide whole-stage-codegen HashAggregate — a `sum(when(j = k))`
+    * column per bucket — keyed by doc alone: one exchange carrying
+    * docs·dim doubles, no per-bucket key rows, no collect_list
+    * (ObjectHashAggregate, non-codegen) assembly pass. Past that width
+    * the generated code for a dim-wide aggregate explodes, so the wide
+    * form yields to the O(1)-plan-width original: explode →
+    * groupBy(doc_id, bucket) count → per-doc assembly of the dense
+    * array via a (bucket → count) map — two partial aggregates whose
+    * first shuffle carries ≤ doc·distinct-bucket rows. Both branches
+    * emit bit-identical vectors: the entries are exact integer token
+    * counts (doubles are exact below 2⁵³ whether summed as 1.0s or
+    * counted then cast), absent buckets are 0.0 in each, and
+    * l2Normalize sees the same array.
     */
   def textEmbed(docs: DataFrame, dim: Int = 16): DataFrame = {
     import graft.functions.TextHash.hash32
     val toks = TextAnalysis.tokensPos(docs)
       .select(col("doc_id"), pmod(hash32(col("tok")), lit(dim)).as("j"))
-    val counts = toks.groupBy(col("doc_id"), col("j"))
-      .agg(count(lit(1)).cast("double").as("c"))
-    counts.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
-        .as("jc"))
-      .select(col("doc_id"),
-        l2Normalize(transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("jc"), i), lit(0.0)))).as("v"))
+    if (dim <= WideEmbedDimMax) {
+      val sums = (0 until dim).map(i =>
+        sum(when(col("j") === i, 1.0).otherwise(0.0)).as(s"c$i"))
+      toks.groupBy(col("doc_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          l2Normalize(array((0 until dim).map(i => col(s"c$i")): _*))
+            .as("v"))
+    } else {
+      val counts = toks.groupBy(col("doc_id"), col("j"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+          .as("jc"))
+        .select(col("doc_id"),
+          l2Normalize(transform(sequence(lit(0), lit(dim - 1)),
+            i => coalesce(element_at(col("jc"), i), lit(0.0)))).as("v"))
+    }
   }
+
+  /** Widest dim [[textEmbed]] plans as the one-exchange codegen
+    * aggregate; above it the map-assembly form keeps plan width O(1).
+    */
+  private[graft] val WideEmbedDimMax = 64
 
   /** Text-embedding k-NN search: [[knnSearch]]'s broadcast-queries plan
     * over the [[textEmbed]] column — query docs are doc_id < nQueries,

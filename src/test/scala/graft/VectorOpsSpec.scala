@@ -187,4 +187,45 @@ class VectorOpsSpec extends SparkSpec {
       case (a, b) => assert(math.abs(a - b) < 1e-9, s"doc $docId")
     }
   }
+
+  test("textEmbed wide-codegen branch is bit-identical to map assembly") {
+    // r18: dim ≤ WideEmbedDimMax plans as one dim-wide codegen
+    // HashAggregate; above it the two-aggregate map form remains. The
+    // vectors must match BITWISE (exact integer counts either way):
+    // compare textEmbed(dim=16) — the wide branch — against the pre-r18
+    // map-assembly expression inlined verbatim over the same tokens.
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(80)
+    val dim = 16
+    val wide = VectorSearch.textEmbed(docs, dim)
+    // the pre-r18 map-assembly form, verbatim
+    import graft.functions.TextHash.hash32
+    import graft.functions.VectorOps.l2Normalize
+    val toks = graft.operators.TextAnalysis.tokensPos(docs)
+      .select(col("doc_id"), pmod(hash32(col("tok")), lit(dim)).as("j"))
+    val mapForm = toks.groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+        .as("jc"))
+      .select(col("doc_id"),
+        l2Normalize(transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("jc"), i), lit(0.0)))).as("v"))
+    val a = wide.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    val b = mapForm.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, v) =>
+      assert(v == b(id), s"doc $id wide/map vectors differ")
+    }
+    // and the wide branch's plan really is the one-exchange codegen
+    // aggregate: no ObjectHashAggregate, exactly one Exchange (count in
+    // the final AQE plan only — the executed-plan string repeats the
+    // shape under "== Initial Plan ==")
+    val plan = wide.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan.take(2000))
+  }
 }
