@@ -18,13 +18,22 @@ object Prof {
     val exp = args.headOption.getOrElse("schema")
     val sfDir =
       if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    // targeted config experiments (r18 streaming-floor / local-dir
+    // sweeps): SPARK_GRAFT_PROF_CONF="k=v;k2=v2" lands in the builder so
+    // context-creation-time confs (spark.local.dir) take effect too
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_PROF_CONF").foreach { s =>
+      s.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     exp match {
       case "sqlhopbefore" =>

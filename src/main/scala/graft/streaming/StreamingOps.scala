@@ -61,8 +61,26 @@ object StreamingOps extends Serializable {
     val spark = df.sparkSession
     def run(): Unit = {
       val t0 = System.nanoTime()
+      // Ephemeral checkpoint on tmpfs when present (r18, guide §6 I/O):
+      // a memory-sink replay's checkpoint is throwaway by definition —
+      // Spark itself puts it in a deleted-on-stop temp dir — but the
+      // default temp lands on java.io.tmpdir (ext4 here), and the
+      // per-batch state deltas + offset/commit log fsyncs are a
+      // measured ~40% of these entries' wall time (streaming_join
+      // 3.7 → 2.5 s, streaming_session_window 3.5 → 2.4 s, median-of-4
+      // on one box). A fresh unique dir per start keeps the no-resume
+      // semantics identical. Durable pipelines (parquet sinks, the
+      // streamed index chains) pass their own real checkpointLocation
+      // and are untouched; SPARK_GRAFT_STREAM_TMPDIR overrides the
+      // placement for boxes where /dev/shm is absent or off-limits.
+      val ckptBase = sys.env.getOrElse("SPARK_GRAFT_STREAM_TMPDIR",
+        if (java.nio.file.Files.isWritable(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(ckptBase), s"graft_ckpt_$name").toString
       val q = df.writeStream.outputMode(mode).format("memory")
-        .queryName(name).start()
+        .queryName(name).option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally {
         if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
           System.err.println(f"[stream] $name start->drained " +
@@ -73,6 +91,8 @@ object StreamingOps extends Serializable {
           }
         }
         q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(ckpt))
       }
     }
     statePartitions match {
