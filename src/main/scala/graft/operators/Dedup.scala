@@ -678,12 +678,18 @@ object Dedup {
         .select(col("id"),
           least(col("l1"), coalesce(col("jl"), col("l1")))
             .as("new_label"), col("old_label"))
-        .localCheckpoint(true)
-      converged = jumped
+      // plan evidence hook (the beam's SPARK_GRAFT_BEAM_PLAN pattern):
+      // the converged final frame explains as a bare checkpoint read, so
+      // the per-round join shape is only visible from inside the loop
+      if (iter == 0 && sys.env.contains("SPARK_GRAFT_COMP_PLAN"))
+        System.err.println(jumped.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      val jumpedCp = jumped.localCheckpoint(true)
+      converged = jumpedCp
         .filter(col("new_label") < col("old_label")).limit(1).count() == 0
       Checkpoints.release(prevCp)
-      prevCp = jumped
-      labels = jumped.select(col("id"), col("new_label").as("label"))
+      prevCp = jumpedCp
+      labels = jumpedCp.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
     // converged: every caller consumes only `labels` (the final round's
